@@ -1,0 +1,17 @@
+#!/bin/sh
+# Build the reference aomenc/aomdec (from the read-only checkout at
+# /root/reference) as *external test oracles*.  No reference code is used in
+# the framework itself; these binaries only serve as the conformance /
+# bit-exactness check in tests (SURVEY.md §4 layers 3-4).
+set -e
+REF=${1:-/root/reference}
+OUT=${2:-/root/repo/.oracle/build}
+mkdir -p "$OUT"
+cd "$OUT"
+cmake "$REF" -G Ninja -DCMAKE_BUILD_TYPE=Release -DAOM_TARGET_CPU=generic \
+  -DENABLE_TESTS=0 -DENABLE_TESTDATA=0 -DENABLE_DOCS=0 -DENABLE_EXAMPLES=1 \
+  -DENABLE_TOOLS=0 -DCONFIG_MULTITHREAD=0
+ninja aomenc aomdec
+gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/ec_oracle.c \
+  "$REF"/aom_dsp/entenc.c "$REF"/aom_dsp/entdec.c "$REF"/aom_dsp/entcode.c \
+  -o "$OUT"/../libec_oracle.so

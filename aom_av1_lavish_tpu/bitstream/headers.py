@@ -1,0 +1,747 @@
+"""AV1 OBU framing + sequence/frame header codec (uncompressed bits).
+
+Implements the normative header syntax (AV1 spec §5.5 sequence_header_obu,
+§5.9 uncompressed_header; reference behavior: av1/encoder/bitstream.c:2612
+write_sequence_header, :2865 write_uncompressed_header_obu, and
+av1/decoder/obu.c:847 for the read path).  Both writer and parser are
+implemented so our own streams round-trip and reference streams can be
+inspected/decoded.
+
+Scope note: fields for tools the TPU encoder does not yet emit (timing info,
+decoder model, scalability metadata) are supported only in their "absent"
+configuration; the parser asserts on inputs that use them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bits import BitReader, BitWriter, leb128_decode, leb128_encode
+from . import constants as c
+
+PRIMARY_REF_NONE = 7
+SUPERRES_DENOM_BITS = 3
+SUPERRES_DENOM_MIN = 9
+SUPERRES_NUM = 8
+
+
+# ---------------------------------------------------------------------------
+# Sequence header
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SequenceHeader:
+    profile: int = 0
+    still_picture: int = 0
+    reduced_still_picture_header: int = 0
+    operating_point_idc: int = 0
+    seq_level_idx: int = 31  # LEVEL_MAX: no level constraints
+    seq_tier: int = 0
+    max_frame_width: int = 0
+    max_frame_height: int = 0
+    frame_id_numbers_present: int = 0
+    use_128x128_superblock: int = 0
+    enable_filter_intra: int = 0
+    enable_intra_edge_filter: int = 0
+    enable_interintra_compound: int = 0
+    enable_masked_compound: int = 0
+    enable_warped_motion: int = 0
+    enable_dual_filter: int = 0
+    enable_order_hint: int = 0
+    enable_jnt_comp: int = 0
+    enable_ref_frame_mvs: int = 0
+    force_screen_content_tools: int = 0  # 0/1, or 2 = per-frame choice
+    force_integer_mv: int = 2
+    order_hint_bits: int = 0
+    enable_superres: int = 0
+    enable_cdef: int = 0
+    enable_restoration: int = 0
+    # color_config
+    high_bitdepth: int = 0
+    twelve_bit: int = 0
+    mono_chrome: int = 0
+    color_description_present: int = 0
+    color_primaries: int = 2      # CP_UNSPECIFIED
+    transfer_characteristics: int = 2
+    matrix_coefficients: int = 2
+    color_range: int = 0
+    subsampling_x: int = 1
+    subsampling_y: int = 1
+    chroma_sample_position: int = 0
+    separate_uv_delta_q: int = 0
+    film_grain_params_present: int = 0
+
+    @property
+    def bit_depth(self) -> int:
+        if self.profile == 2 and self.high_bitdepth:
+            return 12 if self.twelve_bit else 10
+        return 10 if self.high_bitdepth else 8
+
+    @property
+    def sb_size_log2(self) -> int:
+        return 7 if self.use_128x128_superblock else 6
+
+    @property
+    def frame_width_bits(self) -> int:
+        return max(1, (self.max_frame_width - 1).bit_length())
+
+    @property
+    def frame_height_bits(self) -> int:
+        return max(1, (self.max_frame_height - 1).bit_length())
+
+
+def write_sequence_header(sh: SequenceHeader, w: BitWriter) -> None:
+    w.write_literal(sh.profile, 3)
+    w.write_bit(sh.still_picture)
+    w.write_bit(sh.reduced_still_picture_header)
+    assert not sh.reduced_still_picture_header
+    w.write_bit(0)  # timing_info_present_flag
+    w.write_bit(0)  # initial_display_delay_present_flag
+    w.write_literal(0, 5)  # operating_points_cnt_minus_1
+    w.write_literal(sh.operating_point_idc, 12)
+    w.write_literal(sh.seq_level_idx, 5)
+    if sh.seq_level_idx > 7:
+        w.write_bit(sh.seq_tier)
+    w.write_literal(sh.frame_width_bits - 1, 4)
+    w.write_literal(sh.frame_height_bits - 1, 4)
+    w.write_literal(sh.max_frame_width - 1, sh.frame_width_bits)
+    w.write_literal(sh.max_frame_height - 1, sh.frame_height_bits)
+    w.write_bit(sh.frame_id_numbers_present)
+    assert not sh.frame_id_numbers_present
+    w.write_bit(sh.use_128x128_superblock)
+    w.write_bit(sh.enable_filter_intra)
+    w.write_bit(sh.enable_intra_edge_filter)
+    w.write_bit(sh.enable_interintra_compound)
+    w.write_bit(sh.enable_masked_compound)
+    w.write_bit(sh.enable_warped_motion)
+    w.write_bit(sh.enable_dual_filter)
+    w.write_bit(sh.enable_order_hint)
+    if sh.enable_order_hint:
+        w.write_bit(sh.enable_jnt_comp)
+        w.write_bit(sh.enable_ref_frame_mvs)
+    if sh.force_screen_content_tools == 2:
+        w.write_bit(1)
+    else:
+        w.write_bit(0)
+        w.write_bit(sh.force_screen_content_tools)
+    if sh.force_screen_content_tools > 0:
+        if sh.force_integer_mv == 2:
+            w.write_bit(1)
+        else:
+            w.write_bit(0)
+            w.write_bit(sh.force_integer_mv)
+    else:
+        assert sh.force_integer_mv == 2
+    if sh.enable_order_hint:
+        w.write_literal(sh.order_hint_bits - 1, 3)
+    w.write_bit(sh.enable_superres)
+    w.write_bit(sh.enable_cdef)
+    w.write_bit(sh.enable_restoration)
+    _write_color_config(sh, w)
+    w.write_bit(sh.film_grain_params_present)
+
+
+def _write_color_config(sh: SequenceHeader, w: BitWriter) -> None:
+    w.write_bit(sh.high_bitdepth)
+    if sh.profile == 2 and sh.high_bitdepth:
+        w.write_bit(sh.twelve_bit)
+    if sh.profile != 1:
+        w.write_bit(sh.mono_chrome)
+    w.write_bit(sh.color_description_present)
+    if sh.color_description_present:
+        w.write_literal(sh.color_primaries, 8)
+        w.write_literal(sh.transfer_characteristics, 8)
+        w.write_literal(sh.matrix_coefficients, 8)
+    if sh.mono_chrome:
+        w.write_bit(sh.color_range)
+        return
+    is_srgb = (sh.color_description_present and sh.color_primaries == 1
+               and sh.transfer_characteristics == 13
+               and sh.matrix_coefficients == 0)
+    if not is_srgb:
+        w.write_bit(sh.color_range)
+        if sh.profile == 0:
+            assert (sh.subsampling_x, sh.subsampling_y) == (1, 1)
+        elif sh.profile == 1:
+            assert (sh.subsampling_x, sh.subsampling_y) == (0, 0)
+        else:
+            if sh.bit_depth == 12:
+                w.write_bit(sh.subsampling_x)
+                if sh.subsampling_x:
+                    w.write_bit(sh.subsampling_y)
+        if sh.subsampling_x and sh.subsampling_y:
+            w.write_literal(sh.chroma_sample_position, 2)
+    w.write_bit(sh.separate_uv_delta_q)
+
+
+def parse_sequence_header(data: bytes) -> SequenceHeader:
+    r = BitReader(data)
+    sh = SequenceHeader()
+    sh.profile = r.read_literal(3)
+    sh.still_picture = r.read_bit()
+    sh.reduced_still_picture_header = r.read_bit()
+    assert not sh.reduced_still_picture_header, "unsupported"
+    assert r.read_bit() == 0, "timing info unsupported"
+    assert r.read_bit() == 0, "display delay unsupported"
+    op_cnt = r.read_literal(5) + 1
+    for i in range(op_cnt):
+        idc = r.read_literal(12)
+        lvl = r.read_literal(5)
+        tier = r.read_bit() if lvl > 7 else 0
+        if i == 0:
+            sh.operating_point_idc, sh.seq_level_idx, sh.seq_tier = \
+                idc, lvl, tier
+    wbits = r.read_literal(4) + 1
+    hbits = r.read_literal(4) + 1
+    sh.max_frame_width = r.read_literal(wbits) + 1
+    sh.max_frame_height = r.read_literal(hbits) + 1
+    sh.frame_id_numbers_present = r.read_bit()
+    assert not sh.frame_id_numbers_present, "unsupported"
+    sh.use_128x128_superblock = r.read_bit()
+    sh.enable_filter_intra = r.read_bit()
+    sh.enable_intra_edge_filter = r.read_bit()
+    sh.enable_interintra_compound = r.read_bit()
+    sh.enable_masked_compound = r.read_bit()
+    sh.enable_warped_motion = r.read_bit()
+    sh.enable_dual_filter = r.read_bit()
+    sh.enable_order_hint = r.read_bit()
+    if sh.enable_order_hint:
+        sh.enable_jnt_comp = r.read_bit()
+        sh.enable_ref_frame_mvs = r.read_bit()
+    sh.force_screen_content_tools = 2 if r.read_bit() else r.read_bit()
+    if sh.force_screen_content_tools > 0:
+        sh.force_integer_mv = 2 if r.read_bit() else r.read_bit()
+    else:
+        sh.force_integer_mv = 2
+    if sh.enable_order_hint:
+        sh.order_hint_bits = r.read_literal(3) + 1
+    sh.enable_superres = r.read_bit()
+    sh.enable_cdef = r.read_bit()
+    sh.enable_restoration = r.read_bit()
+    # color config
+    sh.high_bitdepth = r.read_bit()
+    if sh.profile == 2 and sh.high_bitdepth:
+        sh.twelve_bit = r.read_bit()
+    sh.mono_chrome = r.read_bit() if sh.profile != 1 else 0
+    sh.color_description_present = r.read_bit()
+    if sh.color_description_present:
+        sh.color_primaries = r.read_literal(8)
+        sh.transfer_characteristics = r.read_literal(8)
+        sh.matrix_coefficients = r.read_literal(8)
+    if sh.mono_chrome:
+        sh.color_range = r.read_bit()
+        sh.subsampling_x = sh.subsampling_y = 1
+        sh.separate_uv_delta_q = 0
+    else:
+        is_srgb = (sh.color_description_present and sh.color_primaries == 1
+                   and sh.transfer_characteristics == 13
+                   and sh.matrix_coefficients == 0)
+        if is_srgb:
+            sh.color_range = 1
+            sh.subsampling_x = sh.subsampling_y = 0
+        else:
+            sh.color_range = r.read_bit()
+            if sh.profile == 0:
+                sh.subsampling_x = sh.subsampling_y = 1
+            elif sh.profile == 1:
+                sh.subsampling_x = sh.subsampling_y = 0
+            else:
+                if sh.bit_depth == 12:
+                    sh.subsampling_x = r.read_bit()
+                    sh.subsampling_y = r.read_bit() if sh.subsampling_x else 0
+                else:
+                    sh.subsampling_x, sh.subsampling_y = 1, 0
+            if sh.subsampling_x and sh.subsampling_y:
+                sh.chroma_sample_position = r.read_literal(2)
+        sh.separate_uv_delta_q = r.read_bit()
+    sh.film_grain_params_present = r.read_bit()
+    return sh
+
+
+# ---------------------------------------------------------------------------
+# Frame header
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FrameHeader:
+    frame_type: int = c.KEY_FRAME
+    show_frame: int = 1
+    showable_frame: int = 0
+    error_resilient_mode: int = 0
+    disable_cdf_update: int = 0
+    disable_frame_end_update_cdf: int = 0
+    allow_screen_content_tools: int = 0
+    force_integer_mv: int = 0
+    frame_size_override: int = 0
+    order_hint: int = 0
+    primary_ref_frame: int = PRIMARY_REF_NONE
+    refresh_frame_flags: int = 0xFF
+    frame_width: int = 0
+    frame_height: int = 0
+    render_width: int = 0
+    render_height: int = 0
+    superres_denom: int = SUPERRES_NUM
+    allow_intrabc: int = 0
+    # tile info
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    uniform_tile_spacing: int = 1
+    context_update_tile_id: int = 0
+    tile_size_bytes: int = 4
+    # quantization
+    base_q_idx: int = 0
+    delta_q_y_dc: int = 0
+    diff_uv_delta: int = 0
+    delta_q_u_dc: int = 0
+    delta_q_u_ac: int = 0
+    delta_q_v_dc: int = 0
+    delta_q_v_ac: int = 0
+    using_qmatrix: int = 0
+    qm_y: int = 0
+    qm_u: int = 0
+    qm_v: int = 0
+    # segmentation / delta q
+    segmentation_enabled: int = 0
+    delta_q_present: int = 0
+    delta_q_res_log2: int = 0
+    delta_lf_present: int = 0
+    delta_lf_res_log2: int = 0
+    delta_lf_multi: int = 0
+    # loop filter
+    filter_level: tuple = (0, 0)
+    filter_level_u: int = 0
+    filter_level_v: int = 0
+    sharpness_level: int = 0
+    loop_filter_delta_enabled: int = 0
+    # cdef
+    cdef_damping: int = 3
+    cdef_bits: int = 0
+    cdef_y_pri: tuple = (0,)
+    cdef_y_sec: tuple = (0,)
+    cdef_uv_pri: tuple = (0,)
+    cdef_uv_sec: tuple = (0,)
+    # restoration: (frame_restoration_type per plane, unit sizes)
+    lr_type: tuple = (0, 0, 0)
+    lr_unit_shift: int = 0
+    lr_uv_shift: int = 0
+    # modes
+    tx_mode: int = c.ONLY_4X4
+    reduced_tx_set: int = 0
+    allow_warped_motion: int = 0
+    allow_high_precision_mv: int = 0
+    interpolation_filter: int = 0
+    is_motion_mode_switchable: int = 0
+    is_filter_switchable: int = 1
+
+    def coded_lossless(self, sh: SequenceHeader) -> bool:
+        if self.base_q_idx != 0 or self.delta_q_y_dc != 0:
+            return False
+        if not sh.mono_chrome:
+            if (self.delta_q_u_dc or self.delta_q_u_ac or self.delta_q_v_dc
+                    or self.delta_q_v_ac):
+                return False
+        return not self.segmentation_enabled
+
+    @property
+    def is_intra(self) -> bool:
+        return self.frame_type in (c.KEY_FRAME, c.INTRA_ONLY_FRAME)
+
+    def mi_cols(self) -> int:
+        return 2 * ((self.frame_width + 7) >> 3)
+
+    def mi_rows(self) -> int:
+        return 2 * ((self.frame_height + 7) >> 3)
+
+    def sb_cols(self, sh: SequenceHeader) -> int:
+        sb = 1 << sh.sb_size_log2
+        return (self.frame_width + sb - 1) >> sh.sb_size_log2
+
+    def sb_rows(self, sh: SequenceHeader) -> int:
+        sb = 1 << sh.sb_size_log2
+        return (self.frame_height + sb - 1) >> sh.sb_size_log2
+
+
+def _write_delta_q(w: BitWriter, v: int) -> None:
+    if v:
+        w.write_bit(1)
+        w.write_inv_signed_literal(v, 6)
+    else:
+        w.write_bit(0)
+
+
+def _read_delta_q(r: BitReader) -> int:
+    return r.read_inv_signed_literal(6) if r.read_bit() else 0
+
+
+def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
+                       w: BitWriter) -> None:
+    """Uncompressed header for an intra frame (spec 5.9.2).
+
+    Inter-frame fields will be added with the inter path; asserts guard the
+    currently supported configuration.
+    """
+    assert fh.is_intra, "inter frame headers not yet implemented"
+    w.write_bit(0)  # show_existing_frame
+    w.write_literal(fh.frame_type, 2)
+    w.write_bit(fh.show_frame)
+    if not fh.show_frame:
+        w.write_bit(fh.showable_frame)
+    forced_er = (fh.frame_type == c.SWITCH_FRAME or
+                 (fh.frame_type == c.KEY_FRAME and fh.show_frame))
+    if not forced_er:
+        w.write_bit(fh.error_resilient_mode)
+    w.write_bit(fh.disable_cdf_update)
+    if sh.force_screen_content_tools == 2:
+        w.write_bit(fh.allow_screen_content_tools)
+    if fh.allow_screen_content_tools and sh.force_integer_mv == 2:
+        w.write_bit(fh.force_integer_mv)
+    if fh.frame_type != c.SWITCH_FRAME:
+        w.write_bit(fh.frame_size_override)
+    if sh.enable_order_hint:
+        w.write_literal(fh.order_hint, sh.order_hint_bits)
+    # intra frame or error resilient: primary_ref_frame not coded
+    keyshow = fh.frame_type == c.KEY_FRAME and fh.show_frame
+    if not keyshow and fh.frame_type != c.SWITCH_FRAME:
+        w.write_literal(fh.refresh_frame_flags, 8)
+    # frame size
+    if fh.frame_size_override:
+        w.write_literal(fh.frame_width - 1, sh.frame_width_bits)
+        w.write_literal(fh.frame_height - 1, sh.frame_height_bits)
+    if sh.enable_superres:
+        if fh.superres_denom != SUPERRES_NUM:
+            w.write_bit(1)
+            w.write_literal(fh.superres_denom - SUPERRES_DENOM_MIN,
+                            SUPERRES_DENOM_BITS)
+        else:
+            w.write_bit(0)
+    # render size
+    if (fh.render_width, fh.render_height) != (fh.frame_width,
+                                               fh.frame_height):
+        w.write_bit(1)
+        w.write_literal(fh.render_width - 1, 16)
+        w.write_literal(fh.render_height - 1, 16)
+    else:
+        w.write_bit(0)
+    if fh.allow_screen_content_tools and fh.superres_denom == SUPERRES_NUM:
+        w.write_bit(fh.allow_intrabc)
+    if not fh.disable_cdf_update:
+        w.write_bit(fh.disable_frame_end_update_cdf)
+    _write_tile_info(fh, sh, w)
+    _write_quantization_params(fh, sh, w)
+    w.write_bit(fh.segmentation_enabled)
+    assert not fh.segmentation_enabled, "segmentation write TBD"
+    # delta_q_params
+    if fh.base_q_idx > 0:
+        w.write_bit(fh.delta_q_present)
+        if fh.delta_q_present:
+            w.write_literal(fh.delta_q_res_log2, 2)
+    # delta_lf_params
+    if fh.delta_q_present:
+        if not fh.allow_intrabc:
+            w.write_bit(fh.delta_lf_present)
+        if fh.delta_lf_present:
+            w.write_literal(fh.delta_lf_res_log2, 2)
+            w.write_bit(fh.delta_lf_multi)
+    coded_lossless = fh.coded_lossless(sh)
+    # loop_filter_params
+    if not (coded_lossless or fh.allow_intrabc):
+        w.write_literal(fh.filter_level[0], 6)
+        w.write_literal(fh.filter_level[1], 6)
+        if not sh.mono_chrome:
+            if fh.filter_level[0] or fh.filter_level[1]:
+                w.write_literal(fh.filter_level_u, 6)
+                w.write_literal(fh.filter_level_v, 6)
+        w.write_literal(fh.sharpness_level, 3)
+        w.write_bit(fh.loop_filter_delta_enabled)
+        assert not fh.loop_filter_delta_enabled, "lf deltas TBD"
+    # cdef_params
+    if not (coded_lossless or fh.allow_intrabc) and sh.enable_cdef:
+        w.write_literal(fh.cdef_damping - 3, 2)
+        w.write_literal(fh.cdef_bits, 2)
+        for i in range(1 << fh.cdef_bits):
+            w.write_literal(fh.cdef_y_pri[i], 4)
+            w.write_literal(fh.cdef_y_sec[i], 2)
+            if not sh.mono_chrome:
+                w.write_literal(fh.cdef_uv_pri[i], 4)
+                w.write_literal(fh.cdef_uv_sec[i], 2)
+    # lr_params
+    all_lossless = coded_lossless and fh.superres_denom == SUPERRES_NUM
+    if not (all_lossless or fh.allow_intrabc) and sh.enable_restoration:
+        uses_lr = any(fh.lr_type)
+        uses_chroma_lr = any(fh.lr_type[1:])
+        for t in fh.lr_type:
+            w.write_literal(t, 2)
+        if uses_lr:
+            w.write_bit(fh.lr_unit_shift >= 1)
+            if fh.lr_unit_shift >= 1:
+                w.write_bit(fh.lr_unit_shift >= 2)
+            if sh.subsampling_x and sh.subsampling_y and uses_chroma_lr:
+                w.write_bit(fh.lr_uv_shift)
+    # read_tx_mode
+    if not coded_lossless:
+        w.write_bit(fh.tx_mode == c.TX_MODE_SELECT)
+    # frame_reference_mode: intra → nothing; skip_mode: intra → nothing
+    # allow_warped_motion: intra → nothing
+    w.write_bit(fh.reduced_tx_set)
+    # global motion + film grain: nothing for intra/no-grain
+
+
+def _write_tile_info(fh: FrameHeader, sh: SequenceHeader,
+                     w: BitWriter) -> None:
+    sb_cols = fh.sb_cols(sh)
+    sb_rows = fh.sb_rows(sh)
+    sb_shift = sh.sb_size_log2 - 2
+    sb_size = sb_shift + 2
+    max_tile_width_sb = 4096 >> sb_size
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, c.MAX_TILE_COLS))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, c.MAX_TILE_ROWS))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    assert fh.uniform_tile_spacing, "non-uniform tiles TBD"
+    w.write_bit(1)
+    lvl = min_log2_tile_cols
+    while lvl < max_log2_tile_cols:
+        if fh.tile_cols_log2 > lvl:
+            w.write_bit(1)
+            lvl += 1
+        else:
+            w.write_bit(0)
+            break
+    assert fh.tile_cols_log2 == max(lvl, min_log2_tile_cols)
+    min_log2_tile_rows = max(min_log2_tiles - fh.tile_cols_log2, 0)
+    lvl = min_log2_tile_rows
+    while lvl < max_log2_tile_rows:
+        if fh.tile_rows_log2 > lvl:
+            w.write_bit(1)
+            lvl += 1
+        else:
+            w.write_bit(0)
+            break
+    if fh.tile_cols_log2 > 0 or fh.tile_rows_log2 > 0:
+        w.write_literal(fh.context_update_tile_id,
+                        fh.tile_cols_log2 + fh.tile_rows_log2)
+        w.write_literal(fh.tile_size_bytes - 1, 2)
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def _write_quantization_params(fh: FrameHeader, sh: SequenceHeader,
+                               w: BitWriter) -> None:
+    w.write_literal(fh.base_q_idx, 8)
+    _write_delta_q(w, fh.delta_q_y_dc)
+    if not sh.mono_chrome:
+        if sh.separate_uv_delta_q:
+            w.write_bit(fh.diff_uv_delta)
+        _write_delta_q(w, fh.delta_q_u_dc)
+        _write_delta_q(w, fh.delta_q_u_ac)
+        if fh.diff_uv_delta:
+            _write_delta_q(w, fh.delta_q_v_dc)
+            _write_delta_q(w, fh.delta_q_v_ac)
+    w.write_bit(fh.using_qmatrix)
+    if fh.using_qmatrix:
+        w.write_literal(fh.qm_y, 4)
+        w.write_literal(fh.qm_u, 4)
+        if sh.separate_uv_delta_q:
+            w.write_literal(fh.qm_v, 4)
+
+
+def parse_frame_header(data: bytes, sh: SequenceHeader,
+                       bit_offset: int = 0) -> tuple[FrameHeader, int]:
+    """Parse an intra uncompressed header; returns (fh, end_bit_offset)."""
+    r = BitReader(data, bit_offset)
+    fh = FrameHeader()
+    assert r.read_bit() == 0, "show_existing_frame unsupported"
+    fh.frame_type = r.read_literal(2)
+    fh.show_frame = r.read_bit()
+    if not fh.show_frame:
+        fh.showable_frame = r.read_bit()
+    forced_er = (fh.frame_type == c.SWITCH_FRAME or
+                 (fh.frame_type == c.KEY_FRAME and fh.show_frame))
+    fh.error_resilient_mode = 1 if forced_er else r.read_bit()
+    fh.disable_cdf_update = r.read_bit()
+    if sh.force_screen_content_tools == 2:
+        fh.allow_screen_content_tools = r.read_bit()
+    else:
+        fh.allow_screen_content_tools = sh.force_screen_content_tools
+    if fh.allow_screen_content_tools:
+        fh.force_integer_mv = (r.read_bit() if sh.force_integer_mv == 2
+                               else sh.force_integer_mv)
+    assert fh.is_intra, "inter frame parse TBD"
+    if fh.frame_type != c.SWITCH_FRAME:
+        fh.frame_size_override = r.read_bit()
+    else:
+        fh.frame_size_override = 1
+    if sh.enable_order_hint:
+        fh.order_hint = r.read_literal(sh.order_hint_bits)
+    fh.primary_ref_frame = PRIMARY_REF_NONE
+    keyshow = fh.frame_type == c.KEY_FRAME and fh.show_frame
+    if not keyshow and fh.frame_type != c.SWITCH_FRAME:
+        fh.refresh_frame_flags = r.read_literal(8)
+    if fh.frame_size_override:
+        fh.frame_width = r.read_literal(sh.frame_width_bits) + 1
+        fh.frame_height = r.read_literal(sh.frame_height_bits) + 1
+    else:
+        fh.frame_width, fh.frame_height = sh.max_frame_width, \
+            sh.max_frame_height
+    fh.superres_denom = SUPERRES_NUM
+    if sh.enable_superres and r.read_bit():
+        fh.superres_denom = r.read_literal(SUPERRES_DENOM_BITS) + \
+            SUPERRES_DENOM_MIN
+    if r.read_bit():
+        fh.render_width = r.read_literal(16) + 1
+        fh.render_height = r.read_literal(16) + 1
+    else:
+        fh.render_width, fh.render_height = fh.frame_width, fh.frame_height
+    if fh.allow_screen_content_tools and fh.superres_denom == SUPERRES_NUM:
+        fh.allow_intrabc = r.read_bit()
+    fh.disable_frame_end_update_cdf = (1 if fh.disable_cdf_update
+                                       else r.read_bit())
+    _parse_tile_info(fh, sh, r)
+    _parse_quantization_params(fh, sh, r)
+    fh.segmentation_enabled = r.read_bit()
+    assert not fh.segmentation_enabled, "segmentation parse TBD"
+    if fh.base_q_idx > 0:
+        fh.delta_q_present = r.read_bit()
+        if fh.delta_q_present:
+            fh.delta_q_res_log2 = r.read_literal(2)
+    if fh.delta_q_present:
+        if not fh.allow_intrabc:
+            fh.delta_lf_present = r.read_bit()
+        if fh.delta_lf_present:
+            fh.delta_lf_res_log2 = r.read_literal(2)
+            fh.delta_lf_multi = r.read_bit()
+    coded_lossless = fh.coded_lossless(sh)
+    if not (coded_lossless or fh.allow_intrabc):
+        f0 = r.read_literal(6)
+        f1 = r.read_literal(6)
+        fh.filter_level = (f0, f1)
+        if not sh.mono_chrome and (f0 or f1):
+            fh.filter_level_u = r.read_literal(6)
+            fh.filter_level_v = r.read_literal(6)
+        fh.sharpness_level = r.read_literal(3)
+        fh.loop_filter_delta_enabled = r.read_bit()
+        if fh.loop_filter_delta_enabled and r.read_bit():
+            raise NotImplementedError("loop filter delta update")
+    if not (coded_lossless or fh.allow_intrabc) and sh.enable_cdef:
+        fh.cdef_damping = r.read_literal(2) + 3
+        fh.cdef_bits = r.read_literal(2)
+        n = 1 << fh.cdef_bits
+        yp, ys, up, us = [], [], [], []
+        for _ in range(n):
+            yp.append(r.read_literal(4))
+            ys.append(r.read_literal(2))
+            if not sh.mono_chrome:
+                up.append(r.read_literal(4))
+                us.append(r.read_literal(2))
+        fh.cdef_y_pri, fh.cdef_y_sec = tuple(yp), tuple(ys)
+        fh.cdef_uv_pri, fh.cdef_uv_sec = tuple(up), tuple(us)
+    all_lossless = coded_lossless and fh.superres_denom == SUPERRES_NUM
+    if not (all_lossless or fh.allow_intrabc) and sh.enable_restoration:
+        types = [r.read_literal(2) for _ in range(3 if not sh.mono_chrome
+                                                 else 1)]
+        fh.lr_type = tuple(types + [0] * (3 - len(types)))
+        if any(types):
+            shift = r.read_bit()
+            if shift:
+                shift += r.read_bit()
+            fh.lr_unit_shift = shift
+            if sh.subsampling_x and sh.subsampling_y and any(types[1:]):
+                fh.lr_uv_shift = r.read_bit()
+    if coded_lossless:
+        fh.tx_mode = c.ONLY_4X4
+    else:
+        fh.tx_mode = c.TX_MODE_SELECT if r.read_bit() else c.TX_MODE_LARGEST
+    fh.reduced_tx_set = r.read_bit()
+    return fh, r.bit_offset
+
+
+def _parse_tile_info(fh: FrameHeader, sh: SequenceHeader,
+                     r: BitReader) -> None:
+    sb_cols = fh.sb_cols(sh)
+    sb_rows = fh.sb_rows(sh)
+    sb_size = sh.sb_size_log2 - 2 + 2
+    max_tile_width_sb = 4096 >> sb_size
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, c.MAX_TILE_COLS))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, c.MAX_TILE_ROWS))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    fh.uniform_tile_spacing = r.read_bit()
+    assert fh.uniform_tile_spacing, "non-uniform tiles TBD"
+    lvl = min_log2_tile_cols
+    while lvl < max_log2_tile_cols and r.read_bit():
+        lvl += 1
+    fh.tile_cols_log2 = lvl
+    min_log2_tile_rows = max(min_log2_tiles - fh.tile_cols_log2, 0)
+    lvl = min_log2_tile_rows
+    while lvl < max_log2_tile_rows and r.read_bit():
+        lvl += 1
+    fh.tile_rows_log2 = lvl
+    if fh.tile_cols_log2 > 0 or fh.tile_rows_log2 > 0:
+        fh.context_update_tile_id = r.read_literal(
+            fh.tile_cols_log2 + fh.tile_rows_log2)
+        fh.tile_size_bytes = r.read_literal(2) + 1
+
+
+def _parse_quantization_params(fh: FrameHeader, sh: SequenceHeader,
+                               r: BitReader) -> None:
+    fh.base_q_idx = r.read_literal(8)
+    fh.delta_q_y_dc = _read_delta_q(r)
+    if not sh.mono_chrome:
+        fh.diff_uv_delta = r.read_bit() if sh.separate_uv_delta_q else 0
+        fh.delta_q_u_dc = _read_delta_q(r)
+        fh.delta_q_u_ac = _read_delta_q(r)
+        if fh.diff_uv_delta:
+            fh.delta_q_v_dc = _read_delta_q(r)
+            fh.delta_q_v_ac = _read_delta_q(r)
+        else:
+            fh.delta_q_v_dc = fh.delta_q_u_dc
+            fh.delta_q_v_ac = fh.delta_q_u_ac
+    fh.using_qmatrix = r.read_bit()
+    if fh.using_qmatrix:
+        fh.qm_y = r.read_literal(4)
+        fh.qm_u = r.read_literal(4)
+        fh.qm_v = (r.read_literal(4) if sh.separate_uv_delta_q else fh.qm_u)
+
+
+# ---------------------------------------------------------------------------
+# OBU assembly
+# ---------------------------------------------------------------------------
+
+
+def wrap_obu(obu_type: int, payload: bytes) -> bytes:
+    """OBU header (has_size_field=1, no extension) + leb128 size + payload."""
+    hdr = ((obu_type & 0xF) << 3) | 0x02  # has_size_field
+    return bytes([hdr]) + leb128_encode(len(payload)) + payload
+
+
+def temporal_delimiter() -> bytes:
+    return wrap_obu(c.OBU_TEMPORAL_DELIMITER, b"")
+
+
+def split_obus(data: bytes):
+    """Yield (obu_type, payload) for each OBU in a temporal unit."""
+    pos = 0
+    while pos < len(data):
+        hdr = data[pos]
+        assert (hdr & 0x80) == 0, "forbidden bit set"
+        obu_type = (hdr >> 3) & 0xF
+        has_ext = (hdr >> 2) & 1
+        has_size = (hdr >> 1) & 1
+        pos += 1
+        if has_ext:
+            pos += 1
+        assert has_size, "size-field-less OBU unsupported"
+        size, pos = leb128_decode(data, pos)
+        yield obu_type, data[pos:pos + size]
+        pos += size

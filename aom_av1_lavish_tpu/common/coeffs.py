@@ -367,3 +367,128 @@ def _tx_scale(tx_size: int) -> int:
     """av1_get_tx_scale: rounding shift for large transforms."""
     pels = c.TX_WIDTH[tx_size] * c.TX_HEIGHT[tx_size]
     return int(pels > 256) + int(pels > 1024)
+
+
+def write_coeffs_txb(wr, fc, qcoeff: np.ndarray, plane: int, tx_size: int,
+                     tx_type: int, skip_ctx: int, dc_sign_ctx: int) -> int:
+    """Encode one transform block's quantized coefficients.
+
+    `qcoeff` is the flat (scan-position-indexed) int array.  Symbol order
+    mirrors read_coeffs_txb exactly (reference: av1/encoder/encodetxb.c:269
+    av1_write_coeffs_txb).  Returns cul_level for entropy-context update.
+    """
+    adj = adjusted_tx_size(tx_size)
+    width = c.TX_WIDTH[adj]
+    height = c.TX_HEIGHT[adj]
+    bhl = height.bit_length() - 1
+    txs_ctx = txsize_entropy_ctx(tx_size)
+    plane_type = int(plane > 0)
+    tx_class = TX_TYPE_TO_CLASS[tx_type]
+    scan = tables.scan(adj, tx_type)
+
+    # eob = last nonzero scan index + 1
+    nz = [si for si in range(len(scan)) if qcoeff[int(scan[si])] != 0]
+    eob = nz[-1] + 1 if nz else 0
+
+    all_zero = int(eob == 0)
+    wr.encode_symbol_adapt(all_zero, fc.txb_skip_cdf[txs_ctx][skip_ctx], 2)
+    if all_zero:
+        return 0
+
+    # eob token
+    eob_ms = eob_multi_size(tx_size)
+    eob_multi_ctx = 0 if tx_class == TX_CLASS_2D else 1
+    eob_pt = next(t for t in range(len(EOB_GROUP_START) - 1, 0, -1)
+                  if EOB_GROUP_START[t] <= eob) \
+        if eob > 0 else 1
+    # find group: largest t with group_start[t] <= eob and eob < next start
+    for t in range(1, 12):
+        if EOB_GROUP_START[t] <= eob and \
+                (t + 1 >= 12 or eob < EOB_GROUP_START[t + 1]):
+            eob_pt = t
+            break
+    eob_cdf = getattr(fc, f"eob_flag_cdf{16 << eob_ms}")
+    wr.encode_symbol_adapt(eob_pt - 1, eob_cdf[plane_type][eob_multi_ctx],
+                           eob_ms + 5)
+    offset_bits = EOB_OFFSET_BITS[eob_pt]
+    eob_extra = eob - EOB_GROUP_START[eob_pt]
+    if offset_bits > 0:
+        eob_ctx = eob_pt - 3
+        bit = (eob_extra >> (offset_bits - 1)) & 1
+        wr.encode_symbol_adapt(
+            bit, fc.eob_extra_cdf[txs_ctx][plane_type][eob_ctx], 2)
+        for i in range(1, offset_bits):
+            wr.encode_bit((eob_extra >> (offset_bits - 1 - i)) & 1)
+
+    levels = LevelsBuf(width, height)
+    # pre-fill levels with min(abs, 15)-equivalent coding levels: the level
+    # buffer must hold the PRE-golomb coded level (base+br, <= 15), matching
+    # what the decoder reconstructs during its reverse pass.
+    # We fill entries as we "code" them in the same order as the decoder.
+
+    # last coefficient
+    ci = eob - 1
+    pos = int(scan[ci])
+    v = int(qcoeff[pos])
+    level = min(abs(v), MAX_BASE_BR_RANGE)
+    ctx = base_ctx_eob(bhl, width, ci)
+    assert level >= 1
+    wr.encode_symbol_adapt(min(level, 3) - 1,
+                           fc.coeff_base_eob_cdf[txs_ctx][plane_type][ctx], 3)
+    if level > NUM_BASE_LEVELS:
+        bctx = br_ctx_eob(pos, bhl, tx_class)
+        cdf = fc.coeff_br_cdf[min(txs_ctx, c.TX_32X32)][plane_type][bctx]
+        rem = level - NUM_BASE_LEVELS - 1  # amount coded by br symbols
+        for _ in range(0, COEFF_BASE_RANGE, BR_CDF_SIZE - 1):
+            k = min(rem, BR_CDF_SIZE - 1)
+            wr.encode_symbol_adapt(k, cdf, BR_CDF_SIZE)
+            rem -= k
+            if k < BR_CDF_SIZE - 1:
+                break
+    r_, col_ = pos_rc(pos, bhl)
+    levels.set(r_, col_, level)
+
+    # reverse pass
+    for ci in range(eob - 2, -1, -1):
+        pos = int(scan[ci])
+        v = int(qcoeff[pos])
+        level = min(abs(v), MAX_BASE_BR_RANGE)
+        ctx = base_ctx(levels, pos, bhl, tx_size, tx_class)
+        wr.encode_symbol_adapt(min(level, 3),
+                               fc.coeff_base_cdf[txs_ctx][plane_type][ctx], 4)
+        if level > NUM_BASE_LEVELS:
+            bctx = br_ctx(levels, pos, bhl, tx_class)
+            cdf = fc.coeff_br_cdf[min(txs_ctx, c.TX_32X32)][plane_type][bctx]
+            rem = level - NUM_BASE_LEVELS - 1
+            for _ in range(0, COEFF_BASE_RANGE, BR_CDF_SIZE - 1):
+                k = min(rem, BR_CDF_SIZE - 1)
+                wr.encode_symbol_adapt(k, cdf, BR_CDF_SIZE)
+                rem -= k
+                if k < BR_CDF_SIZE - 1:
+                    break
+        r_, col_ = pos_rc(pos, bhl)
+        levels.set(r_, col_, level)
+
+    # signs + golomb, forward order
+    cul_level = 0
+    dc_val = 0
+    for ci in range(eob):
+        pos = int(scan[ci])
+        v = int(qcoeff[pos])
+        if v == 0:
+            continue
+        level = abs(v)
+        sign = int(v < 0)
+        if ci == 0:
+            wr.encode_symbol_adapt(sign,
+                                   fc.dc_sign_cdf[plane_type][dc_sign_ctx], 2)
+            dc_val = v
+        else:
+            wr.encode_bit(sign)
+        if level >= MAX_BASE_BR_RANGE:
+            write_golomb(wr, level - MAX_BASE_BR_RANGE)
+        cul_level += level
+
+    cul_level = min(COEFF_CONTEXT_MASK, cul_level)
+    cul_level = set_dc_sign(cul_level, dc_val)
+    return cul_level

@@ -22,7 +22,7 @@ from ..bitstream.entropy import RangeDecoder
 from ..bitstream.tables import FrameContext
 from ..common import blockd, intra
 from ..common.txfm import iwht4x4
-from . import coeffs as CF
+from ..common import coeffs as CF
 
 PARTITION_PLOFFSET = 4
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]

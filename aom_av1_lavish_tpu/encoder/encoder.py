@@ -1,0 +1,387 @@
+"""Lossless all-intra AV1 encoder — host reference path.
+
+Produces conformant AV1 bitstreams (key frames, 8-bit 4:2:0, lossless WHT
+path) decodable bit-exactly by stock aomdec and by our own decoder
+(reference behavior being mirrored: av1/encoder/bitstream.c write path,
+encodetxb.c coefficient coding, encodeframe.c block walk).
+
+This is the correctness spine of SURVEY.md §7 step 3; the TPU (JAX/Pallas)
+encode path batches the per-block math (prediction, WHT, tokenization) and
+feeds the same per-tile symbol stream writer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+from ..bitstream import headers as H
+from ..bitstream.bits import BitWriter
+from ..bitstream.entropy import RangeEncoder
+from ..bitstream.ivf import write_ivf
+from ..bitstream.tables import FrameContext
+from ..common import blockd, coeffs as CF, intra
+from ..common.txfm import fwht4x4, iwht4x4
+
+INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+PARTITION_PLOFFSET = 4
+
+
+def make_sequence_header(width: int, height: int) -> H.SequenceHeader:
+    """Minimal-tools sequence config for the lossless all-intra path."""
+    return H.SequenceHeader(
+        profile=0, seq_level_idx=31, max_frame_width=width,
+        max_frame_height=height, use_128x128_superblock=0,
+        enable_filter_intra=0, enable_intra_edge_filter=0,
+        enable_order_hint=0, force_screen_content_tools=0,
+        force_integer_mv=2, enable_superres=0, enable_cdef=0,
+        enable_restoration=0, high_bitdepth=0, mono_chrome=0,
+        subsampling_x=1, subsampling_y=1, separate_uv_delta_q=0)
+
+
+def make_lossless_frame_header(sh: H.SequenceHeader) -> H.FrameHeader:
+    return H.FrameHeader(
+        frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
+        disable_cdf_update=0, disable_frame_end_update_cdf=1,
+        frame_size_override=0,
+        frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
+        render_width=sh.max_frame_width, render_height=sh.max_frame_height,
+        base_q_idx=0, tx_mode=c.ONLY_4X4, reduced_tx_set=0)
+
+
+class LosslessEncoder:
+    """Encodes one key frame losslessly (DC-predicted 4x4 WHT blocks)."""
+
+    def __init__(self, sh: H.SequenceHeader, fh: H.FrameHeader):
+        self.sh = sh
+        self.fh = fh
+        self.mi_cols = fh.mi_cols()
+        self.mi_rows = fh.mi_rows()
+        self.sb_mi = 1 << (sh.sb_size_log2 - 2)
+        self.sb_size = c.BLOCK_128X128 if sh.use_128x128_superblock \
+            else c.BLOCK_64X64
+        self.ss_x, self.ss_y = sh.subsampling_x, sh.subsampling_y
+        self.num_planes = 1 if sh.mono_chrome else 3
+        # per-4x4 luma mode grid, filled as blocks are coded
+        self.mi_skip = np.zeros((self.mi_rows, self.mi_cols), dtype=np.uint8)
+        self.mi_mode = np.full((self.mi_rows, self.mi_cols), c.DC_PRED,
+                               dtype=np.int32)
+        self.mi_valid = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
+
+    def encode_frame(self, planes) -> bytes:
+        """planes: (y, u, v) uint8 source.  Returns full temporal unit."""
+        fh, sh = self.fh, self.sh
+        # pad source planes to the mi grid
+        w = self.mi_cols * 4
+        h = self.mi_rows * 4
+        self.src = []
+        self.recon = []
+        for i, p in enumerate(planes[:self.num_planes]):
+            ph, pw = (h, w) if i == 0 else (h >> self.ss_y, w >> self.ss_x)
+            buf = np.zeros((ph, pw), dtype=np.uint8)
+            sh_, sw_ = p.shape
+            buf[:sh_, :sw_] = p
+            # edge-replicate padding so padded-area residuals stay small
+            if sw_ < pw:
+                buf[:sh_, sw_:] = buf[:sh_, sw_ - 1:sw_]
+            if sh_ < ph:
+                buf[sh_:, :] = buf[sh_ - 1:sh_, :]
+            self.src.append(buf)
+            self.recon.append(np.zeros_like(buf))
+
+        tile_data = self._encode_tile()
+
+        # assemble: TD + sequence header + frame OBU
+        out = bytearray()
+        out += H.temporal_delimiter()
+        w_seq = BitWriter()
+        H.write_sequence_header(sh, w_seq)
+        w_seq.write_bit(1)  # trailing bit
+        w_seq.byte_align()
+        out += H.wrap_obu(c.OBU_SEQUENCE_HEADER, w_seq.data())
+        w_fh = BitWriter()
+        H.write_frame_header(fh, sh, w_fh)
+        w_fh.byte_align()
+        out += H.wrap_obu(c.OBU_FRAME, w_fh.data() + tile_data)
+        return bytes(out)
+
+    # --- tile encode ------------------------------------------------------
+
+    def _encode_tile(self) -> bytes:
+        self.fc = FrameContext(self.fh.base_q_idx)
+        self.wr = RangeEncoder()
+        self.above_partition = np.zeros(self.mi_cols, dtype=np.uint8)
+        self.left_partition = np.zeros(self.mi_rows, dtype=np.uint8)
+        self.above_entropy = [np.zeros(self.mi_cols, dtype=np.uint8)
+                              for _ in range(self.num_planes)]
+        self.left_entropy = [np.zeros(self.mi_rows, dtype=np.uint8)
+                             for _ in range(self.num_planes)]
+        for mi_row in range(0, self.mi_rows, self.sb_mi):
+            self.left_partition[:] = 0
+            for le in self.left_entropy:
+                le[:] = 0
+            for mi_col in range(0, self.mi_cols, self.sb_mi):
+                self._encode_partition(mi_row, mi_col, self.sb_size)
+        return self.wr.done()
+
+    def _choose_partition(self, mi_row, mi_col, bsize) -> int:
+        """Fixed strategy: NONE for fully-visible blocks, else split toward
+        the frame edge (HORZ/VERT when only one direction fits)."""
+        bw = blockd.mi_size_wide(bsize)
+        hbs = bw // 2
+        if bsize < c.BLOCK_8X8:
+            return c.PARTITION_NONE
+        fits_rows = mi_row + bw <= self.mi_rows
+        fits_cols = mi_col + bw <= self.mi_cols
+        if fits_rows and fits_cols:
+            return c.PARTITION_NONE
+        has_rows = mi_row + hbs < self.mi_rows
+        has_cols = mi_col + hbs < self.mi_cols
+        if not has_rows and fits_cols:
+            return c.PARTITION_HORZ
+        if not has_cols and fits_rows:
+            return c.PARTITION_VERT
+        return c.PARTITION_SPLIT
+
+    def _partition_ctx(self, mi_row, mi_col, bsize):
+        bsl = (blockd.mi_size_wide(bsize).bit_length() - 1) - 1
+        above = (int(self.above_partition[mi_col]) >> bsl) & 1
+        left = (int(self.left_partition[mi_row]) >> bsl) & 1
+        return (left * 2 + above) + bsl * PARTITION_PLOFFSET
+
+    def _write_partition(self, mi_row, mi_col, bsize, partition):
+        hbs = blockd.mi_size_wide(bsize) // 2
+        has_rows = mi_row + hbs < self.mi_rows
+        has_cols = mi_col + hbs < self.mi_cols
+        if not has_rows and not has_cols:
+            assert partition == c.PARTITION_SPLIT
+            return
+        ctx = self._partition_ctx(mi_row, mi_col, bsize)
+        cdf = self.fc.partition_cdf[ctx]
+        from ..decoder.decoder import FrameDecoder
+        if has_rows and has_cols:
+            n = FrameDecoder._partition_cdf_length(bsize)
+            self.wr.encode_symbol_adapt(partition, cdf, n)
+        else:
+            # gathered binary: symbol 1 == SPLIT
+            dec = FrameDecoder
+            g = dec._gather_split_cdf(dec, cdf, bsize,
+                                      horz_alike=not has_cols)
+            sym = int(partition == c.PARTITION_SPLIT)
+            assert partition in (c.PARTITION_SPLIT,
+                                 c.PARTITION_HORZ if not has_rows
+                                 else c.PARTITION_VERT)
+            self.wr.encode_symbol(sym, g, 2)
+
+    def _encode_partition(self, mi_row, mi_col, bsize):
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        bw = blockd.mi_size_wide(bsize)
+        hbs = bw // 2
+        partition = self._choose_partition(mi_row, mi_col, bsize)
+        if bsize >= c.BLOCK_8X8:
+            self._write_partition(mi_row, mi_col, bsize, partition)
+        subsize = blockd.partition_subsize(bsize, partition)
+        P = c
+        if partition == P.PARTITION_NONE:
+            self._encode_block(mi_row, mi_col, subsize, partition)
+        elif partition == P.PARTITION_HORZ:
+            self._encode_block(mi_row, mi_col, subsize, partition)
+            if mi_row + hbs < self.mi_rows:
+                self._encode_block(mi_row + hbs, mi_col, subsize, partition)
+        elif partition == P.PARTITION_VERT:
+            self._encode_block(mi_row, mi_col, subsize, partition)
+            if mi_col + hbs < self.mi_cols:
+                self._encode_block(mi_row, mi_col + hbs, subsize, partition)
+        elif partition == P.PARTITION_SPLIT:
+            self._encode_partition(mi_row, mi_col, subsize)
+            self._encode_partition(mi_row, mi_col + hbs, subsize)
+            self._encode_partition(mi_row + hbs, mi_col, subsize)
+            self._encode_partition(mi_row + hbs, mi_col + hbs, subsize)
+        else:
+            raise AssertionError(partition)
+        self._update_ext_partition_ctx(mi_row, mi_col, subsize, bsize,
+                                       partition)
+
+    def _update_partition_ctx(self, mi_row, mi_col, subsize, bsize):
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        bw4 = blockd.mi_size_wide(subsize)
+        bh4 = blockd.mi_size_high(subsize)
+        above = (31 << (bw4.bit_length() - 1)) & 31
+        left = (31 << (bh4.bit_length() - 1)) & 31
+        self.above_partition[mi_col:mi_col + bw] = above
+        self.left_partition[mi_row:mi_row + bh] = left
+
+    def _update_ext_partition_ctx(self, mi_row, mi_col, subsize, bsize,
+                                  partition):
+        if bsize < c.BLOCK_8X8:
+            return
+        if partition == c.PARTITION_SPLIT and bsize != c.BLOCK_8X8:
+            return
+        self._update_partition_ctx(mi_row, mi_col, subsize, bsize)
+
+    # --- block encode -----------------------------------------------------
+
+    def _encode_block(self, mi_row, mi_col, bsize, partition):
+        fc, wr = self.fc, self.wr
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+
+        # --- compute the whole block's residual decisions first (skip flag
+        # must be written before mode/coeffs, and depends on all txbs) ---
+        # For lossless DC-only: skip iff every residual is zero, i.e. the
+        # prediction already equals the source everywhere.  We must commit
+        # to skip BEFORE knowing recon (prediction depends on recon of
+        # neighbors, already final).  Compute per-txb data in coding order.
+        plan = self._plan_block(mi_row, mi_col, bsize, up_avail, left_avail)
+        skip = all(not np.any(q) for (_, _, _, _, q, _) in plan)
+
+        # skip_txfm symbol
+        above_mi = (mi_row - 1, mi_col) if up_avail else None
+        left_mi = (mi_row, mi_col - 1) if left_avail else None
+        skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
+                   (int(self.mi_skip[left_mi]) if left_mi else 0)
+        wr.encode_symbol_adapt(int(skip), fc.skip_txfm_cdfs[skip_ctx], 2)
+
+        # y mode (DC) via kf cdf
+        above_mode = int(self.mi_mode[above_mi]) if above_mi else c.DC_PRED
+        left_mode = int(self.mi_mode[left_mi]) if left_mi else c.DC_PRED
+        cdf = fc.kf_y_cdf[INTRA_MODE_CONTEXT[above_mode]][
+            INTRA_MODE_CONTEXT[left_mode]]
+        wr.encode_symbol_adapt(c.DC_PRED, cdf, c.INTRA_MODES)
+        # DC: no angle delta
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        if is_chroma_ref:
+            cfl_allowed = blockd.plane_block_size(
+                bsize, self.ss_x, self.ss_y) == c.BLOCK_4X4
+            wr.encode_symbol_adapt(
+                c.DC_PRED, fc.uv_mode_cdf[int(cfl_allowed)][c.DC_PRED],
+                c.UV_INTRA_MODES - int(not cfl_allowed))
+        # filter intra: seq-disabled; palette: screen content off
+
+        rmax = min(mi_row + bh, self.mi_rows)
+        cmax = min(mi_col + bw, self.mi_cols)
+        self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
+        self.mi_mode[mi_row:rmax, mi_col:cmax] = c.DC_PRED
+        self.mi_valid[mi_row:rmax, mi_col:cmax] = True
+
+        # coeffs + recon
+        for (plane, py, px, plane_bsize, qcoeff, pred) in plan:
+            txw, txh = 1, 1
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            # entropy ctx coords in plane mi units (plane px / 4)
+            acol = px >> 2
+            lrow = py >> 2
+            au = self.above_entropy[plane]
+            lu = self.left_entropy[plane]
+            if skip:
+                au[acol:acol + txw] = 0
+                lu[lrow:lrow + txh] = 0
+                recon = pred
+            else:
+                skip_ctx2, dc_sign_ctx = CF.txb_ctx(
+                    plane_bsize, c.TX_4X4, plane, au[acol:acol + txw],
+                    lu[lrow:lrow + txh])
+                cul = CF.write_coeffs_txb(wr, fc, qcoeff, plane, c.TX_4X4,
+                                          c.DCT_DCT, skip_ctx2, dc_sign_ctx)
+                au[acol:acol + txw] = cul
+                lu[lrow:lrow + txh] = cul
+                dq = qcoeff.astype(np.int64) * 4
+                res = iwht4x4(dq.reshape(4, 4))
+                recon = np.clip(pred.astype(np.int32) + res, 0,
+                                255).astype(np.uint8)
+            self.recon[plane][py:py + 4, px:px + 4] = recon
+
+    def _plan_block(self, mi_row, mi_col, bsize, up_avail, left_avail):
+        """Predict + transform every 4x4 txb of the block in coding order.
+
+        DC prediction depends only on previously-reconstructed pixels
+        (outside this block or earlier txbs of it, which for lossless equal
+        the source when not skipped).  To decide the block-level skip flag
+        up front we predict against a recon image where this block's own
+        area is temporarily filled with source (valid iff skip-decision
+        outcome keeps residuals zero; if any residual is nonzero we encode
+        coefficients and recon==source anyway, so predictions stay
+        consistent either way -- UNLESS a zero-residual txb follows a
+        nonzero one inside the same skipped block.  Since skip is only
+        chosen when ALL residuals are zero, recon==source holds in both
+        branches and the temporary fill is exact.)
+        """
+        plan = []
+        chroma_up = up_avail
+        chroma_left = left_avail
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        if self.ss_x and bw < 2:
+            chroma_left = (mi_col - 1) > 0
+        if self.ss_y and bh < 2:
+            chroma_up = (mi_row - 1) > 0
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+        for plane in range(nplanes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
+                if plane else bsize
+            pbw = blockd.block_wide(plane_bsize)
+            pbh = blockd.block_high(plane_bsize)
+            row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
+                else mi_row * 4
+            col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
+                else mi_col * 4
+            mb_to_right = (self.mi_cols - bw - mi_col) * 4
+            mb_to_bottom = (self.mi_rows - bh - mi_row) * 4
+            vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
+            vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
+            src = self.src[plane]
+            rec = self.recon[plane]
+            for r4 in range(0, max(vis_h >> 2, 1)):
+                for c4 in range(0, max(vis_w >> 2, 1)):
+                    y = r4 * 4
+                    x = c4 * 4
+                    py, px = row0 + y, col0 + x
+                    have_top = r4 > 0 or (chroma_up if ss_y else up_avail)
+                    have_left = c4 > 0 or (chroma_left if ss_x
+                                           else left_avail)
+                    xr = (mb_to_right >> ss_x) + pbw - x - 4
+                    yd = (mb_to_bottom >> ss_y) + pbh - y - 4
+                    # within-block txbs predict from source-filled recon
+                    ref = rec.copy()
+                    # temporarily treat already-planned area + own block
+                    # interior as source (lossless recon == source)
+                    ref[row0:row0 + pbh, col0:col0 + pbw] = \
+                        src[row0:row0 + pbh, col0:col0 + pbw]
+                    pred = intra.build_intra_predictor(
+                        ref, px, py, 4, 4, c.DC_PRED, 0, -1,
+                        n_top_px=min(4, xr + 4) if have_top else 0,
+                        n_topright_px=-1,
+                        n_left_px=min(4, yd + 4) if have_left else 0,
+                        n_bottomleft_px=-1,
+                        disable_edge_filter=True, intra_edge_filter_type=0)
+                    resid = src[py:py + 4, px:px + 4].astype(np.int32) \
+                        - pred.astype(np.int32)
+                    coeff = fwht4x4(resid)
+                    q = coeff // 4  # exact: WHT output is a multiple of 4
+                    plan.append((plane, py, px, plane_bsize,
+                                 q.ravel(), pred))
+        return plan
+
+
+def encode_lossless_ivf(path: str, frames, width: int, height: int,
+                        fps=(30, 1)) -> None:
+    """Encode frames (list of (y,u,v)) as all-keyframe lossless IVF."""
+    sh = make_sequence_header(width, height)
+    payloads = []
+    for i, f in enumerate(frames):
+        fh = make_lossless_frame_header(sh)
+        enc = LosslessEncoder(sh, fh)
+        payloads.append((enc.encode_frame(f), i))
+    write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -27,6 +27,77 @@ INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 PARTITION_PLOFFSET = 4
 
 
+
+def _cul_level_of(qcoeff: np.ndarray) -> int:
+    """Entropy-context value from quantized coeffs (matches the tokenizer:
+    min(63, sum|q|) plus dc-sign bits)."""
+    s = int(np.abs(qcoeff).sum())
+    if s == 0 and qcoeff[0] == 0:
+        cul = 0
+    else:
+        cul = min(CF.COEFF_CONTEXT_MASK, s)
+    return CF.set_dc_sign(cul, int(qcoeff[0]))
+
+
+class PySink:
+    """Reference symbol sink: Python range coder + FrameContext."""
+
+    def __init__(self, fc):
+        self.fc = fc
+        self.wr = RangeEncoder()
+
+    def symbol(self, sym, nsymbs, name, *idx, adapt=True):
+        cdf = self.fc._d[name]
+        for i in idx:
+            cdf = cdf[i]
+        if adapt:
+            self.wr.encode_symbol_adapt(sym, cdf, nsymbs)
+        else:
+            self.wr.encode_symbol(sym, cdf, nsymbs)
+
+    def gather_split(self, sym, ctx, is_128, horz_alike):
+        from ..decoder.decoder import FrameDecoder
+        cdf = self.fc.partition_cdf[ctx]
+        bsize = c.BLOCK_128X128 if is_128 else c.BLOCK_64X64
+        g = FrameDecoder._gather_split_cdf(FrameDecoder, cdf, bsize,
+                                           horz_alike)
+        self.wr.encode_symbol(sym, g, 2)
+
+    def txb(self, qcoeff, plane, skip_ctx, dc_sign_ctx):
+        return CF.write_coeffs_txb(self.wr, self.fc, qcoeff, plane,
+                                   c.TX_4X4, c.DCT_DCT, skip_ctx,
+                                   dc_sign_ctx)
+
+    def finish(self):
+        return self.wr.done()
+
+
+class NativeSink:
+    """Native symbol sink: accumulate ops, replay in C (runtime/)."""
+
+    def __init__(self, fc):
+        from ..runtime import FcArena, OpStream
+        self.arena = FcArena(fc)
+        self.os = OpStream(self.arena)
+
+    def symbol(self, sym, nsymbs, name, *idx, adapt=True):
+        self.os.symbol(sym, name, *idx, nsymbs=nsymbs, adapt=adapt)
+
+    def gather_split(self, sym, ctx, is_128, horz_alike):
+        self.os.gather_split(sym, ctx, is_128, horz_alike)
+
+    def txb(self, qcoeff, plane, skip_ctx, dc_sign_ctx):
+        plane_type = int(plane > 0)
+        cdfset = self.os.cdfset_for(plane_type, 0, 0)  # TX_4X4
+        scan_off = self.os.scan_offset(c.TX_4X4, c.DCT_DCT)
+        self.os.txb(qcoeff, 4, 4, 2, 0, skip_ctx, dc_sign_ctx, cdfset,
+                    scan_off, 0)
+        return _cul_level_of(qcoeff)
+
+    def finish(self):
+        return self.os.run()
+
+
 def make_sequence_header(width: int, height: int) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path."""
     return H.SequenceHeader(
@@ -52,9 +123,14 @@ def make_lossless_frame_header(sh: H.SequenceHeader) -> H.FrameHeader:
 class LosslessEncoder:
     """Encodes one key frame losslessly (DC-predicted 4x4 WHT blocks)."""
 
-    def __init__(self, sh: H.SequenceHeader, fh: H.FrameHeader):
+    def __init__(self, sh: H.SequenceHeader, fh: H.FrameHeader,
+                 use_native: bool | None = None):
         self.sh = sh
         self.fh = fh
+        if use_native is None:
+            from ..runtime import native_available
+            use_native = native_available()
+        self.use_native = use_native
         self.mi_cols = fh.mi_cols()
         self.mi_rows = fh.mi_rows()
         self.sb_mi = 1 << (sh.sb_size_log2 - 2)
@@ -68,7 +144,7 @@ class LosslessEncoder:
                                dtype=np.int32)
         self.mi_valid = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
 
-    def encode_frame(self, planes) -> bytes:
+    def encode_frame(self, planes, use_jax: bool = True) -> bytes:
         """planes: (y, u, v) uint8 source.  Returns full temporal unit."""
         fh, sh = self.fh, self.sh
         # pad source planes to the mi grid
@@ -88,6 +164,14 @@ class LosslessEncoder:
                 buf[sh_:, :] = buf[sh_ - 1:sh_, :]
             self.src.append(buf)
             self.recon.append(np.zeros_like(buf))
+
+        # batched analyze: per-4x4 qcoeff + zero flags for every plane
+        # (TPU path; lossless ⇒ recon == source ⇒ fully parallel)
+        if use_jax:
+            from ..ops.lossless import analyze_for_encoder
+            self.analysis = analyze_for_encoder(self.src)
+        else:
+            self.analysis = None
 
         tile_data = self._encode_tile()
 
@@ -109,7 +193,10 @@ class LosslessEncoder:
 
     def _encode_tile(self) -> bytes:
         self.fc = FrameContext(self.fh.base_q_idx)
-        self.wr = RangeEncoder()
+        if self.use_native:
+            self.sink = NativeSink(self.fc)
+        else:
+            self.sink = PySink(self.fc)
         self.above_partition = np.zeros(self.mi_cols, dtype=np.uint8)
         self.left_partition = np.zeros(self.mi_rows, dtype=np.uint8)
         self.above_entropy = [np.zeros(self.mi_cols, dtype=np.uint8)
@@ -122,7 +209,7 @@ class LosslessEncoder:
                 le[:] = 0
             for mi_col in range(0, self.mi_cols, self.sb_mi):
                 self._encode_partition(mi_row, mi_col, self.sb_size)
-        return self.wr.done()
+        return self.sink.finish()
 
     def _choose_partition(self, mi_row, mi_col, bsize) -> int:
         """Fixed strategy: NONE for fully-visible blocks, else split toward
@@ -157,21 +244,18 @@ class LosslessEncoder:
             assert partition == c.PARTITION_SPLIT
             return
         ctx = self._partition_ctx(mi_row, mi_col, bsize)
-        cdf = self.fc.partition_cdf[ctx]
         from ..decoder.decoder import FrameDecoder
         if has_rows and has_cols:
             n = FrameDecoder._partition_cdf_length(bsize)
-            self.wr.encode_symbol_adapt(partition, cdf, n)
+            self.sink.symbol(partition, n, "partition_cdf", ctx)
         else:
             # gathered binary: symbol 1 == SPLIT
-            dec = FrameDecoder
-            g = dec._gather_split_cdf(dec, cdf, bsize,
-                                      horz_alike=not has_cols)
             sym = int(partition == c.PARTITION_SPLIT)
             assert partition in (c.PARTITION_SPLIT,
                                  c.PARTITION_HORZ if not has_rows
                                  else c.PARTITION_VERT)
-            self.wr.encode_symbol(sym, g, 2)
+            self.sink.gather_split(sym, ctx, bsize == c.BLOCK_128X128,
+                                   horz_alike=not has_cols)
 
     def _encode_partition(self, mi_row, mi_col, bsize):
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
@@ -224,7 +308,7 @@ class LosslessEncoder:
     # --- block encode -----------------------------------------------------
 
     def _encode_block(self, mi_row, mi_col, bsize, partition):
-        fc, wr = self.fc, self.wr
+        fc = self.fc
         bw = blockd.mi_size_wide(bsize)
         bh = blockd.mi_size_high(bsize)
         up_avail = mi_row > 0
@@ -244,14 +328,14 @@ class LosslessEncoder:
         left_mi = (mi_row, mi_col - 1) if left_avail else None
         skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
                    (int(self.mi_skip[left_mi]) if left_mi else 0)
-        wr.encode_symbol_adapt(int(skip), fc.skip_txfm_cdfs[skip_ctx], 2)
+        self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
 
         # y mode (DC) via kf cdf
         above_mode = int(self.mi_mode[above_mi]) if above_mi else c.DC_PRED
         left_mode = int(self.mi_mode[left_mi]) if left_mi else c.DC_PRED
-        cdf = fc.kf_y_cdf[INTRA_MODE_CONTEXT[above_mode]][
-            INTRA_MODE_CONTEXT[left_mode]]
-        wr.encode_symbol_adapt(c.DC_PRED, cdf, c.INTRA_MODES)
+        self.sink.symbol(c.DC_PRED, c.INTRA_MODES, "kf_y_cdf",
+                         INTRA_MODE_CONTEXT[above_mode],
+                         INTRA_MODE_CONTEXT[left_mode])
         # DC: no angle delta
         is_chroma_ref = blockd.is_chroma_reference(
             mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
@@ -259,9 +343,9 @@ class LosslessEncoder:
         if is_chroma_ref:
             cfl_allowed = blockd.plane_block_size(
                 bsize, self.ss_x, self.ss_y) == c.BLOCK_4X4
-            wr.encode_symbol_adapt(
-                c.DC_PRED, fc.uv_mode_cdf[int(cfl_allowed)][c.DC_PRED],
-                c.UV_INTRA_MODES - int(not cfl_allowed))
+            self.sink.symbol(
+                c.DC_PRED, c.UV_INTRA_MODES - int(not cfl_allowed),
+                "uv_mode_cdf", int(cfl_allowed), c.DC_PRED)
         # filter intra: seq-disabled; palette: screen content off
 
         rmax = min(mi_row + bh, self.mi_rows)
@@ -283,20 +367,16 @@ class LosslessEncoder:
             if skip:
                 au[acol:acol + txw] = 0
                 lu[lrow:lrow + txh] = 0
-                recon = pred
             else:
                 skip_ctx2, dc_sign_ctx = CF.txb_ctx(
                     plane_bsize, c.TX_4X4, plane, au[acol:acol + txw],
                     lu[lrow:lrow + txh])
-                cul = CF.write_coeffs_txb(wr, fc, qcoeff, plane, c.TX_4X4,
-                                          c.DCT_DCT, skip_ctx2, dc_sign_ctx)
+                cul = self.sink.txb(qcoeff, plane, skip_ctx2, dc_sign_ctx)
                 au[acol:acol + txw] = cul
                 lu[lrow:lrow + txh] = cul
-                dq = qcoeff.astype(np.int64) * 4
-                res = iwht4x4(dq.reshape(4, 4))
-                recon = np.clip(pred.astype(np.int32) + res, 0,
-                                255).astype(np.uint8)
-            self.recon[plane][py:py + 4, px:px + 4] = recon
+            # lossless: recon == source in both branches (skip ⇒ pred==src)
+            self.recon[plane][py:py + 4, px:px + 4] = \
+                self.src[plane][py:py + 4, px:px + 4]
 
     def _plan_block(self, mi_row, mi_col, bsize, up_avail, left_avail):
         """Predict + transform every 4x4 txb of the block in coding order.
@@ -348,6 +428,11 @@ class LosslessEncoder:
                     y = r4 * 4
                     x = c4 * 4
                     py, px = row0 + y, col0 + x
+                    if self.analysis is not None:
+                        q, _ = self.analysis[plane]
+                        plan.append((plane, py, px, plane_bsize,
+                                     q[py >> 2, px >> 2], None))
+                        continue
                     have_top = r4 > 0 or (chroma_up if ss_y else up_avail)
                     have_left = c4 > 0 or (chroma_left if ss_x
                                            else left_avail)

@@ -1,0 +1,182 @@
+"""Native runtime: builds and loads the C fast paths (ctypes).
+
+The C sources live in this package; they are compiled on demand into
+``_build/`` (gcc -O2).  Python remains the reference implementation; the
+native paths must match it byte-exactly (tests/test_native_entropy.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD = os.path.join(_DIR, "_build")
+
+_lib = None
+
+
+def get_lib():
+    """Compile (if needed) and load the native entropy library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_DIR, "entropy_enc.c")
+    so = os.path.join(_BUILD, "libavl_runtime.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        os.makedirs(_BUILD, exist_ok=True)
+        subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", "-o", so, src],
+            check=True, capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.avl_encode_tile.restype = ctypes.c_int
+    lib.avl_encode_tile.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+class FcArena:
+    """FrameContext flattened into one uint16 arena with offset lookup."""
+
+    def __init__(self, fc):
+        names = sorted(fc._d.keys())
+        self.offsets = {}
+        parts = []
+        off = 0
+        for n in names:
+            a = fc._d[n]
+            self.offsets[n] = (off, a.shape)
+            parts.append(a.reshape(-1).astype(np.uint16))
+            off += a.size
+        self.arena = np.concatenate(parts) if parts else \
+            np.zeros(0, np.uint16)
+
+    def offset(self, name: str, *idx) -> int:
+        """Arena offset of the row fc.<name>[idx...] (row = last dim)."""
+        base, shape = self.offsets[name]
+        assert len(idx) == len(shape) - 1, (name, idx, shape)
+        flat = 0
+        for d, i in enumerate(idx):
+            flat = flat * shape[d] + i
+        return base + flat * shape[-1]
+
+
+class OpStream:
+    """Accumulates the per-tile symbol op stream for avl_encode_tile."""
+
+    def __init__(self, arena: FcArena):
+        self.arena = arena
+        self.ops = []
+        self.cdfsets = []
+        self._cdfset_idx = {}
+        self.qcoeff = []
+        self.q_off = 0
+        self.scans = {}
+        self.scan_data = []
+        self.scan_off = 0
+
+    def symbol(self, sym: int, name: str, *idx, nsymbs: int,
+               adapt: bool = True):
+        self.ops.append((0, self.arena.offset(name, *idx), nsymbs, int(sym),
+                         int(adapt), 0, 0, 0))
+
+    def raw_symbol(self, sym: int, arena_off: int, nsymbs: int,
+                   adapt: bool = True):
+        self.ops.append((0, arena_off, nsymbs, int(sym), int(adapt),
+                         0, 0, 0))
+
+    def bit(self, b: int):
+        self.ops.append((1, int(b), 0, 0, 0, 0, 0, 0))
+
+    def gather_split(self, sym: int, ctx: int, is_128: bool,
+                     horz_alike: bool):
+        """Split-vs-rect binary derived from the live partition cdf row
+        (resolved inside C against the adapted state)."""
+        off = self.arena.offset("partition_cdf", ctx)
+        self.ops.append((3, off, int(is_128), int(horz_alike), int(sym),
+                         0, 0, 0))
+
+    def cdfset_for(self, plane_type: int, txs_ctx: int,
+                   eob_ms: int) -> int:
+        key = (plane_type, txs_ctx, eob_ms)
+        if key in self._cdfset_idx:
+            return self._cdfset_idx[key]
+        a = self.arena
+        base = [
+            a.offset("txb_skip_cdf", txs_ctx, 0),
+            a.offset(_EOB_CDF_NAME[eob_ms], plane_type, 0),
+            a.offset("eob_extra_cdf", txs_ctx, plane_type, 0),
+            a.offset("coeff_base_eob_cdf", txs_ctx, plane_type, 0),
+            a.offset("coeff_base_cdf", txs_ctx, plane_type, 0),
+            a.offset("coeff_br_cdf", min(txs_ctx, 3), plane_type, 0),
+            a.offset("dc_sign_cdf", plane_type, 0),
+            0,
+        ]
+        idx = len(self.cdfsets)
+        self.cdfsets.append(base)
+        self._cdfset_idx[key] = idx
+        return idx
+
+    def scan_offset(self, adj_tx_size: int, tx_type: int) -> int:
+        key = (adj_tx_size, tx_type)
+        if key not in self.scans:
+            from ..bitstream import tables
+            s = tables.scan(adj_tx_size, tx_type).astype(np.int16)
+            self.scans[key] = self.scan_off
+            self.scan_data.append(s)
+            self.scan_off += len(s)
+        return self.scans[key]
+
+    def txb(self, qcoeff: np.ndarray, width: int, height: int, bhl: int,
+            tx_class: int, skip_ctx: int, dc_sign_ctx: int,
+            cdfset_idx: int, scan_off: int, eob_ms: int):
+        self.qcoeff.append(qcoeff.astype(np.int32).ravel())
+        geom = (width << 20) | (height << 8) | (bhl << 4) | tx_class
+        self.ops.append((2, self.q_off, geom, skip_ctx, dc_sign_ctx,
+                         cdfset_idx, scan_off, eob_ms))
+        self.q_off += qcoeff.size
+
+    def run(self, max_bytes: int | None = None) -> bytes:
+        lib = get_lib()
+        ops = np.asarray(self.ops, dtype=np.int32).reshape(-1, 8)
+        arena = self.arena.arena.copy()
+        cdfsets = (np.asarray(self.cdfsets, dtype=np.int32).reshape(-1, 8)
+                   if self.cdfsets else np.zeros((1, 8), np.int32))
+        qc = (np.concatenate(self.qcoeff) if self.qcoeff
+              else np.zeros(1, np.int32)).astype(np.int32)
+        scans = (np.concatenate(self.scan_data) if self.scan_data
+                 else np.zeros(1, np.int16)).astype(np.int16)
+        cap = max_bytes or (len(ops) * 16 + qc.size * 4 + 4096)
+        out = np.zeros(cap, dtype=np.uint8)
+        n = lib.avl_encode_tile(
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ops),
+            arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            cdfsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scans.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        assert 0 < n <= cap
+        return bytes(out[:n])
+
+
+_EOB_CDF_NAME = {
+    0: "eob_flag_cdf16", 1: "eob_flag_cdf32", 2: "eob_flag_cdf64",
+    3: "eob_flag_cdf128", 4: "eob_flag_cdf256", 5: "eob_flag_cdf512",
+    6: "eob_flag_cdf1024",
+}

@@ -8,7 +8,7 @@ collectives).  Set AVL_TPU_TESTS=1 to run on real TPU devices instead.
 import os
 
 if not os.environ.get("AVL_TPU_TESTS"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

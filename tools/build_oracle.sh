@@ -15,3 +15,12 @@ ninja aomenc aomdec
 gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/ec_oracle.c \
   "$REF"/aom_dsp/entenc.c "$REF"/aom_dsp/entdec.c "$REF"/aom_dsp/entcode.c \
   -o "$OUT"/../libec_oracle.so
+gcc -O2 -shared -fPIC /root/repo/tools/txfm_oracle.c \
+  -o "$OUT"/../libtxfm_oracle.so
+gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/txfm1d_oracle.c \
+  "$REF"/av1/common/av1_inv_txfm1d.c "$REF"/av1/encoder/av1_fwd_txfm1d.c \
+  "$REF"/av1/common/av1_txfm.c -o "$OUT"/../libtxfm1d_oracle.so
+gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/txfm2d_oracle.c \
+  "$REF"/av1/common/av1_inv_txfm2d.c "$REF"/av1/encoder/av1_fwd_txfm2d.c \
+  "$REF"/av1/common/av1_inv_txfm1d.c "$REF"/av1/encoder/av1_fwd_txfm1d.c \
+  "$REF"/av1/common/av1_txfm.c -o "$OUT"/../libtxfm2d_oracle.so

@@ -46,8 +46,10 @@ def adjusted_tx_size(tx_size: int) -> int:
 
 
 def txsize_entropy_ctx(tx_size: int) -> int:
-    """txsize_sqr_up clamped to 32 (get_txsize_entropy_ctx)."""
-    return min(c.TX_SIZE_SQR_UP[tx_size], c.TX_32X32)
+    """(sqr + sqr_up + 1) >> 1 (entropy.h:173 get_txsize_entropy_ctx):
+    64-dim transforms land in class 4 even though their visible coeff
+    domain is 32x32."""
+    return (c.TX_SIZE_SQR[tx_size] + c.TX_SIZE_SQR_UP[tx_size] + 1) >> 1
 
 
 def eob_multi_size(tx_size: int) -> int:
@@ -56,10 +58,14 @@ def eob_multi_size(tx_size: int) -> int:
 
 
 def nz_map_ctx_offset(tx_size: int, row: int, col: int) -> int:
-    """2D-class base context offset (txb_common.h:199 generator rule)."""
-    adj = adjusted_tx_size(tx_size)
-    width = c.TX_WIDTH[adj]
-    height = c.TX_HEIGHT[adj]
+    """2D-class base context offset (txb_common.h:199 generator rule).
+
+    The rect-asymmetry rule uses the RAW tx dims (so TX_32X64 keeps its
+    width<height bias even though positions live in the adjusted 32x32
+    domain); row/col are the col-major coords within the adjusted domain.
+    """
+    width = c.TX_WIDTH[tx_size]
+    height = c.TX_HEIGHT[tx_size]
     if width < height and row < 2:
         return 11
     if width > height and col < 2:
@@ -274,6 +280,8 @@ def read_coeffs_txb(rd, fc, plane: int, tx_size: int, tx_type: int,
     if all_zero:
         return 0, 0, None
 
+    if callable(tx_type):  # luma: tx_type symbol follows the skip flag
+        tx_type = tx_type()
     tx_class = TX_TYPE_TO_CLASS[tx_type]
     scan = tables.scan(adj, tx_type)
     eob_ms = eob_multi_size(tx_size)
@@ -370,7 +378,8 @@ def _tx_scale(tx_size: int) -> int:
 
 
 def write_coeffs_txb(wr, fc, qcoeff: np.ndarray, plane: int, tx_size: int,
-                     tx_type: int, skip_ctx: int, dc_sign_ctx: int) -> int:
+                     tx_type: int, skip_ctx: int, dc_sign_ctx: int,
+                     tx_type_writer=None) -> int:
     """Encode one transform block's quantized coefficients.
 
     `qcoeff` is the flat (scan-position-indexed) int array.  Symbol order
@@ -394,6 +403,8 @@ def write_coeffs_txb(wr, fc, qcoeff: np.ndarray, plane: int, tx_size: int,
     wr.encode_symbol_adapt(all_zero, fc.txb_skip_cdf[txs_ctx][skip_ctx], 2)
     if all_zero:
         return 0
+    if tx_type_writer is not None:  # luma: tx_type symbol after skip flag
+        tx_type_writer()
 
     # eob token
     eob_ms = eob_multi_size(tx_size)

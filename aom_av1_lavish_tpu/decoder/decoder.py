@@ -57,12 +57,13 @@ class TileState:
         mi_rows = dec.mi_rows
         # above contexts span the tile width; left contexts the full height
         # (reset per SB row to mimic the per-SB-row left arrays)
-        self.above_partition = np.zeros(mi_cols, dtype=np.uint8)
-        self.left_partition = np.zeros(mi_rows, dtype=np.uint8)
+        self.above_partition = np.zeros(mi_cols + 32, dtype=np.uint8)
+        self.left_partition = np.zeros(mi_rows + 32, dtype=np.uint8)
         nplanes = 1 if sh.mono_chrome else 3
-        self.above_entropy = [np.zeros(mi_cols, dtype=np.uint8)
+        # +32 margin: edge-crossing transform blocks touch ctx past the grid
+        self.above_entropy = [np.zeros(mi_cols + 32, dtype=np.uint8)
                               for _ in range(nplanes)]
-        self.left_entropy = [np.zeros(mi_rows, dtype=np.uint8)
+        self.left_entropy = [np.zeros(mi_rows + 32, dtype=np.uint8)
                              for _ in range(nplanes)]
         self.fc = FrameContext(fh.base_q_idx)
 
@@ -82,13 +83,19 @@ class FrameDecoder:
         self.ss_x = sh.subsampling_x
         self.ss_y = sh.subsampling_y
         self.lossless = fh.coded_lossless(sh)
-        assert self.lossless, "lossy decode lands with the inverse DCT set"
+        if not self.lossless:
+            # current lossy scope: no in-loop filters (our encoder's config)
+            assert fh.filter_level == (0, 0) and not sh.enable_cdef \
+                and not sh.enable_restoration, "in-loop filters TBD"
+            assert fh.tx_mode == c.TX_MODE_LARGEST, "TX_MODE_SELECT TBD"
         w = self.mi_cols * 4
         h = self.mi_rows * 4
-        self.planes = [np.zeros((h, w), dtype=np.uint8)]
+        # +64 margin: large-tx blocks at the frame edge may write recon
+        # beyond the mi grid (never read back for visible predictions)
+        self.planes = [np.zeros((h + 64, w + 64), dtype=np.uint8)]
         if self.num_planes > 1:
             cw, ch = w >> self.ss_x, h >> self.ss_y
-            self.planes += [np.zeros((ch, cw), dtype=np.uint8)
+            self.planes += [np.zeros((ch + 64, cw + 64), dtype=np.uint8)
                             for _ in range(2)]
         # mode info grid: one BlockInfo ref per 4x4 unit
         self.mi = np.empty((self.mi_rows, self.mi_cols), dtype=object)
@@ -435,7 +442,13 @@ class FrameDecoder:
                 self._cfl_store_block(bi)
 
     def _plane_tx_size(self, plane, plane_bsize):
-        raise NotImplementedError("lossy tx sizes land with the DCT set")
+        """TX_MODE_LARGEST: largest rect tx; chroma capped at 32x32."""
+        tx = blockd.max_tx_size_rect(plane_bsize)
+        if plane:
+            w = min(32, c.TX_WIDTH[tx])
+            h = min(32, c.TX_HEIGHT[tx])
+            tx = blockd.tx_size_of(w, h)
+        return tx
 
     def _store_cfl_required(self, bi, is_chroma_ref) -> bool:
         if self.num_planes == 1:
@@ -577,17 +590,58 @@ class FrameDecoder:
             plane_bsize, tx_size, plane, au[acol:acol + txw],
             lu[lrow:lrow + txh])
         dqv_dc, dqv_ac = self.dqv[plane]
-        tx_type = c.DCT_DCT  # lossless: WHT, coded as DCT_DCT class
+        if self.lossless:
+            tx_type = c.DCT_DCT  # lossless: WHT, coded as DCT_DCT class
+        elif plane == 0:
+            tx_type = self._make_tx_type_reader(ts, rd, bi, tx_size)
+        else:
+            from ..common import txtype as TT
+            tx_type = TT.chroma_intra_tx_type(bi.uv_mode, tx_size,
+                                              self.fh.reduced_tx_set)
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
             dqv_dc, dqv_ac)
         au[acol:acol + txw] = cul_level
         lu[lrow:lrow + txh] = cul_level
         if eob:
-            res = iwht4x4(dqcoeff.reshape(4, 4))
-            block = ref[py:py + txhpx, px:px + txwpx].astype(np.int32) + res
-            ref[py:py + txhpx, px:px + txwpx] = \
-                np.clip(block, 0, 255).astype(np.uint8)
+            if self.lossless:
+                res = iwht4x4(dqcoeff.reshape(4, 4))
+                block = ref[py:py + txhpx, px:px + txwpx].astype(np.int32) \
+                    + res
+                ref[py:py + txhpx, px:px + txwpx] = \
+                    np.clip(block, 0, 255).astype(np.uint8)
+            else:
+                from ..common import txfm2d as T2
+                tt = (tx_type if isinstance(tx_type, int)
+                      else self._last_tx_type)
+                ref[py:py + txhpx, px:px + txwpx] = T2.inv_txfm2d_add(
+                    dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt)
+
+
+    def _make_tx_type_reader(self, ts, rd, bi, tx_size):
+        """Callable handed to read_coeffs_txb: reads the luma tx_type symbol
+        after the all_zero flag (decodemv.c:640 av1_read_tx_type)."""
+        from ..common import txtype as TT
+
+        def read_tx_type():
+            if bi.skip_txfm:
+                tt = c.DCT_DCT
+            else:
+                st = TT.ext_tx_set_type(tx_size, False,
+                                        bool(self.fh.reduced_tx_set))
+                if TT.NUM_EXT_TX_SET[st] <= 1:
+                    tt = c.DCT_DCT
+                else:
+                    eset = TT.intra_ext_tx_idx(st)
+                    sqr = c.TX_SIZE_SQR[tx_size]
+                    mode = bi.y_mode
+                    sym = rd.decode_symbol_adapt(
+                        ts.fc.intra_ext_tx_cdf[eset][sqr][mode],
+                        TT.NUM_EXT_TX_SET[st])
+                    tt = TT.EXT_TX_INV[st][sym]
+            self._last_tx_type = tt
+            return tt
+        return read_tx_type
 
     def _intra_edge_filter_type(self, bi, plane, up_avail, left_avail,
                                 chroma_up, chroma_left):

@@ -63,10 +63,20 @@ class PySink:
                                            horz_alike)
         self.wr.encode_symbol(sym, g, 2)
 
-    def txb(self, qcoeff, plane, skip_ctx, dc_sign_ctx):
+    def txb(self, qcoeff, plane, skip_ctx, dc_sign_ctx,
+            tx_size=c.TX_4X4, tx_type=c.DCT_DCT, tx_type_sym=None):
+        writer = None
+        if tx_type_sym is not None:
+            name_idx, sym, nsymbs = tx_type_sym
+
+            def writer():
+                cdf = self.fc._d[name_idx[0]]
+                for i in name_idx[1:]:
+                    cdf = cdf[i]
+                self.wr.encode_symbol_adapt(sym, cdf, nsymbs)
         return CF.write_coeffs_txb(self.wr, self.fc, qcoeff, plane,
-                                   c.TX_4X4, c.DCT_DCT, skip_ctx,
-                                   dc_sign_ctx)
+                                   tx_size, tx_type, skip_ctx,
+                                   dc_sign_ctx, tx_type_writer=writer)
 
     def finish(self):
         return self.wr.done()
@@ -86,12 +96,27 @@ class NativeSink:
     def gather_split(self, sym, ctx, is_128, horz_alike):
         self.os.gather_split(sym, ctx, is_128, horz_alike)
 
-    def txb(self, qcoeff, plane, skip_ctx, dc_sign_ctx):
+    def txb(self, qcoeff, plane, skip_ctx, dc_sign_ctx,
+            tx_size=c.TX_4X4, tx_type=c.DCT_DCT, tx_type_sym=None):
         plane_type = int(plane > 0)
-        cdfset = self.os.cdfset_for(plane_type, 0, 0)  # TX_4X4
-        scan_off = self.os.scan_offset(c.TX_4X4, c.DCT_DCT)
-        self.os.txb(qcoeff, 4, 4, 2, 0, skip_ctx, dc_sign_ctx, cdfset,
-                    scan_off, 0)
+        adj = CF.adjusted_tx_size(tx_size)
+        txs_ctx = CF.txsize_entropy_ctx(tx_size)
+        eob_ms = CF.eob_multi_size(tx_size)
+        cdfset = self.os.cdfset_for(plane_type, txs_ctx, eob_ms)
+        scan_off = self.os.scan_offset(adj, tx_type)
+        if tx_type_sym is not None:
+            name_idx, sym, nsymbs = tx_type_sym
+            off = self.arena.offset(*name_idx)
+            self.os.ops.append((4, off, nsymbs, int(sym), 1, 0, 0, 0))
+        w = c.TX_WIDTH[adj]
+        h = c.TX_HEIGHT[adj]
+        bhl = h.bit_length() - 1
+        tx_class = CF.TX_TYPE_TO_CLASS[tx_type]
+        # pack raw dims for the nz-offset rect rule (64-dim sizes differ)
+        ms_ext = eob_ms | (c.TX_WIDTH[tx_size] << 8) \
+            | (c.TX_HEIGHT[tx_size] << 20)
+        self.os.txb(qcoeff, w, h, bhl, tx_class, skip_ctx, dc_sign_ctx,
+                    cdfset, scan_off, ms_ext)
         return _cul_level_of(qcoeff)
 
     def finish(self):
@@ -122,6 +147,9 @@ def make_lossless_frame_header(sh: H.SequenceHeader) -> H.FrameHeader:
 
 class LosslessEncoder:
     """Encodes one key frame losslessly (DC-predicted 4x4 WHT blocks)."""
+
+    PAD = 0  # extra right/bottom margin (lossy large-tx blocks may cross
+    # the mi grid; the margin absorbs their out-of-frame recon writes)
 
     def __init__(self, sh: H.SequenceHeader, fh: H.FrameHeader,
                  use_native: bool | None = None):
@@ -154,14 +182,14 @@ class LosslessEncoder:
         self.recon = []
         for i, p in enumerate(planes[:self.num_planes]):
             ph, pw = (h, w) if i == 0 else (h >> self.ss_y, w >> self.ss_x)
-            buf = np.zeros((ph, pw), dtype=np.uint8)
+            buf = np.zeros((ph + self.PAD, pw + self.PAD), dtype=np.uint8)
             sh_, sw_ = p.shape
             buf[:sh_, :sw_] = p
             # edge-replicate padding so padded-area residuals stay small
             if sw_ < pw:
-                buf[:sh_, sw_:] = buf[:sh_, sw_ - 1:sw_]
+                buf[:sh_, sw_:pw] = buf[:sh_, sw_ - 1:sw_]
             if sh_ < ph:
-                buf[sh_:, :] = buf[sh_ - 1:sh_, :]
+                buf[sh_:ph, :pw] = buf[sh_ - 1:sh_, :pw]
             self.src.append(buf)
             self.recon.append(np.zeros_like(buf))
 
@@ -197,11 +225,13 @@ class LosslessEncoder:
             self.sink = NativeSink(self.fc)
         else:
             self.sink = PySink(self.fc)
-        self.above_partition = np.zeros(self.mi_cols, dtype=np.uint8)
-        self.left_partition = np.zeros(self.mi_rows, dtype=np.uint8)
-        self.above_entropy = [np.zeros(self.mi_cols, dtype=np.uint8)
+        self.above_partition = np.zeros(self.mi_cols + 32, dtype=np.uint8)
+        self.left_partition = np.zeros(self.mi_rows + 32, dtype=np.uint8)
+        # +32 margin: edge-crossing transform blocks read/write ctx beyond
+        # the mi grid (the reference pads these arrays to SB multiples)
+        self.above_entropy = [np.zeros(self.mi_cols + 32, dtype=np.uint8)
                               for _ in range(self.num_planes)]
-        self.left_entropy = [np.zeros(self.mi_rows, dtype=np.uint8)
+        self.left_entropy = [np.zeros(self.mi_rows + 32, dtype=np.uint8)
                              for _ in range(self.num_planes)]
         for mi_row in range(0, self.mi_rows, self.sb_mi):
             self.left_partition[:] = 0

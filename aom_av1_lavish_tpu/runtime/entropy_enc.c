@@ -168,9 +168,10 @@ static const int16_t EOB_GROUP_START[12] = {0, 1, 2, 3, 5, 9, 17, 33,
 static const int8_t EOB_OFFSET_BITS[12] = {0, 0, 0, 1, 2, 3, 4, 5,
                                            6, 7, 8, 9};
 
-static int nz_map_ctx_offset(int width, int height, int row, int col) {
-  if (width < height && row < 2) return 11;
-  if (width > height && col < 2) return 16;
+/* raw (unadjusted) tx dims drive the rect-asymmetry rule */
+static int nz_map_ctx_offset(int raw_w, int raw_h, int row, int col) {
+  if (raw_w < raw_h && row < 2) return 11;
+  if (raw_w > raw_h && col < 2) return 16;
   if (row + col < 2) return 1;
   if (row + col < 4) return 6;
   return 21;
@@ -182,7 +183,7 @@ static const int8_t NZ_CTX_OFFSET_1D_FIRST2[2] = {26, 31};
 #define MIN(a, b) ((a) < (b) ? (a) : (b))
 
 /* levels: (height+4) x (width+4) row-major int16 */
-static int base_ctx(const int16_t *lv, int stride, int width, int height,
+static int base_ctx(const int16_t *lv, int stride, int raw_w, int raw_h,
                     int pos, int bhl, int tx_class) {
   int col = pos >> bhl;
   int row = pos - (col << bhl);
@@ -193,7 +194,7 @@ static int base_ctx(const int16_t *lv, int stride, int width, int height,
     mag = MIN(p[stride], 3) + MIN(p[1], 3) + MIN(p[stride + 1], 3) +
           MIN(p[2 * stride], 3) + MIN(p[2], 3);
     ctx = MIN((mag + 1) >> 1, 4);
-    return ctx + nz_map_ctx_offset(width, height, row, col);
+    return ctx + nz_map_ctx_offset(raw_w, raw_h, row, col);
   } else if (tx_class == 2) { /* VERT */
     mag = MIN(p[stride], 3) + MIN(p[1], 3) + MIN(p[2 * stride], 3) +
           MIN(p[3 * stride], 3) + MIN(p[4 * stride], 3);
@@ -261,6 +262,8 @@ int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
   RangeEnc e;
   re_init(&e, out, (size_t)out_cap);
   int16_t levels[(64 + 4) * (64 + 4)];
+  /* pending symbol (tx_type): emitted inside the next TXB op iff eob>0 */
+  int pend_off = -1, pend_nsymbs = 0, pend_sym = 0;
   for (int i = 0; i < n_ops; i++) {
     const int32_t *op = ops + 8 * i;
     if (op[0] == 0) {
@@ -269,6 +272,12 @@ int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
     }
     if (op[0] == 1) {
       re_encode_bit(&e, op[1]);
+      continue;
+    }
+    if (op[0] == 4) { /* pending symbol for the following TXB */
+      pend_off = op[1];
+      pend_nsymbs = op[2];
+      pend_sym = op[3];
       continue;
     }
     if (op[0] == 3) {
@@ -305,7 +314,9 @@ int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
     int dc_sign_ctx = op[4];
     const int32_t *cs = cdfsets + 8 * op[5];
     const int16_t *scan = scans + op[6];
-    int eob_ms = op[7];
+    int eob_ms = op[7] & 0xFF;
+    int raw_w = (op[7] >> 8) & 0xFFF;
+    int raw_h = (op[7] >> 20) & 0xFFF;
     int n_coeffs = width * height;
     int eob = 0;
     for (int si = 0; si < n_coeffs; si++)
@@ -314,7 +325,11 @@ int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
     int eob_nsym = eob_ms + 5;
     uint16_t *txb_skip = arena + cs[0] + skip_ctx * 3;
     enc_symbol(&e, txb_skip, eob == 0, 2, 1);
-    if (eob == 0) continue;
+    if (eob == 0) { pend_off = -1; continue; }
+    if (pend_off >= 0) { /* luma tx_type symbol follows the skip flag */
+      enc_symbol(&e, arena + pend_off, pend_sym, pend_nsymbs, 1);
+      pend_off = -1;
+    }
 
     int eob_pt = 1;
     for (int t = 1; t < 12; t++) {
@@ -372,7 +387,7 @@ int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
       int v = q[pos];
       int level = v < 0 ? -v : v;
       if (level > MAX_BASE_BR_RANGE) level = MAX_BASE_BR_RANGE;
-      int ctx = base_ctx(levels, stride, width, height, pos, bhl, tx_class);
+      int ctx = base_ctx(levels, stride, raw_w, raw_h, pos, bhl, tx_class);
       enc_symbol(&e, arena + cs[4] + ctx * 5, level < 3 ? level : 3, 4, 1);
       if (level > NUM_BASE_LEVELS) {
         int bctx = br_ctx(levels, stride, pos, bhl, tx_class);

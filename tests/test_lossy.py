@@ -1,0 +1,84 @@
+"""Lossy all-intra conformance: our decoder and stock aomdec must decode
+our streams identically (pixel-exact), and quality must be sane."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from aom_av1_lavish_tpu.bitstream import constants as c
+from aom_av1_lavish_tpu.decoder import decode_ivf
+from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+from aom_av1_lavish_tpu.utils.y4m import read_y4m
+
+AOMDEC = os.path.join(os.path.dirname(__file__), "..", ".oracle", "build",
+                      "aomdec")
+HAVE_ORACLE = os.path.exists(AOMDEC)
+
+
+def _content(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx // 4 + yy // 4) * 8 % 256).astype(np.uint8)
+    y = (y + rng.integers(-10, 11, (h, w))).clip(0, 255).astype(np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    u = ((xx[:ch * 2:2, :cw * 2:2] // 8) * 16 % 256).astype(np.uint8)[
+        :ch, :cw]
+    v = rng.integers(100, 160, (ch, cw)).astype(np.uint8)
+    return y, u, v
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse else 99.0
+
+
+@pytest.mark.parametrize("dims,bs", [
+    ((64, 64), c.BLOCK_16X16), ((176, 144), c.BLOCK_16X16),
+    ((100, 76), c.BLOCK_16X16), ((64, 64), c.BLOCK_64X64),
+    ((96, 64), c.BLOCK_32X32)])
+def test_lossy_selfdecode_and_quality(tmp_path, dims, bs):
+    w, h = dims
+    frame = _content(w, h)
+    ivf = str(tmp_path / "l.ivf")
+    encode_lossy_ivf(ivf, [frame], w, h, qindex=60, block_size=bs)
+    y, u, v = decode_ivf(ivf)[0]
+    assert _psnr(y, frame[0]) > 28
+    assert _psnr(u, frame[1]) > 28
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+@pytest.mark.parametrize("dims,bs", [
+    ((176, 144), c.BLOCK_16X16),
+    ((352, 288), c.BLOCK_16X16),
+    ((100, 76), c.BLOCK_16X16),
+    ((64, 64), c.BLOCK_64X64),   # TX_64X64 (entropy class 4)
+    ((96, 64), c.BLOCK_16X16),   # partial SB -> rect 64-dim tx blocks
+])
+def test_lossy_conformance_aomdec(tmp_path, dims, bs):
+    w, h = dims
+    frame = _content(w, h)
+    ivf = str(tmp_path / "l.ivf")
+    out = str(tmp_path / "dec.y4m")
+    encode_lossy_ivf(ivf, [frame], w, h, qindex=60, block_size=bs)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+@pytest.mark.parametrize("qindex", [20, 120, 230])
+def test_lossy_qindex_sweep(tmp_path, qindex):
+    w, h = 176, 144
+    frame = _content(w, h, seed=3)
+    ivf = str(tmp_path / "l.ivf")
+    out = str(tmp_path / "dec.y4m")
+    encode_lossy_ivf(ivf, [frame], w, h, qindex=qindex)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)

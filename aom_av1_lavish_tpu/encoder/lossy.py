@@ -1,9 +1,15 @@
-"""Lossy all-intra encoder (fixed qindex, TX_MODE_LARGEST).
+"""Lossy all-intra encoder: RD partition search + full intra mode RDO.
 
-SURVEY.md §7 step 4 first slice: full DCT pipeline with recon-in-the-loop
-intra prediction, mode selection by prediction SSE (CDF-rate-aware RDO comes
-next), per-txb quantization and tokenization through the shared sinks.
+SURVEY.md §7 step 4: recon-in-the-loop intra coding with
+  * top-down NONE-vs-SPLIT partition RDO (64x64 .. min block),
+  * all 13 intra modes for luma (angle deltas 0 for now),
+  * chroma DC-vs-CfL decision with least-squares alpha fit,
+  * rate-aware costs (token-level bit estimates, lambda from qindex).
 In-loop filters disabled in this config (seq cdef/restoration off, lf 0).
+
+Reference analog: av1/encoder/partition_search.c av1_rd_pick_partition +
+rdopt.c av1_rd_pick_intra_mode_sb (recast: trial encodes over recon
+snapshots instead of context trees).
 """
 
 from __future__ import annotations
@@ -12,6 +18,7 @@ import numpy as np
 
 from ..bitstream import constants as c
 from ..bitstream import headers as H
+from ..bitstream import tables
 from ..common import blockd, coeffs as CF, intra, quant as Q
 from ..common import txfm2d as T2
 from ..common import txtype as TT
@@ -19,6 +26,8 @@ from .encoder import (INTRA_MODE_CONTEXT, LosslessEncoder,
                       make_sequence_header)
 
 MAX_ANGLE_DELTA = 3
+
+ALL_Y_MODES = tuple(range(c.INTRA_MODES))
 
 
 def make_lossy_frame_header(sh: H.SequenceHeader,
@@ -38,122 +47,154 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     PAD = 64
 
-    # luma intra candidates evaluated per block (pred-SSE pick)
-    MODE_CANDIDATES = (c.DC_PRED, c.V_PRED, c.H_PRED, c.SMOOTH_PRED,
-                      c.PAETH_PRED)
-
-    def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16):
+    def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
+                 mode_set=ALL_Y_MODES, enable_cfl=True):
         super().__init__(sh, fh, use_native=use_native)
-        self.block_size = block_size
+        self.min_bsize = block_size
+        self.mode_set = mode_set
+        self.enable_cfl = enable_cfl
         self.pq = []
         for (dcd, acd) in ((fh.delta_q_y_dc, 0),
                            (fh.delta_q_u_dc, fh.delta_q_u_ac),
                            (fh.delta_q_v_dc, fh.delta_q_v_ac)):
             self.pq.append(Q.build_plane_quant(fh.base_q_idx, dcd, acd))
+        qstep = Q.ac_quant_qtx(fh.base_q_idx, 0) / 8.0
+        self.lam = 0.12 * qstep * qstep  # lambda in (SSE per bit)
 
     def encode_frame(self, planes, use_jax: bool = False) -> bytes:
         self.analysis = None
         return super().encode_frame(planes, use_jax=False)
 
-    def _choose_partition(self, mi_row, mi_col, bsize):
-        """Split down to self.block_size, edge rules as in lossless."""
-        base = super()._choose_partition(mi_row, mi_col, bsize)
-        if base == c.PARTITION_NONE and bsize > self.block_size:
-            return c.PARTITION_SPLIT
-        return base
+    # ------------------------------------------------------------------
+    # partition: RD search pass builds a plan tree, then emit pass codes it
+    # ------------------------------------------------------------------
 
-    # --- block encode -----------------------------------------------------
+    def _encode_partition(self, mi_row, mi_col, bsize):
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        _, plan = self._search(mi_row, mi_col, bsize)
+        self._emit(plan)
 
-    def _encode_block(self, mi_row, mi_col, bsize, partition):
+    def _fits(self, mi_row, mi_col, bsize):
+        n = blockd.mi_size_wide(bsize)
+        return (mi_row + n <= self.mi_rows) and (mi_col + n <= self.mi_cols)
+
+    def _search(self, mi_row, mi_col, bsize):
+        """Return (cost, plan).  Leaves recon holding the chosen branch."""
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return 0.0, None
         bw = blockd.mi_size_wide(bsize)
-        bh = blockd.mi_size_high(bsize)
-        up_avail = mi_row > 0
-        left_avail = mi_col > 0
+        hbs = bw // 2
+        has_rows = mi_row + hbs < self.mi_rows
+        has_cols = mi_col + hbs < self.mi_cols
+        fits = self._fits(mi_row, mi_col, bsize)
 
-        y_mode = self._pick_y_mode(mi_row, mi_col, bsize, up_avail,
-                                   left_avail)
-        uv_mode = c.DC_PRED
-        # code the whole block (predict/transform/quantize), collecting
-        # txb records; recon is written as we go (prediction dependency)
-        txbs = self._code_block_txbs(mi_row, mi_col, bsize, y_mode, uv_mode,
-                                     up_avail, left_avail, partition)
-        skip = all(t["eob"] == 0 for t in txbs)
+        if not fits:
+            # frame-edge structure (no RD choice): prefer HORZ/VERT slab
+            # when the half fits, else SPLIT (mirrors the lossless chooser)
+            fits_rows = mi_row + bw <= self.mi_rows
+            fits_cols = mi_col + bw <= self.mi_cols
+            if bsize > c.BLOCK_8X8 and not has_rows and fits_cols:
+                cost, bplan = self._trial_block(
+                    mi_row, mi_col,
+                    blockd.partition_subsize(bsize, c.PARTITION_HORZ))
+                return cost, ("HORZ", mi_row, mi_col, bsize, [bplan])
+            if bsize > c.BLOCK_8X8 and not has_cols and fits_rows:
+                cost, bplan = self._trial_block(
+                    mi_row, mi_col,
+                    blockd.partition_subsize(bsize, c.PARTITION_VERT))
+                return cost, ("VERT", mi_row, mi_col, bsize, [bplan])
+            # split
+            sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+            kids = []
+            cost = 0.0
+            for (r, cc) in ((mi_row, mi_col), (mi_row, mi_col + hbs),
+                            (mi_row + hbs, mi_col), (mi_row + hbs,
+                                                     mi_col + hbs)):
+                k_cost, k_plan = self._search(r, cc, sub)
+                cost += k_cost
+                kids.append(k_plan)
+            return cost, ("SPLIT", mi_row, mi_col, bsize, kids)
 
-        above_mi = (mi_row - 1, mi_col) if up_avail else None
-        left_mi = (mi_row, mi_col - 1) if left_avail else None
-        skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
-                   (int(self.mi_skip[left_mi]) if left_mi else 0)
-        self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
+        if bsize <= self.min_bsize or bsize == c.BLOCK_8X8:
+            cost, bplan = self._trial_block(mi_row, mi_col, bsize)
+            return cost + self.lam * 2, ("NONE", mi_row, mi_col, bsize,
+                                         [bplan])
 
-        above_mode = int(self.mi_mode[above_mi]) if above_mi else c.DC_PRED
-        left_mode = int(self.mi_mode[left_mi]) if left_mi else c.DC_PRED
-        self.sink.symbol(y_mode, c.INTRA_MODES, "kf_y_cdf",
-                         INTRA_MODE_CONTEXT[above_mode],
-                         INTRA_MODE_CONTEXT[left_mode])
-        use_angle_delta = bsize >= c.BLOCK_8X8
-        if use_angle_delta and intra.is_directional(y_mode):
-            self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
-                             "angle_delta_cdf", y_mode - c.V_PRED)
-        is_chroma_ref = blockd.is_chroma_reference(
-            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
-            and self.num_planes > 1
-        if is_chroma_ref:
-            cfl_allowed = (blockd.block_wide(bsize) <= 32
-                           and blockd.block_high(bsize) <= 32)
-            self.sink.symbol(
-                uv_mode, c.UV_INTRA_MODES - int(not cfl_allowed),
-                "uv_mode_cdf", int(cfl_allowed), y_mode)
-            if use_angle_delta and intra.is_directional(uv_mode):
-                self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
-                                 "angle_delta_cdf", uv_mode - c.V_PRED)
+        # trial NONE with snapshot
+        snap = self._save_region(mi_row, mi_col, bsize)
+        cost_none, bplan = self._trial_block(mi_row, mi_col, bsize)
+        none_recon = self._save_region(mi_row, mi_col, bsize)
+        self._restore_region(mi_row, mi_col, bsize, snap)
 
-        rmax = min(mi_row + bh, self.mi_rows)
-        cmax = min(mi_col + bw, self.mi_cols)
-        self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
-        self.mi_mode[mi_row:rmax, mi_col:cmax] = y_mode
+        # trial SPLIT (children keep their recon)
+        sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+        kids = []
+        cost_split = self.lam * 8  # partition signaling overhead
+        for (r, cc) in ((mi_row, mi_col), (mi_row, mi_col + hbs),
+                        (mi_row + hbs, mi_col), (mi_row + hbs,
+                                                 mi_col + hbs)):
+            k_cost, k_plan = self._search(r, cc, sub)
+            cost_split += k_cost
+            kids.append(k_plan)
 
-        # entropy-code txbs; update entropy contexts + final recon
-        for t in txbs:
-            plane = t["plane"]
-            au = self.above_entropy[plane]
-            lu = self.left_entropy[plane]
-            acol, lrow = t["acol"], t["lrow"]
-            txw = c.TX_WIDTH[t["tx_size"]] >> 2
-            txh = c.TX_HEIGHT[t["tx_size"]] >> 2
-            if skip:
-                au[acol:acol + txw] = 0
-                lu[lrow:lrow + txh] = 0
-                # recon already holds pred (written during planning); for a
-                # skipped block pred IS the recon
-                continue
-            skip_ctx2, dc_sign_ctx = CF.txb_ctx(
-                t["plane_bsize"], t["tx_size"], plane, au[acol:acol + txw],
-                lu[lrow:lrow + txh])
-            cul = self.sink.txb(t["qcoeff"], plane, skip_ctx2, dc_sign_ctx,
-                                tx_size=t["tx_size"], tx_type=t["tx_type"],
-                                tx_type_sym=t["tx_type_sym"])
-            au[acol:acol + txw] = cul
-            lu[lrow:lrow + txh] = cul
+        if cost_none + self.lam * 2 <= cost_split:
+            self._restore_region(mi_row, mi_col, bsize, none_recon)
+            return cost_none + self.lam * 2, ("NONE", mi_row, mi_col, bsize,
+                                              [bplan])
+        return cost_split, ("SPLIT", mi_row, mi_col, bsize, kids)
 
-    def _pick_y_mode(self, mi_row, mi_col, bsize, up_avail, left_avail):
-        """Prediction-SSE mode pick over MODE_CANDIDATES (luma)."""
-        best = (None, None)
-        px = mi_col * 4
-        py = mi_row * 4
-        w = blockd.block_wide(bsize)
-        h = blockd.block_high(bsize)
-        # clip to visible frame area
-        w = min(w, self.mi_cols * 4 - px)
-        h = min(h, self.mi_rows * 4 - py)
-        src = self.src[0][py:py + h, px:px + w].astype(np.int64)
-        for mode in self.MODE_CANDIDATES:
-            pred = self._predict(0, mode, mi_row, mi_col, bsize,
-                                 self._plane_tx(0, bsize), 0, 0,
-                                 up_avail, left_avail)
-            sse = int(((src - pred[:h, :w].astype(np.int64)) ** 2).sum())
-            if best[0] is None or sse < best[0]:
-                best = (sse, mode)
-        return best[1]
+    def _save_region(self, mi_row, mi_col, bsize):
+        out = []
+        for plane in range(self.num_planes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            px = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x
+            py = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y
+            w = blockd.block_wide(bsize) >> ss_x
+            h = blockd.block_high(bsize) >> ss_y
+            out.append(self.recon[plane][py:py + h + 4,
+                                         px:px + w + 4].copy())
+        return out
+
+    def _restore_region(self, mi_row, mi_col, bsize, snap):
+        for plane in range(self.num_planes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            px = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x
+            py = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y
+            s = snap[plane]
+            self.recon[plane][py:py + s.shape[0], px:px + s.shape[1]] = s
+
+    # ------------------------------------------------------------------
+    # emit pass
+    # ------------------------------------------------------------------
+
+    def _emit(self, plan):
+        if plan is None:
+            return
+        kind, mi_row, mi_col, bsize, kids = plan
+        hbs = blockd.mi_size_wide(bsize) // 2
+        pmap = {"NONE": c.PARTITION_NONE, "HORZ": c.PARTITION_HORZ,
+                "VERT": c.PARTITION_VERT, "SPLIT": c.PARTITION_SPLIT}
+        partition = pmap[kind]
+        if bsize >= c.BLOCK_8X8:
+            self._write_partition(mi_row, mi_col, bsize, partition)
+        subsize = blockd.partition_subsize(bsize, partition)
+        if kind == "NONE":
+            self._emit_block(kids[0], partition)
+        elif kind in ("HORZ", "VERT"):
+            self._emit_block(kids[0], partition)
+            # second half out of frame by construction here
+        else:
+            for k in kids:
+                self._emit(k)
+        self._update_ext_partition_ctx(mi_row, mi_col, subsize, bsize,
+                                       partition)
+
+    # ------------------------------------------------------------------
+    # block trial + emit
+    # ------------------------------------------------------------------
 
     def _plane_tx(self, plane, bsize):
         pb = blockd.plane_block_size(bsize, self.ss_x, self.ss_y) \
@@ -165,9 +206,302 @@ class LossyAllIntraEncoder(LosslessEncoder):
             tx = blockd.tx_size_of(w, h)
         return tx
 
+    def _est_txb_bits(self, qcoeff, eob):
+        """Crude token bit estimate for RD (skip + eob + levels)."""
+        if eob == 0:
+            return 0.6
+        aq = np.abs(qcoeff)
+        nz = aq[aq > 0].astype(np.float64)
+        bits = 2.0 + 0.9 * np.log2(eob + 1.0)
+        bits += 0.55 * (eob - len(nz))
+        bits += float(np.sum(1.7 + 2.0 * np.log2(nz + 1.0)))
+        return bits
+
+    def _trial_block(self, mi_row, mi_col, bsize):
+        """Mode-search + encode one block; writes recon; returns
+        (rd_cost, block_plan)."""
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+        # --- luma mode search ---
+        best = None
+        for mode in self.mode_set:
+            dist, bits, txbs = self._code_plane(
+                0, mode, mi_row, mi_col, bsize, up_avail, left_avail,
+                write_recon=False)
+            cost = dist + self.lam * (bits + 4.0)
+            if best is None or cost < best[0]:
+                best = (cost, mode, txbs)
+        y_cost, y_mode, y_txbs = best
+        # write luma recon for the chosen mode (chroma CfL needs it)
+        self._apply_txbs(0, y_txbs)
+
+        # --- chroma ---
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        uv_mode = c.DC_PRED
+        cfl = None
+        uv_cost = 0.0
+        uv_txbs = []
+        if is_chroma_ref:
+            dist_dc = 0.0
+            bits_dc = 0.0
+            txbs_dc = []
+            for plane in (1, 2):
+                d, b, t = self._code_plane(
+                    plane, c.DC_PRED, mi_row, mi_col, bsize, up_avail,
+                    left_avail, write_recon=False)
+                dist_dc += d
+                bits_dc += b
+                txbs_dc += t
+            cost_dc = dist_dc + self.lam * (bits_dc + 2.0)
+            best_uv = (cost_dc, c.DC_PRED, None, txbs_dc)
+            if self.enable_cfl and self._cfl_allowed_enc(bsize):
+                r = self._try_cfl(mi_row, mi_col, bsize, up_avail,
+                                  left_avail)
+                if r is not None and r[0] < best_uv[0]:
+                    best_uv = r
+            uv_cost, uv_mode, cfl, uv_txbs = best_uv
+            for plane in (1, 2):
+                self._apply_txbs(plane,
+                                 [t for t in uv_txbs if t["plane"] == plane])
+        return y_cost + uv_cost, dict(
+            mi_row=mi_row, mi_col=mi_col, bsize=bsize, y_mode=y_mode,
+            uv_mode=uv_mode, cfl=cfl, txbs=y_txbs + uv_txbs,
+            is_chroma_ref=is_chroma_ref)
+
+    def _cfl_allowed_enc(self, bsize):
+        return (blockd.block_wide(bsize) <= 32
+                and blockd.block_high(bsize) <= 32)
+
+    def _apply_txbs(self, plane, txbs):
+        for t in txbs:
+            self.recon[plane][t["py"]:t["py"] + t["recon"].shape[0],
+                              t["px"]:t["px"] + t["recon"].shape[1]] = \
+                t["recon"]
+
+    def _code_plane(self, plane, mode, mi_row, mi_col, bsize, up_avail,
+                    left_avail, write_recon, pred_override=None):
+        """Predict/transform/quantize all txbs of one plane for `mode`.
+
+        Returns (dist, bits, txb list).  Does not touch self.recon unless
+        write_recon (txbs carry their recon blocks for later apply)."""
+        ss_x = self.ss_x if plane else 0
+        ss_y = self.ss_y if plane else 0
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        chroma_up = up_avail if not (plane and self.ss_y and bh < 2) \
+            else (mi_row - 1) > 0
+        chroma_left = left_avail if not (plane and self.ss_x and bw < 2) \
+            else (mi_col - 1) > 0
+        plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
+            if plane else bsize
+        pbw = blockd.block_wide(plane_bsize)
+        pbh = blockd.block_high(plane_bsize)
+        tx_size = self._plane_tx(plane, bsize)
+        txw4 = c.TX_WIDTH[tx_size] >> 2
+        txh4 = c.TX_HEIGHT[tx_size] >> 2
+        row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
+            else mi_row * 4
+        col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
+            else mi_col * 4
+        mb_to_right = (self.mi_cols - bw - mi_col) * 4
+        mb_to_bottom = (self.mi_rows - bh - mi_row) * 4
+        vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
+        vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
+        reduced = bool(self.fh.reduced_tx_set)
+        if plane == 0:
+            st = TT.ext_tx_set_type(tx_size, False, reduced)
+            tx_type = c.DCT_DCT
+            tx_type_sym = None
+            if TT.NUM_EXT_TX_SET[st] > 1:
+                eset = TT.intra_ext_tx_idx(st)
+                sqr = c.TX_SIZE_SQR[tx_size]
+                sym = TT.EXT_TX_IND[st][tx_type]
+                tx_type_sym = (("intra_ext_tx_cdf", eset, sqr, mode),
+                               sym, TT.NUM_EXT_TX_SET[st])
+        else:
+            tx_type = TT.chroma_intra_tx_type(mode, tx_size, reduced)
+            tx_type_sym = None
+        pq = self.pq[plane]
+        adj = CF.adjusted_tx_size(tx_size)
+        scan = tables.scan(adj, tx_type)
+        log_scale = CF._tx_scale(tx_size)
+        dist = 0.0
+        bits = 0.0
+        txbs = []
+        for r4 in range(0, max(vis_h >> 2, 1), txh4):
+            for c4 in range(0, max(vis_w >> 2, 1), txw4):
+                pred_mode = mode if mode != c.UV_CFL_PRED else c.DC_PRED
+                pred = self._predict(plane, pred_mode, mi_row, mi_col,
+                                     bsize, tx_size, r4, c4,
+                                     chroma_up if (plane and ss_y)
+                                     else up_avail,
+                                     chroma_left if (plane and ss_x)
+                                     else left_avail)
+                if pred_override is not None:
+                    pred = pred_override
+                py = row0 + r4 * 4
+                px = col0 + c4 * 4
+                h, w = pred.shape
+                src = self.src[plane][py:py + h, px:px + w]
+                resid = src.astype(np.int32) - pred.astype(np.int32)
+                coeff = T2.fwd_txfm2d(resid, tx_size, tx_type)
+                qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
+                                                    log_scale)
+                recon = (T2.inv_txfm2d_add(dqcoeff, pred, tx_size, tx_type)
+                         if eob else pred)
+                dist += float(((src.astype(np.int64)
+                                - recon.astype(np.int64)) ** 2).sum())
+                bits += self._est_txb_bits(qcoeff, eob)
+                txbs.append(dict(
+                    plane=plane, tx_size=tx_size, tx_type=tx_type,
+                    tx_type_sym=tx_type_sym, qcoeff=qcoeff, eob=eob,
+                    plane_bsize=plane_bsize, py=py, px=px, recon=recon,
+                    acol=px >> 2, lrow=py >> 2))
+                if write_recon:
+                    self.recon[plane][py:py + h, px:px + w] = recon
+        return dist, bits, txbs
+
+    # --- CfL ----------------------------------------------------------
+
+    def _try_cfl(self, mi_row, mi_col, bsize, up_avail, left_avail):
+        """LS-fit CfL alphas; returns (cost, UV_CFL_PRED, (sign,idx), txbs)
+        or None."""
+        ss_x, ss_y = self.ss_x, self.ss_y
+        px = ((mi_col - (mi_col & ss_x)) * 4)
+        py = ((mi_row - (mi_row & ss_y)) * 4)
+        w = blockd.block_wide(bsize)
+        h = blockd.block_high(bsize)
+        luma = self.recon[0][py:py + h, px:px + w]
+        q3 = intra.cfl_subsample_420(luma) if (ss_x and ss_y) \
+            else luma.astype(np.int32) << 3
+        npl = q3.size.bit_length() - 1
+        avg = (int(q3.sum()) + (1 << npl >> 1)) >> npl
+        ac = q3.astype(np.int64) - avg
+        den = float((ac * ac).sum())
+        if den < 1:
+            return None
+        alphas = []
+        preds = []
+        for plane in (1, 2):
+            cpx = px >> ss_x
+            cpy = py >> ss_y
+            ch, cw = ac.shape
+            dc_pred = self._predict(plane, c.DC_PRED, mi_row, mi_col, bsize,
+                                    self._plane_tx(plane, bsize), 0, 0,
+                                    up_avail, left_avail)
+            src = self.src[plane][cpy:cpy + ch, cpx:cpx + cw]
+            num = float((ac[:src.shape[0], :src.shape[1]]
+                         * (src.astype(np.int64)
+                            - dc_pred[:src.shape[0],
+                                      :src.shape[1]].astype(np.int64))).sum())
+            alpha = int(round(64.0 * num / den / 8.0))  # alpha_q3
+            alpha = max(-16, min(16, alpha))
+            alphas.append(alpha)
+            preds.append(dc_pred)
+        if alphas[0] == 0 and alphas[1] == 0:
+            return None
+        # map to joint sign + idx
+        su = 0 if alphas[0] == 0 else (2 if alphas[0] > 0 else 1)
+        sv = 0 if alphas[1] == 0 else (2 if alphas[1] > 0 else 1)
+        joint = su * 3 + sv - 1
+        idx = 0
+        if su:
+            idx |= (abs(alphas[0]) - 1) << 4
+        if sv:
+            idx |= (abs(alphas[1]) - 1)
+        dist = 0.0
+        bits = 10.0  # sign + alpha syms
+        txbs = []
+        for k, plane in enumerate((1, 2)):
+            alpha = intra.cfl_idx_to_alpha(idx, joint, plane - 1)
+            pred = intra.cfl_predict(preds[k], q3, alpha)
+            d, b, t = self._code_plane(
+                plane, c.UV_CFL_PRED, mi_row, mi_col, bsize, up_avail,
+                left_avail, write_recon=False, pred_override=pred)
+            dist += d
+            bits += b
+            txbs += t
+        return dist + self.lam * bits, c.UV_CFL_PRED, (joint, idx), txbs
+
+    # ------------------------------------------------------------------
+
+    def _emit_block(self, bplan, partition):
+        mi_row, mi_col, bsize = bplan["mi_row"], bplan["mi_col"], \
+            bplan["bsize"]
+        y_mode, uv_mode, cfl = bplan["y_mode"], bplan["uv_mode"], \
+            bplan["cfl"]
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+        txbs = bplan["txbs"]
+        skip = all(t["eob"] == 0 for t in txbs)
+
+        above_mi = (mi_row - 1, mi_col) if up_avail else None
+        left_mi = (mi_row, mi_col - 1) if left_avail else None
+        skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
+                   (int(self.mi_skip[left_mi]) if left_mi else 0)
+        self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
+        above_mode = int(self.mi_mode[above_mi]) if above_mi else c.DC_PRED
+        left_mode = int(self.mi_mode[left_mi]) if left_mi else c.DC_PRED
+        self.sink.symbol(y_mode, c.INTRA_MODES, "kf_y_cdf",
+                         INTRA_MODE_CONTEXT[above_mode],
+                         INTRA_MODE_CONTEXT[left_mode])
+        use_angle_delta = bsize >= c.BLOCK_8X8
+        if use_angle_delta and intra.is_directional(y_mode):
+            self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
+                             "angle_delta_cdf", y_mode - c.V_PRED)
+        if bplan["is_chroma_ref"]:
+            cfl_allowed = self._cfl_allowed_enc(bsize)
+            self.sink.symbol(
+                uv_mode, c.UV_INTRA_MODES - int(not cfl_allowed),
+                "uv_mode_cdf", int(cfl_allowed), y_mode)
+            if uv_mode == c.UV_CFL_PRED:
+                joint, idx = cfl
+                self.sink.symbol(joint, c.CFL_JOINT_SIGNS, "cfl_sign_cdf")
+                if intra.cfl_sign_u(joint) != 0:
+                    self.sink.symbol(idx >> 4, c.CFL_ALPHABET_SIZE,
+                                     "cfl_alpha_cdf",
+                                     intra.cfl_context_u(joint))
+                if intra.cfl_sign_v(joint) != 0:
+                    self.sink.symbol(idx & 15, c.CFL_ALPHABET_SIZE,
+                                     "cfl_alpha_cdf",
+                                     intra.cfl_context_v(joint))
+            uv_base = uv_mode if uv_mode < c.UV_CFL_PRED else c.DC_PRED
+            if use_angle_delta and intra.is_directional(uv_base):
+                self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
+                                 "angle_delta_cdf", uv_mode - c.V_PRED)
+
+        rmax = min(mi_row + bh, self.mi_rows)
+        cmax = min(mi_col + bw, self.mi_cols)
+        self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
+        self.mi_mode[mi_row:rmax, mi_col:cmax] = y_mode
+
+        for t in txbs:
+            plane = t["plane"]
+            au = self.above_entropy[plane]
+            lu = self.left_entropy[plane]
+            acol, lrow = t["acol"], t["lrow"]
+            txw = c.TX_WIDTH[t["tx_size"]] >> 2
+            txh = c.TX_HEIGHT[t["tx_size"]] >> 2
+            if skip:
+                au[acol:acol + txw] = 0
+                lu[lrow:lrow + txh] = 0
+                continue
+            skip_ctx2, dc_sign_ctx = CF.txb_ctx(
+                t["plane_bsize"], t["tx_size"], plane, au[acol:acol + txw],
+                lu[lrow:lrow + txh])
+            cul = self.sink.txb(t["qcoeff"], plane, skip_ctx2, dc_sign_ctx,
+                                tx_size=t["tx_size"], tx_type=t["tx_type"],
+                                tx_type_sym=t["tx_type_sym"])
+            au[acol:acol + txw] = cul
+            lu[lrow:lrow + txh] = cul
+
+    # predictor identical to before, kept for reuse
     def _predict(self, plane, mode, mi_row, mi_col, bsize, tx_size,
                  row_off, col_off, up_avail, left_avail):
-        """Intra prediction for one tx block from the recon buffer."""
         ss_x = self.ss_x if plane else 0
         ss_y = self.ss_y if plane else 0
         plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
@@ -218,97 +552,15 @@ class LossyAllIntraEncoder(LosslessEncoder):
             disable_edge_filter=not self.sh.enable_intra_edge_filter,
             intra_edge_filter_type=0)
 
-    def _code_block_txbs(self, mi_row, mi_col, bsize, y_mode, uv_mode,
-                         up_avail, left_avail, partition):
-        """Predict + transform + quantize all txbs; write recon."""
-        out = []
-        bw = blockd.mi_size_wide(bsize)
-        bh = blockd.mi_size_high(bsize)
-        chroma_up = up_avail
-        chroma_left = left_avail
-        if self.ss_x and bw < 2:
-            chroma_left = (mi_col - 1) > 0
-        if self.ss_y and bh < 2:
-            chroma_up = (mi_row - 1) > 0
-        is_chroma_ref = blockd.is_chroma_reference(
-            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
-            and self.num_planes > 1
-        nplanes = self.num_planes if is_chroma_ref else 1
-        reduced = bool(self.fh.reduced_tx_set)
-        for plane in range(nplanes):
-            ss_x = self.ss_x if plane else 0
-            ss_y = self.ss_y if plane else 0
-            plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
-                if plane else bsize
-            pbw = blockd.block_wide(plane_bsize)
-            pbh = blockd.block_high(plane_bsize)
-            tx_size = self._plane_tx(plane, bsize)
-            txw4 = c.TX_WIDTH[tx_size] >> 2
-            txh4 = c.TX_HEIGHT[tx_size] >> 2
-            row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
-                else mi_row * 4
-            col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
-                else mi_col * 4
-            mb_to_right = (self.mi_cols - bw - mi_col) * 4
-            mb_to_bottom = (self.mi_rows - bh - mi_row) * 4
-            vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
-            vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
-            mode = y_mode if plane == 0 else uv_mode
-            # tx type
-            if plane == 0:
-                st = TT.ext_tx_set_type(tx_size, False, reduced)
-                tx_type = c.DCT_DCT
-                tx_type_sym = None
-                if TT.NUM_EXT_TX_SET[st] > 1:
-                    eset = TT.intra_ext_tx_idx(st)
-                    sqr = c.TX_SIZE_SQR[tx_size]
-                    sym = TT.EXT_TX_IND[st][tx_type]
-                    tx_type_sym = (("intra_ext_tx_cdf", eset, sqr, y_mode),
-                                   sym, TT.NUM_EXT_TX_SET[st])
-            else:
-                tx_type = TT.chroma_intra_tx_type(uv_mode, tx_size, reduced)
-                tx_type_sym = None
-            pq = self.pq[plane]
-            from ..bitstream import tables
-            adj = CF.adjusted_tx_size(tx_size)
-            scan = tables.scan(adj, tx_type)
-            log_scale = CF._tx_scale(tx_size)
-            for r4 in range(0, max(vis_h >> 2, 1), txh4):
-                for c4 in range(0, max(vis_w >> 2, 1), txw4):
-                    pred = self._predict(
-                        plane, mode, mi_row, mi_col, bsize, tx_size, r4, c4,
-                        up_avail if not (plane and ss_y) else chroma_up,
-                        left_avail if not (plane and ss_x) else chroma_left)
-                    py = row0 + r4 * 4
-                    px = col0 + c4 * 4
-                    h, w = pred.shape
-                    src = self.src[plane][py:py + h, px:px + w]
-                    resid = src.astype(np.int32) - pred.astype(np.int32)
-                    coeff = T2.fwd_txfm2d(resid, tx_size, tx_type)
-                    qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
-                                                        log_scale)
-                    if eob:
-                        recon = T2.inv_txfm2d_add(dqcoeff, pred, tx_size,
-                                                  tx_type)
-                    else:
-                        recon = pred
-                    self.recon[plane][py:py + h, px:px + w] = recon
-                    out.append(dict(
-                        plane=plane, tx_size=tx_size, tx_type=tx_type,
-                        tx_type_sym=tx_type_sym, qcoeff=qcoeff, eob=eob,
-                        plane_bsize=plane_bsize,
-                        acol=px >> 2, lrow=py >> 2))
-        return out
-
 
 def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      qindex: int = 60, fps=(30, 1),
-                     block_size: int = c.BLOCK_16X16) -> None:
+                     block_size: int = c.BLOCK_16X16, **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height)
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex)
-        enc = LossyAllIntraEncoder(sh, fh, block_size=block_size)
+        enc = LossyAllIntraEncoder(sh, fh, block_size=block_size, **kw)
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

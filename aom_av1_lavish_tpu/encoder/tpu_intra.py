@@ -1,0 +1,111 @@
+"""TPU-batched all-intra encoder: wavefront device encode + host emit.
+
+The compute-heavy per-block work (prediction, transforms, quantization,
+mode RD) runs as batched JAX waves on device (ops/wavefront.py); the host
+walks the fixed 16x16 partition tree and feeds the native entropy coder.
+This is the "fast" preset; the Python RD encoder (lossy.py) is the
+"quality" preset until partition RDO lands on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+from ..common import blockd
+from ..common import txtype as TT
+from .lossy import LossyAllIntraEncoder, make_lossy_frame_header
+from .encoder import make_sequence_header
+
+
+class TpuAllIntraEncoder(LossyAllIntraEncoder):
+    """Fixed 16x16 blocks, device wavefront encode (7-mode RD)."""
+
+    def __init__(self, sh, fh, use_native=None):
+        super().__init__(sh, fh, use_native=use_native,
+                         block_size=c.BLOCK_16X16)
+        self._results = None
+
+    def encode_frame(self, planes, use_jax: bool = True) -> bytes:
+        from ..ops.wavefront import WavefrontEncoder
+        w = self.mi_cols * 4
+        h = self.mi_rows * 4
+        assert w % 16 == 0 and h % 16 == 0, \
+            "TPU preset needs a 16px-aligned mi grid (use lossy.py otherwise)"
+        self._wave = WavefrontEncoder(self.fh.base_q_idx, self.lam)
+        self._results = None
+        return super(LossyAllIntraEncoder, self).encode_frame(
+            planes, use_jax=False)
+
+    # device encode happens lazily once source planes are padded
+    def _ensure_device_encode(self):
+        if self._results is None:
+            self._results = self._wave.encode_frame(
+                [self.src[0][:self.mi_rows * 4, :self.mi_cols * 4],
+                 self.src[1][:self.mi_rows * 2, :self.mi_cols * 2],
+                 self.src[2][:self.mi_rows * 2, :self.mi_cols * 2]])
+            ry, ru, rv = self._wave.recon
+            self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
+            self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
+            self.recon[2][:rv.shape[0], :rv.shape[1]] = rv
+
+    def _search(self, mi_row, mi_col, bsize):
+        self._ensure_device_encode()
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return 0.0, None
+        if bsize == c.BLOCK_16X16:
+            return 0.0, ("NONE", mi_row, mi_col, bsize,
+                         [self._leaf(mi_row, mi_col)])
+        hbs = blockd.mi_size_wide(bsize) // 2
+        sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+        kids = []
+        for (r, cc) in ((mi_row, mi_col), (mi_row, mi_col + hbs),
+                        (mi_row + hbs, mi_col), (mi_row + hbs,
+                                                 mi_col + hbs)):
+            _, k = self._search(r, cc, sub)
+            kids.append(k)
+        return 0.0, ("SPLIT", mi_row, mi_col, bsize, kids)
+
+    def _leaf(self, mi_row, mi_col):
+        res = self._results[(mi_row // 4, mi_col // 4)]
+        y_mode = res["y_mode"]
+        # luma tx type symbol (TX_16X16 -> DTT4_IDTX set, DCT_DCT coded)
+        st = TT.ext_tx_set_type(c.TX_16X16, False,
+                                bool(self.fh.reduced_tx_set))
+        tx_type_sym = None
+        if TT.NUM_EXT_TX_SET[st] > 1:
+            eset = TT.intra_ext_tx_idx(st)
+            sqr = c.TX_SIZE_SQR[c.TX_16X16]
+            sym = TT.EXT_TX_IND[st][c.DCT_DCT]
+            tx_type_sym = (("intra_ext_tx_cdf", eset, sqr, y_mode), sym,
+                           TT.NUM_EXT_TX_SET[st])
+        py = mi_row * 4
+        px = mi_col * 4
+        txbs = [dict(plane=0, tx_size=c.TX_16X16, tx_type=c.DCT_DCT,
+                     tx_type_sym=tx_type_sym, qcoeff=res["qy"],
+                     eob=res["eoby"], plane_bsize=c.BLOCK_16X16,
+                     py=py, px=px, recon=None, acol=px >> 2, lrow=py >> 2)]
+        for plane, (q, eob) in ((1, (res["qu"], res["eobu"])),
+                                (2, (res["qv"], res["eobv"]))):
+            cx, cy = px >> 1, py >> 1
+            txbs.append(dict(
+                plane=plane, tx_size=c.TX_8X8,
+                tx_type=TT.chroma_intra_tx_type(c.DC_PRED, c.TX_8X8, False),
+                tx_type_sym=None, qcoeff=q, eob=eob,
+                plane_bsize=c.BLOCK_8X8, py=cy, px=cx,
+                recon=None, acol=cx >> 2, lrow=cy >> 2))
+        return dict(mi_row=mi_row, mi_col=mi_col, bsize=c.BLOCK_16X16,
+                    y_mode=y_mode, uv_mode=c.DC_PRED, cfl=None, txbs=txbs,
+                    is_chroma_ref=True)
+
+
+def encode_tpu_ivf(path: str, frames, width: int, height: int,
+                   qindex: int = 60, fps=(30, 1)) -> None:
+    from ..bitstream.ivf import write_ivf
+    sh = make_sequence_header(width, height)
+    payloads = []
+    for i, f in enumerate(frames):
+        fh = make_lossy_frame_header(sh, qindex)
+        enc = TpuAllIntraEncoder(sh, fh)
+        payloads.append((enc.encode_frame(f), i))
+    write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -1,0 +1,320 @@
+"""Wavefront-batched all-intra encoding on TPU (JAX).
+
+TPU-first recast of the encoder hot loop (SURVEY §7 hard part (c)): blocks
+on the same anti-diagonal have no prediction dependency (top/left/above-left
+only for the non-directional mode set), so each wave encodes as one batched
+tensor op: gather edges -> 7 intra predictions -> batched integer DCT ->
+vectorized quantize -> RD mode pick -> exact inverse -> scatter recon.
+The per-tile entropy coding stays on host (native C runtime).
+
+Bit-exactness contract: prediction, dequant and inverse transform match the
+normative decoder exactly (int ops; verified against the host reference),
+so host emit + stock aomdec reproduce the device recon.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ..bitstream import constants as c  # noqa: E402
+from ..common import quant as Q  # noqa: E402
+from ..common.intra import SMOOTH_WEIGHTS  # noqa: E402
+from . import txfm_jax as TJ  # noqa: E402
+
+# candidate modes (no edge-filter dependency; exact without TR/BL)
+WAVE_MODES = (c.DC_PRED, c.V_PRED, c.H_PRED, c.SMOOTH_PRED,
+              c.SMOOTH_V_PRED, c.SMOOTH_H_PRED, c.PAETH_PRED)
+
+
+def _predict_modes(above, left, al, have_top, have_left, B):
+    """above/left: (N, B) int32, al: (N,), flags (N,) bool.
+    Returns (N, 7, B, B) uint8-range int32 predictions."""
+    N = above.shape[0]
+    a = above.astype(jnp.int32)
+    lf = left.astype(jnp.int32)
+    # DC
+    s_a = a.sum(-1)
+    s_l = lf.sum(-1)
+    log2b = B.bit_length() - 1
+    dc_both = (s_a + s_l + B) >> (log2b + 1)
+    dc_top = (s_a + (B >> 1)) >> log2b
+    dc_left = (s_l + (B >> 1)) >> log2b
+    dc = jnp.where(have_top & have_left, dc_both,
+                   jnp.where(have_top, dc_top,
+                             jnp.where(have_left, dc_left, 128)))
+    dc_pred = jnp.broadcast_to(dc[:, None, None], (N, B, B))
+    v_pred = jnp.broadcast_to(a[:, None, :], (N, B, B))
+    h_pred = jnp.broadcast_to(lf[:, :, None], (N, B, B))
+    # SMOOTH family
+    w = jnp.asarray(SMOOTH_WEIGHTS[B], dtype=jnp.int32)
+    below = lf[:, B - 1]
+    right = a[:, B - 1]
+    sm = (w[None, :, None] * a[:, None, :]
+          + (256 - w)[None, :, None] * below[:, None, None]
+          + w[None, None, :] * lf[:, :, None]
+          + (256 - w)[None, None, :] * right[:, None, None])
+    sm_pred = (sm + 256) >> 9
+    smv = (w[None, :, None] * a[:, None, :]
+           + (256 - w)[None, :, None] * below[:, None, None])
+    smv_pred = (smv + 128) >> 8
+    smh = (w[None, None, :] * lf[:, :, None]
+           + (256 - w)[None, None, :] * right[:, None, None])
+    smh_pred = (smh + 128) >> 8
+    # PAETH
+    tl = al.astype(jnp.int32)[:, None, None]
+    base = a[:, None, :] + lf[:, :, None] - tl
+    pl = jnp.abs(base - lf[:, :, None])
+    pt = jnp.abs(base - a[:, None, :])
+    ptl = jnp.abs(base - tl)
+    paeth = jnp.where((pl <= pt) & (pl <= ptl),
+                      jnp.broadcast_to(lf[:, :, None], base.shape),
+                      jnp.where(pt <= ptl,
+                                jnp.broadcast_to(a[:, None, :], base.shape),
+                                jnp.broadcast_to(tl, base.shape)))
+    return jnp.stack([dc_pred, v_pred, h_pred, sm_pred, smv_pred, smh_pred,
+                      paeth], axis=1)
+
+
+def _quantize_jnp(coeff, pq, log_scale, dc_mask):
+    """Vectorized aom_quantize_b (coeff (..., n) int; dc_mask (n,) bool).
+    Returns (qcoeff, dqcoeff_abs_signed)."""
+    zbin = jnp.where(dc_mask, pq.zbin[0], pq.zbin[1])
+    rnd = jnp.where(dc_mask, pq.round[0], pq.round[1])
+    quant = jnp.where(dc_mask, pq.quant[0], pq.quant[1])
+    qshift = jnp.where(dc_mask, pq.quant_shift[0], pq.quant_shift[1])
+    deq = jnp.where(dc_mask, pq.dequant[0], pq.dequant[1])
+    if log_scale:
+        zbin = (zbin + (1 << log_scale >> 1)) >> log_scale
+        rnd = (rnd + (1 << log_scale >> 1)) >> log_scale
+    ac = jnp.abs(coeff)
+    sign = jnp.where(coeff < 0, -1, 1)
+    above = ac >= zbin
+    tmp = jnp.clip(ac + rnd, -32768, 32767)
+    tmp32 = ((((tmp * quant) >> 16) + tmp) * qshift) >> (16 - log_scale)
+    tmp32 = jnp.where(above, tmp32, 0)
+    qcoeff = sign * tmp32
+    dq = (tmp32 * deq) >> log_scale
+    dqcoeff = sign * dq
+    return qcoeff.astype(jnp.int32), dqcoeff.astype(jnp.int32)
+
+
+def _est_bits(qcoeff, scan_order):
+    """Crude token-bit estimate (matches the host RD estimator)."""
+    aq = jnp.abs(qcoeff).astype(jnp.float32)
+    aq_scan = aq[..., scan_order]
+    nz = aq_scan > 0
+    n = aq_scan.shape[-1]
+    idx = jnp.arange(n)
+    eob = jnp.max(jnp.where(nz, idx + 1, 0), axis=-1)
+    nnz = nz.sum(-1)
+    level_bits = jnp.where(nz, 1.7 + 2.0 * jnp.log2(aq_scan + 1.0),
+                           0.0).sum(-1)
+    bits = 2.0 + 0.9 * jnp.log2(eob + 1.0) + 0.55 * (eob - nnz) + level_bits
+    return jnp.where(eob == 0, 0.6, bits), eob
+
+
+_FRAME_FN_CACHE = {}
+
+
+class _PQ:
+    """Quantizer params as traced arrays (shared jit across qindex)."""
+
+    def __init__(self, arr):
+        (self.zbin, self.round, self.quant, self.quant_shift,
+         self.dequant) = [tuple(row) for row in arr]
+
+
+def _pq_array(pq):
+    return np.array([pq.zbin, pq.round, pq.quant, pq.quant_shift,
+                     pq.dequant], np.int64)
+
+
+class WavefrontEncoder:
+    """Whole-frame batched all-intra encode at fixed block size B=16."""
+
+    B = 16
+
+    def __init__(self, qindex: int, lam: float):
+        self.qindex = qindex
+        self.lam = lam
+        self.pq = [Q.build_plane_quant(qindex, 0, 0),
+                   Q.build_plane_quant(qindex, 0, 0),
+                   Q.build_plane_quant(qindex, 0, 0)]
+
+    # ---- whole-frame jitted fn (cached per geometry, qindex traced) ----
+
+    def _wave_fn(self, key):
+        if key in _FRAME_FN_CACHE:
+            return _FRAME_FN_CACHE[key]
+        max_n = key[-1]
+        B = self.B
+        Bc = B // 2
+        from ..bitstream import tables
+        scan_y = jnp.asarray(
+            np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT)), jnp.int32)
+        scan_c = jnp.asarray(
+            np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT)), jnp.int32)
+        dc_mask_y = (jnp.arange(B * B) == 0)
+        dc_mask_c = (jnp.arange(Bc * Bc) == 0)
+
+        def plane_encode(recon, src, ys, xs, valid, B_, scan, dc_mask,
+                         pqp, tx_size, n_modes, lam):
+            # gather edges from a 1-padded copy (index k+1 == recon k)
+            rp = jnp.pad(recon, ((1, 0), (1, 0)), constant_values=0)
+
+            def gather(y, x):
+                above = jax.lax.dynamic_slice(rp, (y, x + 1), (1, B_))[0]
+                leftc = jax.lax.dynamic_slice(rp, (y + 1, x), (B_, 1))[:, 0]
+                al = jax.lax.dynamic_slice(rp, (y, x), (1, 1))[0, 0]
+                first_l = jax.lax.dynamic_slice(rp, (y + 1, x), (1, 1))[0, 0]
+                first_a = jax.lax.dynamic_slice(rp, (y, x + 1), (1, 1))[0, 0]
+                blk = jax.lax.dynamic_slice(src, (y, x), (B_, B_))
+                return above, leftc, al, first_l, first_a, blk
+
+            above, leftc, al, first_l, first_a, blk = \
+                jax.vmap(gather)(ys, xs)
+            have_top = ys > 0
+            have_left = xs > 0
+            # edge fill rules (reconintra.c:1309 defaults)
+            above_f = jnp.where(
+                have_top[:, None], above,
+                jnp.where(have_left[:, None],
+                          jnp.broadcast_to(first_l[:, None], above.shape),
+                          jnp.full_like(above, 127)))
+            left_f = jnp.where(
+                have_left[:, None], leftc,
+                jnp.where(have_top[:, None],
+                          jnp.broadcast_to(first_a[:, None], leftc.shape),
+                          jnp.full_like(leftc, 129)))
+            al_f = jnp.where(
+                have_top & have_left, al,
+                jnp.where(have_top, first_a,
+                          jnp.where(have_left, first_l, 128)))
+            preds = _predict_modes(above_f, left_f, al_f, have_top,
+                                   have_left, B_)[:, :n_modes]
+            M = preds.shape[1]
+            resid = blk[:, None].astype(jnp.int32) - preds
+            coeff = TJ.fwd_txfm2d_batched(
+                resid.reshape(-1, B_, B_), tx_size, c.DCT_DCT)
+            log_scale = 1 if B_ * B_ > 256 else 0
+            qcoeff, dqcoeff = _quantize_jnp(coeff, pqp, log_scale, dc_mask)
+            bits, eob = _est_bits(qcoeff, scan)
+            recon_all = TJ.inv_txfm2d_add_batched(
+                dqcoeff, preds.reshape(-1, B_, B_).astype(jnp.uint8),
+                tx_size, c.DCT_DCT)
+            recon_all = jnp.where((eob > 0)[:, None, None], recon_all,
+                                  preds.reshape(-1, B_, B_).astype(
+                                      jnp.uint8))
+            d = blk[:, None].astype(jnp.int32) - \
+                recon_all.reshape(-1, M, B_, B_).astype(jnp.int32)
+            sse = (d * d).sum((-1, -2))
+            cost = sse.astype(jnp.float32) + \
+                jnp.float32(lam) * bits.reshape(-1, M)
+            best = jnp.argmin(cost, axis=1)  # (N,)
+            sel = best + jnp.arange(best.shape[0]) * M
+            q_best = qcoeff.reshape(-1, B_ * B_)[sel]
+            eob_best = eob[sel]
+            recon_best = recon_all[sel]
+            # scatter recon
+            # scatter recon; padded lanes get out-of-bounds coords, dropped
+            ys_s = jnp.where(valid, ys, recon.shape[0]).astype(jnp.int32)
+            rows = ys_s[:, None, None] + \
+                jnp.arange(B_, dtype=jnp.int32)[None, :, None]
+            cols = xs.astype(jnp.int32)[:, None, None] + \
+                jnp.arange(B_, dtype=jnp.int32)[None, None, :]
+            recon = recon.at[rows, cols].set(recon_best, mode="drop")
+            return recon, best, q_best, eob_best
+
+        def frame_fn(src_y, src_u, src_v, wave_ys, wave_xs, wave_valid,
+                     pq_arrs, lam):
+            """Whole-frame encode: lax.fori_loop over waves on device."""
+            pq = [_PQ(a) for a in pq_arrs]
+            H, W = src_y.shape
+            n_waves = wave_ys.shape[0]
+            recon_y = jnp.zeros((H, W), jnp.uint8)
+            recon_u = jnp.zeros((H // 2, W // 2), jnp.uint8)
+            recon_v = jnp.zeros((H // 2, W // 2), jnp.uint8)
+            out_best = jnp.zeros((n_waves, max_n), jnp.int32)
+            out_qy = jnp.zeros((n_waves, max_n, B * B), jnp.int32)
+            out_qu = jnp.zeros((n_waves, max_n, Bc * Bc), jnp.int32)
+            out_qv = jnp.zeros((n_waves, max_n, Bc * Bc), jnp.int32)
+            out_eob = jnp.zeros((n_waves, max_n, 3), jnp.int32)
+
+            def body(d, carry):
+                (ry, ru, rv, ob, oqy, oqu, oqv, oe) = carry
+                ys = wave_ys[d]
+                xs = wave_xs[d]
+                valid = wave_valid[d]
+                ry, best, qy, eoby = plane_encode(
+                    ry, src_y, ys, xs, valid, B, scan_y, dc_mask_y,
+                    pq[0], c.TX_16X16, len(WAVE_MODES), lam)
+                ru, _, qu, eobu = plane_encode(
+                    ru, src_u, ys // 2, xs // 2, valid, Bc, scan_c,
+                    dc_mask_c, pq[1], c.TX_8X8, 1, lam)
+                rv, _, qv, eobv = plane_encode(
+                    rv, src_v, ys // 2, xs // 2, valid, Bc, scan_c,
+                    dc_mask_c, pq[2], c.TX_8X8, 1, lam)
+                ob = ob.at[d].set(best)
+                oqy = oqy.at[d].set(qy)
+                oqu = oqu.at[d].set(qu)
+                oqv = oqv.at[d].set(qv)
+                oe = oe.at[d].set(jnp.stack([eoby, eobu, eobv], axis=-1))
+                return (ry, ru, rv, ob, oqy, oqu, oqv, oe)
+
+            return jax.lax.fori_loop(
+                0, n_waves, body,
+                (recon_y, recon_u, recon_v, out_best, out_qy, out_qu,
+                 out_qv, out_eob))
+
+        fn = jax.jit(frame_fn)
+        _FRAME_FN_CACHE[key] = fn
+        return fn
+
+    def encode_frame(self, src_planes):
+        """src_planes: (y, u, v) padded to B multiples.  Returns per-block
+        results dict keyed by (block_row, block_col)."""
+        B = self.B
+        y, u, v = [np.asarray(p) for p in src_planes]
+        H, W = y.shape
+        assert H % B == 0 and W % B == 0
+        nbr, nbc = H // B, W // B
+        waves = []
+        for d in range(nbr + nbc - 1):
+            waves.append([(r, d - r) for r in range(max(0, d - nbc + 1),
+                                                    min(nbr, d + 1))])
+        max_n = max(len(b) for b in waves)
+        n_waves = len(waves)
+        wave_ys = np.zeros((n_waves, max_n), np.int32)
+        wave_xs = np.zeros((n_waves, max_n), np.int32)
+        wave_valid = np.zeros((n_waves, max_n), bool)
+        for d, blocks in enumerate(waves):
+            for i, (r, cc) in enumerate(blocks):
+                wave_ys[d, i] = r * B
+                wave_xs[d, i] = cc * B
+                wave_valid[d, i] = True
+        fn = self._wave_fn((H, W, n_waves, max_n))
+        pq_arrs = tuple(jnp.asarray(_pq_array(p)) for p in self.pq)
+        (ry, ru, rv, ob, oqy, oqu, oqv, oe) = fn(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            jnp.asarray(wave_ys), jnp.asarray(wave_xs),
+            jnp.asarray(wave_valid), pq_arrs, jnp.float32(self.lam))
+        ob, oqy, oqu, oqv, oe = (np.asarray(ob), np.asarray(oqy),
+                                 np.asarray(oqu), np.asarray(oqv),
+                                 np.asarray(oe))
+        results = {}
+        for d, blocks in enumerate(waves):
+            for i, (r, cc) in enumerate(blocks):
+                results[(r, cc)] = dict(
+                    y_mode=WAVE_MODES[int(ob[d, i])],
+                    qy=oqy[d, i], qu=oqu[d, i], qv=oqv[d, i],
+                    eoby=int(oe[d, i, 0]), eobu=int(oe[d, i, 1]),
+                    eobv=int(oe[d, i, 2]))
+        self.recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        return results

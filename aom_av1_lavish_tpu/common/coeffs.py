@@ -229,6 +229,25 @@ def _npels_log2(bsize: int) -> int:
     return (c.BLOCK_WIDTH[bsize] * c.BLOCK_HEIGHT[bsize]).bit_length() - 1
 
 
+def set_entropy_spans(au, lu, acol, lrow, txw, txh, cul,
+                      vis_w4, vis_h4, loc_c4, loc_r4,
+                      cross_right, cross_bottom) -> None:
+    """av1_set_entropy_contexts: edge-crossing blocks store cul only over
+    the visible units; the out-of-frame remainder is zeroed."""
+    if cul and cross_right:
+        n = max(0, min(txw, vis_w4 - loc_c4))
+        au[acol:acol + n] = cul
+        au[acol + n:acol + txw] = 0
+    else:
+        au[acol:acol + txw] = cul
+    if cul and cross_bottom:
+        n = max(0, min(txh, vis_h4 - loc_r4))
+        lu[lrow:lrow + n] = cul
+        lu[lrow + n:lrow + txh] = 0
+    else:
+        lu[lrow:lrow + txh] = cul
+
+
 def set_dc_sign(cul_level: int, dc_val: int) -> int:
     if dc_val < 0:
         cul_level |= 1 << COEFF_CONTEXT_BITS

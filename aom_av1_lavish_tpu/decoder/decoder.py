@@ -84,9 +84,9 @@ class FrameDecoder:
         self.ss_y = sh.subsampling_y
         self.lossless = fh.coded_lossless(sh)
         if not self.lossless:
-            # current lossy scope: no in-loop filters (our encoder's config)
-            assert fh.filter_level == (0, 0) and not sh.enable_cdef \
-                and not sh.enable_restoration, "in-loop filters TBD"
+            # current lossy scope: deblocking yes; cdef/restoration TBD
+            assert not sh.enable_cdef and not sh.enable_restoration, \
+                "cdef/restoration decode TBD"
             assert fh.tx_mode == c.TX_MODE_LARGEST, "TX_MODE_SELECT TBD"
         w = self.mi_cols * 4
         h = self.mi_rows * 4
@@ -601,8 +601,13 @@ class FrameDecoder:
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
             dqv_dc, dqv_ac)
-        au[acol:acol + txw] = cul_level
-        lu[lrow:lrow + txh] = cul_level
+        pbw4 = blockd.block_wide(plane_bsize) >> 2
+        pbh4 = blockd.block_high(plane_bsize) >> 2
+        vis_w4 = pbw4 + (min(mb_to_right, 0) >> (2 + ss_x))
+        vis_h4 = pbh4 + (min(mb_to_bottom, 0) >> (2 + ss_y))
+        CF.set_entropy_spans(au, lu, acol, lrow, txw, txh, cul_level,
+                             vis_w4, vis_h4, col_off, row_off,
+                             mb_to_right < 0, mb_to_bottom < 0)
         if eob:
             if self.lossless:
                 res = iwht4x4(dqcoeff.reshape(4, 4))
@@ -658,6 +663,31 @@ class FrameDecoder:
             le = self.mi[br + self.ss_y, bc - 1] if chroma_left else None
             smooth = (_is_smooth_uv(ab) or _is_smooth_uv(le))
         return 1 if smooth else 0
+
+    def apply_loop_filter(self):
+        """Deblocking (spec §7.14) over the reconstructed frame."""
+        fh, sh = self.fh, self.sh
+        if self.lossless or (fh.filter_level[0] == 0
+                             and fh.filter_level[1] == 0
+                             and fh.filter_level_u == 0
+                             and fh.filter_level_v == 0):
+            return
+        from ..common import loopfilter as LF
+        bsg = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        for r in range(self.mi_rows):
+            for col in range(self.mi_cols):
+                bi = self.mi[r, col]
+                bsg[r, col] = bi.bsize if bi is not None else c.BLOCK_64X64
+
+        def plane_tx(plane, bsize):
+            pb = blockd.plane_block_size(bsize, self.ss_x, self.ss_y) \
+                if plane else bsize
+            return self._plane_tx_size(plane, pb)
+
+        grids = [LF.tx_grid_for_plane(bsg, p, self.ss_x, self.ss_y,
+                                      self.lossless, plane_tx)
+                 for p in range(self.num_planes)]
+        LF.loop_filter_frame(self.planes, grids, bsg, fh, sh)
 
     def output(self):
         w, h = self.fh.frame_width, self.fh.frame_height
@@ -751,6 +781,7 @@ def _decode_tile_group(data: bytes, sh, fh):
                 tile_data = data[pos:]
             dec.decode_tile_data(tile_data, trow, tcol)
             idx += 1
+    dec.apply_loop_filter()
     return dec.output()
 
 

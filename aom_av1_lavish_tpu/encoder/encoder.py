@@ -170,6 +170,8 @@ class LosslessEncoder:
         self.mi_skip = np.zeros((self.mi_rows, self.mi_cols), dtype=np.uint8)
         self.mi_mode = np.full((self.mi_rows, self.mi_cols), c.DC_PRED,
                                dtype=np.int32)
+        self.mi_bsize = np.full((self.mi_rows, self.mi_cols), c.BLOCK_64X64,
+                                dtype=np.int32)
         self.mi_valid = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
 
     def encode_frame(self, planes, use_jax: bool = True) -> bytes:

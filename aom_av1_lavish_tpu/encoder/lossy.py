@@ -30,16 +30,22 @@ MAX_ANGLE_DELTA = 3
 ALL_Y_MODES = tuple(range(c.INTRA_MODES))
 
 
-def make_lossy_frame_header(sh: H.SequenceHeader,
-                            qindex: int) -> H.FrameHeader:
+def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
+                            deblock: bool = True) -> H.FrameHeader:
     assert 0 < qindex <= 255
+    if deblock:
+        from ..common.loopfilter import pick_filter_level_from_q
+        lvl = pick_filter_level_from_q(qindex, frame_is_key=True)
+    else:
+        lvl = 0
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
         disable_cdf_update=0, disable_frame_end_update_cdf=1,
         frame_size_override=0,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
-        base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0)
+        base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
+        filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
 
 
 class LossyAllIntraEncoder(LosslessEncoder):
@@ -63,7 +69,24 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def encode_frame(self, planes, use_jax: bool = False) -> bytes:
         self.analysis = None
-        return super().encode_frame(planes, use_jax=False)
+        out = super().encode_frame(planes, use_jax=False)
+        self._filter_recon()
+        return out
+
+    def _filter_recon(self):
+        fh = self.fh
+        if (fh.filter_level[0] == 0 and fh.filter_level[1] == 0
+                and fh.filter_level_u == 0 and fh.filter_level_v == 0):
+            return
+        from ..common import loopfilter as LF
+
+        def plane_tx(plane, bsize):
+            return self._plane_tx(plane, bsize)
+
+        grids = [LF.tx_grid_for_plane(self.mi_bsize, p, self.ss_x,
+                                      self.ss_y, False, plane_tx)
+                 for p in range(self.num_planes)]
+        LF.loop_filter_frame(self.recon, grids, self.mi_bsize, fh, self.sh)
 
     # ------------------------------------------------------------------
     # partition: RD search pass builds a plan tree, then emit pass codes it
@@ -358,7 +381,10 @@ class LossyAllIntraEncoder(LosslessEncoder):
                     plane=plane, tx_size=tx_size, tx_type=tx_type,
                     tx_type_sym=tx_type_sym, qcoeff=qcoeff, eob=eob,
                     plane_bsize=plane_bsize, py=py, px=px, recon=recon,
-                    acol=px >> 2, lrow=py >> 2))
+                    acol=px >> 2, lrow=py >> 2,
+                    loc_c4=c4, loc_r4=r4,
+                    vis_w4=max(vis_w >> 2, 1), vis_h4=max(vis_h >> 2, 1),
+                    cross_r=mb_to_right < 0, cross_b=mb_to_bottom < 0))
                 if write_recon:
                     self.recon[plane][py:py + h, px:px + w] = recon
         return dist, bits, txbs
@@ -478,6 +504,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         cmax = min(mi_col + bw, self.mi_cols)
         self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
         self.mi_mode[mi_row:rmax, mi_col:cmax] = y_mode
+        self.mi_bsize[mi_row:rmax, mi_col:cmax] = bsize
 
         for t in txbs:
             plane = t["plane"]
@@ -496,8 +523,11 @@ class LossyAllIntraEncoder(LosslessEncoder):
             cul = self.sink.txb(t["qcoeff"], plane, skip_ctx2, dc_sign_ctx,
                                 tx_size=t["tx_size"], tx_type=t["tx_type"],
                                 tx_type_sym=t["tx_type_sym"])
-            au[acol:acol + txw] = cul
-            lu[lrow:lrow + txh] = cul
+            CF.set_entropy_spans(
+                au, lu, acol, lrow, txw, txh, cul,
+                t.get("vis_w4", txw), t.get("vis_h4", txh),
+                t.get("loc_c4", 0), t.get("loc_r4", 0),
+                t.get("cross_r", False), t.get("cross_b", False))
 
     # predictor identical to before, kept for reuse
     def _predict(self, plane, mode, mi_row, mi_col, bsize, tx_size,

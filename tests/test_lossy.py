@@ -70,6 +70,29 @@ def test_lossy_conformance_aomdec(tmp_path, dims, bs):
 
 
 @pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_lossy_flatblocks_edge_crossing(tmp_path):
+    """Regression: av1_set_entropy_contexts clips cul spans to visible units
+    for edge-crossing blocks (av1/common/av1_common_int.h); stale dc-sign
+    context bits beyond the visible edge broke a 128x144 flat-block stream."""
+    rng = np.random.default_rng(7)
+    y = np.kron(rng.integers(0, 255, (9, 11)),
+                np.ones((16, 16))).astype(np.uint8)
+    u = (128 + 30 * np.sin(np.mgrid[0:144, 0:176][1][::2, ::2] / 23)).astype(
+        np.uint8)
+    v = rng.integers(90, 170, (72, 88)).astype(np.uint8)
+    w, h = 128, 144
+    frame = (y[:h, :w], u[:h // 2, :w // 2], v[:h // 2, :w // 2])
+    ivf = str(tmp_path / "l.ivf")
+    out = str(tmp_path / "dec.y4m")
+    encode_lossy_ivf(ivf, [frame], w, h, qindex=120, mode_set=(0, 1, 2))
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
 @pytest.mark.parametrize("qindex", [20, 120, 230])
 def test_lossy_qindex_sweep(tmp_path, qindex):
     w, h = 176, 144

@@ -41,6 +41,8 @@ class SequenceHeader:
     max_frame_width: int = 0
     max_frame_height: int = 0
     frame_id_numbers_present: int = 0
+    delta_frame_id_length: int = 14
+    frame_id_length: int = 15
     use_128x128_superblock: int = 0
     enable_filter_intra: int = 0
     enable_intra_edge_filter: int = 0
@@ -108,7 +110,9 @@ def write_sequence_header(sh: SequenceHeader, w: BitWriter) -> None:
     w.write_literal(sh.max_frame_width - 1, sh.frame_width_bits)
     w.write_literal(sh.max_frame_height - 1, sh.frame_height_bits)
     w.write_bit(sh.frame_id_numbers_present)
-    assert not sh.frame_id_numbers_present
+    if sh.frame_id_numbers_present:
+        w.write_literal(sh.delta_frame_id_length - 2, 4)
+        w.write_literal(sh.frame_id_length - sh.delta_frame_id_length - 1, 3)
     w.write_bit(sh.use_128x128_superblock)
     w.write_bit(sh.enable_filter_intra)
     w.write_bit(sh.enable_intra_edge_filter)
@@ -197,7 +201,10 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
     sh.max_frame_width = r.read_literal(wbits) + 1
     sh.max_frame_height = r.read_literal(hbits) + 1
     sh.frame_id_numbers_present = r.read_bit()
-    assert not sh.frame_id_numbers_present, "unsupported"
+    if sh.frame_id_numbers_present:
+        sh.delta_frame_id_length = r.read_literal(4) + 2
+        sh.frame_id_length = (r.read_literal(3) + sh.delta_frame_id_length
+                              + 1)
     sh.use_128x128_superblock = r.read_bit()
     sh.enable_filter_intra = r.read_bit()
     sh.enable_intra_edge_filter = r.read_bit()
@@ -334,6 +341,20 @@ class FrameHeader:
     interpolation_filter: int = 0
     is_motion_mode_switchable: int = 0
     is_filter_switchable: int = 1
+    # inter-frame reference signaling
+    ref_order_hints: tuple = (0,) * 8     # per ref slot (error-resilient)
+    frame_refs_short_signaling: int = 0
+    ref_frame_idx: tuple = (0, 1, 2, 3, 4, 5, 6)
+    allow_ref_frame_mvs: int = 0
+    reference_mode: int = 0               # 0 single, 1 select
+    skip_mode_flag: int = 0
+    skip_mode_refs: tuple = ()
+    gm_type: tuple = (0,) * 7             # global motion per ref (identity)
+    # loop filter deltas
+    ref_deltas: tuple = (1, 0, 0, 0, -1, 0, -1, -1)
+    mode_deltas: tuple = (0, 0)
+    loop_filter_delta_update: int = 0
+    current_frame_id: int = 0
 
     def coded_lossless(self, sh: SequenceHeader) -> bool:
         if self.base_q_idx != 0 or self.delta_q_y_dc != 0:
@@ -575,7 +596,8 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
     if fh.allow_screen_content_tools:
         fh.force_integer_mv = (r.read_bit() if sh.force_integer_mv == 2
                                else sh.force_integer_mv)
-    assert fh.is_intra, "inter frame parse TBD"
+    if sh.frame_id_numbers_present:
+        fh.current_frame_id = r.read_literal(sh.frame_id_length)
     if fh.frame_type != c.SWITCH_FRAME:
         fh.frame_size_override = r.read_bit()
     else:
@@ -583,26 +605,44 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
     if sh.enable_order_hint:
         fh.order_hint = r.read_literal(sh.order_hint_bits)
     fh.primary_ref_frame = PRIMARY_REF_NONE
+    if not fh.error_resilient_mode and not fh.is_intra:
+        fh.primary_ref_frame = r.read_literal(3)
     keyshow = fh.frame_type == c.KEY_FRAME and fh.show_frame
     if not keyshow and fh.frame_type != c.SWITCH_FRAME:
         fh.refresh_frame_flags = r.read_literal(8)
-    if fh.frame_size_override:
-        fh.frame_width = r.read_literal(sh.frame_width_bits) + 1
-        fh.frame_height = r.read_literal(sh.frame_height_bits) + 1
+    if not fh.is_intra or fh.refresh_frame_flags != 0xFF:
+        if fh.error_resilient_mode and sh.enable_order_hint:
+            fh.ref_order_hints = tuple(
+                r.read_literal(sh.order_hint_bits) for _ in range(8))
+    if fh.is_intra:
+        _parse_frame_size(fh, sh, r)
+        if (fh.allow_screen_content_tools
+                and fh.superres_denom == SUPERRES_NUM):
+            fh.allow_intrabc = r.read_bit()
     else:
-        fh.frame_width, fh.frame_height = sh.max_frame_width, \
-            sh.max_frame_height
-    fh.superres_denom = SUPERRES_NUM
-    if sh.enable_superres and r.read_bit():
-        fh.superres_denom = r.read_literal(SUPERRES_DENOM_BITS) + \
-            SUPERRES_DENOM_MIN
-    if r.read_bit():
-        fh.render_width = r.read_literal(16) + 1
-        fh.render_height = r.read_literal(16) + 1
-    else:
-        fh.render_width, fh.render_height = fh.frame_width, fh.frame_height
-    if fh.allow_screen_content_tools and fh.superres_denom == SUPERRES_NUM:
-        fh.allow_intrabc = r.read_bit()
+        if sh.enable_order_hint:
+            fh.frame_refs_short_signaling = r.read_bit()
+        assert not fh.frame_refs_short_signaling, "short ref signaling TBD"
+        refs = []
+        for _ in range(7):
+            refs.append(r.read_literal(3))
+            if sh.frame_id_numbers_present:
+                r.read_literal(sh.delta_frame_id_length)  # delta_frame_id
+        fh.ref_frame_idx = tuple(refs)
+        assert not (not fh.error_resilient_mode and fh.frame_size_override), \
+            "frame_size_with_refs TBD"
+        _parse_frame_size(fh, sh, r)
+        if fh.force_integer_mv:
+            fh.allow_high_precision_mv = 0
+        else:
+            fh.allow_high_precision_mv = r.read_bit()
+        fh.is_filter_switchable = r.read_bit()
+        fh.interpolation_filter = (c.SWITCHABLE if fh.is_filter_switchable
+                                   else r.read_literal(2))
+        fh.is_motion_mode_switchable = r.read_bit()
+        if (not fh.error_resilient_mode and sh.enable_ref_frame_mvs
+                and sh.enable_order_hint):
+            fh.allow_ref_frame_mvs = r.read_bit()
     fh.disable_frame_end_update_cdf = (1 if fh.disable_cdf_update
                                        else r.read_bit())
     _parse_tile_info(fh, sh, r)
@@ -629,8 +669,19 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
             fh.filter_level_v = r.read_literal(6)
         fh.sharpness_level = r.read_literal(3)
         fh.loop_filter_delta_enabled = r.read_bit()
-        if fh.loop_filter_delta_enabled and r.read_bit():
-            raise NotImplementedError("loop filter delta update")
+        if fh.loop_filter_delta_enabled:
+            fh.loop_filter_delta_update = r.read_bit()
+            if fh.loop_filter_delta_update:
+                rd = list(fh.ref_deltas)
+                for i in range(8):
+                    if r.read_bit():
+                        rd[i] = r.read_inv_signed_literal(6)
+                fh.ref_deltas = tuple(rd)
+                md = list(fh.mode_deltas)
+                for i in range(2):
+                    if r.read_bit():
+                        md[i] = r.read_inv_signed_literal(6)
+                fh.mode_deltas = tuple(md)
     if not (coded_lossless or fh.allow_intrabc) and sh.enable_cdef:
         fh.cdef_damping = r.read_literal(2) + 3
         fh.cdef_bits = r.read_literal(2)
@@ -660,8 +711,83 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
         fh.tx_mode = c.ONLY_4X4
     else:
         fh.tx_mode = c.TX_MODE_SELECT if r.read_bit() else c.TX_MODE_LARGEST
+    if not fh.is_intra:
+        fh.reference_mode = r.read_bit()
+        _setup_skip_mode(fh, sh)
+        if fh.skip_mode_refs:
+            fh.skip_mode_flag = r.read_bit()
+        if (not fh.error_resilient_mode and sh.enable_warped_motion):
+            fh.allow_warped_motion = r.read_bit()
     fh.reduced_tx_set = r.read_bit()
+    if not fh.is_intra:
+        gm = []
+        for _ in range(7):
+            is_global = r.read_bit()
+            assert not is_global, "non-identity global motion TBD"
+            gm.append(c.IDENTITY)
+        fh.gm_type = tuple(gm)
+    if sh.film_grain_params_present and (fh.show_frame or fh.showable_frame):
+        raise NotImplementedError("film grain parse TBD")
     return fh, r.bit_offset
+
+
+def _parse_frame_size(fh: FrameHeader, sh: SequenceHeader,
+                      r: BitReader) -> None:
+    if fh.frame_size_override:
+        fh.frame_width = r.read_literal(sh.frame_width_bits) + 1
+        fh.frame_height = r.read_literal(sh.frame_height_bits) + 1
+    else:
+        fh.frame_width, fh.frame_height = sh.max_frame_width, \
+            sh.max_frame_height
+    fh.superres_denom = SUPERRES_NUM
+    if sh.enable_superres and r.read_bit():
+        fh.superres_denom = r.read_literal(SUPERRES_DENOM_BITS) + \
+            SUPERRES_DENOM_MIN
+    if r.read_bit():
+        fh.render_width = r.read_literal(16) + 1
+        fh.render_height = r.read_literal(16) + 1
+    else:
+        fh.render_width, fh.render_height = fh.frame_width, fh.frame_height
+
+
+def get_relative_dist(sh: SequenceHeader, a: int, b: int) -> int:
+    """Signed order-hint distance a-b (spec 5.9.3 get_relative_dist)."""
+    if not sh.enable_order_hint:
+        return 0
+    m = 1 << (sh.order_hint_bits - 1)
+    diff = a - b
+    return (diff & (m - 1)) - (diff & m)
+
+
+def _setup_skip_mode(fh: FrameHeader, sh: SequenceHeader) -> None:
+    """av1_setup_skip_mode_allowed (av1/common/mvref_common.c:1237):
+    nearest fwd + nearest bwd ref, else two nearest fwd refs."""
+    fh.skip_mode_refs = ()
+    if (not sh.enable_order_hint or fh.is_intra
+            or fh.reference_mode == c.SINGLE_REFERENCE):
+        return
+    cur = fh.order_hint
+    fwd = bwd = -1
+    fwd_hint, bwd_hint = -1, 1 << 30
+    for i in range(7):
+        hint = fh.ref_order_hints[fh.ref_frame_idx[i]]
+        if get_relative_dist(sh, hint, cur) < 0:
+            if fwd < 0 or get_relative_dist(sh, hint, fwd_hint) > 0:
+                fwd, fwd_hint = i, hint
+        elif get_relative_dist(sh, hint, cur) > 0:
+            if bwd < 0 or get_relative_dist(sh, hint, bwd_hint) < 0:
+                bwd, bwd_hint = i, hint
+    if fwd >= 0 and bwd >= 0:
+        fh.skip_mode_refs = (min(fwd, bwd) + 1, max(fwd, bwd) + 1)
+    elif fwd >= 0:
+        snd, snd_hint = -1, -1
+        for i in range(7):
+            hint = fh.ref_order_hints[fh.ref_frame_idx[i]]
+            if (get_relative_dist(sh, hint, fwd_hint) < 0 and
+                    (snd < 0 or get_relative_dist(sh, hint, snd_hint) > 0)):
+                snd, snd_hint = i, hint
+        if snd >= 0:
+            fh.skip_mode_refs = (min(fwd, snd) + 1, max(fwd, snd) + 1)
 
 
 def _parse_tile_info(fh: FrameHeader, sh: SequenceHeader,

@@ -1,0 +1,197 @@
+"""Inter prediction: subpel interpolation filters + motion compensation.
+
+Normative behavior: av1/common/convolve.c (av1_convolve_2d_sr_c:76,
+av1_convolve_x_sr_c:156, av1_convolve_y_sr_c:135, copy path), filter
+kernels av1/common/filter.h:111-232, MV clamping
+av1/common/reconinter.h:341 clamp_mv_to_umv_border_sb.
+
+All paths are 8-bit single-reference ("sr") with round_0=3, round_1=11
+(av1/common/convolve.h av1_get_conv_params_no_round).  Reference-frame
+borders are handled by replicate-padding the ref planes (PAD pixels),
+mirroring aom_extend_frame_borders + extend_mc_border.
+
+Vectorized with numpy over whole blocks (host decode path); the batched
+TPU analogue lives in ops/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+
+FILTER_BITS = 7
+SUBPEL_BITS = 4          # q4: 1/16-pel within a plane
+SUBPEL_MASK = 15
+ROUND0 = 3
+ROUND1 = 11
+AOM_INTERP_EXTEND = 4
+PAD = 160                # replicated ref border (>= 128-wide block + taps)
+
+# normative subpel kernels (av1/common/filter.h)
+BILINEAR_FILTERS = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 0, 0, 120, 8, 0, 0, 0],
+    [0, 0, 0, 112, 16, 0, 0, 0], [0, 0, 0, 104, 24, 0, 0, 0],
+    [0, 0, 0, 96, 32, 0, 0, 0], [0, 0, 0, 88, 40, 0, 0, 0],
+    [0, 0, 0, 80, 48, 0, 0, 0], [0, 0, 0, 72, 56, 0, 0, 0],
+    [0, 0, 0, 64, 64, 0, 0, 0], [0, 0, 0, 56, 72, 0, 0, 0],
+    [0, 0, 0, 48, 80, 0, 0, 0], [0, 0, 0, 40, 88, 0, 0, 0],
+    [0, 0, 0, 32, 96, 0, 0, 0], [0, 0, 0, 24, 104, 0, 0, 0],
+    [0, 0, 0, 16, 112, 0, 0, 0], [0, 0, 0, 8, 120, 0, 0, 0]], np.int32)
+
+SUBPEL_FILTERS_8 = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 2, -6, 126, 8, -2, 0, 0],
+    [0, 2, -10, 122, 18, -4, 0, 0], [0, 2, -12, 116, 28, -8, 2, 0],
+    [0, 2, -14, 110, 38, -10, 2, 0], [0, 2, -14, 102, 48, -12, 2, 0],
+    [0, 2, -16, 94, 58, -12, 2, 0], [0, 2, -14, 84, 66, -12, 2, 0],
+    [0, 2, -14, 76, 76, -14, 2, 0], [0, 2, -12, 66, 84, -14, 2, 0],
+    [0, 2, -12, 58, 94, -16, 2, 0], [0, 2, -12, 48, 102, -14, 2, 0],
+    [0, 2, -10, 38, 110, -14, 2, 0], [0, 2, -8, 28, 116, -12, 2, 0],
+    [0, 0, -4, 18, 122, -10, 2, 0], [0, 0, -2, 8, 126, -6, 2, 0]], np.int32)
+
+SUBPEL_FILTERS_8SHARP = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [-2, 2, -6, 126, 8, -2, 2, 0],
+    [-2, 6, -12, 124, 16, -6, 4, -2], [-2, 8, -18, 120, 26, -10, 6, -2],
+    [-4, 10, -22, 116, 38, -14, 6, -2], [-4, 10, -22, 108, 48, -18, 8, -2],
+    [-4, 10, -24, 100, 60, -20, 8, -2], [-4, 10, -24, 90, 70, -22, 10, -2],
+    [-4, 12, -24, 80, 80, -24, 12, -4], [-2, 10, -22, 70, 90, -24, 10, -4],
+    [-2, 8, -20, 60, 100, -24, 10, -4], [-2, 8, -18, 48, 108, -22, 10, -4],
+    [-2, 6, -14, 38, 116, -22, 10, -4], [-2, 6, -10, 26, 120, -18, 8, -2],
+    [-2, 4, -6, 16, 124, -12, 6, -2], [0, 2, -2, 8, 126, -6, 2, -2]],
+    np.int32)
+
+SUBPEL_FILTERS_8SMOOTH = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 2, 28, 62, 34, 2, 0, 0],
+    [0, 0, 26, 62, 36, 4, 0, 0], [0, 0, 22, 62, 40, 4, 0, 0],
+    [0, 0, 20, 60, 42, 6, 0, 0], [0, 0, 18, 58, 44, 8, 0, 0],
+    [0, 0, 16, 56, 46, 10, 0, 0], [0, -2, 16, 54, 48, 12, 0, 0],
+    [0, -2, 14, 52, 52, 14, -2, 0], [0, 0, 12, 48, 54, 16, -2, 0],
+    [0, 0, 10, 46, 56, 16, 0, 0], [0, 0, 8, 44, 58, 18, 0, 0],
+    [0, 0, 6, 42, 60, 20, 0, 0], [0, 0, 4, 40, 62, 22, 0, 0],
+    [0, 0, 4, 36, 62, 26, 0, 0], [0, 0, 2, 34, 62, 28, 2, 0]], np.int32)
+
+SUBPEL_FILTERS_4 = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 0, -4, 126, 8, -2, 0, 0],
+    [0, 0, -8, 122, 18, -4, 0, 0], [0, 0, -10, 116, 28, -6, 0, 0],
+    [0, 0, -12, 110, 38, -8, 0, 0], [0, 0, -12, 102, 48, -10, 0, 0],
+    [0, 0, -14, 94, 58, -10, 0, 0], [0, 0, -12, 84, 66, -10, 0, 0],
+    [0, 0, -12, 76, 76, -12, 0, 0], [0, 0, -10, 66, 84, -12, 0, 0],
+    [0, 0, -10, 58, 94, -14, 0, 0], [0, 0, -10, 48, 102, -12, 0, 0],
+    [0, 0, -8, 38, 110, -12, 0, 0], [0, 0, -6, 28, 116, -10, 0, 0],
+    [0, 0, -4, 18, 122, -8, 0, 0], [0, 0, -2, 8, 126, -4, 0, 0]], np.int32)
+
+SUBPEL_FILTERS_4SMOOTH = np.array([
+    [0, 0, 0, 128, 0, 0, 0, 0], [0, 0, 30, 62, 34, 2, 0, 0],
+    [0, 0, 26, 62, 36, 4, 0, 0], [0, 0, 22, 62, 40, 4, 0, 0],
+    [0, 0, 20, 60, 42, 6, 0, 0], [0, 0, 18, 58, 44, 8, 0, 0],
+    [0, 0, 16, 56, 46, 10, 0, 0], [0, 0, 14, 54, 48, 12, 0, 0],
+    [0, 0, 12, 52, 52, 12, 0, 0], [0, 0, 12, 48, 54, 14, 0, 0],
+    [0, 0, 10, 46, 56, 16, 0, 0], [0, 0, 8, 44, 58, 18, 0, 0],
+    [0, 0, 6, 42, 60, 20, 0, 0], [0, 0, 4, 40, 62, 22, 0, 0],
+    [0, 0, 4, 36, 62, 26, 0, 0], [0, 0, 2, 34, 62, 30, 0, 0]], np.int32)
+
+
+def filter_kernels(interp_filter: int, block_w: int) -> np.ndarray:
+    """16x8 kernel table for a filter type and prediction block width
+    (av1/common/filter.h get_interp_filter_params_with_block_size:
+    w<=4 uses the 4-tap variants; SHARP falls back to regular there)."""
+    if interp_filter == c.BILINEAR:
+        return BILINEAR_FILTERS
+    if block_w <= 4:
+        if interp_filter == c.EIGHTTAP_SMOOTH:
+            return SUBPEL_FILTERS_4SMOOTH
+        return SUBPEL_FILTERS_4
+    return (SUBPEL_FILTERS_8, SUBPEL_FILTERS_8SMOOTH,
+            SUBPEL_FILTERS_8SHARP)[interp_filter]
+
+
+def _round2(x: np.ndarray, n: int) -> np.ndarray:
+    return (x + (1 << (n - 1))) >> n
+
+
+def _conv_axis(region: np.ndarray, kern: np.ndarray, axis: int) -> np.ndarray:
+    """Correlate along axis with an 8-tap kernel; output loses 7 samples."""
+    n = region.shape[axis] - 7
+    acc = np.zeros((region.shape[0] - (7 if axis == 0 else 0),
+                    region.shape[1] - (7 if axis == 1 else 0)), np.int32)
+    for k in range(8):
+        if kern[k] == 0:
+            continue
+        if axis == 1:
+            acc += kern[k] * region[:, k:k + n]
+        else:
+            acc += kern[k] * region[k:k + n, :]
+    return acc
+
+
+def convolve_sr(region: np.ndarray, subx: int, suby: int,
+                kern_x: np.ndarray, kern_y: np.ndarray) -> np.ndarray:
+    """8-bit single-ref convolution of a (bh+7, bw+7) int32 region whose
+    fullpel anchor is at [3,3]; returns uint8 (bh, bw)."""
+    bh, bw = region.shape[0] - 7, region.shape[1] - 7
+    if subx == 0 and suby == 0:
+        return region[3:3 + bh, 3:3 + bw].astype(np.uint8)
+    if suby == 0:  # av1_convolve_x_sr_c
+        res = _round2(_conv_axis(region[3:3 + bh, :], kern_x[subx], 1), ROUND0)
+        return np.clip(_round2(res, FILTER_BITS - ROUND0), 0,
+                       255).astype(np.uint8)
+    if subx == 0:  # av1_convolve_y_sr_c
+        res = _conv_axis(region[:, 3:3 + bw], kern_y[suby], 0)
+        return np.clip(_round2(res, FILTER_BITS), 0, 255).astype(np.uint8)
+    # av1_convolve_2d_sr_c
+    im = _round2(_conv_axis(region, kern_x[subx], 1) + (1 << 14), ROUND0)
+    im = im.astype(np.int16).astype(np.int32)
+    sum_ = _conv_axis(im, kern_y[suby], 0) + (1 << (8 + 14 - ROUND0))
+    res = _round2(sum_, ROUND1) - ((1 << 8) + (1 << 7))
+    return np.clip(res, 0, 255).astype(np.uint8)
+
+
+def pad_ref_plane(plane: np.ndarray) -> np.ndarray:
+    """Replicate-extend a reference plane by PAD on all sides
+    (aom_extend_frame_borders semantics)."""
+    return np.pad(plane, PAD, mode="edge")
+
+
+def clamp_mv_to_umv_border(mv_row: int, mv_col: int, bw: int, bh: int,
+                           ss_x: int, ss_y: int, mb_to_left: int,
+                           mb_to_right: int, mb_to_top: int,
+                           mb_to_bottom: int) -> tuple[int, int]:
+    """reconinter.h:341; mb_to_* edges in full luma pels; returns q4 mv in
+    plane units."""
+    spel_left = (AOM_INTERP_EXTEND + bw) << SUBPEL_BITS
+    spel_right = spel_left - (1 << SUBPEL_BITS)
+    spel_top = (AOM_INTERP_EXTEND + bh) << SUBPEL_BITS
+    spel_bottom = spel_top - (1 << SUBPEL_BITS)
+    row = mv_row * (1 << (1 - ss_y))
+    col = mv_col * (1 << (1 - ss_x))
+    # edges are in luma pels; convert to q4 (1/16) plane units: luma pel
+    # = 8 eighth-pels -> *8 gives 1/8 luma = q4 chroma when ss=1
+    lo_c = mb_to_left * 8 * (1 << (1 - ss_x)) - spel_left
+    hi_c = mb_to_right * 8 * (1 << (1 - ss_x)) + spel_right
+    lo_r = mb_to_top * 8 * (1 << (1 - ss_y)) - spel_top
+    hi_r = mb_to_bottom * 8 * (1 << (1 - ss_y)) + spel_bottom
+    return (min(max(row, lo_r), hi_r), min(max(col, lo_c), hi_c))
+
+
+def predict_inter_block(ref_pad: np.ndarray, x0: int, y0: int, bw: int,
+                        bh: int, mv_row: int, mv_col: int, ss_x: int,
+                        ss_y: int, mb_to_left: int, mb_to_right: int,
+                        mb_to_top: int, mb_to_bottom: int,
+                        filt_x: int, filt_y: int) -> np.ndarray:
+    """Motion-compensate one block. ref_pad is the PAD-extended ref plane;
+    (x0, y0) is the block origin in (unpadded) plane pixels; mv in 1/8 luma
+    pel. Returns uint8 (bh, bw)."""
+    row_q4, col_q4 = clamp_mv_to_umv_border(
+        mv_row, mv_col, bw, bh, ss_x, ss_y, mb_to_left, mb_to_right,
+        mb_to_top, mb_to_bottom)
+    pos_x = (x0 << SUBPEL_BITS) + col_q4
+    pos_y = (y0 << SUBPEL_BITS) + row_q4
+    fx = pos_x >> SUBPEL_BITS
+    fy = pos_y >> SUBPEL_BITS
+    subx = pos_x & SUBPEL_MASK
+    suby = pos_y & SUBPEL_MASK
+    region = ref_pad[PAD + fy - 3:PAD + fy + bh + 4,
+                     PAD + fx - 3:PAD + fx + bw + 4].astype(np.int32)
+    kx = filter_kernels(filt_x, bw)
+    ky = filter_kernels(filt_y, bh)
+    return convolve_sr(region, subx, suby, kx, ky)

@@ -1,0 +1,541 @@
+"""Motion-vector reference list construction + inter prediction contexts.
+
+Behavioral port of the normative MV predictor machinery:
+ - setup_ref_mv_list / av1_find_mv_refs (av1/common/mvref_common.c:474,783)
+ - scan_row/col/blk_mbmi (mvref_common.c:142,189,236)
+ - has_top_right (mvref_common.c:259 - distinct from the partition-tree
+   availability rule used for intra edges)
+ - neighbor ref counts + single-ref signalling contexts
+   (av1/common/pred_common.c:124-501)
+ - av1_mode_context_analyzer / av1_drl_ctx (mvref_common.h:170,185)
+
+Single-reference path only for now (compound stacks TBD).  Operates on
+margin-padded numpy mi grids supplied by the caller; out-of-frame cells
+must be initialized to intra (ref0 == 0) so they contribute nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+
+MAX_REF_MV_STACK_SIZE = 8
+MAX_MV_REF_CANDIDATES = 2
+MVREF_ROW_COLS = 3
+REF_CAT_LEVEL = 640
+NEWMV_CTX_MASK = (1 << 3) - 1        # GLOBALMV_OFFSET = 3
+GLOBALMV_OFFSET = 3
+GLOBALMV_CTX_MASK = (1 << (4 - 3)) - 1
+REFMV_OFFSET = 4
+REFMV_CTX_MASK = (1 << (8 - 4)) - 1
+MV_BORDER = 16 << 3
+
+# prediction modes (av1/common/enums.h) - inter portion
+NEARESTMV = 13
+NEARMV = 14
+GLOBALMV = 15
+NEWMV = 16
+NEAREST_NEARESTMV = 17
+NEAR_NEARMV = 18
+NEAREST_NEWMV = 19
+NEW_NEARESTMV = 20
+NEAR_NEWMV = 21
+NEW_NEARMV = 22
+GLOBAL_GLOBALMV = 23
+NEW_NEWMV = 24
+
+_NEWMV_MODES = {NEWMV, NEW_NEWMV, NEAREST_NEWMV, NEW_NEARESTMV,
+                NEAR_NEWMV, NEW_NEARMV}
+_NEARMV_MODES = {NEARMV, NEAR_NEARMV, NEAR_NEWMV, NEW_NEARMV}
+
+
+def have_newmv(mode: int) -> bool:
+    return mode in _NEWMV_MODES
+
+
+def have_nearmv(mode: int) -> bool:
+    return mode in _NEARMV_MODES
+
+
+class MiGrids:
+    """Margin-padded per-mi arrays for one frame decode/encode."""
+
+    def __init__(self, mi_rows: int, mi_cols: int, margin: int = 32):
+        self.mi_rows, self.mi_cols, self.m = mi_rows, mi_cols, margin
+        shape = (mi_rows + 2 * margin, mi_cols + 2 * margin)
+        self.ref0 = np.zeros(shape, np.int8)           # INTRA_FRAME
+        self.ref1 = np.full(shape, -1, np.int8)        # NONE_FRAME
+        self.mode = np.zeros(shape, np.uint8)
+        self.bsize = np.zeros(shape, np.uint8)
+        self.partition = np.zeros(shape, np.uint8)
+        self.mv = np.zeros(shape + (2, 2), np.int16)   # [..][which][row,col]
+
+    def at(self, mi_row: int, mi_col: int):
+        """Candidate view (ref0, ref1, mode, bsize, mv) at a grid position."""
+        r, ccol = mi_row + self.m, mi_col + self.m
+        return (int(self.ref0[r, ccol]), int(self.ref1[r, ccol]),
+                int(self.mode[r, ccol]), int(self.bsize[r, ccol]),
+                self.mv[r, ccol])
+
+    def fill_block(self, mi_row: int, mi_col: int, h4: int, w4: int,
+                   ref0: int, ref1: int, mode: int, bsize: int,
+                   partition: int, mv0, mv1) -> None:
+        r, ccol = mi_row + self.m, mi_col + self.m
+        h4 = min(h4, self.mi_rows - mi_row)
+        w4 = min(w4, self.mi_cols - mi_col)
+        self.ref0[r:r + h4, ccol:ccol + w4] = ref0
+        self.ref1[r:r + h4, ccol:ccol + w4] = ref1
+        self.mode[r:r + h4, ccol:ccol + w4] = mode
+        self.bsize[r:r + h4, ccol:ccol + w4] = bsize
+        self.partition[r:r + h4, ccol:ccol + w4] = partition
+        self.mv[r:r + h4, ccol:ccol + w4, 0] = mv0
+        self.mv[r:r + h4, ccol:ccol + w4, 1] = mv1
+
+
+def _mi_wide(bsize: int) -> int:
+    from . import blockd
+    return blockd.block_wide(bsize) >> 2
+
+
+def _mi_high(bsize: int) -> int:
+    from . import blockd
+    return blockd.block_high(bsize) >> 2
+
+
+class RefMvContext:
+    """Inputs describing the block being predicted."""
+
+    def __init__(self, grids: MiGrids, mi_row: int, mi_col: int, bsize: int,
+                 sb_mi_size: int, tile_row_start: int, tile_row_end: int,
+                 tile_col_start: int, tile_col_end: int, partition: int):
+        self.g = grids
+        self.mi_row, self.mi_col = mi_row, mi_col
+        self.bsize = bsize
+        self.w4, self.h4 = _mi_wide(bsize), _mi_high(bsize)
+        self.sb_mi = sb_mi_size
+        self.trs, self.tre = tile_row_start, tile_row_end
+        self.tcs, self.tce = tile_col_start, tile_col_end
+        self.partition = partition
+        self.up_available = mi_row > tile_row_start
+        self.left_available = mi_col > tile_col_start
+        # 1/8-pel block edges (set_mi_row_col semantics)
+        self.mb_to_top = -(mi_row * 4) * 8
+        self.mb_to_bottom = (grids.mi_rows - self.h4 - mi_row) * 4 * 8
+        self.mb_to_left = -(mi_col * 4) * 8
+        self.mb_to_right = (grids.mi_cols - self.w4 - mi_col) * 4 * 8
+        # set_mi_row_col rect-order flags (av1_common_int.h:1409)
+        self.is_last_vertical_rect = (
+            self.w4 < self.h4 and not ((mi_col + self.w4) & (self.h4 - 1)))
+        self.is_first_horizontal_rect = (
+            self.w4 > self.h4 and not (mi_row & (self.w4 - 1)))
+
+
+def _has_top_right(ctx: RefMvContext) -> int:
+    """mvref_common.c:259 has_top_right."""
+    bs = max(ctx.w4, ctx.h4)
+    mask_row = ctx.mi_row & (ctx.sb_mi - 1)
+    mask_col = ctx.mi_col & (ctx.sb_mi - 1)
+    if bs > 16:
+        return 0
+    has_tr = not ((mask_row & bs) and (mask_col & bs))
+    b = bs
+    while b < ctx.sb_mi:
+        if mask_col & b:
+            if (mask_col & (2 * b)) and (mask_row & (2 * b)):
+                has_tr = 0
+                break
+        else:
+            break
+        b <<= 1
+    if ctx.w4 < ctx.h4 and not ctx.is_last_vertical_rect:
+        has_tr = 1
+    if ctx.w4 > ctx.h4 and not ctx.is_first_horizontal_rect:
+        has_tr = 0
+    if ctx.partition == c.PARTITION_VERT_A:
+        if ctx.w4 == ctx.h4 and (mask_row & bs):
+            has_tr = 0
+    return int(has_tr)
+
+
+def _add_candidate(cand, ref_frame, stack, weights, counts, weight):
+    """add_ref_mv_candidate (mvref_common.c:74), single-ref path.
+    counts = [refmv_count, ref_match_count, newmv_count]."""
+    ref0, ref1, mode, _, mv = cand
+    if ref0 <= c.INTRA_FRAME:           # not inter
+        return
+    for which in range(2):
+        rr = ref0 if which == 0 else ref1
+        if rr == ref_frame:
+            # global-motion blocks use the gm candidate; with identity-only
+            # global motion the stored mv already equals it
+            this = (int(mv[which][0]), int(mv[which][1]))
+            for idx in range(counts[0]):
+                if stack[idx] == this:
+                    weights[idx] += weight
+                    break
+            else:
+                if counts[0] < MAX_REF_MV_STACK_SIZE:
+                    stack[counts[0]] = this
+                    weights[counts[0]] = weight
+                    counts[0] += 1
+            if have_newmv(mode):
+                counts[2] += 1
+            counts[1] += 1
+
+
+def _scan_row(ctx, ref_frame, row_offset, stack, weights, counts,
+              max_row_offset, processed_rows):
+    g = ctx.g
+    end_mi = min(ctx.w4, g.mi_cols - ctx.mi_col, 16)
+    col_offset = 0
+    if abs(row_offset) > 1:
+        col_offset = 1
+        if (ctx.mi_col & 1) and ctx.w4 < 2:
+            col_offset -= 1
+    use_step_16 = ctx.w4 >= 16
+    i = 0
+    while i < end_mi:
+        cand = g.at(ctx.mi_row + row_offset, ctx.mi_col + col_offset + i)
+        n4_w = _mi_wide(cand[3])
+        length = min(ctx.w4, n4_w)
+        if use_step_16:
+            length = max(4, length)
+        elif abs(row_offset) > 1:
+            length = max(length, 2)
+        weight = 2
+        if 2 <= ctx.w4 <= n4_w:
+            inc = min(-max_row_offset + row_offset + 1, _mi_high(cand[3]))
+            weight = max(weight, inc)
+            processed_rows[0] = inc - row_offset - 1
+        _add_candidate(cand, ref_frame, stack, weights, counts,
+                       length * weight)
+        i += length
+
+
+def _scan_col(ctx, ref_frame, col_offset, stack, weights, counts,
+              max_col_offset, processed_cols):
+    g = ctx.g
+    end_mi = min(ctx.h4, g.mi_rows - ctx.mi_row, 16)
+    row_offset = 0
+    if abs(col_offset) > 1:
+        row_offset = 1
+        if (ctx.mi_row & 1) and ctx.h4 < 2:
+            row_offset -= 1
+    use_step_16 = ctx.h4 >= 16
+    i = 0
+    while i < end_mi:
+        cand = g.at(ctx.mi_row + row_offset + i, ctx.mi_col + col_offset)
+        n4_h = _mi_high(cand[3])
+        length = min(ctx.h4, n4_h)
+        if use_step_16:
+            length = max(4, length)
+        elif abs(col_offset) > 1:
+            length = max(length, 2)
+        weight = 2
+        if 2 <= ctx.h4 <= n4_h:
+            inc = min(-max_col_offset + col_offset + 1, _mi_wide(cand[3]))
+            weight = max(weight, inc)
+            processed_cols[0] = inc - col_offset - 1
+        _add_candidate(cand, ref_frame, stack, weights, counts,
+                       length * weight)
+        i += length
+
+
+def _is_inside(ctx, row_off, col_off) -> bool:
+    r = ctx.mi_row + row_off
+    col = ctx.mi_col + col_off
+    return not (r < ctx.trs or col < ctx.tcs or r >= ctx.tre
+                or col >= ctx.tce)
+
+
+def _scan_blk(ctx, ref_frame, row_off, col_off, stack, weights, counts):
+    if _is_inside(ctx, row_off, col_off):
+        cand = ctx.g.at(ctx.mi_row + row_off, ctx.mi_col + col_off)
+        _add_candidate(cand, ref_frame, stack, weights, counts, 2 * 2)
+
+
+def _clamp_mv_ref(mv, ctx):
+    bw = ctx.w4 * 4
+    bh = ctx.h4 * 4
+    lo_c = ctx.mb_to_left - (bw * 8) - MV_BORDER
+    hi_c = ctx.mb_to_right + (bw * 8) + MV_BORDER
+    lo_r = ctx.mb_to_top - (bh * 8) - MV_BORDER
+    hi_r = ctx.mb_to_bottom + (bh * 8) + MV_BORDER
+    return (min(max(mv[0], lo_r), hi_r), min(max(mv[1], lo_c), hi_c))
+
+
+def find_mv_refs(ctx: RefMvContext, ref_frame: int, sign_bias=None):
+    """Single-ref av1_find_mv_refs.  Returns (stack, weights, count,
+    mode_context, mv_ref_list) where stack entries are (row, col) in
+    1/8 pel.  Global motion is identity-only, so gm candidates are 0."""
+    g = ctx.g
+    stack = [(0, 0)] * MAX_REF_MV_STACK_SIZE
+    weights = [0] * MAX_REF_MV_STACK_SIZE
+    counts = [0, 0, 0]  # refmv, row+col match via split counters below
+    row_match = [0, 0, 0]
+    col_match = [0, 0, 0]
+
+    row_adj = ctx.h4 < 2 and (ctx.mi_row & 1)
+    col_adj = ctx.w4 < 2 and (ctx.mi_col & 1)
+    max_row_offset = 0
+    max_col_offset = 0
+    if ctx.up_available:
+        max_row_offset = -(MVREF_ROW_COLS << 1) + row_adj
+        if ctx.h4 < 2:
+            max_row_offset = -(2 << 1) + row_adj
+        max_row_offset = min(max(max_row_offset, ctx.trs - ctx.mi_row),
+                             ctx.tre - ctx.mi_row - 1)
+    if ctx.left_available:
+        max_col_offset = -(MVREF_ROW_COLS << 1) + col_adj
+        if ctx.w4 < 2:
+            max_col_offset = -(2 << 1) + col_adj
+        max_col_offset = min(max(max_col_offset, ctx.tcs - ctx.mi_col),
+                             ctx.tce - ctx.mi_col - 1)
+
+    processed_rows = [0]
+    processed_cols = [0]
+
+    def merge(dst, src):
+        dst[0] = src[0]
+        dst[1] += src[1]
+        dst[2] += src[2]
+
+    # nearest row / col / top-right
+    if abs(max_row_offset) >= 1:
+        sub = [counts[0], 0, 0]
+        _scan_row(ctx, ref_frame, -1, stack, weights, sub, max_row_offset,
+                  processed_rows)
+        counts[0] = sub[0]
+        row_match[1] += sub[1]
+        counts[2] += sub[2]
+    if abs(max_col_offset) >= 1:
+        sub = [counts[0], 0, 0]
+        _scan_col(ctx, ref_frame, -1, stack, weights, sub, max_col_offset,
+                  processed_cols)
+        counts[0] = sub[0]
+        col_match[1] += sub[1]
+        counts[2] += sub[2]
+    if _has_top_right(ctx):
+        sub = [counts[0], 0, 0]
+        _scan_blk(ctx, ref_frame, -1, ctx.w4, stack, weights, sub)
+        counts[0] = sub[0]
+        row_match[1] += sub[1]
+        counts[2] += sub[2]
+
+    nearest_match = (row_match[1] > 0) + (col_match[1] > 0)
+    nearest_refmv_count = counts[0]
+    for idx in range(nearest_refmv_count):
+        weights[idx] += REF_CAT_LEVEL
+    newmv_count = counts[2]
+
+    # (temporal MV candidates disabled: allow_ref_frame_mvs unsupported)
+
+    # outer area
+    sub = [counts[0], 0, 0]
+    _scan_blk(ctx, ref_frame, -1, -1, stack, weights, sub)
+    counts[0] = sub[0]
+    row_match[1] += sub[1]
+    for idx in range(2, MVREF_ROW_COLS + 1):
+        row_offset = -(idx << 1) + 1 + row_adj
+        col_offset = -(idx << 1) + 1 + col_adj
+        if (abs(row_offset) <= abs(max_row_offset)
+                and abs(row_offset) > processed_rows[0]):
+            sub = [counts[0], 0, 0]
+            _scan_row(ctx, ref_frame, row_offset, stack, weights, sub,
+                      max_row_offset, processed_rows)
+            counts[0] = sub[0]
+            row_match[1] += sub[1]
+        if (abs(col_offset) <= abs(max_col_offset)
+                and abs(col_offset) > processed_cols[0]):
+            sub = [counts[0], 0, 0]
+            _scan_col(ctx, ref_frame, col_offset, stack, weights, sub,
+                      max_col_offset, processed_cols)
+            counts[0] = sub[0]
+            col_match[1] += sub[1]
+
+    ref_match_count = (row_match[1] > 0) + (col_match[1] > 0)
+    mode_context = 0
+    if nearest_match == 0:
+        if ref_match_count >= 1:
+            mode_context |= 1
+        if ref_match_count == 1:
+            mode_context |= 1 << REFMV_OFFSET
+        elif ref_match_count >= 2:
+            mode_context |= 2 << REFMV_OFFSET
+    elif nearest_match == 1:
+        mode_context |= 2 if newmv_count > 0 else 3
+        if ref_match_count == 1:
+            mode_context |= 3 << REFMV_OFFSET
+        elif ref_match_count >= 2:
+            mode_context |= 4 << REFMV_OFFSET
+    else:
+        mode_context |= 4 if newmv_count >= 1 else 5
+        mode_context |= 5 << REFMV_OFFSET
+
+    refmv_count = counts[0]
+
+    # stable partial bubble sorts (mvref_common.c:641)
+    def sort_range(start, length):
+        ln = length
+        while ln > start:
+            nr = start
+            for idx in range(start + 1, ln):
+                if weights[idx - 1] < weights[idx]:
+                    stack[idx - 1], stack[idx] = stack[idx], stack[idx - 1]
+                    weights[idx - 1], weights[idx] = (weights[idx],
+                                                      weights[idx - 1])
+                    nr = idx
+            ln = nr
+
+    sort_range(0, nearest_refmv_count)
+    sort_range(nearest_refmv_count, refmv_count)
+
+    # single-ref extension from first above/left rows
+    mi_width = min(16, ctx.w4, g.mi_cols - ctx.mi_col)
+    mi_height = min(16, ctx.h4, g.mi_rows - ctx.mi_row)
+    mi_size = min(mi_width, mi_height)
+
+    def process_single(cand):
+        nonlocal refmv_count
+        ref0, ref1, _, _, mv = cand
+        for which, rr in ((0, ref0), (1, ref1)):
+            if rr > c.INTRA_FRAME and refmv_count < MAX_MV_REF_CANDIDATES:
+                this = (int(mv[which][0]), int(mv[which][1]))
+                if sign_bias is not None and \
+                        sign_bias[rr] != sign_bias[ref_frame]:
+                    this = (-this[0], -this[1])
+                for idx in range(refmv_count):
+                    if stack[idx] == this:
+                        break
+                else:
+                    stack[refmv_count] = this
+                    weights[refmv_count] = 2
+                    refmv_count += 1
+
+    idx = 0
+    while (abs(max_row_offset) >= 1 and idx < mi_size
+           and refmv_count < MAX_MV_REF_CANDIDATES):
+        cand = g.at(ctx.mi_row - 1, ctx.mi_col + idx)
+        process_single(cand)
+        idx += _mi_wide(cand[3])
+    idx = 0
+    while (abs(max_col_offset) >= 1 and idx < mi_size
+           and refmv_count < MAX_MV_REF_CANDIDATES):
+        cand = g.at(ctx.mi_row + idx, ctx.mi_col - 1)
+        process_single(cand)
+        idx += _mi_high(cand[3])
+
+    for i in range(refmv_count):
+        stack[i] = _clamp_mv_ref(stack[i], ctx)
+
+    mv_ref_list = [(0, 0)] * MAX_MV_REF_CANDIDATES
+    for i in range(min(MAX_MV_REF_CANDIDATES, refmv_count)):
+        mv_ref_list[i] = stack[i]
+    return stack, weights, refmv_count, mode_context, mv_ref_list
+
+
+def lower_mv_precision(mv, allow_hp: int, force_int: int):
+    row, col = mv
+    if force_int:
+        row = (row // 8 if row >= 0 else -((-row) // 8)) * 8
+        col = (col // 8 if col >= 0 else -((-col) // 8)) * 8
+        return (row, col)
+    if not allow_hp:
+        if row & 1:
+            row += -1 if row > 0 else 1
+        if col & 1:
+            col += -1 if col > 0 else 1
+    return (row, col)
+
+
+def drl_ctx(weights, idx: int) -> int:
+    if weights[idx] >= REF_CAT_LEVEL and weights[idx + 1] >= REF_CAT_LEVEL:
+        return 0
+    if weights[idx] >= REF_CAT_LEVEL > weights[idx + 1]:
+        return 1
+    if weights[idx] < REF_CAT_LEVEL and weights[idx + 1] < REF_CAT_LEVEL:
+        return 2
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# neighbor-based signalling contexts (pred_common.c)
+# ---------------------------------------------------------------------------
+
+
+def _neighbor(g: MiGrids, mi_row: int, mi_col: int):
+    return (int(g.ref0[mi_row + g.m, mi_col + g.m]),
+            int(g.ref1[mi_row + g.m, mi_col + g.m]))
+
+
+def neighbors_ref_counts(g: MiGrids, mi_row: int, mi_col: int,
+                         up: bool, left: bool) -> np.ndarray:
+    counts = np.zeros(c.REF_FRAMES, np.int32)
+    if up:
+        r0, r1 = _neighbor(g, mi_row - 1, mi_col)
+        if r0 > c.INTRA_FRAME:
+            counts[r0] += 1
+            if r1 > c.INTRA_FRAME:
+                counts[r1] += 1
+    if left:
+        r0, r1 = _neighbor(g, mi_row, mi_col - 1)
+        if r0 > c.INTRA_FRAME:
+            counts[r0] += 1
+            if r1 > c.INTRA_FRAME:
+                counts[r1] += 1
+    return counts
+
+
+def _vote(a: int, b: int) -> int:
+    return 1 if a == b else (0 if a < b else 2)
+
+
+def ctx_single_ref_p1(counts) -> int:
+    fwd = int(counts[1] + counts[2] + counts[3] + counts[4])
+    bwd = int(counts[5] + counts[6] + counts[7])
+    return _vote(fwd, bwd)
+
+
+def ctx_single_ref_p2(counts) -> int:   # BWD/ALT2 vs ALT
+    return _vote(int(counts[5] + counts[6]), int(counts[7]))
+
+
+def ctx_single_ref_p3(counts) -> int:   # L/L2 vs L3/G
+    return _vote(int(counts[1] + counts[2]), int(counts[3] + counts[4]))
+
+
+def ctx_single_ref_p4(counts) -> int:   # L vs L2
+    return _vote(int(counts[1]), int(counts[2]))
+
+
+def ctx_single_ref_p5(counts) -> int:   # L3 vs G
+    return _vote(int(counts[3]), int(counts[4]))
+
+
+def ctx_single_ref_p6(counts) -> int:   # BWD vs ALT2
+    return _vote(int(counts[5]), int(counts[6]))
+
+
+def intra_inter_ctx(g: MiGrids, mi_row: int, mi_col: int, up: bool,
+                    left: bool) -> int:
+    """pred_common.c:124."""
+    if up and left:
+        a = _neighbor(g, mi_row - 1, mi_col)[0] <= c.INTRA_FRAME
+        l = _neighbor(g, mi_row, mi_col - 1)[0] <= c.INTRA_FRAME
+        return 3 if (a and l) else int(a or l)
+    if up or left:
+        edge = (_neighbor(g, mi_row - 1, mi_col) if up
+                else _neighbor(g, mi_row, mi_col - 1))
+        return 2 * (edge[0] <= c.INTRA_FRAME)
+    return 0
+
+
+def skip_mode_ctx(g: MiGrids, mi_row: int, mi_col: int, up: bool, left: bool,
+                  skip_mode_grid: np.ndarray) -> int:
+    """above skip_mode + left skip_mode (pred_common.h
+    av1_get_skip_mode_context)."""
+    m = g.m
+    a = int(skip_mode_grid[mi_row - 1 + m, mi_col + m]) if up else 0
+    l = int(skip_mode_grid[mi_row + m, mi_col - 1 + m]) if left else 0
+    return a + l

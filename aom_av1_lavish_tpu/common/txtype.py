@@ -76,6 +76,15 @@ def intra_ext_tx_idx(set_type: int) -> int:
     return _INTRA_SET_TO_IDX[set_type]
 
 
+# inter set type -> cdf group index (blockd.h:1110 ext_tx_set_index[1])
+_INTER_SET_TO_IDX = {EXT_TX_SET_DCTONLY: 0, EXT_TX_SET_ALL16: 1,
+                     EXT_TX_SET_DTT9_IDTX_1DDCT: 2, EXT_TX_SET_DCT_IDTX: 3}
+
+
+def inter_ext_tx_idx(set_type: int) -> int:
+    return _INTER_SET_TO_IDX[set_type]
+
+
 def chroma_intra_tx_type(uv_mode: int, tx_size: int, reduced: bool) -> int:
     """av1_get_tx_type for intra chroma (uv mode drives the type)."""
     base = uv_mode if uv_mode < c.UV_CFL_PRED else c.DC_PRED

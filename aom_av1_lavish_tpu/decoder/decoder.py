@@ -23,6 +23,8 @@ from ..bitstream.tables import FrameContext
 from ..common import blockd, intra
 from ..common.txfm import iwht4x4
 from ..common import coeffs as CF
+from ..common import mvref as MR
+from .inter import InterDecoderMixin
 
 PARTITION_PLOFFSET = 4
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
@@ -43,6 +45,16 @@ class BlockInfo:
     partition: int = c.PARTITION_NONE
     mi_row: int = 0
     mi_col: int = 0
+    # inter
+    is_inter: int = 0
+    skip_mode: int = 0
+    mode: int = 0
+    ref_frame: tuple = (c.INTRA_FRAME, -1)
+    mv: tuple = ((0, 0), (0, 0))
+    ref_mv_idx: int = 0
+    interp_filter: tuple = (c.EIGHTTAP_REGULAR, c.EIGHTTAP_REGULAR)
+    tx_size: int = -1
+    inter_leaves: object = None
 
 
 class TileState:
@@ -65,11 +77,16 @@ class TileState:
                               for _ in range(nplanes)]
         self.left_entropy = [np.zeros(mi_rows + 32, dtype=np.uint8)
                              for _ in range(nplanes)]
+        # transform-size context (tx dims in pixels; av1_common_int.h
+        # set_txfm_ctxs); left reset per SB row like the other left arrays
+        self.above_txfm = np.full(mi_cols + 32, 64, dtype=np.uint8)
+        self.left_txfm = np.full(mi_rows + 32, 64, dtype=np.uint8)
         self.fc = FrameContext(fh.base_q_idx)
 
 
-class FrameDecoder:
-    def __init__(self, sh: H.SequenceHeader, fh: H.FrameHeader):
+class FrameDecoder(InterDecoderMixin):
+    def __init__(self, sh: H.SequenceHeader, fh: H.FrameHeader,
+                 refs=None):
         self.sh = sh
         self.fh = fh
         assert sh.bit_depth == 8, "high bitdepth TBD"
@@ -87,7 +104,6 @@ class FrameDecoder:
             # current lossy scope: deblocking yes; cdef/restoration TBD
             assert not sh.enable_cdef and not sh.enable_restoration, \
                 "cdef/restoration decode TBD"
-            assert fh.tx_mode == c.TX_MODE_LARGEST, "TX_MODE_SELECT TBD"
         w = self.mi_cols * 4
         h = self.mi_rows * 4
         # +64 margin: large-tx blocks at the frame edge may write recon
@@ -99,6 +115,33 @@ class FrameDecoder:
                             for _ in range(2)]
         # mode info grid: one BlockInfo ref per 4x4 unit
         self.mi = np.empty((self.mi_rows, self.mi_cols), dtype=object)
+        # numeric mi grids for MV prediction / inter contexts
+        self.g = MR.MiGrids(self.mi_rows, self.mi_cols)
+        self.skip_mode_grid = np.zeros(
+            (self.mi_rows + 64, self.mi_cols + 64), np.uint8)
+        self.interp_grid = np.zeros(
+            (self.mi_rows + 64, self.mi_cols + 64, 2), np.uint8)
+        # luma tx types per mi (chroma inter txbs read the co-located cell;
+        # blockd.h:1278 av1_get_tx_type)
+        self.tx_type_map = np.zeros(
+            (self.mi_rows + 64, self.mi_cols + 64), np.uint8)
+        # luma tx dims per mi (for the loop filter with variable tx)
+        self.tx_wide_grid = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.tx_high_grid = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        # reference frames: refs[LAST..ALTREF] = (planes tuple, order_hint)
+        self.refs = [None] * 8
+        self.sign_bias = [0] * 8
+        self._ref_pad_cache = {}
+        self._last_tx_type = c.DCT_DCT
+        if not fh.is_intra:
+            assert refs is not None, "inter frame needs reference frames"
+            for i in range(7):
+                slot = fh.ref_frame_idx[i]
+                buf = refs[slot]
+                assert buf is not None, "missing reference frame"
+                self.refs[c.LAST_FRAME + i] = buf[0]
+                d = H.get_relative_dist(sh, buf[1], fh.order_hint)
+                self.sign_bias[c.LAST_FRAME + i] = int(d > 0)
         # CfL luma buffer (Q3), covers up to 32x32 chroma
         self.cfl_buf = np.zeros((32, 32), dtype=np.int32)
         self.cfl_buf_w = 0
@@ -139,6 +182,7 @@ class FrameDecoder:
             ts.left_partition[:] = 0
             for le in ts.left_entropy:
                 le[:] = 0
+            ts.left_txfm[:] = 64
             for mi_col in range(ts.mi_col_start, ts.mi_col_end, self.sb_mi):
                 self._decode_partition(ts, rd, mi_row, mi_col, self.sb_size)
 
@@ -317,6 +361,14 @@ class FrameDecoder:
         up_avail, left_avail, above_mi, left_mi = \
             self._neighbors(ts, mi_row, mi_col)
 
+        if not self.fh.is_intra:
+            self._decode_inter_frame_block(ts, rd, bi, mi_row, mi_col, bsize,
+                                           up_avail, left_avail, above_mi,
+                                           left_mi)
+            self._finish_block(ts, rd, bi, mi_row, mi_col, bsize, partition,
+                               up_avail, left_avail)
+            return
+
         # skip_txfm (decodemv.c:445)
         skip_ctx = (above_mi.skip_txfm if above_mi else 0) + \
                    (left_mi.skip_txfm if left_mi else 0)
@@ -370,12 +422,53 @@ class FrameDecoder:
                 bi.filter_intra_mode = rd.decode_symbol_adapt(
                     fc.filter_intra_mode_cdf, c.FILTER_INTRA_MODES)
 
-        # fill mi grid (clipped: blocks may cross the frame edge)
-        self.mi[mi_row:min(mi_row + bh, self.mi_rows),
-                mi_col:min(mi_col + bw, self.mi_cols)] = bi
+        self._finish_block(ts, rd, bi, mi_row, mi_col, bsize, partition,
+                           up_avail, left_avail)
 
-        # residual + recon per plane
-        self._recon_block(ts, rd, bi, up_avail, left_avail)
+    def _finish_block(self, ts, rd, bi, mi_row, mi_col, bsize, partition,
+                      up_avail, left_avail):
+        """Tx sizes, mi-grid bookkeeping, then reconstruction
+        (parse_decode_block tail, decodeframe.c:1129)."""
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        self._read_block_tx_size(ts, rd, bi, mi_row, mi_col)
+
+        # fill mi grids (clipped: blocks may cross the frame edge)
+        r1 = min(mi_row + bh, self.mi_rows)
+        c1 = min(mi_col + bw, self.mi_cols)
+        self.mi[mi_row:r1, mi_col:c1] = bi
+        self.g.fill_block(mi_row, mi_col, bh, bw, bi.ref_frame[0],
+                          bi.ref_frame[1],
+                          bi.mode if bi.is_inter else bi.y_mode,
+                          bsize, partition, bi.mv[0], bi.mv[1])
+        m = self.g.m
+        self.skip_mode_grid[mi_row + m:r1 + m, mi_col + m:c1 + m] = \
+            bi.skip_mode
+        self.interp_grid[mi_row + m:r1 + m, mi_col + m:c1 + m, 0] = \
+            bi.interp_filter[1]
+        self.interp_grid[mi_row + m:r1 + m, mi_col + m:c1 + m, 1] = \
+            bi.interp_filter[0]
+        if bi.tx_size >= 0 and bi.inter_leaves is None:
+            self.tx_wide_grid[mi_row:r1, mi_col:c1] = c.TX_WIDTH[bi.tx_size]
+            self.tx_high_grid[mi_row:r1, mi_col:c1] = c.TX_HEIGHT[bi.tx_size]
+        elif bi.inter_leaves is not None:
+            for (tr4, tc4, tx) in bi.inter_leaves:
+                rr = mi_row + tr4
+                cc = mi_col + tc4
+                self.tx_wide_grid[rr:min(rr + (c.TX_HEIGHT[tx] >> 2),
+                                         self.mi_rows),
+                                  cc:min(cc + (c.TX_WIDTH[tx] >> 2),
+                                         self.mi_cols)] = c.TX_WIDTH[tx]
+                self.tx_high_grid[rr:min(rr + (c.TX_HEIGHT[tx] >> 2),
+                                         self.mi_rows),
+                                  cc:min(cc + (c.TX_WIDTH[tx] >> 2),
+                                         self.mi_cols)] = c.TX_HEIGHT[tx]
+
+        # residual + recon
+        if bi.is_inter:
+            self._recon_inter_block(ts, rd, bi, mi_row, mi_col)
+        else:
+            self._recon_block(ts, rd, bi, up_avail, left_avail)
 
     def _cfl_allowed(self, bsize):
         if self.lossless:
@@ -420,8 +513,12 @@ class FrameDecoder:
                 else mi_row * 4
             col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
                 else mi_col * 4
-            tx_size = c.TX_4X4 if self.lossless else \
-                self._plane_tx_size(plane, plane_bsize)
+            if self.lossless:
+                tx_size = c.TX_4X4
+            elif plane == 0:
+                tx_size = bi.tx_size
+            else:
+                tx_size = self._plane_tx_size(plane, plane_bsize)
             txw4 = c.TX_WIDTH[tx_size] >> 2
             txh4 = c.TX_HEIGHT[tx_size] >> 2
             # visible extent in 4x4 units (max_block_wide: blocks may cross
@@ -735,8 +832,12 @@ def _partition_ctx_lookup(subsize):
 # ---------------------------------------------------------------------------
 
 
-def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None):
-    """Decode one temporal unit; returns (frames, sh)."""
+def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
+                      state: dict | None = None):
+    """Decode one temporal unit; returns (frames, sh).  `state` carries the
+    reference frame slots across calls (ref_frame_map semantics)."""
+    if state is None:
+        state = {"slots": [None] * 8}
     frames = []
     for obu_type, payload in H.split_obus(data):
         if obu_type == c.OBU_SEQUENCE_HEADER:
@@ -746,7 +847,9 @@ def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None):
             fh, endbit = H.parse_frame_header(payload, sh)
             # tile group: byte-aligned after header
             pos = (endbit + 7) >> 3
-            frames.append(_decode_tile_group(payload[pos:], sh, fh))
+            out = _decode_tile_group(payload[pos:], sh, fh, state)
+            if fh.show_frame:
+                frames.append(out)
         elif obu_type in (c.OBU_TEMPORAL_DELIMITER, c.OBU_METADATA,
                           c.OBU_PADDING):
             continue
@@ -755,8 +858,9 @@ def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None):
     return frames, sh
 
 
-def _decode_tile_group(data: bytes, sh, fh):
-    dec = FrameDecoder(sh, fh)
+def _decode_tile_group(data: bytes, sh, fh, state=None):
+    refs = state["slots"] if state is not None else None
+    dec = FrameDecoder(sh, fh, refs=refs)
     n_tiles = (1 << fh.tile_cols_log2) * (1 << fh.tile_rows_log2)
     pos = 0
     if n_tiles > 1:
@@ -782,16 +886,24 @@ def _decode_tile_group(data: bytes, sh, fh):
             dec.decode_tile_data(tile_data, trow, tcol)
             idx += 1
     dec.apply_loop_filter()
-    return dec.output()
+    out = dec.output()
+    if state is not None and fh.refresh_frame_flags:
+        stored = (tuple(p.copy() if p is not None else None for p in out),
+                  fh.order_hint)
+        for slot in range(8):
+            if fh.refresh_frame_flags & (1 << slot):
+                state["slots"][slot] = stored
+    return out
 
 
 def decode_ivf(path: str, max_frames: int | None = None):
     """Decode frames of an IVF file; returns list of (y, u, v)."""
     from ..bitstream.ivf import read_ivf
     sh = None
+    state = {"slots": [None] * 8}
     out = []
     for payload, _pts in read_ivf(path):
-        frames, sh = decode_frame_obus(payload, sh)
+        frames, sh = decode_frame_obus(payload, sh, state)
         out.extend(frames)
         if max_frames is not None and len(out) >= max_frames:
             break

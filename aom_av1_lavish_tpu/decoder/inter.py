@@ -1,0 +1,764 @@
+"""Inter-frame decode: mode info, MV decode, variable tx sizes, motion
+compensation and residual reconstruction.
+
+Mixed into FrameDecoder.  Normative behavior per the reference call stack:
+av1/decoder/decodemv.c:1511 read_inter_frame_mode_info, :1272
+read_inter_block_mode_info, :885 read_mv, decodeframe.c:1015
+read_tx_size_vartx / :1080 read_selected_tx_size, reconinter_template.inc
+build_inter_predictors.
+
+Current scope: single reference frames, simple translation, identity
+global motion, no segmentation / skip-mode / compound (asserted at the
+header parse layer where possible, here otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+from ..common import blockd
+from ..common import coeffs as CF
+from ..common import interpred as IP
+from ..common import mvref as MR
+from ..common import txtype as TT
+
+MAX_VARTX_DEPTH = 2
+
+SUB_TX_SIZE_MAP = [0, 0, 1, 2, 3, 0, 0, 1, 1, 2, 2, 3, 3, 5, 6, 7, 8, 9, 10]
+
+# common_data.h size_group_lookup
+SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+              1, 1, 2, 2, 3, 3]
+
+# blockd.h bsize_to_max_depth / bsize_to_tx_size_cat (depth table - 1)
+_MAX_DEPTH = [0, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+              2, 2, 2, 2, 2, 2]
+_TX_SIZE_CAT = [-1, 0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3,
+                1, 1, 2, 2, 3, 3]
+
+
+def _sqr_tx_of_dim(d: int) -> int:
+    if d >= 64:
+        return c.TX_64X64
+    return {32: c.TX_32X32, 16: c.TX_16X16, 8: c.TX_8X8}.get(d, c.TX_4X4)
+
+
+def depth_to_tx_size(depth: int, bsize: int) -> int:
+    tx = blockd.max_tx_size_rect(bsize)
+    for _ in range(depth):
+        tx = SUB_TX_SIZE_MAP[tx]
+    return tx
+
+
+class InterDecoderMixin:
+    """Inter-frame pieces of FrameDecoder (decoder.py)."""
+
+    # --- mode info --------------------------------------------------------
+
+    def _decode_inter_frame_block(self, ts, rd, bi, mi_row, mi_col, bsize,
+                                  up_avail, left_avail, above_mi, left_mi):
+        """read_inter_frame_mode_info (decodemv.c:1511)."""
+        fc = ts.fc
+        fh = self.fh
+        g = self.g
+
+        # skip mode
+        bi.skip_mode = 0
+        if fh.skip_mode_flag:
+            if min(blockd.block_wide(bsize), blockd.block_high(bsize)) >= 8:
+                ctx = MR.skip_mode_ctx(g, mi_row, mi_col, up_avail,
+                                       left_avail, self.skip_mode_grid)
+                bi.skip_mode = rd.decode_symbol_adapt(
+                    fc.skip_mode_cdfs[ctx], 2)
+        if bi.skip_mode:
+            raise NotImplementedError("skip_mode blocks (compound) TBD")
+
+        # skip_txfm
+        skip_ctx = (above_mi.skip_txfm if above_mi else 0) + \
+                   (left_mi.skip_txfm if left_mi else 0)
+        bi.skip_txfm = rd.decode_symbol_adapt(fc.skip_txfm_cdfs[skip_ctx], 2)
+
+        # is_inter
+        ctx = MR.intra_inter_ctx(g, mi_row, mi_col, up_avail, left_avail)
+        bi.is_inter = rd.decode_symbol_adapt(fc.intra_inter_cdf[ctx], 2)
+
+        if bi.is_inter:
+            self._read_inter_block_mode_info(ts, rd, bi, mi_row, mi_col,
+                                             bsize, up_avail, left_avail)
+        else:
+            self._read_intra_in_inter_mode_info(ts, rd, bi, mi_row, mi_col,
+                                                bsize)
+
+    def _read_intra_in_inter_mode_info(self, ts, rd, bi, mi_row, mi_col,
+                                       bsize):
+        """read_intra_block_mode_info (decodemv.c:1064): like the keyframe
+        path but y mode uses y_mode_cdf[size group]."""
+        from ..common import intra
+        fc = ts.fc
+        bi.ref_frame = (c.INTRA_FRAME, -1)
+        bi.y_mode = rd.decode_symbol_adapt(
+            fc.y_mode_cdf[SIZE_GROUP[bsize]], c.INTRA_MODES)
+        use_angle_delta = bsize >= c.BLOCK_8X8
+        if use_angle_delta and intra.is_directional(bi.y_mode):
+            bi.angle_delta_y = rd.decode_symbol_adapt(
+                fc.angle_delta_cdf[bi.y_mode - c.V_PRED], 7) - 3
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        if is_chroma_ref:
+            cfl_allowed = self._cfl_allowed(bsize)
+            bi.uv_mode = rd.decode_symbol_adapt(
+                fc.uv_mode_cdf[int(cfl_allowed)][bi.y_mode],
+                c.UV_INTRA_MODES - int(not cfl_allowed))
+            if bi.uv_mode == c.UV_CFL_PRED:
+                bi.cfl_joint_sign = rd.decode_symbol_adapt(
+                    fc.cfl_sign_cdf, c.CFL_JOINT_SIGNS)
+                idx = 0
+                if intra.cfl_sign_u(bi.cfl_joint_sign) != 0:
+                    idx = rd.decode_symbol_adapt(
+                        fc.cfl_alpha_cdf[
+                            intra.cfl_context_u(bi.cfl_joint_sign)],
+                        c.CFL_ALPHABET_SIZE) << 4
+                if intra.cfl_sign_v(bi.cfl_joint_sign) != 0:
+                    idx += rd.decode_symbol_adapt(
+                        fc.cfl_alpha_cdf[
+                            intra.cfl_context_v(bi.cfl_joint_sign)],
+                        c.CFL_ALPHABET_SIZE)
+                bi.cfl_alpha_idx = idx
+            uv_base = bi.uv_mode if bi.uv_mode < c.UV_CFL_PRED else c.DC_PRED
+            if use_angle_delta and intra.is_directional(uv_base):
+                bi.angle_delta_uv = rd.decode_symbol_adapt(
+                    fc.angle_delta_cdf[bi.uv_mode - c.V_PRED], 7) - 3
+        if self._filter_intra_allowed(bi):
+            if rd.decode_symbol_adapt(fc.filter_intra_cdfs[bsize], 2):
+                bi.filter_intra_mode = rd.decode_symbol_adapt(
+                    fc.filter_intra_mode_cdf, c.FILTER_INTRA_MODES)
+
+    def _read_ref_frames(self, ts, rd, bi, counts, g, mi_row, mi_col,
+                         up, left):
+        """read_ref_frames (decodemv.c:937), single-reference branch."""
+        fc = ts.fc
+        comp_allowed = min(blockd.block_wide(bi.bsize),
+                           blockd.block_high(bi.bsize)) >= 8
+        if (self.fh.reference_mode == c.REFERENCE_MODE_SELECT
+                and comp_allowed):
+            ctx = self._reference_mode_ctx(g, mi_row, mi_col, up, left)
+            is_comp = rd.decode_symbol_adapt(fc.comp_inter_cdf[ctx], 2)
+            if is_comp:
+                raise NotImplementedError("compound references TBD")
+        bit0 = rd.decode_symbol_adapt(
+            fc.single_ref_cdf[MR.ctx_single_ref_p1(counts)][0], 2)
+        if bit0:
+            bit1 = rd.decode_symbol_adapt(
+                fc.single_ref_cdf[MR.ctx_single_ref_p2(counts)][1], 2)
+            if not bit1:
+                bit5 = rd.decode_symbol_adapt(
+                    fc.single_ref_cdf[MR.ctx_single_ref_p6(counts)][5], 2)
+                ref = c.ALTREF2_FRAME if bit5 else c.BWDREF_FRAME
+            else:
+                ref = c.ALTREF_FRAME
+        else:
+            bit2 = rd.decode_symbol_adapt(
+                fc.single_ref_cdf[MR.ctx_single_ref_p3(counts)][2], 2)
+            if bit2:
+                bit4 = rd.decode_symbol_adapt(
+                    fc.single_ref_cdf[MR.ctx_single_ref_p5(counts)][4], 2)
+                ref = c.GOLDEN_FRAME if bit4 else c.LAST3_FRAME
+            else:
+                bit3 = rd.decode_symbol_adapt(
+                    fc.single_ref_cdf[MR.ctx_single_ref_p4(counts)][3], 2)
+                ref = c.LAST2_FRAME if bit3 else c.LAST_FRAME
+        bi.ref_frame = (ref, -1)
+
+    def _reference_mode_ctx(self, g, mi_row, mi_col, up, left):
+        """av1_get_reference_mode_context (pred_common.c:145)."""
+        def info(r, col):
+            m = g.m
+            r0 = int(g.ref0[r + m, col + m])
+            r1 = int(g.ref1[r + m, col + m])
+            return r0, r1
+        def is_bwd(r0):
+            return c.BWDREF_FRAME <= r0 <= c.ALTREF_FRAME
+        if up and left:
+            a0, a1 = info(mi_row - 1, mi_col)
+            l0, l1 = info(mi_row, mi_col - 1)
+            a_comp = a1 > c.INTRA_FRAME
+            l_comp = l1 > c.INTRA_FRAME
+            if not a_comp and not l_comp:
+                return int(is_bwd(a0) ^ is_bwd(l0))
+            if not a_comp:
+                return 2 + int(is_bwd(a0) or a0 <= c.INTRA_FRAME)
+            if not l_comp:
+                return 2 + int(is_bwd(l0) or l0 <= c.INTRA_FRAME)
+            return 4
+        if up or left:
+            e0, e1 = info(mi_row - 1, mi_col) if up else info(mi_row,
+                                                             mi_col - 1)
+            if e1 <= c.INTRA_FRAME:
+                return int(is_bwd(e0))
+            return 3
+        return 1
+
+    def _read_inter_block_mode_info(self, ts, rd, bi, mi_row, mi_col, bsize,
+                                    up_avail, left_avail):
+        fc = ts.fc
+        fh = self.fh
+        g = self.g
+        counts = MR.neighbors_ref_counts(g, mi_row, mi_col, up_avail,
+                                         left_avail)
+        self._read_ref_frames(ts, rd, bi, counts, g, mi_row, mi_col,
+                              up_avail, left_avail)
+        ref = bi.ref_frame[0]
+
+        ctx = MR.RefMvContext(
+            g, mi_row, mi_col, bsize, self.sb_mi,
+            ts.mi_row_start, ts.mi_row_end, ts.mi_col_start, ts.mi_col_end,
+            bi.partition)
+        stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
+            ctx, ref, sign_bias=self.sign_bias)
+
+        allow_hp = fh.allow_high_precision_mv
+        force_int = fh.force_integer_mv
+        bi.ref_mv_idx = 0
+
+        newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
+        is_new = rd.decode_symbol_adapt(fc.newmv_cdf[newmv_ctx], 2) == 0
+        if is_new:
+            bi.mode = MR.NEWMV
+        else:
+            zeromv_ctx = (mode_ctx >> MR.GLOBALMV_OFFSET) & \
+                MR.GLOBALMV_CTX_MASK
+            if rd.decode_symbol_adapt(fc.zeromv_cdf[zeromv_ctx], 2) == 0:
+                bi.mode = MR.GLOBALMV
+            else:
+                refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
+                if rd.decode_symbol_adapt(fc.refmv_cdf[refmv_ctx], 2) == 0:
+                    bi.mode = MR.NEARESTMV
+                else:
+                    bi.mode = MR.NEARMV
+
+        # drl index (decodemv.c:196)
+        if bi.mode == MR.NEWMV:
+            for idx in range(2):
+                if count > idx + 1:
+                    dctx = MR.drl_ctx(weights, idx)
+                    drl = rd.decode_symbol_adapt(fc.drl_cdf[dctx], 2)
+                    bi.ref_mv_idx = idx + drl
+                    if not drl:
+                        break
+        elif MR.have_nearmv(bi.mode):
+            for idx in range(1, 3):
+                if count > idx + 1:
+                    dctx = MR.drl_ctx(weights, idx)
+                    drl = rd.decode_symbol_adapt(fc.drl_cdf[dctx], 2)
+                    bi.ref_mv_idx = idx + drl - 1
+                    if not drl:
+                        break
+
+        # nearest/near (av1_find_best_ref_mvs)
+        nearest = MR.lower_mv_precision(mv_list[0], allow_hp, force_int)
+        near = MR.lower_mv_precision(mv_list[1], allow_hp, force_int)
+        if bi.ref_mv_idx > 0 and bi.mode == MR.NEARMV:
+            near = stack[1 + bi.ref_mv_idx]
+
+        if bi.mode == MR.NEWMV:
+            ref_mv = nearest
+            if count > 1:
+                ref_mv = stack[bi.ref_mv_idx]
+            mv = self._read_mv(ts, rd, ref_mv,
+                               -1 if force_int else allow_hp)
+        elif bi.mode == MR.NEARESTMV:
+            mv = nearest
+        elif bi.mode == MR.NEARMV:
+            mv = near
+        else:  # GLOBALMV, identity
+            mv = (0, 0)
+        if not (-(1 << 13) < mv[0] < (1 << 13)
+                and -(1 << 13) < mv[1] < (1 << 13)):
+            raise ValueError("corrupt MV")
+        bi.mv = (mv, (0, 0))
+
+        # interintra: seq flag off. motion mode:
+        if fh.is_motion_mode_switchable:
+            raise NotImplementedError("motion mode symbols TBD")
+        # compound type: single ref, none.
+        # interp filter (decodemv.c:1033)
+        if fh.interpolation_filter == c.SWITCHABLE:
+            if self._interp_needed(bi):
+                filts = []
+                for d in range(2):
+                    ictx = self._interp_filter_ctx(g, mi_row, mi_col,
+                                                   up_avail, left_avail,
+                                                   d, ref)
+                    filts.append(rd.decode_symbol_adapt(
+                        fc.switchable_interp_cdf[ictx],
+                        c.SWITCHABLE_FILTERS))
+                    if not self.sh.enable_dual_filter:
+                        filts.append(filts[0])
+                        break
+                # read order: dir0 = vertical (y), dir1 = horizontal (x)
+                bi.interp_filter = (filts[1], filts[0])  # (x, y)
+            else:
+                bi.interp_filter = (c.EIGHTTAP_REGULAR, c.EIGHTTAP_REGULAR)
+        else:
+            f = fh.interpolation_filter
+            bi.interp_filter = (f, f)
+
+    def _interp_needed(self, bi) -> bool:
+        """av1_is_interp_needed: GLOBALMV identity-translation blocks with
+        fullpel MVs still need it only if mv is subpel; the reference
+        returns 0 for global-mv blocks with non-translational gm.  With
+        identity gm the check reduces to: not skip_mode and mv has subpel?
+        Reference: needed unless skip_mode or warp or gm block."""
+        if bi.skip_mode:
+            return False
+        # is_nontrans_global_motion: identity gm is translational-invalid
+        # (wmtype IDENTITY < TRANSLATION is not 'nontrans'), so needed.
+        return True
+
+    def _interp_filter_ctx(self, g, mi_row, mi_col, up, left, d, ref):
+        """av1_get_pred_context_switchable_interp (pred_common.c:30):
+        dir 0 reads neighbors' y (vertical) filter, dir 1 the x filter;
+        single-ref only (no comp offset)."""
+        m = g.m
+        left_type = c.SWITCHABLE_FILTERS
+        above_type = c.SWITCHABLE_FILTERS
+        if left:
+            r0 = int(g.ref0[mi_row + m, mi_col - 1 + m])
+            r1 = int(g.ref1[mi_row + m, mi_col - 1 + m])
+            if r0 == ref or r1 == ref:
+                left_type = int(
+                    self.interp_grid[mi_row + m, mi_col - 1 + m, d])
+        if up:
+            r0 = int(g.ref0[mi_row - 1 + m, mi_col + m])
+            r1 = int(g.ref1[mi_row - 1 + m, mi_col + m])
+            if r0 == ref or r1 == ref:
+                above_type = int(
+                    self.interp_grid[mi_row - 1 + m, mi_col + m, d])
+        if left_type == above_type:
+            filter_type_ctx = left_type
+        elif left_type == c.SWITCHABLE_FILTERS:
+            filter_type_ctx = above_type
+        elif above_type == c.SWITCHABLE_FILTERS:
+            filter_type_ctx = left_type
+        else:
+            filter_type_ctx = c.SWITCHABLE_FILTERS
+        return d * (c.SWITCHABLE_FILTERS + 1) * 2 + filter_type_ctx
+
+    def _read_mv(self, ts, rd, ref_mv, precision):
+        """read_mv (decodemv.c:885); precision: -1 none, 0 low, 1 high."""
+        fc = ts.fc
+        joint = rd.decode_symbol_adapt(fc.nmv_joints_cdf, 4)
+        dr = dc = 0
+        if joint in (2, 3):
+            dr = self._read_mv_component(ts, rd, 0, precision >= 0,
+                                         precision > 0)
+        if joint in (1, 3):
+            dc = self._read_mv_component(ts, rd, 1, precision >= 0,
+                                         precision > 0)
+        return (ref_mv[0] + dr, ref_mv[1] + dc)
+
+    def _read_mv_component(self, ts, rd, comp, use_subpel, usehp):
+        fc = ts.fc
+
+        def f(name):
+            return getattr(fc, f"nmv_comp{comp}_{name}")
+        sign = rd.decode_symbol_adapt(f("sign_cdf"), 2)
+        mv_class = rd.decode_symbol_adapt(f("classes_cdf"), 11)
+        class0 = mv_class == 0
+        if class0:
+            d = rd.decode_symbol_adapt(f("class0_cdf"), 2)
+            mag = 0
+        else:
+            d = 0
+            n = mv_class + 0  # CLASS0_BITS - 1 == 0 (entropymv.h)
+            bits_cdf = f("bits_cdf")
+            for i in range(n):
+                d |= rd.decode_symbol_adapt(bits_cdf[i], 2) << i
+            mag = 2 << (mv_class + 2)
+        if use_subpel:
+            fr = rd.decode_symbol_adapt(
+                f("class0_fp_cdf")[d] if class0 else f("fp_cdf"), 4)
+            hp = rd.decode_symbol_adapt(
+                f("class0_hp_cdf") if class0 else f("hp_cdf"), 2) \
+                if usehp else 1
+        else:
+            fr = 3
+            hp = 1
+        mag += ((d << 3) | (fr << 1) | hp) + 1
+        return -mag if sign else mag
+
+    # --- tx sizes ---------------------------------------------------------
+
+    def _read_block_tx_size(self, ts, rd, bi, mi_row, mi_col):
+        """parse_decode_block tx-size logic (decodeframe.c:1129)."""
+        bsize = bi.bsize
+        w4 = blockd.mi_size_wide(bsize)
+        h4 = blockd.mi_size_high(bsize)
+        bi.inter_leaves = None
+        if self.lossless:
+            bi.tx_size = c.TX_4X4
+            return
+        signals = bsize > c.BLOCK_4X4
+        select = self.fh.tx_mode == c.TX_MODE_SELECT
+        if select and signals and not bi.skip_txfm and bi.is_inter:
+            max_tx = blockd.max_tx_size_rect(bsize)
+            bh4 = c.TX_HEIGHT[max_tx] >> 2
+            bw4 = c.TX_WIDTH[max_tx] >> 2
+            bi.inter_leaves = []
+            bi.tx_size = max_tx
+            for idy in range(0, h4, bh4):
+                for idx in range(0, w4, bw4):
+                    self._read_tx_size_vartx(ts, rd, bi, max_tx, 0, idy, idx,
+                                             mi_row, mi_col)
+            return
+        if signals and select and not bi.is_inter:
+            bi.tx_size = self._read_selected_tx_size(ts, rd, bi, mi_row,
+                                                     mi_col)
+        elif signals:
+            # TX_MODE_LARGEST, or inter skip under SELECT
+            bi.tx_size = blockd.max_tx_size_rect(bsize)
+        else:
+            bi.tx_size = blockd.max_tx_size_rect(bsize)
+        self._set_txfm_ctxs(ts, bi.tx_size, w4, h4,
+                            bi.skip_txfm and bi.is_inter, mi_row, mi_col)
+
+    def _set_txfm_ctxs(self, ts, tx_size, w4, h4, skip, mi_row, mi_col):
+        bw = c.TX_WIDTH[tx_size]
+        bh = c.TX_HEIGHT[tx_size]
+        if skip:
+            bw = w4 * 4
+            bh = h4 * 4
+        ts.above_txfm[mi_col:mi_col + w4] = bw
+        ts.left_txfm[mi_row:mi_row + h4] = bh
+
+    def _read_selected_tx_size(self, ts, rd, bi, mi_row, mi_col):
+        """read_selected_tx_size (decodeframe.c:1080)."""
+        bsize = bi.bsize
+        cat = _TX_SIZE_CAT[bsize]
+        max_depths = _MAX_DEPTH[bsize]
+        ctx = self._tx_size_ctx(ts, bi, mi_row, mi_col)
+        depth = rd.decode_symbol_adapt(ts.fc.tx_size_cdf[cat][ctx],
+                                       max_depths + 1)
+        return depth_to_tx_size(depth, bsize)
+
+    def _tx_size_ctx(self, ts, bi, mi_row, mi_col):
+        """get_tx_size_context (pred_common.h:342)."""
+        g = self.g
+        m = g.m
+        max_tx = blockd.max_tx_size_rect(bi.bsize)
+        max_w = c.TX_WIDTH[max_tx]
+        max_h = c.TX_HEIGHT[max_tx]
+        up = mi_row > ts.mi_row_start
+        left = mi_col > ts.mi_col_start
+        above = int(ts.above_txfm[mi_col]) >= max_w
+        lft = int(ts.left_txfm[mi_row]) >= max_h
+        if up and int(g.ref0[mi_row - 1 + m, mi_col + m]) > c.INTRA_FRAME:
+            above = blockd.block_wide(
+                int(g.bsize[mi_row - 1 + m, mi_col + m])) >= max_w
+        if left and int(g.ref0[mi_row + m, mi_col - 1 + m]) > c.INTRA_FRAME:
+            lft = blockd.block_high(
+                int(g.bsize[mi_row + m, mi_col - 1 + m])) >= max_h
+        if up and left:
+            return int(above) + int(lft)
+        if up:
+            return int(above)
+        if left:
+            return int(lft)
+        return 0
+
+    def _txfm_partition_ctx(self, ts, bi, tx_size, mi_row, mi_col,
+                            blk_row, blk_col):
+        """txfm_partition_context (av1_common_int.h:1737)."""
+        txw = c.TX_WIDTH[tx_size]
+        txh = c.TX_HEIGHT[tx_size]
+        above = int(ts.above_txfm[mi_col + blk_col]) < txw
+        left = int(ts.left_txfm[mi_row + blk_row]) < txh
+        if tx_size <= c.TX_4X4:
+            return 0
+        max_tx = _sqr_tx_of_dim(max(blockd.block_wide(bi.bsize),
+                                    blockd.block_high(bi.bsize)))
+        category = 21  # TXFM_PARTITION_CONTEXTS sentinel
+        if max_tx >= c.TX_8X8:
+            category = int(c.TX_SIZE_SQR_UP[tx_size] != max_tx
+                           and max_tx > c.TX_8X8) + (5 - 1 - max_tx) * 2
+        return category * 3 + above + left
+
+    def _txfm_partition_update(self, ts, mi_row, mi_col, blk_row, blk_col,
+                               tx_size, txb_size):
+        bh = c.TX_HEIGHT[txb_size] >> 2
+        bw = c.TX_WIDTH[txb_size] >> 2
+        ts.above_txfm[mi_col + blk_col:mi_col + blk_col + bw] = \
+            c.TX_WIDTH[tx_size]
+        ts.left_txfm[mi_row + blk_row:mi_row + blk_row + bh] = \
+            c.TX_HEIGHT[tx_size]
+
+    def _read_tx_size_vartx(self, ts, rd, bi, tx_size, depth, blk_row,
+                            blk_col, mi_row, mi_col):
+        """read_tx_size_vartx (decodeframe.c:1015)."""
+        bsize = bi.bsize
+        # visible 4x4 units (max_block_high/max_block_wide)
+        h4 = blockd.mi_size_high(bsize)
+        w4 = blockd.mi_size_wide(bsize)
+        if mi_row + h4 > self.mi_rows:
+            h4 = self.mi_rows - mi_row
+        if mi_col + w4 > self.mi_cols:
+            w4 = self.mi_cols - mi_col
+        if blk_row >= h4 or blk_col >= w4:
+            return
+        if depth == MAX_VARTX_DEPTH:
+            bi.inter_leaves.append((blk_row, blk_col, tx_size))
+            bi.tx_size = tx_size
+            self._txfm_partition_update(ts, mi_row, mi_col, blk_row, blk_col,
+                                        tx_size, tx_size)
+            return
+        ctx = self._txfm_partition_ctx(ts, bi, tx_size, mi_row, mi_col,
+                                       blk_row, blk_col)
+        is_split = rd.decode_symbol_adapt(ts.fc.txfm_partition_cdf[ctx], 2)
+        if is_split:
+            sub_txs = SUB_TX_SIZE_MAP[tx_size]
+            bsw = c.TX_WIDTH[sub_txs] >> 2
+            bsh = c.TX_HEIGHT[sub_txs] >> 2
+            if sub_txs == c.TX_4X4:
+                # whole current unit becomes 4x4 txbs (raster order;
+                # decode_reconstruct_tx descends to each)
+                for r in range(c.TX_HEIGHT[tx_size] >> 2):
+                    for cc in range(c.TX_WIDTH[tx_size] >> 2):
+                        bi.inter_leaves.append((blk_row + r, blk_col + cc,
+                                                sub_txs))
+                bi.tx_size = sub_txs
+                self._txfm_partition_update(ts, mi_row, mi_col, blk_row,
+                                            blk_col, sub_txs, tx_size)
+                return
+            for row in range(0, c.TX_HEIGHT[tx_size] >> 2, bsh):
+                for col in range(0, c.TX_WIDTH[tx_size] >> 2, bsw):
+                    self._read_tx_size_vartx(ts, rd, bi, sub_txs, depth + 1,
+                                             blk_row + row, blk_col + col,
+                                             mi_row, mi_col)
+        else:
+            bi.inter_leaves.append((blk_row, blk_col, tx_size))
+            bi.tx_size = tx_size
+            self._txfm_partition_update(ts, mi_row, mi_col, blk_row, blk_col,
+                                        tx_size, tx_size)
+
+    # --- reconstruction ---------------------------------------------------
+
+    def _recon_inter_block(self, ts, rd, bi, mi_row, mi_col):
+        bsize = bi.bsize
+        self._predict_inter_block(bi, mi_row, mi_col)
+        bw4 = blockd.mi_size_wide(bsize)
+        bh4 = blockd.mi_size_high(bsize)
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+        mb_to_right = (self.mi_cols - bw4 - mi_col) * 4
+        mb_to_bottom = (self.mi_rows - bh4 - mi_row) * 4
+
+        if bi.skip_txfm:
+            # av1_reset_entropy_context
+            for plane in range(nplanes):
+                ss_x = self.ss_x if plane else 0
+                ss_y = self.ss_y if plane else 0
+                pb = blockd.plane_block_size(bsize, ss_x, ss_y) if plane \
+                    else bsize
+                acol = (mi_col >> ss_x) if plane else mi_col
+                lrow = (mi_row >> ss_y) if plane else mi_row
+                ts.above_entropy[plane][
+                    acol:acol + (blockd.block_wide(pb) >> 2)] = 0
+                ts.left_entropy[plane][
+                    lrow:lrow + (blockd.block_high(pb) >> 2)] = 0
+            return
+
+        for plane in range(nplanes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            if plane:
+                plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y)
+            else:
+                plane_bsize = bsize
+            row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
+                else mi_row * 4
+            col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
+                else mi_col * 4
+            pbw = blockd.block_wide(plane_bsize)
+            pbh = blockd.block_high(plane_bsize)
+            vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
+            vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
+            max_cols4 = max(vis_w >> 2, 1)
+            max_rows4 = max(vis_h >> 2, 1)
+            if plane == 0 and bi.inter_leaves is not None:
+                units = [(r, cc, tx) for (r, cc, tx) in bi.inter_leaves
+                         if r < max_rows4 and cc < max_cols4]
+            else:
+                tx = self._plane_tx_size(plane, plane_bsize) if plane \
+                    else bi.tx_size
+                tw4 = c.TX_WIDTH[tx] >> 2
+                th4 = c.TX_HEIGHT[tx] >> 2
+                units = [(r, cc, tx)
+                         for r in range(0, max_rows4, th4)
+                         for cc in range(0, max_cols4, tw4)]
+            for (tr4, tc4, tx) in units:
+                self._recon_inter_txb(ts, rd, bi, plane, plane_bsize, tx,
+                                      row0, col0, tr4, tc4, mb_to_right,
+                                      mb_to_bottom, ss_x, ss_y,
+                                      mi_row, mi_col)
+
+    def _recon_inter_txb(self, ts, rd, bi, plane, plane_bsize, tx_size,
+                         row0, col0, row_off, col_off, mb_to_right,
+                         mb_to_bottom, ss_x, ss_y, mi_row, mi_col):
+        txwpx = c.TX_WIDTH[tx_size]
+        txhpx = c.TX_HEIGHT[tx_size]
+        txw = txwpx >> 2
+        txh = txhpx >> 2
+        px = col0 + col_off * 4
+        py = row0 + row_off * 4
+        ref = self.planes[plane]
+        au = ts.above_entropy[plane]
+        lu = ts.left_entropy[plane]
+        acol = ((mi_col >> ss_x) if plane else mi_col) + col_off
+        lrow = ((mi_row >> ss_y) if plane else mi_row) + row_off
+        skip_ctx, dc_sign_ctx = CF.txb_ctx(
+            plane_bsize, tx_size, plane, au[acol:acol + txw],
+            lu[lrow:lrow + txh])
+        dqv_dc, dqv_ac = self.dqv[plane]
+        mm = 32
+        if plane == 0:
+            tx_type = self._make_inter_tx_type_reader(
+                ts, rd, tx_size, mi_row + row_off, mi_col + col_off)
+        else:
+            # chroma inter: co-located luma tx type (blockd.h:1291)
+            tt = int(self.tx_type_map[mi_row + (row_off << ss_y) + mm,
+                                      mi_col + (col_off << ss_x) + mm])
+            st = TT.ext_tx_set_type(tx_size, True,
+                                    bool(self.fh.reduced_tx_set))
+            if not TT.EXT_TX_USED[st][tt]:
+                tt = c.DCT_DCT
+            if c.TX_SIZE_SQR_UP[tx_size] > c.TX_32X32:
+                tt = c.DCT_DCT
+            tx_type = tt
+            self._last_tx_type = tt
+        eob, cul_level, dqcoeff = CF.read_coeffs_txb(
+            rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
+            dqv_dc, dqv_ac)
+        if plane == 0 and eob == 0:
+            self.tx_type_map[mi_row + row_off + mm,
+                             mi_col + col_off + mm] = c.DCT_DCT
+        pbw4 = blockd.block_wide(plane_bsize) >> 2
+        pbh4 = blockd.block_high(plane_bsize) >> 2
+        vis_w4 = pbw4 + (min(mb_to_right, 0) >> (2 + ss_x))
+        vis_h4 = pbh4 + (min(mb_to_bottom, 0) >> (2 + ss_y))
+        CF.set_entropy_spans(au, lu, acol, lrow, txw, txh, cul_level,
+                             vis_w4, vis_h4, col_off, row_off,
+                             mb_to_right < 0, mb_to_bottom < 0)
+        if eob:
+            from ..common import txfm2d as T2
+            tt = self._last_tx_type
+            ref[py:py + txhpx, px:px + txwpx] = T2.inv_txfm2d_add(
+                dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt)
+
+    def _make_inter_tx_type_reader(self, ts, rd, tx_size, cell_row,
+                                   cell_col):
+        """av1_read_tx_type for inter blocks (inter_ext_tx_cdf); records the
+        decoded type into tx_type_map for chroma derivation."""
+        def read_tx_type():
+            st = TT.ext_tx_set_type(tx_size, True,
+                                    bool(self.fh.reduced_tx_set))
+            if TT.NUM_EXT_TX_SET[st] <= 1:
+                tt = c.DCT_DCT
+            else:
+                eset = TT.inter_ext_tx_idx(st)
+                sqr = c.TX_SIZE_SQR[tx_size]
+                sym = rd.decode_symbol_adapt(
+                    ts.fc.inter_ext_tx_cdf[eset][sqr],
+                    TT.NUM_EXT_TX_SET[st])
+                tt = TT.EXT_TX_INV[st][sym]
+            self._last_tx_type = tt
+            self.tx_type_map[cell_row + 32, cell_col + 32] = tt
+            return tt
+        return read_tx_type
+
+    # --- motion compensation ----------------------------------------------
+
+    def _ref_pad(self, ref_idx, plane):
+        key = (ref_idx, plane)
+        pad = self._ref_pad_cache.get(key)
+        if pad is None:
+            pad = IP.pad_ref_plane(self.refs[ref_idx][plane])
+            self._ref_pad_cache[key] = pad
+        return pad
+
+    def _predict_inter_block(self, bi, mi_row, mi_col):
+        """dec_build_inter_predictor + build_inter_predictors
+        (reconinter_template.inc)."""
+        bsize = bi.bsize
+        g = self.g
+        m = g.m
+        bw_px = blockd.block_wide(bsize)
+        bh_px = blockd.block_high(bsize)
+        bw4 = blockd.mi_size_wide(bsize)
+        bh4 = blockd.mi_size_high(bsize)
+        mi_x = mi_col * 4
+        mi_y = mi_row * 4
+        mb_to_left = -mi_x
+        mb_to_right = (self.mi_cols - bw4 - mi_col) * 4
+        mb_to_top = -mi_y
+        mb_to_bottom = (self.mi_rows - bh4 - mi_row) * 4
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+        fx, fy = bi.interp_filter
+
+        for plane in range(nplanes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            dst = self.planes[plane]
+            is_sub4_x = bw_px == 4 and ss_x
+            is_sub4_y = bh_px == 4 and ss_y
+            sub8x8 = False
+            if plane and (is_sub4_x or is_sub4_y):
+                sub8x8 = True
+                for dr in range(-1 if is_sub4_y else 0, 1):
+                    for dcc in range(-1 if is_sub4_x else 0, 1):
+                        if g.ref0[mi_row + dr + m, mi_col + dcc + m] <= \
+                                c.INTRA_FRAME:
+                            sub8x8 = False
+            if sub8x8:
+                plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y)
+                b4_w = bw_px >> ss_x
+                b4_h = bh_px >> ss_y
+                b8_w = blockd.block_wide(plane_bsize)
+                b8_h = blockd.block_high(plane_bsize)
+                row_start = -1 if is_sub4_y else 0
+                col_start = -1 if is_sub4_x else 0
+                pre_x = (mi_x + 4 * col_start) >> ss_x
+                pre_y = (mi_y + 4 * row_start) >> ss_y
+                row = row_start
+                for y in range(0, b8_h, b4_h):
+                    col = col_start
+                    for x in range(0, b8_w, b4_w):
+                        rr = mi_row + row + m
+                        cc = mi_col + col + m
+                        sref = int(g.ref0[rr, cc])
+                        smv = g.mv[rr, cc, 0]
+                        pred = IP.predict_inter_block(
+                            self._ref_pad(sref, plane), pre_x + x, pre_y + y,
+                            b4_w, b4_h, int(smv[0]), int(smv[1]), ss_x, ss_y,
+                            mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                            fx, fy)
+                        dst[pre_y + y:pre_y + y + b4_h,
+                            pre_x + x:pre_x + x + b4_w] = pred
+                        col += 1
+                    row += 1
+            else:
+                b_w = bw_px >> ss_x
+                b_h = bh_px >> ss_y
+                x0 = mi_x >> ss_x
+                y0 = mi_y >> ss_y
+                pred = IP.predict_inter_block(
+                    self._ref_pad(bi.ref_frame[0], plane), x0, y0, b_w, b_h,
+                    bi.mv[0][0], bi.mv[0][1], ss_x, ss_y,
+                    mb_to_left, mb_to_right, mb_to_top, mb_to_bottom, fx, fy)
+                dst[y0:y0 + b_h, x0:x0 + b_w] = pred

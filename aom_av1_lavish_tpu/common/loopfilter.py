@@ -3,9 +3,9 @@
 AV1 spec §7.14 (reference behavior: av1/common/av1_loopfilter.c
 set_lpf_parameters + aom_dsp/loopfilter.c kernels).  Operates on the recon
 planes after the whole frame is reconstructed: a vertical-edge pass then a
-horizontal-edge pass per plane.  All-intra scope for now: no mode/ref
-deltas, uniform level per plane (is_inter=0 simplifies the skip rule: every
-transform-unit edge with nonzero level is filtered).
+horizontal-edge pass per plane.  Per-block filter levels honor the ref/mode deltas
+(av1_loopfilter.c:68 av1_get_filter_level) and skipped inter blocks only
+filter prediction-unit edges (av1_loopfilter.c:240 set_lpf_parameters).
 
 Vectorization: per 4x4 edge unit compute (filter_length, level), then apply
 each filter length to all its units batched (numpy fancy indexing).
@@ -208,39 +208,103 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
     plane[rows, cols] = out
 
 
-def loop_filter_frame(planes, tx_size_grids, bsize_grid, fh, sh):
-    """Filter recon planes in place (all-intra scope).
+# mode_lf_lut (av1_loopfilter.c): prediction mode -> mode-delta bucket
+MODE_LF_LUT = np.array([0] * 13 + [1, 1, 0, 1, 1, 1, 1, 1, 1, 1, 0, 1],
+                       np.int32)
 
-    tx_size_grids: per-plane (mi_h', mi_w') arrays of TX_* in plane mi
-    units; bsize_grid: (mi_h, mi_w) luma-mi BLOCK_* per 4x4.
+
+def build_filter_levels(fh):
+    """lvl[plane][dir][ref0][mode_bucket] (av1_loop_filter_frame_init)."""
+    base = [(fh.filter_level[0], fh.filter_level[1]),
+            (fh.filter_level_u, fh.filter_level_u),
+            (fh.filter_level_v, fh.filter_level_v)]
+    lvl = np.zeros((3, 2, 8, 2), np.int32)
+    for plane in range(3):
+        for d in range(2):
+            seg = base[plane][d]
+            if not fh.loop_filter_delta_enabled:
+                lvl[plane, d, :, :] = seg
+                continue
+            scale = 1 << (seg >> 5)
+            lvl[plane, d, 0, :] = np.clip(
+                seg + fh.ref_deltas[0] * scale, 0, MAX_LOOP_FILTER)
+            for ref in range(1, 8):
+                for mb in range(2):
+                    v = seg + fh.ref_deltas[ref] * scale                         + fh.mode_deltas[mb] * scale
+                    lvl[plane, d, ref, mb] = np.clip(v, 0, MAX_LOOP_FILTER)
+    return lvl
+
+
+def loop_filter_frame(planes, fh, sh, luma_txw4, luma_txh4, bsize_grid,
+                      ref_grid, mode_grid, skip_inter_grid, plane_tx_fn):
+    """Filter recon planes in place.
+
+    luma_txw4/txh4: (mi_h, mi_w) luma tx dims per mi in 4x4 units.
+    bsize_grid: luma BLOCK_* per mi.  ref_grid/mode_grid/skip_inter_grid:
+    per luma mi ref_frame[0], prediction mode, skip&&inter flag.
+    plane_tx_fn(plane, bsize) -> chroma TX_* for a block.
     """
-    levels = [(fh.filter_level[0], fh.filter_level[1]),
-              (fh.filter_level_u, fh.filter_level_u),
-              (fh.filter_level_v, fh.filter_level_v)]
+    from . import blockd
+    lvl_tab = build_filter_levels(fh)
     lim_tab, mblim_tab = sharpness_limits(fh.sharpness_level)
     num_planes = 1 if sh.mono_chrome else 3
+    mh, mw = bsize_grid.shape
+    mode_bucket = MODE_LF_LUT[np.clip(mode_grid, 0, 24)]
+    ref_clip = np.clip(ref_grid, 0, 7)
+    txw4_of = np.array([c.TX_WIDTH[t] >> 2 for t in range(c.TX_SIZES_ALL)])
+    txh4_of = np.array([c.TX_HEIGHT[t] >> 2 for t in range(c.TX_SIZES_ALL)])
+    bw4_of = np.array([blockd.block_wide(b) >> 2
+                       for b in range(c.BLOCK_SIZES_ALL)])
+    bh4_of = np.array([blockd.block_high(b) >> 2
+                       for b in range(c.BLOCK_SIZES_ALL)])
+
+    # decodeframe.c:5267 gates the whole filter on the luma base levels;
+    # thread_common.c check_planes_to_loop_filter gates chroma per plane
+    if fh.filter_level[0] == 0 and fh.filter_level[1] == 0:
+        return
     for plane in range(num_planes):
-        lv_v, lv_h = levels[plane]
-        if plane == 0 and lv_v == 0 and lv_h == 0:
-            break
-        if plane and levels[plane][0] == 0:
+        if plane == 1 and fh.filter_level_u == 0:
+            continue
+        if plane == 2 and fh.filter_level_v == 0:
             continue
         ss_x = sh.subsampling_x if plane else 0
         ss_y = sh.subsampling_y if plane else 0
         buf = planes[plane]
-        txg = tx_size_grids[plane]
-        gh, gw = txg.shape
+        if plane == 0:
+            sel_r = np.arange(mh)
+            sel_c = np.arange(mw)
+        else:
+            gh = (mh + ss_y) >> ss_y
+            gw = (mw + ss_x) >> ss_x
+            sel_r = np.minimum((np.arange(gh) << ss_y) | ss_y, mh - 1)
+            sel_c = np.minimum((np.arange(gw) << ss_x) | ss_x, mw - 1)
+        bs_sel = bsize_grid[sel_r[:, None], sel_c[None, :]]
+        ref_sel = ref_clip[sel_r[:, None], sel_c[None, :]]
+        mb_sel = mode_bucket[sel_r[:, None], sel_c[None, :]]
+        skip_sel = skip_inter_grid[sel_r[:, None], sel_c[None, :]]
+        gh, gw = bs_sel.shape
+        if plane == 0:
+            dimw4 = luma_txw4.astype(np.int64)
+            dimh4 = luma_txh4.astype(np.int64)
+            pbw4 = bw4_of[bs_sel]
+            pbh4 = bh4_of[bs_sel]
+        else:
+            txsel = np.zeros((gh, gw), np.int32)
+            for b in np.unique(bs_sel):
+                txsel[bs_sel == b] = plane_tx_fn(plane, int(b))
+            dimw4 = txw4_of[txsel]
+            dimh4 = txh4_of[txsel]
+            pb = np.zeros((gh, gw), np.int32)
+            for b in np.unique(bs_sel):
+                pb[bs_sel == b] = blockd.plane_block_size(int(b), ss_x, ss_y)
+            pbw4 = bw4_of[pb]
+            pbh4 = bh4_of[pb]
+        lvl_plane = lvl_tab[plane]  # [dir][ref][modebucket]
         for horizontal in (False, True):
-            lvl = lv_h if horizontal else lv_v
-            if lvl == 0:
-                continue
-            groups = {}
-            txw4 = (np.array([c.TX_WIDTH[t] for t in range(c.TX_SIZES_ALL)])
-                    >> 2)
-            txh4 = (np.array([c.TX_HEIGHT[t] for t in range(c.TX_SIZES_ALL)])
-                    >> 2)
-            dim4 = txh4[txg] if horizontal else txw4[txg]
-            # edge present where the coordinate is a multiple of the tx dim
+            d = 1 if horizontal else 0
+            dim4 = dimh4 if horizontal else dimw4
+            pdim4 = pbh4 if horizontal else pbw4
+            lvl_map = lvl_plane[d][ref_sel, mb_sel]
             r_idx, c_idx = np.mgrid[0:gh, 0:gw]
             coord = r_idx if horizontal else c_idx
             tu_edge = (coord % dim4) == 0
@@ -248,9 +312,19 @@ def loop_filter_frame(planes, tx_size_grids, bsize_grid, fh, sh):
             rs, cs = np.nonzero(tu_edge)
             if len(rs) == 0:
                 continue
-            # neighbor tx dim across the edge
             pr = rs - (1 if horizontal else 0)
             pc = cs - (0 if horizontal else 1)
+            curr_lvl = lvl_map[rs, cs]
+            pv_lvl = lvl_map[pr, pc]
+            curr_skip = skip_sel[rs, cs] != 0
+            pv_skip = skip_sel[pr, pc] != 0
+            pu_edge = (coord[rs, cs] % pdim4[rs, cs]) == 0
+            keep = ((curr_lvl > 0) | (pv_lvl > 0)) &                 (~pv_skip | ~curr_skip | pu_edge)
+            if not keep.any():
+                continue
+            rs, cs, pr, pc = rs[keep], cs[keep], pr[keep], pc[keep]
+            level = np.where(curr_lvl[keep] > 0, curr_lvl[keep],
+                             pv_lvl[keep])
             d_cur = dim4[rs, cs]
             d_prev = dim4[pr, pc]
             dmin = np.minimum(d_cur, d_prev)
@@ -259,9 +333,9 @@ def loop_filter_frame(planes, tx_size_grids, bsize_grid, fh, sh):
                 flen = np.where(dim_log2 == 0, 4, 6)
             else:
                 flen = np.array(TX_DIM_TO_FILTER_LENGTH)[dim_log2]
-            lim = np.full(len(rs), lim_tab[lvl], np.int32)
-            mblim = np.full(len(rs), mblim_tab[lvl], np.int32)
-            thr = np.full(len(rs), lvl >> 4, np.int32)
+            lim = lim_tab[level]
+            mblim = mblim_tab[level]
+            thr = (level >> 4).astype(np.int32)
             ys = rs * 4
             xs = cs * 4
             for L in (4, 6, 8, 14):

@@ -128,6 +128,8 @@ class FrameDecoder(InterDecoderMixin):
         # luma tx dims per mi (for the loop filter with variable tx)
         self.tx_wide_grid = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         self.tx_high_grid = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.skip_inter_grid = np.zeros((self.mi_rows, self.mi_cols),
+                                        np.uint8)
         # reference frames: refs[LAST..ALTREF] = (planes tuple, order_hint)
         self.refs = [None] * 8
         self.sign_bias = [0] * 8
@@ -448,6 +450,8 @@ class FrameDecoder(InterDecoderMixin):
             bi.interp_filter[1]
         self.interp_grid[mi_row + m:r1 + m, mi_col + m:c1 + m, 1] = \
             bi.interp_filter[0]
+        self.skip_inter_grid[mi_row:r1, mi_col:c1] = \
+            1 if (bi.skip_txfm and bi.is_inter) else 0
         if bi.tx_size >= 0 and bi.inter_leaves is None:
             self.tx_wide_grid[mi_row:r1, mi_col:c1] = c.TX_WIDTH[bi.tx_size]
             self.tx_high_grid[mi_row:r1, mi_col:c1] = c.TX_HEIGHT[bi.tx_size]
@@ -770,21 +774,25 @@ class FrameDecoder(InterDecoderMixin):
                              and fh.filter_level_v == 0):
             return
         from ..common import loopfilter as LF
-        bsg = np.zeros((self.mi_rows, self.mi_cols), np.int32)
-        for r in range(self.mi_rows):
-            for col in range(self.mi_cols):
-                bi = self.mi[r, col]
-                bsg[r, col] = bi.bsize if bi is not None else c.BLOCK_64X64
+        m = self.g.m
+        bsg = self.g.bsize[m:m + self.mi_rows, m:m + self.mi_cols] \
+            .astype(np.int32)
+        ref_grid = self.g.ref0[m:m + self.mi_rows, m:m + self.mi_cols] \
+            .astype(np.int32)
+        mode_grid = self.g.mode[m:m + self.mi_rows, m:m + self.mi_cols] \
+            .astype(np.int32)
+        skip_inter = self.skip_inter_grid[:self.mi_rows, :self.mi_cols]
 
         def plane_tx(plane, bsize):
             pb = blockd.plane_block_size(bsize, self.ss_x, self.ss_y) \
                 if plane else bsize
             return self._plane_tx_size(plane, pb)
 
-        grids = [LF.tx_grid_for_plane(bsg, p, self.ss_x, self.ss_y,
-                                      self.lossless, plane_tx)
-                 for p in range(self.num_planes)]
-        LF.loop_filter_frame(self.planes, grids, bsg, fh, sh)
+        LF.loop_filter_frame(
+            self.planes, fh, sh,
+            (self.tx_wide_grid >> 2).astype(np.int64),
+            (self.tx_high_grid >> 2).astype(np.int64),
+            bsg, ref_grid, mode_grid, skip_inter, plane_tx)
 
     def output(self):
         w, h = self.fh.frame_width, self.fh.frame_height

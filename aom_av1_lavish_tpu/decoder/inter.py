@@ -29,7 +29,7 @@ SUB_TX_SIZE_MAP = [0, 0, 1, 2, 3, 0, 0, 1, 1, 2, 2, 3, 3, 5, 6, 7, 8, 9, 10]
 
 # common_data.h size_group_lookup
 SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
-              1, 1, 2, 2, 3, 3]
+              0, 0, 1, 1, 2, 2]
 
 # blockd.h bsize_to_max_depth / bsize_to_tx_size_cat (depth table - 1)
 _MAX_DEPTH = [0, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
@@ -753,10 +753,15 @@ class InterDecoderMixin:
                         col += 1
                     row += 1
             else:
-                b_w = bw_px >> ss_x
-                b_h = bh_px >> ss_y
-                x0 = mi_x >> ss_x
-                y0 = mi_y >> ss_y
+                # set_plane_n4 clamps plane dims to >=4 and setup_pred_plane
+                # rounds the origin down for sub-8x8 chroma: the prediction
+                # covers the full plane block at the rounded-down origin
+                row_start = -1 if (bh_px == 4 and ss_y) else 0
+                col_start = -1 if (bw_px == 4 and ss_x) else 0
+                b_w = max(bw_px >> ss_x, 4) if plane else bw_px
+                b_h = max(bh_px >> ss_y, 4) if plane else bh_px
+                x0 = (mi_x + 4 * col_start) >> ss_x
+                y0 = (mi_y + 4 * row_start) >> ss_y
                 pred = IP.predict_inter_block(
                     self._ref_pad(bi.ref_frame[0], plane), x0, y0, b_w, b_h,
                     bi.mv[0][0], bi.mv[0][1], ss_x, ss_y,

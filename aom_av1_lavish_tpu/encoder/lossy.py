@@ -78,15 +78,24 @@ class LossyAllIntraEncoder(LosslessEncoder):
         if (fh.filter_level[0] == 0 and fh.filter_level[1] == 0
                 and fh.filter_level_u == 0 and fh.filter_level_v == 0):
             return
+        import numpy as np
         from ..common import loopfilter as LF
+        from ..common import blockd
 
         def plane_tx(plane, bsize):
             return self._plane_tx(plane, bsize)
 
-        grids = [LF.tx_grid_for_plane(self.mi_bsize, p, self.ss_x,
-                                      self.ss_y, False, plane_tx)
-                 for p in range(self.num_planes)]
-        LF.loop_filter_frame(self.recon, grids, self.mi_bsize, fh, self.sh)
+        bsg = self.mi_bsize.astype(np.int32)
+        mh, mw = bsg.shape
+        txw4 = np.zeros((mh, mw), np.int64)
+        txh4 = np.zeros((mh, mw), np.int64)
+        for b in np.unique(bsg):
+            tx = self._plane_tx(0, int(b))
+            txw4[bsg == b] = c.TX_WIDTH[tx] >> 2
+            txh4[bsg == b] = c.TX_HEIGHT[tx] >> 2
+        zeros = np.zeros((mh, mw), np.int32)
+        LF.loop_filter_frame(self.recon, fh, self.sh, txw4, txh4, bsg,
+                             zeros, zeros, zeros.astype(np.uint8), plane_tx)
 
     # ------------------------------------------------------------------
     # partition: RD search pass builds a plan tree, then emit pass codes it

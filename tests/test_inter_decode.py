@@ -1,0 +1,72 @@
+"""Inter-frame decode conformance: our decoder must reproduce stock
+aomdec's output bit-exactly on aomenc-produced inter streams (key frame +
+P-frames, single-reference toolset)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from aom_av1_lavish_tpu.decoder import decode_ivf
+from aom_av1_lavish_tpu.utils.y4m import read_y4m, write_y4m
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+AOMENC = os.path.join(ROOT, ".oracle", "build", "aomenc")
+AOMDEC = os.path.join(ROOT, ".oracle", "build", "aomdec")
+HAVE_ORACLE = os.path.exists(AOMENC) and os.path.exists(AOMDEC)
+
+ENC_FLAGS = [
+    "--cpu-used={cpu}", "--end-usage=q", "--cq-level={q}", "--passes=1",
+    "--lag-in-frames=0", "--kf-max-dist=9999", "--enable-chroma-deltaq=0",
+    "--aq-mode=0", "--enable-cdef=0", "--enable-restoration=0",
+    "--enable-obmc=0", "--enable-warped-motion=0",
+    "--enable-global-motion=0", "--enable-dual-filter=0",
+    "--enable-interintra-comp=0", "--enable-masked-comp=0",
+    "--enable-dist-wtd-comp=0", "--enable-ref-frame-mvs=0",
+    "--max-reference-frames=3", "--enable-filter-intra=0",
+    "--enable-intrabc=0", "--enable-palette=0", "--enable-cfl-intra=0",
+    "--enable-smooth-interintra=0", "--error-resilient=1",
+    "--tile-columns=0", "--tile-rows=0", "--threads=1",
+]
+
+
+def _moving_frames(w, h, n, seed=5):
+    rng = np.random.default_rng(seed)
+    base = (np.kron(rng.integers(0, 256, ((h + 64) // 12 + 1,
+                                          (w + 64) // 12 + 1)),
+                    np.ones((12, 12)))
+            + rng.integers(-20, 20, ((h + 64) // 12 * 12 + 12,
+                                     (w + 64) // 12 * 12 + 12))) \
+        .clip(0, 255).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        y = base[8 + i:8 + i + h, 4 + 2 * i:4 + 2 * i + w].copy()
+        y[20 + 3 * i:40 + 3 * i, 10 + 4 * i:30 + 4 * i] = (60 + 25 * i) % 255
+        u = (128 + 40 * np.sin((np.mgrid[0:h // 2, 0:w // 2][0] + 5 * i)
+                               / 17)).astype(np.uint8)
+        v = base[:h // 2, i:i + w // 2]
+        frames.append((y, u, v))
+    return frames
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+@pytest.mark.parametrize("cpu,q", [(6, 30), (3, 30), (6, 50)])
+def test_inter_decode_conformance(tmp_path, cpu, q):
+    w, h = 128, 96
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "t.ivf")
+    dec = str(tmp_path / "dec.y4m")
+    write_y4m(src, _moving_frames(w, h, 6), w, h)
+    flags = [f.format(cpu=cpu, q=q) for f in ENC_FLAGS]
+    subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
+                    "--ivf", "-o", ivf] + flags + [src],
+                   check=True, capture_output=True)
+    subprocess.run([AOMDEC, "-o", dec, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(dec)[0]
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
+                                          f"plane {pi}")

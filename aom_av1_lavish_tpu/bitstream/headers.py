@@ -398,12 +398,14 @@ def _read_delta_q(r: BitReader) -> int:
 
 def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
                        w: BitWriter) -> None:
-    """Uncompressed header for an intra frame (spec 5.9.2).
+    """Uncompressed header (spec 5.9.2).
 
-    Inter-frame fields will be added with the inter path; asserts guard the
-    currently supported configuration.
+    Inter frames currently require error-resilient mode with order hints
+    disabled (no primary ref, no in-stream ref order hints, no skip mode).
     """
-    assert fh.is_intra, "inter frame headers not yet implemented"
+    if not fh.is_intra:
+        assert fh.error_resilient_mode and not sh.enable_order_hint, \
+            "inter headers: ER + no order hints only"
     w.write_bit(0)  # show_existing_frame
     w.write_literal(fh.frame_type, 2)
     w.write_bit(fh.show_frame)
@@ -426,27 +428,21 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
     keyshow = fh.frame_type == c.KEY_FRAME and fh.show_frame
     if not keyshow and fh.frame_type != c.SWITCH_FRAME:
         w.write_literal(fh.refresh_frame_flags, 8)
-    # frame size
-    if fh.frame_size_override:
-        w.write_literal(fh.frame_width - 1, sh.frame_width_bits)
-        w.write_literal(fh.frame_height - 1, sh.frame_height_bits)
-    if sh.enable_superres:
-        if fh.superres_denom != SUPERRES_NUM:
-            w.write_bit(1)
-            w.write_literal(fh.superres_denom - SUPERRES_DENOM_MIN,
-                            SUPERRES_DENOM_BITS)
-        else:
-            w.write_bit(0)
-    # render size
-    if (fh.render_width, fh.render_height) != (fh.frame_width,
-                                               fh.frame_height):
-        w.write_bit(1)
-        w.write_literal(fh.render_width - 1, 16)
-        w.write_literal(fh.render_height - 1, 16)
+    if fh.is_intra:
+        _write_frame_size(fh, sh, w)
+        if (fh.allow_screen_content_tools
+                and fh.superres_denom == SUPERRES_NUM):
+            w.write_bit(fh.allow_intrabc)
     else:
-        w.write_bit(0)
-    if fh.allow_screen_content_tools and fh.superres_denom == SUPERRES_NUM:
-        w.write_bit(fh.allow_intrabc)
+        for i in range(7):
+            w.write_literal(fh.ref_frame_idx[i], 3)
+        _write_frame_size(fh, sh, w)
+        if not fh.force_integer_mv:
+            w.write_bit(fh.allow_high_precision_mv)
+        w.write_bit(fh.is_filter_switchable)
+        if not fh.is_filter_switchable:
+            w.write_literal(fh.interpolation_filter, 2)
+        w.write_bit(fh.is_motion_mode_switchable)
     if not fh.disable_cdf_update:
         w.write_bit(fh.disable_frame_end_update_cdf)
     _write_tile_info(fh, sh, w)
@@ -476,7 +472,12 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
                 w.write_literal(fh.filter_level_v, 6)
         w.write_literal(fh.sharpness_level, 3)
         w.write_bit(fh.loop_filter_delta_enabled)
-        assert not fh.loop_filter_delta_enabled, "lf deltas TBD"
+        if fh.loop_filter_delta_enabled:
+            # deltas carried at their default values: no update bits set
+            w.write_bit(fh.loop_filter_delta_update)
+            if fh.loop_filter_delta_update:
+                for _ in range(10):
+                    w.write_bit(0)
     # cdef_params
     if not (coded_lossless or fh.allow_intrabc) and sh.enable_cdef:
         w.write_literal(fh.cdef_damping - 3, 2)
@@ -503,10 +504,36 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
     # read_tx_mode
     if not coded_lossless:
         w.write_bit(fh.tx_mode == c.TX_MODE_SELECT)
-    # frame_reference_mode: intra → nothing; skip_mode: intra → nothing
-    # allow_warped_motion: intra → nothing
+    if not fh.is_intra:
+        w.write_bit(fh.reference_mode)
+        # skip mode: not allowed without order hints; warped: seq-gated off
+        assert not sh.enable_warped_motion or fh.error_resilient_mode
     w.write_bit(fh.reduced_tx_set)
-    # global motion + film grain: nothing for intra/no-grain
+    if not fh.is_intra:
+        for _ in range(7):
+            w.write_bit(0)  # global motion: identity per ref
+    # film grain: seq flag off
+
+
+def _write_frame_size(fh: FrameHeader, sh: SequenceHeader,
+                      w: BitWriter) -> None:
+    if fh.frame_size_override:
+        w.write_literal(fh.frame_width - 1, sh.frame_width_bits)
+        w.write_literal(fh.frame_height - 1, sh.frame_height_bits)
+    if sh.enable_superres:
+        if fh.superres_denom != SUPERRES_NUM:
+            w.write_bit(1)
+            w.write_literal(fh.superres_denom - SUPERRES_DENOM_MIN,
+                            SUPERRES_DENOM_BITS)
+        else:
+            w.write_bit(0)
+    if (fh.render_width, fh.render_height) != (fh.frame_width,
+                                               fh.frame_height):
+        w.write_bit(1)
+        w.write_literal(fh.render_width - 1, 16)
+        w.write_literal(fh.render_height - 1, 16)
+    else:
+        w.write_bit(0)
 
 
 def _write_tile_info(fh: FrameHeader, sh: SequenceHeader,

@@ -1,0 +1,598 @@
+"""Low-delay inter encoder: key frame + single-reference P-frames.
+
+Builds on the all-intra RD machinery (encoder/lossy.py): the partition
+search and emit passes are inherited; this module adds per-block inter
+mode decision (motion search + NEW/NEAREST/NEAR/GLOBAL MV), the inter
+symbol syntax (mirroring decoder/inter.py read order exactly), motion
+compensation, and reference-frame management across frames.
+
+Reference behavior: av1/encoder/encodeframe.c block coding loop,
+bitstream.c pack_inter_mode_mvs (write order), mcomp.c motion search
+(SAD-driven; our search is diamond+refine, non-normative).
+
+Scope: error-resilient frames with order hints disabled (fresh CDFs per
+frame, no skip-mode/compound), single LAST reference, TX_MODE_LARGEST,
+non-switchable EIGHTTAP_REGULAR, low-precision MVs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+from ..bitstream import headers as H
+from ..common import blockd
+from ..common import coeffs as CF
+from ..common import interpred as IP
+from ..common import mvref as MR
+from ..common import quant as Q
+from ..common import txfm2d as T2
+from ..common import txtype as TT
+from .encoder import make_sequence_header
+from .lossy import LossyAllIntraEncoder, make_lossy_frame_header
+
+
+def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
+                            deblock: bool = True) -> H.FrameHeader:
+    from ..common.loopfilter import pick_filter_level_from_q
+    lvl = pick_filter_level_from_q(qindex, frame_is_key=False) if deblock \
+        else 0
+    return H.FrameHeader(
+        frame_type=c.INTER_FRAME, show_frame=1, error_resilient_mode=1,
+        disable_cdf_update=0, disable_frame_end_update_cdf=1,
+        frame_size_override=0,
+        frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
+        render_width=sh.max_frame_width, render_height=sh.max_frame_height,
+        base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
+        refresh_frame_flags=0x01, ref_frame_idx=(0,) * 7,
+        allow_high_precision_mv=0, is_filter_switchable=0,
+        interpolation_filter=c.EIGHTTAP_REGULAR,
+        is_motion_mode_switchable=0, reference_mode=c.SINGLE_REFERENCE,
+        filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
+
+
+def _mv_class(z: int):
+    """av1_get_mv_class: z = |mv| - 1; returns (class, offset)."""
+    if z < 16:
+        return 0, z
+    cls = (z >> 3).bit_length() - 1
+    cls = min(cls, 10)
+    return cls, z - (2 << (cls + 2))
+
+
+class InterFrameEncoder(LossyAllIntraEncoder):
+    """Encode one inter frame against a LAST reference."""
+
+    def __init__(self, sh, fh, refs, use_native=None,
+                 block_size=c.BLOCK_16X16, mode_set=(c.DC_PRED,),
+                 enable_cfl=False, search_range=16):
+        super().__init__(sh, fh, use_native=use_native,
+                         block_size=block_size, mode_set=mode_set,
+                         enable_cfl=enable_cfl)
+        self.refs = refs                # slot -> (y, u, v) visible planes
+        self.search_range = search_range
+        self.g = MR.MiGrids(self.mi_rows, self.mi_cols)
+        self._ref_pad_cache = {}
+        # av1_get_mvpred cost weights (rough): bits per mv step
+        self.mv_bit_cost = 1.0
+
+    # --- reference access -------------------------------------------------
+
+    def _ref_pad(self, ref_idx, plane):
+        key = (ref_idx, plane)
+        pad = self._ref_pad_cache.get(key)
+        if pad is None:
+            slot = self.fh.ref_frame_idx[ref_idx - 1]
+            pad = IP.pad_ref_plane(self.refs[slot][plane])
+            self._ref_pad_cache[key] = pad
+        return pad
+
+    # --- motion search (non-normative) ------------------------------------
+
+    def _motion_search(self, mi_row, mi_col, bsize, pred_mv):
+        """Fullpel diamond + subpel refine on luma SAD.  Returns an MV in
+        1/8-pel with even components (allow_hp=0)."""
+        y0, x0 = mi_row * 4, mi_col * 4
+        h = min(blockd.block_high(bsize), self.mi_rows * 4 - y0)
+        w = min(blockd.block_wide(bsize), self.mi_cols * 4 - x0)
+        src = self.src[0][y0:y0 + h, x0:x0 + w].astype(np.int32)
+        ref = self._ref_pad(c.LAST_FRAME, 0)
+        P = IP.PAD
+
+        def sad_full(dy, dx):
+            blk = ref[P + y0 + dy:P + y0 + dy + h,
+                      P + x0 + dx:P + x0 + dx + w].astype(np.int32)
+            return int(np.abs(blk - src).sum())
+
+        # start points: (0,0) and fullpel rounded predicted mv
+        starts = {(0, 0), (pred_mv[0] >> 3, pred_mv[1] >> 3)}
+        best = None
+        for s in starts:
+            v = sad_full(*s)
+            if best is None or v < best[0]:
+                best = (v, s)
+        # diamond refinement
+        step = max(1, self.search_range // 2)
+        by, bx = best[1]
+        while step >= 1:
+            improved = True
+            while improved:
+                improved = False
+                for (dy, dx) in ((-step, 0), (step, 0), (0, -step),
+                                 (0, step)):
+                    ny, nx = by + dy, bx + dx
+                    if abs(ny) > 128 or abs(nx) > 128:
+                        continue
+                    v = sad_full(ny, nx)
+                    if v < best[0]:
+                        best = (v, (ny, nx))
+                        by, bx = ny, nx
+                        improved = True
+            step >>= 1
+        # subpel refine at 1/4 pel (even 1/8 units) via interpolation
+        best_mv = (by * 8, bx * 8)
+        best_cost = None
+        mb_to_left = -x0
+        mb_to_right = (self.mi_cols * 4 - blockd.block_wide(bsize) - x0)
+        mb_to_top = -y0
+        mb_to_bottom = (self.mi_rows * 4 - blockd.block_high(bsize) - y0)
+        for dy in (-4, -2, 0, 2, 4):
+            for dx in (-4, -2, 0, 2, 4):
+                mv = (by * 8 + dy, bx * 8 + dx)
+                pred = IP.predict_inter_block(
+                    ref, x0, y0, blockd.block_wide(bsize),
+                    blockd.block_high(bsize), mv[0], mv[1], 0, 0,
+                    mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                    c.EIGHTTAP_REGULAR, c.EIGHTTAP_REGULAR)
+                v = int(np.abs(pred[:h, :w].astype(np.int32) - src).sum())
+                if best_cost is None or v < best_cost:
+                    best_cost = v
+                    best_mv = mv
+        return best_mv
+
+    # --- block trial ------------------------------------------------------
+
+    def _refmv_context(self, mi_row, mi_col, bsize):
+        return MR.RefMvContext(
+            self.g, mi_row, mi_col, bsize, self.sb_mi if hasattr(
+                self, "sb_mi") else (1 << (self.sh.sb_size_log2 - 2)),
+            0, self.mi_rows, 0, self.mi_cols, c.PARTITION_NONE)
+
+    def _trial_block(self, mi_row, mi_col, bsize):
+        """Try inter modes and intra fallback; pick by RD."""
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+        ctx = self._refmv_context(mi_row, mi_col, bsize)
+        stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
+            ctx, c.LAST_FRAME)
+        nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
+        near = MR.lower_mv_precision(mv_list[1], 0, 0)
+
+        searched = self._motion_search(mi_row, mi_col, bsize, nearest)
+        cands = [(MR.NEWMV, searched)]
+        if searched != nearest:
+            cands.append((MR.NEARESTMV, nearest))
+        if near != nearest and near != searched:
+            cands.append((MR.NEARMV, near))
+        if (0, 0) not in (searched, nearest, near):
+            cands.append((MR.GLOBALMV, (0, 0)))
+        # NEWMV with mv equal to nearest is illegal-ish (wasteful): demote
+        if searched == nearest:
+            cands[0] = (MR.NEARESTMV, nearest)
+        seen = set()
+        uniq = []
+        for mode, mv in cands:
+            if (mode, mv) in seen:
+                continue
+            seen.add((mode, mv))
+            uniq.append((mode, mv))
+
+        best = None
+        for mode, mv in uniq:
+            dist, bits, txbs = self._code_inter_planes(
+                mi_row, mi_col, bsize, mv)
+            bits += self._est_inter_mode_bits(mode, mv, nearest, mode_ctx)
+            cost = dist + self.lam * bits
+            if best is None or cost < best[0]:
+                best = (cost, mode, mv, txbs)
+
+        # intra fallback (DC)
+        intra_best = None
+        for mode in self.mode_set:
+            dist, bits, txbs = self._code_plane(
+                0, mode, mi_row, mi_col, bsize, up_avail, left_avail,
+                write_recon=False)
+            cost = dist + self.lam * (bits + 6.0)
+            if intra_best is None or cost < intra_best[0]:
+                intra_best = (cost, mode, txbs)
+
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+
+        if best[0] <= intra_best[0]:
+            cost, mode, mv, txbs = best
+            self._apply_txbs(0, [t for t in txbs if t["plane"] == 0])
+            for plane in (1, 2):
+                self._apply_txbs(plane,
+                                 [t for t in txbs if t["plane"] == plane])
+            return cost, dict(
+                mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=1,
+                mode=mode, mv=mv, ref_mv_idx=0, txbs=txbs,
+                is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
+                uv_mode=c.DC_PRED, cfl=None)
+        # intra path (chroma DC)
+        cost, y_mode, y_txbs = intra_best
+        self._apply_txbs(0, y_txbs)
+        uv_txbs = []
+        uv_cost = 0.0
+        if is_chroma_ref:
+            for plane in (1, 2):
+                d, b, t = self._code_plane(
+                    plane, c.DC_PRED, mi_row, mi_col, bsize, up_avail,
+                    left_avail, write_recon=False)
+                uv_cost += d + self.lam * b
+                uv_txbs += t
+                self._apply_txbs(plane, t)
+        return cost + uv_cost, dict(
+            mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=0,
+            mode=0, mv=(0, 0), ref_mv_idx=0, txbs=y_txbs + uv_txbs,
+            is_chroma_ref=is_chroma_ref, y_mode=y_mode, uv_mode=c.DC_PRED,
+            cfl=None)
+
+    def _est_inter_mode_bits(self, mode, mv, ref_mv, mode_ctx):
+        bits = 6.0  # skip+is_inter+ref frames+mode coarse
+        if mode == MR.NEWMV:
+            dr = abs(mv[0] - ref_mv[0]) >> 1
+            dc = abs(mv[1] - ref_mv[1]) >> 1
+            bits += 6.0 + (np.log2(dr + 1) + np.log2(dc + 1)) * 2.0
+        return bits
+
+    def _code_inter_planes(self, mi_row, mi_col, bsize, mv):
+        """Motion-compensate + transform-code all planes for one MV."""
+        bw4 = blockd.mi_size_wide(bsize)
+        bh4 = blockd.mi_size_high(bsize)
+        mi_x, mi_y = mi_col * 4, mi_row * 4
+        mb_to_left = -mi_x
+        mb_to_right = (self.mi_cols - bw4 - mi_col) * 4
+        mb_to_top = -mi_y
+        mb_to_bottom = (self.mi_rows - bh4 - mi_row) * 4
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+        bw_px = blockd.block_wide(bsize)
+        bh_px = blockd.block_high(bsize)
+        dist = 0.0
+        bits = 0.0
+        txbs = []
+        for plane in range(nplanes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
+                if plane else bsize
+            row_start = -1 if (plane and bh_px == 4 and ss_y) else 0
+            col_start = -1 if (plane and bw_px == 4 and ss_x) else 0
+            b_w = max(bw_px >> ss_x, 4) if plane else bw_px
+            b_h = max(bh_px >> ss_y, 4) if plane else bh_px
+            x0 = (mi_x + 4 * col_start) >> ss_x
+            y0 = (mi_y + 4 * row_start) >> ss_y
+            pred = IP.predict_inter_block(
+                self._ref_pad(c.LAST_FRAME, plane), x0, y0, b_w, b_h,
+                mv[0], mv[1], ss_x, ss_y, mb_to_left, mb_to_right,
+                mb_to_top, mb_to_bottom, c.EIGHTTAP_REGULAR,
+                c.EIGHTTAP_REGULAR)
+            d, b, t = self._code_inter_plane_txbs(
+                plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
+                mb_to_right, mb_to_bottom, ss_x, ss_y)
+            dist += d
+            bits += b
+            txbs += t
+        return dist, bits, txbs
+
+    def _code_inter_plane_txbs(self, plane, plane_bsize, pred, x0, y0,
+                               mi_row, mi_col, bsize, mb_to_right,
+                               mb_to_bottom, ss_x, ss_y):
+        tx_size = self._plane_tx(plane, bsize)
+        txw4 = c.TX_WIDTH[tx_size] >> 2
+        txh4 = c.TX_HEIGHT[tx_size] >> 2
+        pbw = blockd.block_wide(plane_bsize)
+        pbh = blockd.block_high(plane_bsize)
+        vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
+        vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
+        reduced = bool(self.fh.reduced_tx_set)
+        tx_type = c.DCT_DCT
+        tx_type_sym = None
+        if plane == 0:
+            st = TT.ext_tx_set_type(tx_size, True, reduced)
+            if TT.NUM_EXT_TX_SET[st] > 1:
+                eset = TT.inter_ext_tx_idx(st)
+                sqr = c.TX_SIZE_SQR[tx_size]
+                tx_type_sym = (("inter_ext_tx_cdf", eset, sqr),
+                               TT.EXT_TX_IND[st][tx_type],
+                               TT.NUM_EXT_TX_SET[st])
+        pq = self.pq[plane]
+        adj = CF.adjusted_tx_size(tx_size)
+        from ..bitstream import tables
+        scan = tables.scan(adj, tx_type)
+        log_scale = CF._tx_scale(tx_size)
+        dist = 0.0
+        bits = 0.0
+        txbs = []
+        for r4 in range(0, max(vis_h >> 2, 1), txh4):
+            for c4 in range(0, max(vis_w >> 2, 1), txw4):
+                py = y0 + r4 * 4
+                px = x0 + c4 * 4
+                p = pred[r4 * 4:r4 * 4 + c.TX_HEIGHT[tx_size],
+                         c4 * 4:c4 * 4 + c.TX_WIDTH[tx_size]]
+                src = self.src[plane][py:py + p.shape[0], px:px + p.shape[1]]
+                resid = src.astype(np.int32) - p.astype(np.int32)
+                coeff = T2.fwd_txfm2d(resid, tx_size, tx_type)
+                qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
+                                                    log_scale)
+                recon = (T2.inv_txfm2d_add(dqcoeff, p, tx_size, tx_type)
+                         if eob else p.copy())
+                dist += float(((src.astype(np.int64)
+                                - recon.astype(np.int64)) ** 2).sum())
+                bits += self._est_txb_bits(qcoeff, eob)
+                txbs.append(dict(
+                    plane=plane, tx_size=tx_size, tx_type=tx_type,
+                    tx_type_sym=tx_type_sym, qcoeff=qcoeff, eob=eob,
+                    plane_bsize=plane_bsize, py=py, px=px, recon=recon,
+                    acol=px >> 2, lrow=py >> 2,
+                    loc_c4=c4, loc_r4=r4,
+                    vis_w4=max(vis_w >> 2, 1), vis_h4=max(vis_h >> 2, 1),
+                    cross_r=mb_to_right < 0, cross_b=mb_to_bottom < 0))
+        return dist, bits, txbs
+
+    # --- emit -------------------------------------------------------------
+
+    def _emit_block(self, bplan, partition):
+        mi_row, mi_col, bsize = bplan["mi_row"], bplan["mi_col"], \
+            bplan["bsize"]
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+        txbs = bplan["txbs"]
+        skip = all(t["eob"] == 0 for t in txbs)
+        is_inter = bplan["is_inter"]
+
+        above_mi = (mi_row - 1, mi_col) if up_avail else None
+        left_mi = (mi_row, mi_col - 1) if left_avail else None
+        skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
+                   (int(self.mi_skip[left_mi]) if left_mi else 0)
+        self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
+
+        ii_ctx = MR.intra_inter_ctx(self.g, mi_row, mi_col, up_avail,
+                                    left_avail)
+        self.sink.symbol(int(is_inter), 2, "intra_inter_cdf", ii_ctx)
+
+        from .lossy import MAX_ANGLE_DELTA
+        from ..common import intra
+        from ..decoder.inter import SIZE_GROUP
+        emitted_mode = bplan["mode"]
+        if is_inter:
+            emitted_mode = self._emit_inter_info(
+                bplan, mi_row, mi_col, bsize, up_avail, left_avail)
+        else:
+            y_mode = bplan["y_mode"]
+            self.sink.symbol(y_mode, c.INTRA_MODES, "y_mode_cdf",
+                             SIZE_GROUP[bsize])
+            use_angle_delta = bsize >= c.BLOCK_8X8
+            if use_angle_delta and intra.is_directional(y_mode):
+                self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
+                                 "angle_delta_cdf", y_mode - c.V_PRED)
+            if bplan["is_chroma_ref"]:
+                cfl_allowed = self._cfl_allowed_enc(bsize)
+                self.sink.symbol(
+                    bplan["uv_mode"],
+                    c.UV_INTRA_MODES - int(not cfl_allowed),
+                    "uv_mode_cdf", int(cfl_allowed), y_mode)
+                uv_mode = bplan["uv_mode"]
+                uv_base = uv_mode if uv_mode < c.UV_CFL_PRED else c.DC_PRED
+                if use_angle_delta and intra.is_directional(uv_base):
+                    self.sink.symbol(MAX_ANGLE_DELTA,
+                                     2 * MAX_ANGLE_DELTA + 1,
+                                     "angle_delta_cdf", uv_mode - c.V_PRED)
+
+        # mi bookkeeping
+        rmax = min(mi_row + bh, self.mi_rows)
+        cmax = min(mi_col + bw, self.mi_cols)
+        self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
+        self.mi_mode[mi_row:rmax, mi_col:cmax] = \
+            emitted_mode if is_inter else bplan["y_mode"]
+        self.mi_bsize[mi_row:rmax, mi_col:cmax] = bsize
+        self.g.fill_block(
+            mi_row, mi_col, bh, bw,
+            c.LAST_FRAME if is_inter else c.INTRA_FRAME, -1,
+            emitted_mode if is_inter else bplan["y_mode"], bsize,
+            partition, bplan["mv"], (0, 0))
+
+        # residual
+        if skip and is_inter:
+            for plane in range(self.num_planes
+                               if bplan["is_chroma_ref"] else 1):
+                ss_x = self.ss_x if plane else 0
+                ss_y = self.ss_y if plane else 0
+                pb = blockd.plane_block_size(bsize, ss_x, ss_y) if plane \
+                    else bsize
+                acol = (mi_col >> ss_x) if plane else mi_col
+                lrow = (mi_row >> ss_y) if plane else mi_row
+                self.above_entropy[plane][
+                    acol:acol + (blockd.block_wide(pb) >> 2)] = 0
+                self.left_entropy[plane][
+                    lrow:lrow + (blockd.block_high(pb) >> 2)] = 0
+            return
+        for t in txbs:
+            plane = t["plane"]
+            au = self.above_entropy[plane]
+            lu = self.left_entropy[plane]
+            acol, lrow = t["acol"], t["lrow"]
+            txw = c.TX_WIDTH[t["tx_size"]] >> 2
+            txh = c.TX_HEIGHT[t["tx_size"]] >> 2
+            if skip:
+                au[acol:acol + txw] = 0
+                lu[lrow:lrow + txh] = 0
+                continue
+            skip_ctx2, dc_sign_ctx = CF.txb_ctx(
+                t["plane_bsize"], t["tx_size"], plane, au[acol:acol + txw],
+                lu[lrow:lrow + txh])
+            cul = self.sink.txb(t["qcoeff"], plane, skip_ctx2, dc_sign_ctx,
+                                tx_size=t["tx_size"], tx_type=t["tx_type"],
+                                tx_type_sym=t["tx_type_sym"])
+            CF.set_entropy_spans(
+                au, lu, acol, lrow, txw, txh, cul,
+                t.get("vis_w4", txw), t.get("vis_h4", txh),
+                t.get("loc_c4", 0), t.get("loc_r4", 0),
+                t.get("cross_r", False), t.get("cross_b", False))
+
+    def _emit_inter_info(self, bplan, mi_row, mi_col, bsize, up_avail,
+                         left_avail):
+        """Write ref frame + mode + mv symbols; the mode is re-derived at
+        emit time for the planned MV (the trial ran with a stale mv stack,
+        so NEAREST/NEAR may map differently here).  Returns the mode."""
+        mv = bplan["mv"]
+        counts = MR.neighbors_ref_counts(self.g, mi_row, mi_col, up_avail,
+                                         left_avail)
+        # single-ref LAST tree: p1=0 (fwd), p3=0 (L/L2), p4=0 (LAST)
+        if self.fh.reference_mode == c.REFERENCE_MODE_SELECT:
+            raise NotImplementedError
+        self.sink.symbol(0, 2, "single_ref_cdf",
+                         MR.ctx_single_ref_p1(counts), 0)
+        self.sink.symbol(0, 2, "single_ref_cdf",
+                         MR.ctx_single_ref_p3(counts), 2)
+        self.sink.symbol(0, 2, "single_ref_cdf",
+                         MR.ctx_single_ref_p4(counts), 3)
+
+        ctx = self._refmv_context(mi_row, mi_col, bsize)
+        stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
+            ctx, c.LAST_FRAME)
+        nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
+        near = MR.lower_mv_precision(mv_list[1], 0, 0)
+        if mv == nearest:
+            mode = MR.NEARESTMV
+        elif mv == near:
+            mode = MR.NEARMV
+        elif mv == (0, 0):
+            mode = MR.GLOBALMV
+        else:
+            mode = MR.NEWMV
+
+        newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
+        self.sink.symbol(0 if mode == MR.NEWMV else 1, 2, "newmv_cdf",
+                         newmv_ctx)
+        if mode != MR.NEWMV:
+            zeromv_ctx = (mode_ctx >> MR.GLOBALMV_OFFSET) & \
+                MR.GLOBALMV_CTX_MASK
+            self.sink.symbol(0 if mode == MR.GLOBALMV else 1, 2,
+                             "zeromv_cdf", zeromv_ctx)
+            if mode != MR.GLOBALMV:
+                refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & \
+                    MR.REFMV_CTX_MASK
+                self.sink.symbol(0 if mode == MR.NEARESTMV else 1, 2,
+                                 "refmv_cdf", refmv_ctx)
+        # drl (ref_mv_idx always 0 for us)
+        if mode == MR.NEWMV:
+            for idx in range(2):
+                if count > idx + 1:
+                    dctx = MR.drl_ctx(weights, idx)
+                    self.sink.symbol(0, 2, "drl_cdf", dctx)
+                    break
+        elif MR.have_nearmv(mode):
+            for idx in range(1, 3):
+                if count > idx + 1:
+                    dctx = MR.drl_ctx(weights, idx)
+                    self.sink.symbol(0, 2, "drl_cdf", dctx)
+                    break
+        if mode == MR.NEWMV:
+            ref_mv = nearest
+            if count > 1:
+                ref_mv = stack[0]
+            self._write_mv(mv, ref_mv)
+        return mode
+
+    def _write_mv(self, mv, ref_mv):
+        dr = mv[0] - ref_mv[0]
+        dc = mv[1] - ref_mv[1]
+        joint = (1 if dc else 0) | (2 if dr else 0)
+        self.sink.symbol(joint, 4, "nmv_joints_cdf")
+        if dr:
+            self._write_mv_component(dr, 0)
+        if dc:
+            self._write_mv_component(dc, 1)
+
+    def _write_mv_component(self, d, comp):
+        """Mirror of decodemv.c read_mv_component (low precision: hp
+        symbol still coded? no - usehp=0 means no hp symbol, hp=1)."""
+        pre = f"nmv_comp{comp}_"
+        sign = 1 if d < 0 else 0
+        z = abs(d) - 1
+        cls, offset = _mv_class(z)
+        self.sink.symbol(sign, 2, pre + "sign_cdf")
+        self.sink.symbol(cls, 11, pre + "classes_cdf")
+        intd = offset >> 3
+        fr = (offset >> 1) & 3
+        # hp bit must be 1 when not coded (low precision)
+        assert (offset & 1) == 1, "low-precision MV must have hp bit 1"
+        if cls == 0:
+            self.sink.symbol(intd, 2, pre + "class0_cdf")
+        else:
+            for i in range(cls):
+                self.sink.symbol((intd >> i) & 1, 2, pre + "bits_cdf", i)
+        if cls == 0:
+            self.sink.symbol(fr, 4, pre + "class0_fp_cdf", intd)
+        else:
+            self.sink.symbol(fr, 4, pre + "fp_cdf")
+        # usehp = 0: no symbol
+
+
+class LowDelayEncoder:
+    """Key frame + P-frames, conformant single-ref low-delay encoding."""
+
+    def __init__(self, width, height, qindex=60, use_native=None,
+                 block_size=c.BLOCK_16X16, deblock=False, **kw):
+        self.sh = make_sequence_header(width, height)
+        self.qindex = qindex
+        self.use_native = use_native
+        self.block_size = block_size
+        self.deblock = deblock
+        self.kw = kw
+        self.slots = [None] * 8
+        self.frame_idx = 0
+
+    def encode_frame(self, planes) -> bytes:
+        if self.frame_idx == 0:
+            fh = make_lossy_frame_header(self.sh, self.qindex,
+                                         deblock=self.deblock)
+            enc = LossyAllIntraEncoder(
+                self.sh, fh, use_native=self.use_native,
+                block_size=self.block_size, **self.kw)
+        else:
+            fh = make_inter_frame_header(self.sh, self.qindex,
+                                         deblock=False)
+            enc = InterFrameEncoder(
+                self.sh, fh, self.slots, use_native=self.use_native,
+                block_size=self.block_size)
+        payload = enc.encode_frame(planes)
+        w, h = self.sh.max_frame_width, self.sh.max_frame_height
+        cw = (w + 1) >> 1
+        ch = (h + 1) >> 1
+        out = (enc.recon[0][:h, :w].copy(),
+               enc.recon[1][:ch, :cw].copy(),
+               enc.recon[2][:ch, :cw].copy())
+        for slot in range(8):
+            if fh.refresh_frame_flags & (1 << slot):
+                self.slots[slot] = out
+        self.frame_idx += 1
+        return payload
+
+
+def encode_lowdelay_ivf(path: str, frames, width: int, height: int,
+                        qindex: int = 60, fps=(30, 1), **kw) -> None:
+    from ..bitstream.ivf import write_ivf
+    enc = LowDelayEncoder(width, height, qindex=qindex, **kw)
+    payloads = []
+    for i, f in enumerate(frames):
+        payloads.append((enc.encode_frame(f), i))
+    write_ivf(path, payloads, width, height, fps[0], fps[1])

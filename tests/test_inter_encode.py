@@ -1,0 +1,70 @@
+"""Low-delay inter encoder conformance: stock aomdec and our decoder must
+decode our key+P-frame streams identically."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from aom_av1_lavish_tpu.decoder import decode_ivf
+from aom_av1_lavish_tpu.encoder.inter import encode_lowdelay_ivf
+from aom_av1_lavish_tpu.utils.y4m import read_y4m
+
+AOMDEC = os.path.join(os.path.dirname(__file__), "..", ".oracle", "build",
+                      "aomdec")
+HAVE_ORACLE = os.path.exists(AOMDEC)
+
+
+def _content(w, h, n, seed=5):
+    rng = np.random.default_rng(seed)
+    bh, bw = h + 80, w + 80
+    base = (np.kron(rng.integers(0, 256, (bh // 10 + 1, bw // 10 + 1)),
+                    np.ones((10, 10)))[:bh, :bw]
+            + rng.integers(-15, 15, (bh, bw))).clip(0, 255).astype(np.uint8)
+    out = []
+    for i in range(n):
+        y = base[5 + i:5 + i + h, 6 + 2 * i:6 + 2 * i + w].copy()
+        y[20 + 3 * i:40 + 3 * i, 10 + 4 * i:30 + 4 * i] = (60 + 25 * i) % 255
+        u = (128 + 30 * np.sin(
+            (np.mgrid[0:(h + 1) // 2, 0:(w + 1) // 2][0] + 4 * i)
+            / 13)).astype(np.uint8)
+        v = base[:(h + 1) // 2, i:i + (w + 1) // 2]
+        out.append((y, u, v))
+    return out
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse else 99.0
+
+
+@pytest.mark.parametrize("dims,q,n", [
+    ((128, 96), 60, 4), ((100, 76), 60, 3), ((128, 96), 150, 4)])
+def test_lowdelay_selfdecode(tmp_path, dims, q, n):
+    w, h = dims
+    frames = _content(w, h, n)
+    ivf = str(tmp_path / "ld.ivf")
+    encode_lowdelay_ivf(ivf, frames, w, h, qindex=q)
+    dec = decode_ivf(ivf)
+    assert len(dec) == n
+    for o, s in zip(dec, frames):
+        assert _psnr(o[0], s[0]) > (26 if q <= 60 else 18)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+@pytest.mark.parametrize("dims,q,n", [
+    ((128, 96), 60, 4), ((100, 76), 60, 3), ((176, 144), 120, 5)])
+def test_lowdelay_conformance(tmp_path, dims, q, n):
+    w, h = dims
+    frames = _content(w, h, n)
+    ivf = str(tmp_path / "ld.ivf")
+    out = str(tmp_path / "dec.y4m")
+    encode_lowdelay_ivf(ivf, frames, w, h, qindex=q)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(out)[0]
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"frame {i} plane {pi}")

@@ -1,0 +1,152 @@
+"""TPU low-delay encoder: batched device P-frames + wavefront key frames.
+
+Device side (ops/inter_tpu.py) runs motion search, motion compensation and
+transform coding for ALL 16x16 blocks of a P-frame in one jit call (inter
+blocks have no neighbor-recon dependency, so no wavefront is needed).  The
+host walks the fixed partition tree and drives the native entropy coder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+from ..common import blockd
+from ..common import txtype as TT
+from .inter import InterFrameEncoder, make_inter_frame_header
+from .lossy import make_lossy_frame_header
+from .encoder import make_sequence_header
+from .tpu_intra import TpuAllIntraEncoder
+
+
+class TpuInterFrameEncoder(InterFrameEncoder):
+    """Fixed 16x16 inter blocks, whole-frame device encode."""
+
+    def __init__(self, sh, fh, refs, use_native=None):
+        super().__init__(sh, fh, refs, use_native=use_native,
+                         block_size=c.BLOCK_16X16)
+        self._results = None
+
+    def encode_frame(self, planes, use_jax: bool = True) -> bytes:
+        w = self.mi_cols * 4
+        h = self.mi_rows * 4
+        assert w % 16 == 0 and h % 16 == 0, \
+            "TPU preset needs a 16px-aligned mi grid (use inter.py otherwise)"
+        self._results = None
+        from .lossy import LossyAllIntraEncoder
+        return super(LossyAllIntraEncoder, self).encode_frame(
+            planes, use_jax=False)
+
+    def _ensure_device_encode(self):
+        if self._results is None:
+            from ..ops.inter_tpu import DeviceInterEncoder
+            dev = DeviceInterEncoder(self.fh.base_q_idx)
+            slot = self.fh.ref_frame_idx[0]
+            self._results = dev.encode_frame(
+                [self.src[0][:self.mi_rows * 4, :self.mi_cols * 4],
+                 self.src[1][:self.mi_rows * 2, :self.mi_cols * 2],
+                 self.src[2][:self.mi_rows * 2, :self.mi_cols * 2]],
+                self.refs[slot])
+            ry, ru, rv = dev.recon
+            self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
+            self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
+            self.recon[2][:rv.shape[0], :rv.shape[1]] = rv
+
+    def _search(self, mi_row, mi_col, bsize):
+        self._ensure_device_encode()
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return 0.0, None
+        if bsize == c.BLOCK_16X16:
+            return 0.0, ("NONE", mi_row, mi_col, bsize,
+                         [self._leaf(mi_row, mi_col)])
+        hbs = blockd.mi_size_wide(bsize) // 2
+        sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+        kids = []
+        for (r, cc) in ((mi_row, mi_col), (mi_row, mi_col + hbs),
+                        (mi_row + hbs, mi_col), (mi_row + hbs,
+                                                 mi_col + hbs)):
+            _, k = self._search(r, cc, sub)
+            kids.append(k)
+        return 0.0, ("SPLIT", mi_row, mi_col, bsize, kids)
+
+    def _leaf(self, mi_row, mi_col):
+        res = self._results[(mi_row // 4, mi_col // 4)]
+        py = mi_row * 4
+        px = mi_col * 4
+        # luma inter tx type symbol (TX_16X16 inter: DTT9_IDTX_1DDCT set)
+        st = TT.ext_tx_set_type(c.TX_16X16, True,
+                                bool(self.fh.reduced_tx_set))
+        tx_type_sym = None
+        if TT.NUM_EXT_TX_SET[st] > 1:
+            eset = TT.inter_ext_tx_idx(st)
+            sqr = c.TX_SIZE_SQR[c.TX_16X16]
+            tx_type_sym = (("inter_ext_tx_cdf", eset, sqr),
+                           TT.EXT_TX_IND[st][c.DCT_DCT],
+                           TT.NUM_EXT_TX_SET[st])
+        txbs = [dict(plane=0, tx_size=c.TX_16X16, tx_type=c.DCT_DCT,
+                     tx_type_sym=tx_type_sym, qcoeff=res["qy"],
+                     eob=res["eoby"], plane_bsize=c.BLOCK_16X16,
+                     py=py, px=px, recon=None, acol=px >> 2, lrow=py >> 2)]
+        for plane, (q, eob) in ((1, (res["qu"], res["eobu"])),
+                                (2, (res["qv"], res["eobv"]))):
+            cx, cy = px >> 1, py >> 1
+            txbs.append(dict(
+                plane=plane, tx_size=c.TX_8X8, tx_type=c.DCT_DCT,
+                tx_type_sym=None, qcoeff=q, eob=eob,
+                plane_bsize=c.BLOCK_8X8, py=cy, px=cx,
+                recon=None, acol=cx >> 2, lrow=cy >> 2))
+        return dict(mi_row=mi_row, mi_col=mi_col, bsize=c.BLOCK_16X16,
+                    is_inter=1, mode=0, mv=res["mv"], ref_mv_idx=0,
+                    txbs=txbs, is_chroma_ref=True, y_mode=c.DC_PRED,
+                    uv_mode=c.DC_PRED, cfl=None)
+
+
+class TpuLowDelayEncoder:
+    """Key frame (wavefront intra) + P-frames (batched inter), all-TPU
+    compute path with native entropy coding."""
+
+    def __init__(self, width, height, qindex=60, use_native=None,
+                 deblock=True):
+        self.sh = make_sequence_header(width, height)
+        self.qindex = qindex
+        self.use_native = use_native
+        self.deblock = deblock
+        self.slots = [None] * 8
+        self.frame_idx = 0
+
+    def encode_frame(self, planes) -> bytes:
+        if self.frame_idx == 0:
+            fh = make_lossy_frame_header(self.sh, self.qindex,
+                                         deblock=self.deblock)
+            enc = TpuAllIntraEncoder(self.sh, fh,
+                                     use_native=self.use_native)
+        else:
+            fh = make_inter_frame_header(self.sh, self.qindex,
+                                         deblock=self.deblock)
+            enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
+                                       use_native=self.use_native)
+        payload = enc.encode_frame(planes)
+        # both TPU encoders bypass the lossy encode_frame wrapper, so the
+        # in-loop filter on recon (the next frame's reference) runs here
+        enc._filter_recon()
+        w, h = self.sh.max_frame_width, self.sh.max_frame_height
+        cw = (w + 1) >> 1
+        ch = (h + 1) >> 1
+        out = (enc.recon[0][:h, :w].copy(),
+               enc.recon[1][:ch, :cw].copy(),
+               enc.recon[2][:ch, :cw].copy())
+        for slot in range(8):
+            if fh.refresh_frame_flags & (1 << slot):
+                self.slots[slot] = out
+        self.frame_idx += 1
+        return payload
+
+
+def encode_tpu_lowdelay_ivf(path: str, frames, width: int, height: int,
+                            qindex: int = 60, fps=(30, 1), **kw) -> None:
+    from ..bitstream.ivf import write_ivf
+    enc = TpuLowDelayEncoder(width, height, qindex=qindex, **kw)
+    payloads = []
+    for i, f in enumerate(frames):
+        payloads.append((enc.encode_frame(f), i))
+    write_ivf(path, payloads, width, height, fps[0], fps[1])

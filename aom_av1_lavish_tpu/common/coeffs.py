@@ -181,6 +181,11 @@ def br_ctx_eob(pos: int, bhl: int, tx_class: int) -> int:
 _SKIP_CONTEXTS = [[1, 2, 2, 2, 3], [2, 4, 4, 4, 5], [2, 4, 4, 4, 5],
                   [2, 4, 4, 4, 5], [3, 5, 5, 5, 6]]
 
+# dc-sign contribution per entropy-context byte (sign field in the top bits)
+_DC_SIGN_LUT = np.zeros(256, np.int32)
+_DC_SIGN_LUT[(1 << 6):(2 << 6)] = -1   # COEFF_CONTEXT_BITS == 6
+_DC_SIGN_LUT[(2 << 6):] = 1
+
 
 def txb_ctx(plane_bsize: int, tx_size: int, plane: int,
             above_ctx: np.ndarray, left_ctx: np.ndarray) -> tuple:
@@ -188,12 +193,10 @@ def txb_ctx(plane_bsize: int, tx_size: int, plane: int,
     (txb_common.h:281 get_txb_ctx_general)."""
     txb_w_unit = c.TX_WIDTH[tx_size] >> 2
     txb_h_unit = c.TX_HEIGHT[tx_size] >> 2
-    signs = [0, -1, 1]
-    dc_sign = 0
-    for k in range(txb_w_unit):
-        dc_sign += signs[int(above_ctx[k]) >> COEFF_CONTEXT_BITS]
-    for k in range(txb_h_unit):
-        dc_sign += signs[int(left_ctx[k]) >> COEFF_CONTEXT_BITS]
+    a = above_ctx[:txb_w_unit]
+    l = left_ctx[:txb_h_unit]
+    _signs = _DC_SIGN_LUT
+    dc_sign = int(_signs[a].sum()) + int(_signs[l].sum())
     dc_sign_ctx = 0 if dc_sign == 0 else (1 if dc_sign < 0 else 2)
 
     if plane == 0:
@@ -201,19 +204,11 @@ def txb_ctx(plane_bsize: int, tx_size: int, plane: int,
         if plane_bsize == tx_bsize:
             skip_ctx = 0
         else:
-            top = 0
-            left = 0
-            for k in range(txb_w_unit):
-                top |= int(above_ctx[k])
-            for k in range(txb_h_unit):
-                left |= int(left_ctx[k])
-            top = min(top & COEFF_CONTEXT_MASK, 4)
-            left = min(left & COEFF_CONTEXT_MASK, 4)
+            top = min(int(np.bitwise_or.reduce(a)) & COEFF_CONTEXT_MASK, 4)
+            left = min(int(np.bitwise_or.reduce(l)) & COEFF_CONTEXT_MASK, 4)
             skip_ctx = _SKIP_CONTEXTS[top][left]
     else:
-        above_ec = any(int(above_ctx[k]) for k in range(txb_w_unit))
-        left_ec = any(int(left_ctx[k]) for k in range(txb_h_unit))
-        ctx_base = int(above_ec) + int(left_ec)
+        ctx_base = int(a.any()) + int(l.any())
         ctx_offset = 10 if (_npels_log2(plane_bsize)
                             > _npels_log2(_tx_to_bsize(tx_size))) else 7
         skip_ctx = ctx_base + ctx_offset

@@ -66,15 +66,22 @@ class FcArena:
             off += a.size
         self.arena = np.concatenate(parts) if parts else \
             np.zeros(0, np.uint16)
+        self._off_cache = {}
 
     def offset(self, name: str, *idx) -> int:
         """Arena offset of the row fc.<name>[idx...] (row = last dim)."""
+        key = (name,) + idx
+        v = self._off_cache.get(key)
+        if v is not None:
+            return v
         base, shape = self.offsets[name]
         assert len(idx) == len(shape) - 1, (name, idx, shape)
         flat = 0
         for d, i in enumerate(idx):
             flat = flat * shape[d] + i
-        return base + flat * shape[-1]
+        v = base + flat * shape[-1]
+        self._off_cache[key] = v
+        return v
 
 
 class OpStream:

@@ -40,6 +40,7 @@ class BlockInfo:
     angle_delta_uv: int = 0
     skip_txfm: int = 0
     filter_intra_mode: int = -1
+    cdef_strength: int = -1
     cfl_alpha_idx: int = 0
     cfl_joint_sign: int = 0
     partition: int = c.PARTITION_NONE
@@ -101,9 +102,8 @@ class FrameDecoder(InterDecoderMixin):
         self.ss_y = sh.subsampling_y
         self.lossless = fh.coded_lossless(sh)
         if not self.lossless:
-            # current lossy scope: deblocking yes; cdef/restoration TBD
-            assert not sh.enable_cdef and not sh.enable_restoration, \
-                "cdef/restoration decode TBD"
+            assert not sh.enable_restoration, "loop restoration decode TBD"
+        self._cdef_tx = [False] * 4
         w = self.mi_cols * 4
         h = self.mi_rows * 4
         # +64 margin: large-tx blocks at the frame edge may write recon
@@ -376,6 +376,8 @@ class FrameDecoder(InterDecoderMixin):
                    (left_mi.skip_txfm if left_mi else 0)
         bi.skip_txfm = rd.decode_symbol_adapt(fc.skip_txfm_cdfs[skip_ctx], 2)
 
+        self._read_cdef(rd, bi, mi_row, mi_col)
+
         # intra_frame_y_mode via kf_y_cdf
         above_mode = above_mi.y_mode if above_mi else c.DC_PRED
         left_mode = left_mi.y_mode if left_mi else c.DC_PRED
@@ -473,6 +475,58 @@ class FrameDecoder(InterDecoderMixin):
             self._recon_inter_block(ts, rd, bi, mi_row, mi_col)
         else:
             self._recon_block(ts, rd, bi, up_avail, left_avail)
+
+    def _read_cdef(self, rd, bi, mi_row, mi_col):
+        """read_cdef (decodemv.c:39): per-64x64 strength index, read at the
+        first non-skip block, stored on the block covering the unit's
+        top-left mi cell."""
+        if not self.sh.enable_cdef or self.lossless or self.fh.allow_intrabc:
+            return
+        sb_mask = self.sb_mi - 1
+        if (mi_row & sb_mask) == 0 and (mi_col & sb_mask) == 0:
+            self._cdef_tx = [False] * 4
+        if self.sb_size == c.BLOCK_128X128:
+            index = int((mi_col & 16) != 0) + 2 * int((mi_row & 16) != 0)
+        else:
+            index = 0
+        if not self._cdef_tx[index] and not bi.skip_txfm:
+            val = rd.decode_literal(self.fh.cdef_bits) \
+                if self.fh.cdef_bits else 0
+            self._cdef_tx[index] = True
+            r0 = mi_row & ~15
+            c0 = mi_col & ~15
+            target = self.mi[r0, c0]
+            if target is None:
+                target = bi   # current block covers the unit origin
+            target.cdef_strength = val
+
+    def apply_cdef(self):
+        """CDEF after deblocking (decodeframe.c:5272 do_cdef gating)."""
+        fh, sh = self.fh, self.sh
+        if self.lossless or not sh.enable_cdef:
+            return
+        if not (fh.cdef_bits or fh.cdef_y_pri[0] or fh.cdef_y_sec[0]
+                or (fh.cdef_uv_pri and fh.cdef_uv_pri[0])
+                or (fh.cdef_uv_sec and fh.cdef_uv_sec[0])):
+            return
+        from ..common import cdef as CD
+        nvfb = (self.mi_rows + 15) // 16
+        nhfb = (self.mi_cols + 15) // 16
+        strength_grid = np.full((nvfb, nhfb), -1, np.int32)
+        skip_grid = np.ones((self.mi_rows, self.mi_cols), np.uint8)
+        for r in range(self.mi_rows):
+            for cc in range(self.mi_cols):
+                bi = self.mi[r, cc]
+                if bi is not None:
+                    skip_grid[r, cc] = bi.skip_txfm
+        for fr in range(nvfb):
+            for fc_ in range(nhfb):
+                bi = self.mi[fr * 16, fc_ * 16]
+                if bi is not None:
+                    strength_grid[fr, fc_] = bi.cdef_strength
+        CD.cdef_frame(self.planes, self.mi_rows, self.mi_cols, self.ss_x,
+                      self.ss_y, self.num_planes, skip_grid, strength_grid,
+                      fh, bd=self.sh.bit_depth)
 
     def _cfl_allowed(self, bsize):
         if self.lossless:
@@ -894,6 +948,7 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
             dec.decode_tile_data(tile_data, trow, tcol)
             idx += 1
     dec.apply_loop_filter()
+    dec.apply_cdef()
     out = dec.output()
     if state is not None and fh.refresh_frame_flags:
         stored = (tuple(p.copy() if p is not None else None for p in out),

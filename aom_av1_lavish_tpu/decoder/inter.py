@@ -79,6 +79,8 @@ class InterDecoderMixin:
                    (left_mi.skip_txfm if left_mi else 0)
         bi.skip_txfm = rd.decode_symbol_adapt(fc.skip_txfm_cdfs[skip_ctx], 2)
 
+        self._read_cdef(rd, bi, mi_row, mi_col)
+
         # is_inter
         ctx = MR.intra_inter_ctx(g, mi_row, mi_col, up_avail, left_avail)
         bi.is_inter = rd.decode_symbol_adapt(fc.intra_inter_cdf[ctx], 2)

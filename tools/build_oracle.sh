@@ -24,3 +24,7 @@ gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/txfm2d_oracle.c \
   "$REF"/av1/common/av1_inv_txfm2d.c "$REF"/av1/encoder/av1_fwd_txfm2d.c \
   "$REF"/av1/common/av1_inv_txfm1d.c "$REF"/av1/encoder/av1_fwd_txfm1d.c \
   "$REF"/av1/common/av1_txfm.c -o "$OUT"/../libtxfm2d_oracle.so
+gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/cdef_oracle.c \
+  "$REF"/av1/common/cdef_block.c -o "$OUT"/../libcdef_oracle.so
+gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/convolve_oracle.c \
+  "$OUT"/libaom.a -o "$OUT"/../libconvolve_oracle.so

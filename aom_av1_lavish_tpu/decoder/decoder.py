@@ -27,6 +27,8 @@ from ..common import mvref as MR
 from .inter import InterDecoderMixin
 
 PARTITION_PLOFFSET = 4
+# filter-intra mode -> equivalent directional mode (entropymode.c)
+FIMODE_TO_INTRADIR = [c.DC_PRED, c.V_PRED, c.H_PRED, c.D157_PRED, c.DC_PRED]
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 MAX_ANGLE_DELTA = 3
 
@@ -794,7 +796,10 @@ class FrameDecoder(InterDecoderMixin):
                 else:
                     eset = TT.intra_ext_tx_idx(st)
                     sqr = c.TX_SIZE_SQR[tx_size]
-                    mode = bi.y_mode
+                    # filter-intra blocks use the mapped directional mode
+                    # (decodemv.c:659 fimode_to_intradir)
+                    mode = (FIMODE_TO_INTRADIR[bi.filter_intra_mode]
+                            if bi.filter_intra_mode >= 0 else bi.y_mode)
                     sym = rd.decode_symbol_adapt(
                         ts.fc.intra_ext_tx_cdf[eset][sqr][mode],
                         TT.NUM_EXT_TX_SET[st])

@@ -558,7 +558,13 @@ class InterDecoderMixin:
         mb_to_right = (self.mi_cols - bw4 - mi_col) * 4
         mb_to_bottom = (self.mi_rows - bh4 - mi_row) * 4
 
+        # non-chroma-ref blocks store luma for a later CfL block in the
+        # same chroma group (decodemv.c:1504 store_cfl_required)
+        store_cfl = (self.num_planes > 1 and not is_chroma_ref)
+
         if bi.skip_txfm:
+            if store_cfl:
+                self._cfl_store_block(bi)
             # av1_reset_entropy_context
             for plane in range(nplanes):
                 ss_x = self.ss_x if plane else 0
@@ -606,6 +612,8 @@ class InterDecoderMixin:
                                       row0, col0, tr4, tc4, mb_to_right,
                                       mb_to_bottom, ss_x, ss_y,
                                       mi_row, mi_col)
+            if plane == 0 and store_cfl:
+                self._cfl_store_block(bi)
 
     def _recon_inter_txb(self, ts, rd, bi, plane, plane_bsize, tx_size,
                          row0, col0, row_off, col_off, mb_to_right,

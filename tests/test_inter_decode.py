@@ -19,14 +19,14 @@ HAVE_ORACLE = os.path.exists(AOMENC) and os.path.exists(AOMDEC)
 ENC_FLAGS = [
     "--cpu-used={cpu}", "--end-usage=q", "--cq-level={q}", "--passes=1",
     "--lag-in-frames=0", "--kf-max-dist=9999", "--enable-chroma-deltaq=0",
-    "--aq-mode=0", "--enable-cdef=0", "--enable-restoration=0",
+    "--aq-mode=0", "--enable-restoration=0",
     "--enable-obmc=0", "--enable-warped-motion=0",
-    "--enable-global-motion=0", "--enable-dual-filter=0",
+    "--enable-global-motion=0",
     "--enable-interintra-comp=0", "--enable-masked-comp=0",
     "--enable-dist-wtd-comp=0", "--enable-ref-frame-mvs=0",
-    "--max-reference-frames=3", "--enable-filter-intra=0",
-    "--enable-intrabc=0", "--enable-palette=0", "--enable-cfl-intra=0",
-    "--enable-smooth-interintra=0", "--error-resilient=1",
+    "--max-reference-frames=3",
+    "--enable-intrabc=0", "--enable-palette=0",
+    "--error-resilient=1",
     "--tile-columns=0", "--tile-rows=0", "--threads=1",
 ]
 

@@ -251,9 +251,12 @@ class RangeDecoder:
         self._renorm(dif, r)
         return ret
 
+    allow_update_cdf = True   # aom_reader.allow_update_cdf
+
     def decode_symbol_adapt(self, cdf: np.ndarray, nsymbs: int) -> int:
         ret = self.decode_symbol(cdf, nsymbs)
-        update_cdf(cdf, ret, nsymbs)
+        if self.allow_update_cdf:
+            update_cdf(cdf, ret, nsymbs)
         return ret
 
     def decode_bool_q15(self, f: int) -> int:

@@ -355,6 +355,8 @@ class FrameHeader:
     mode_deltas: tuple = (0, 0)
     loop_filter_delta_update: int = 0
     current_frame_id: int = 0
+    show_existing_frame: int = 0
+    frame_to_show: int = 0
 
     def coded_lossless(self, sh: SequenceHeader) -> bool:
         if self.base_q_idx != 0 or self.delta_q_y_dc != 0:
@@ -603,11 +605,20 @@ def _write_quantization_params(fh: FrameHeader, sh: SequenceHeader,
 
 
 def parse_frame_header(data: bytes, sh: SequenceHeader,
-                       bit_offset: int = 0) -> tuple[FrameHeader, int]:
-    """Parse an intra uncompressed header; returns (fh, end_bit_offset)."""
+                       bit_offset: int = 0,
+                       ref_state: dict | None = None
+                       ) -> tuple[FrameHeader, int]:
+    """Parse an uncompressed header; returns (fh, end_bit_offset).
+
+    ref_state (decoder-maintained, needed for non-error-resilient
+    streams): {"order_hints": [8], "ref_deltas": {slot: (ref, mode)}}."""
     r = BitReader(data, bit_offset)
     fh = FrameHeader()
-    assert r.read_bit() == 0, "show_existing_frame unsupported"
+    if r.read_bit():
+        fh.show_existing_frame = 1
+        fh.frame_to_show = r.read_literal(3)
+        assert not sh.frame_id_numbers_present
+        return fh, r.bit_offset
     fh.frame_type = r.read_literal(2)
     fh.show_frame = r.read_bit()
     if not fh.show_frame:
@@ -641,6 +652,9 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
         if fh.error_resilient_mode and sh.enable_order_hint:
             fh.ref_order_hints = tuple(
                 r.read_literal(sh.order_hint_bits) for _ in range(8))
+        elif ref_state is not None:
+            fh.ref_order_hints = tuple(ref_state.get("order_hints",
+                                                     (0,) * 8))
     if fh.is_intra:
         _parse_frame_size(fh, sh, r)
         if (fh.allow_screen_content_tools
@@ -695,6 +709,13 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
             fh.filter_level_u = r.read_literal(6)
             fh.filter_level_v = r.read_literal(6)
         fh.sharpness_level = r.read_literal(3)
+        # deltas inherit from the primary reference frame (setup_loopfilter)
+        if (fh.primary_ref_frame != PRIMARY_REF_NONE
+                and ref_state is not None):
+            slot = fh.ref_frame_idx[fh.primary_ref_frame]
+            prev = ref_state.get("deltas", {}).get(slot)
+            if prev is not None:
+                fh.ref_deltas, fh.mode_deltas = prev
         fh.loop_filter_delta_enabled = r.read_bit()
         if fh.loop_filter_delta_enabled:
             fh.loop_filter_delta_update = r.read_bit()

@@ -210,3 +210,33 @@ class FrameContext:
         out = object.__new__(FrameContext)
         out._d = {k: v.copy() for k, v in self._d.items()}
         return out
+
+    def reset_counters(self) -> None:
+        """Zero every CDF adaptation counter (av1_reset_cdf_symbol_counters,
+        entropy.c:86) - required when a frame context is stored for later
+        frames.  The counter lives at cdf[nsymbs], which for tables read
+        with fewer symbols than the row holds is NOT the last slot."""
+        for k, v in self._d.items():
+            if k == "partition_cdf":
+                v[:4, 4] = 0
+                v[4:16, 10] = 0
+                v[16:, 8] = 0
+            elif k == "uv_mode_cdf":
+                v[0, :, 13] = 0
+                v[1, :, 14] = 0
+            elif k == "tx_size_cdf":
+                v[0, :, 2] = 0
+                v[1:, :, 3] = 0
+            elif k == "intra_ext_tx_cdf":
+                v[1, ..., 7] = 0
+                v[2, ..., 5] = 0
+            elif k == "inter_ext_tx_cdf":
+                v[1, ..., 16] = 0
+                v[2, ..., 12] = 0
+                v[3, ..., 2] = 0
+            elif k in ("palette_y_color_index_cdf",
+                       "palette_uv_color_index_cdf"):
+                for j in range(v.shape[0]):
+                    v[j, :, j + 2] = 0
+            else:
+                v[..., -1] = 0

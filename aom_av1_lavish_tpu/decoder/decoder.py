@@ -84,7 +84,7 @@ class TileState:
         # set_txfm_ctxs); left reset per SB row like the other left arrays
         self.above_txfm = np.full(mi_cols + 32, 64, dtype=np.uint8)
         self.left_txfm = np.full(mi_rows + 32, 64, dtype=np.uint8)
-        self.fc = FrameContext(fh.base_q_idx)
+        self.fc = dec.fc0.copy()
 
 
 class FrameDecoder(InterDecoderMixin):
@@ -143,9 +143,19 @@ class FrameDecoder(InterDecoderMixin):
                 slot = fh.ref_frame_idx[i]
                 buf = refs[slot]
                 assert buf is not None, "missing reference frame"
-                self.refs[c.LAST_FRAME + i] = buf[0]
-                d = H.get_relative_dist(sh, buf[1], fh.order_hint)
+                self.refs[c.LAST_FRAME + i] = buf["planes"]
+                d = H.get_relative_dist(sh, buf["order_hint"],
+                                        fh.order_hint)
                 self.sign_bias[c.LAST_FRAME + i] = int(d > 0)
+        # initial CDF state: primary ref's stored context or defaults
+        # (decodeframe.c:5007 av1_setup_past_independence)
+        if fh.primary_ref_frame != H.PRIMARY_REF_NONE and refs is not None:
+            slot = fh.ref_frame_idx[fh.primary_ref_frame]
+            assert refs[slot] is not None and refs[slot]["fc"] is not None, \
+                "primary ref frame context unavailable"
+            self.fc0 = refs[slot]["fc"].copy()
+        else:
+            self.fc0 = FrameContext(fh.base_q_idx)
         # CfL luma buffer (Q3), covers up to 32x32 chroma
         self.cfl_buf = np.zeros((32, 32), dtype=np.int32)
         self.cfl_buf_w = 0
@@ -182,6 +192,8 @@ class FrameDecoder(InterDecoderMixin):
     def decode_tile_data(self, data: bytes, tile_row: int, tile_col: int):
         ts = TileState(self, tile_row, tile_col)
         rd = RangeDecoder(data)
+        rd.allow_update_cdf = not self.fh.disable_cdf_update
+        self._last_ts = ts
         for mi_row in range(ts.mi_row_start, ts.mi_row_end, self.sb_mi):
             ts.left_partition[:] = 0
             for le in ts.left_entropy:
@@ -909,9 +921,15 @@ def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
     for obu_type, payload in H.split_obus(data):
         if obu_type == c.OBU_SEQUENCE_HEADER:
             sh = H.parse_sequence_header(payload)
-        elif obu_type == c.OBU_FRAME:
+        elif obu_type in (c.OBU_FRAME, c.OBU_FRAME_HEADER):
             assert sh is not None
-            fh, endbit = H.parse_frame_header(payload, sh)
+            fh, endbit = H.parse_frame_header(payload, sh, ref_state=state)
+            if fh.show_existing_frame:
+                slot = state["slots"][fh.frame_to_show]
+                assert slot is not None
+                frames.append(slot["planes"])
+                continue
+            assert obu_type == c.OBU_FRAME, "separate frame header OBUs TBD"
             # tile group: byte-aligned after header
             pos = (endbit + 7) >> 3
             out = _decode_tile_group(payload[pos:], sh, fh, state)
@@ -956,11 +974,29 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
     dec.apply_cdef()
     out = dec.output()
     if state is not None and fh.refresh_frame_flags:
-        stored = (tuple(p.copy() if p is not None else None for p in out),
-                  fh.order_hint)
+        # stored frame context: the post-decode state of the context
+        # update tile with backward refresh, else the frame's initial one
+        if fh.disable_frame_end_update_cdf:
+            fc_store = dec.fc0
+        else:
+            fc_store = dec._last_ts.fc
+            fc_store.reset_counters()
+        stored = {
+            "planes": tuple(p.copy() if p is not None else None
+                            for p in out),
+            "order_hint": fh.order_hint,
+            "fc": fc_store,
+            "deltas": (fh.ref_deltas, fh.mode_deltas),
+        }
         for slot in range(8):
             if fh.refresh_frame_flags & (1 << slot):
                 state["slots"][slot] = stored
+        state.setdefault("order_hints", [0] * 8)
+        state.setdefault("deltas", {})
+        for slot in range(8):
+            if fh.refresh_frame_flags & (1 << slot):
+                state["order_hints"][slot] = fh.order_hint
+                state["deltas"][slot] = (fh.ref_deltas, fh.mode_deltas)
     return out
 
 

@@ -53,12 +53,24 @@ def _moving_frames(w, h, n, seed=5):
 @pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
 @pytest.mark.parametrize("cpu,q", [(6, 30), (3, 30), (6, 50)])
 def test_inter_decode_conformance(tmp_path, cpu, q):
+    _run_conformance(tmp_path, cpu, q, extra=[])
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+def test_inter_decode_non_error_resilient(tmp_path):
+    """primary_ref_frame CDF carryover + counter resets."""
+    _run_conformance(tmp_path, 5, 35, extra=None, error_resilient=False)
+
+
+def _run_conformance(tmp_path, cpu, q, extra, error_resilient=True):
     w, h = 128, 96
     src = str(tmp_path / "src.y4m")
     ivf = str(tmp_path / "t.ivf")
     dec = str(tmp_path / "dec.y4m")
     write_y4m(src, _moving_frames(w, h, 6), w, h)
     flags = [f.format(cpu=cpu, q=q) for f in ENC_FLAGS]
+    if not error_resilient:
+        flags = [f for f in flags if f != "--error-resilient=1"]
     subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
                     "--ivf", "-o", ivf] + flags + [src],
                    check=True, capture_output=True)

@@ -160,19 +160,74 @@ class FrameDecoder(InterDecoderMixin):
         self.cfl_buf = np.zeros((32, 32), dtype=np.int32)
         self.cfl_buf_w = 0
         self.cfl_buf_h = 0
-        # dequant values (lossless: qindex 0)
+        # dequant values (per-block qindex with delta-q)
         from ..bitstream import tables
-        dcq = tables.get("dc_quant_qtx")
-        acq = tables.get("ac_quant_qtx")
+        self._dcq = tables.get("dc_quant_qtx")
+        self._acq = tables.get("ac_quant_qtx")
+        self._dqv_cache = {}
+        self.dqv = [self._dqv(p, fh.base_q_idx)
+                    for p in range(self.num_planes)]
+        self.cur_qindex = fh.base_q_idx
+        self.delta_lf = [0, 0, 0, 0]
+        self.delta_lf_grid = np.zeros((self.mi_rows, self.mi_cols, 4),
+                                      np.int8)
+        self.qindex_grid = np.full((self.mi_rows, self.mi_cols),
+                                   fh.base_q_idx, np.int32)
 
-        def q(tbl, qidx):
-            return int(tbl[0][max(0, min(255, qidx))])
-        self.dqv = []
-        for (dcd, acd) in ((fh.delta_q_y_dc, 0),
-                           (fh.delta_q_u_dc, fh.delta_q_u_ac),
-                           (fh.delta_q_v_dc, fh.delta_q_v_ac)):
-            self.dqv.append((q(dcq, fh.base_q_idx + dcd),
-                             q(acq, fh.base_q_idx + acd)))
+    def _dqv(self, plane, qindex):
+        key = (plane, qindex)
+        v = self._dqv_cache.get(key)
+        if v is None:
+            fh = self.fh
+            dcd, acd = ((fh.delta_q_y_dc, 0),
+                        (fh.delta_q_u_dc, fh.delta_q_u_ac),
+                        (fh.delta_q_v_dc, fh.delta_q_v_ac))[plane]
+
+            def q(tbl, qidx):
+                return int(tbl[0][max(0, min(255, qidx))])
+            v = (q(self._dcq, qindex + dcd), q(self._acq, qindex + acd))
+            self._dqv_cache[key] = v
+        return v
+
+    def _read_delta_q_params(self, ts, rd, bi, mi_row, mi_col):
+        """read_delta_q_params (decodemv.c:84): per-superblock delta-q and
+        delta-lf, applied as running state across the tile."""
+        fh = self.fh
+        if not fh.delta_q_present:
+            bi.qindex = fh.base_q_idx
+            return
+        sbm = self.sb_mi
+        first = (mi_row & (sbm - 1)) == 0 and (mi_col & (sbm - 1)) == 0
+        readable = (bi.bsize != self.sb_size or bi.skip_txfm == 0) and first
+
+        def read_delta(cdf):
+            if not readable:
+                return 0
+            absv = rd.decode_symbol_adapt(cdf, 4)
+            if absv == 3:
+                rem = rd.decode_literal(3) + 1
+                thr = (1 << rem) + 1
+                absv = rd.decode_literal(rem) + thr
+            sign = rd.decode_bit() if absv else 1
+            return -absv if sign else absv
+
+        d = read_delta(ts.fc.delta_q_cdf)
+        self.cur_qindex = max(1, min(255, self.cur_qindex
+                                     + d * (1 << fh.delta_q_res_log2)))
+        bi.qindex = self.cur_qindex
+        if fh.delta_lf_present:
+            n = 4 if (self.num_planes > 1 and fh.delta_lf_multi) else 1
+            if fh.delta_lf_multi:
+                for lf_id in range(n):
+                    dl = read_delta(ts.fc.delta_lf_multi_cdf[lf_id])
+                    self.delta_lf[lf_id] = max(-63, min(63,
+                        self.delta_lf[lf_id]
+                        + dl * (1 << fh.delta_lf_res_log2)))
+            else:
+                dl = read_delta(ts.fc.delta_lf_cdf)
+                v = max(-63, min(63, self.delta_lf[0]
+                                 + dl * (1 << fh.delta_lf_res_log2)))
+                self.delta_lf = [v, v, v, v]
 
     # --- tiles ------------------------------------------------------------
 
@@ -194,6 +249,8 @@ class FrameDecoder(InterDecoderMixin):
         rd = RangeDecoder(data)
         rd.allow_update_cdf = not self.fh.disable_cdf_update
         self._last_ts = ts
+        self.cur_qindex = self.fh.base_q_idx
+        self.delta_lf = [0, 0, 0, 0]
         for mi_row in range(ts.mi_row_start, ts.mi_row_end, self.sb_mi):
             ts.left_partition[:] = 0
             for le in ts.left_entropy:
@@ -391,6 +448,7 @@ class FrameDecoder(InterDecoderMixin):
         bi.skip_txfm = rd.decode_symbol_adapt(fc.skip_txfm_cdfs[skip_ctx], 2)
 
         self._read_cdef(rd, bi, mi_row, mi_col)
+        self._read_delta_q_params(ts, rd, bi, mi_row, mi_col)
 
         # intra_frame_y_mode via kf_y_cdf
         above_mode = above_mi.y_mode if above_mi else c.DC_PRED
@@ -468,6 +526,9 @@ class FrameDecoder(InterDecoderMixin):
             bi.interp_filter[0]
         self.skip_inter_grid[mi_row:r1, mi_col:c1] = \
             1 if (bi.skip_txfm and bi.is_inter) else 0
+        self.qindex_grid[mi_row:r1, mi_col:c1] = \
+            getattr(bi, "qindex", self.fh.base_q_idx)
+        self.delta_lf_grid[mi_row:r1, mi_col:c1] = self.delta_lf
         if bi.tx_size >= 0 and bi.inter_leaves is None:
             self.tx_wide_grid[mi_row:r1, mi_col:c1] = c.TX_WIDTH[bi.tx_size]
             self.tx_high_grid[mi_row:r1, mi_col:c1] = c.TX_HEIGHT[bi.tx_size]
@@ -758,7 +819,8 @@ class FrameDecoder(InterDecoderMixin):
         skip_ctx, dc_sign_ctx = CF.txb_ctx(
             plane_bsize, tx_size, plane, au[acol:acol + txw],
             lu[lrow:lrow + txh])
-        dqv_dc, dqv_ac = self.dqv[plane]
+        dqv_dc, dqv_ac = self._dqv(plane, getattr(bi, "qindex",
+                                                  self.fh.base_q_idx))
         if self.lossless:
             tx_type = c.DCT_DCT  # lossless: WHT, coded as DCT_DCT class
         elif plane == 0:

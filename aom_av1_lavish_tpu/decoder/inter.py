@@ -80,6 +80,7 @@ class InterDecoderMixin:
         bi.skip_txfm = rd.decode_symbol_adapt(fc.skip_txfm_cdfs[skip_ctx], 2)
 
         self._read_cdef(rd, bi, mi_row, mi_col)
+        self._read_delta_q_params(ts, rd, bi, mi_row, mi_col)
 
         # is_inter
         ctx = MR.intra_inter_ctx(g, mi_row, mi_col, up_avail, left_avail)
@@ -632,7 +633,8 @@ class InterDecoderMixin:
         skip_ctx, dc_sign_ctx = CF.txb_ctx(
             plane_bsize, tx_size, plane, au[acol:acol + txw],
             lu[lrow:lrow + txh])
-        dqv_dc, dqv_ac = self.dqv[plane]
+        dqv_dc, dqv_ac = self._dqv(plane, getattr(bi, "qindex",
+                                                  self.fh.base_q_idx))
         mm = 32
         if plane == 0:
             tx_type = self._make_inter_tx_type_reader(

@@ -146,6 +146,126 @@ def convolve_sr(region: np.ndarray, subx: int, suby: int,
     return np.clip(res, 0, 255).astype(np.uint8)
 
 
+def convolve_compound(region: np.ndarray, subx: int, suby: int,
+                      kern_x: np.ndarray, kern_y: np.ndarray) -> np.ndarray:
+    """Compound (CONV_BUF) convolution: round_0=3, round_1=7
+    (av1_dist_wtd_convolve_2d_c; the unified 2d path is bit-exact for all
+    phases including zero, same as the single-ref case).  Returns int32."""
+    bh, bw = region.shape[0] - 7, region.shape[1] - 7
+    im = _round2(_conv_axis(region, kern_x[subx], 1) + (1 << 14), ROUND0)
+    im = im.astype(np.int16).astype(np.int32)
+    sum_ = _conv_axis(im, kern_y[suby], 0) + (1 << (8 + 14 - ROUND0))
+    return _round2(sum_, 7)
+
+
+def compound_average(buf0: np.ndarray, buf1: np.ndarray,
+                     use_dist_wtd: bool = False, fwd_offset: int = 8,
+                     bck_offset: int = 8) -> np.ndarray:
+    """Combine the two CONV buffers (do_average path)."""
+    if use_dist_wtd:
+        tmp = (buf0 * fwd_offset + buf1 * bck_offset) >> 4
+    else:
+        tmp = (buf0 + buf1) >> 1
+    offset_bits = 8 + 2 * FILTER_BITS - ROUND0
+    tmp = tmp - ((1 << (offset_bits - 7)) + (1 << (offset_bits - 7 - 1)))
+    return np.clip(_round2(tmp, 2 * FILTER_BITS - ROUND0 - 7), 0,
+                   255).astype(np.uint8)
+
+
+def compound_conv_bufs(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
+                       mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                       filt_x, filt_y):
+    """CONV-domain prediction buffers for both references."""
+    bufs = []
+    kx = filter_kernels(filt_x, bw)
+    ky = filter_kernels(filt_y, bh)
+    for ref in range(2):
+        row_q4, col_q4 = clamp_mv_to_umv_border(
+            mvs[ref][0], mvs[ref][1], bw, bh, ss_x, ss_y, mb_to_left,
+            mb_to_right, mb_to_top, mb_to_bottom)
+        pos_x = (x0 << SUBPEL_BITS) + col_q4
+        pos_y = (y0 << SUBPEL_BITS) + row_q4
+        fx = pos_x >> SUBPEL_BITS
+        fy = pos_y >> SUBPEL_BITS
+        region = ref_pads[ref][PAD + fy - 3:PAD + fy + bh + 4,
+                              PAD + fx - 3:PAD + fx + bw + 4] \
+            .astype(np.int32)
+        bufs.append(convolve_compound(region, pos_x & SUBPEL_MASK,
+                                      pos_y & SUBPEL_MASK, kx, ky))
+    return bufs
+
+
+def predict_inter_compound(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
+                           mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                           filt_x, filt_y, use_dist_wtd=False, fwd_offset=8,
+                           bck_offset=8) -> np.ndarray:
+    """Two-reference average prediction (COMPOUND_AVERAGE / DISTWTD)."""
+    bufs = []
+    kx = filter_kernels(filt_x, bw)
+    ky = filter_kernels(filt_y, bh)
+    for ref in range(2):
+        row_q4, col_q4 = clamp_mv_to_umv_border(
+            mvs[ref][0], mvs[ref][1], bw, bh, ss_x, ss_y, mb_to_left,
+            mb_to_right, mb_to_top, mb_to_bottom)
+        pos_x = (x0 << SUBPEL_BITS) + col_q4
+        pos_y = (y0 << SUBPEL_BITS) + row_q4
+        fx = pos_x >> SUBPEL_BITS
+        fy = pos_y >> SUBPEL_BITS
+        region = ref_pads[ref][PAD + fy - 3:PAD + fy + bh + 4,
+                              PAD + fx - 3:PAD + fx + bw + 4] \
+            .astype(np.int32)
+        bufs.append(convolve_compound(region, pos_x & SUBPEL_MASK,
+                                      pos_y & SUBPEL_MASK, kx, ky))
+    return compound_average(bufs[0], bufs[1], use_dist_wtd, fwd_offset,
+                            bck_offset)
+
+
+_WEDGE_MASKS = None
+
+
+def wedge_mask(bsize: int, sign: int, idx: int) -> np.ndarray:
+    """Normative wedge mask (luma resolution) for a block size
+    (reconinter.c av1_wedge_params_lookup; loaded from
+    data/wedge_masks.npz)."""
+    global _WEDGE_MASKS
+    if _WEDGE_MASKS is None:
+        import os
+        _WEDGE_MASKS = np.load(os.path.join(
+            os.path.dirname(__file__), "..", "..", "data",
+            "wedge_masks.npz"))
+    return _WEDGE_MASKS[f"wedge_{bsize}"][sign, idx]
+
+
+def diffwtd_mask_d16(buf0: np.ndarray, buf1: np.ndarray,
+                     inverse: bool) -> np.ndarray:
+    """av1_build_compound_diffwtd_mask_d16 (reconinter.c:296), 8-bit."""
+    diff = _round2(np.abs(buf0 - buf1), 4)
+    m = np.clip(38 + diff // 16, 0, 64).astype(np.uint8)
+    return (64 - m).astype(np.uint8) if inverse else m
+
+
+def blend_a64_d16(buf0: np.ndarray, buf1: np.ndarray, mask: np.ndarray,
+                  ss_x: int, ss_y: int) -> np.ndarray:
+    """aom_lowbd_blend_a64_d16_mask (blend_a64_mask.c:36); mask at luma
+    resolution, bufs at plane resolution."""
+    if ss_x and ss_y:
+        m = _round2(mask[0::2, 0::2].astype(np.int32)
+                    + mask[1::2, 0::2] + mask[0::2, 1::2]
+                    + mask[1::2, 1::2], 2)
+    elif ss_x:
+        m = _round2(mask[:, 0::2].astype(np.int32) + mask[:, 1::2], 1)
+    elif ss_y:
+        m = _round2(mask[0::2, :].astype(np.int32) + mask[1::2, :], 1)
+    else:
+        m = mask.astype(np.int32)
+    m = m[:buf0.shape[0], :buf0.shape[1]]
+    res = (m * buf0 + (64 - m) * buf1) >> 6
+    offset_bits = 8 + 2 * FILTER_BITS - ROUND0
+    res = res - ((1 << (offset_bits - 7)) + (1 << (offset_bits - 7 - 1)))
+    return np.clip(_round2(res, 2 * FILTER_BITS - ROUND0 - 7), 0,
+                   255).astype(np.uint8)
+
+
 def pad_ref_plane(plane: np.ndarray) -> np.ndarray:
     """Replicate-extend a reference plane by PAD on all sides
     (aom_extend_frame_borders semantics)."""

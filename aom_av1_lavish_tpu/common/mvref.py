@@ -47,6 +47,13 @@ NEW_NEWMV = 24
 
 _NEWMV_MODES = {NEWMV, NEW_NEWMV, NEAREST_NEWMV, NEW_NEARESTMV,
                 NEAR_NEWMV, NEW_NEARMV}
+
+# compound_mode_ctx_map (mvref_common.h:164)
+COMPOUND_MODE_CTX_MAP = [
+    [0, 1, 1, 1, 1],
+    [1, 2, 3, 4, 4],
+    [4, 4, 5, 6, 7],
+]
 _NEARMV_MODES = {NEARMV, NEAR_NEARMV, NEAR_NEWMV, NEW_NEARMV}
 
 
@@ -159,10 +166,29 @@ def _has_top_right(ctx: RefMvContext) -> int:
 
 
 def _add_candidate(cand, ref_frame, stack, weights, counts, weight):
-    """add_ref_mv_candidate (mvref_common.c:74), single-ref path.
-    counts = [refmv_count, ref_match_count, newmv_count]."""
+    """add_ref_mv_candidate (mvref_common.c:74).  ref_frame is either a
+    single ref or a (rf0, rf1) compound pair; counts = [refmv_count,
+    ref_match_count, newmv_count]."""
     ref0, ref1, mode, _, mv = cand
     if ref0 <= c.INTRA_FRAME:           # not inter
+        return
+    if isinstance(ref_frame, tuple):
+        rf0, rf1 = ref_frame
+        if ref0 == rf0 and ref1 == rf1:
+            this = ((int(mv[0][0]), int(mv[0][1])),
+                    (int(mv[1][0]), int(mv[1][1])))
+            for idx in range(counts[0]):
+                if stack[idx] == this:
+                    weights[idx] += weight
+                    break
+            else:
+                if counts[0] < MAX_REF_MV_STACK_SIZE:
+                    stack[counts[0]] = this
+                    weights[counts[0]] = weight
+                    counts[0] += 1
+            if have_newmv(mode):
+                counts[2] += 1
+            counts[1] += 1
         return
     for which in range(2):
         rr = ref0 if which == 0 else ref1
@@ -265,7 +291,33 @@ def _clamp_mv_ref(mv, ctx):
     return (min(max(mv[0], lo_r), hi_r), min(max(mv[1], lo_c), hi_c))
 
 
-def find_mv_refs(ctx: RefMvContext, ref_frame: int, sign_bias=None):
+_DIV_MULT = [0, 16384, 8192, 5461, 4096, 3276, 2730, 2340,
+             2048, 1820, 1638, 1489, 1365, 1260, 1170, 1092,
+             1024, 963, 910, 862, 819, 780, 744, 712,
+             682, 655, 630, 606, 585, 564, 546, 528]
+MAX_FRAME_DISTANCE = 31
+
+
+def _round2s(x, n):
+    if x < 0:
+        return -((-x + (1 << (n - 1))) >> n)
+    return (x + (1 << (n - 1))) >> n
+
+
+def mv_projection(mv, num, den):
+    """get_mv_projection (mvref_common.c:26)."""
+    den = min(den, MAX_FRAME_DISTANCE)
+    num = min(num, MAX_FRAME_DISTANCE) if num > 0 \
+        else max(num, -MAX_FRAME_DISTANCE)
+    r = _round2s(mv[0] * num * _DIV_MULT[den], 14)
+    cc = _round2s(mv[1] * num * _DIV_MULT[den], 14)
+    clamp_max = (1 << 14) - 1
+    clamp_min = -(1 << 14) + 1
+    return (max(clamp_min, min(clamp_max, r)),
+            max(clamp_min, min(clamp_max, cc)))
+
+
+def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
     """Single-ref av1_find_mv_refs.  Returns (stack, weights, count,
     mode_context, mv_ref_list) where stack entries are (row, col) in
     1/8 pel.  Global motion is identity-only, so gm candidates are 0."""
@@ -329,7 +381,92 @@ def find_mv_refs(ctx: RefMvContext, ref_frame: int, sign_bias=None):
         weights[idx] += REF_CAT_LEVEL
     newmv_count = counts[2]
 
-    # (temporal MV candidates disabled: allow_ref_frame_mvs unsupported)
+    mode_context_extra = 0
+    if tmvp is not None:
+        # temporal MV candidates (mvref_common.c:542 + add_tpl_ref_mv:324)
+        is_comp = isinstance(ref_frame, tuple)
+        rf0 = ref_frame[0] if is_comp else ref_frame
+        rf1 = ref_frame[1] if is_comp else -1
+        cur = tmvp["cur_hint"]
+        off0 = tmvp["rel"](cur, tmvp["hints"][rf0])
+        off1 = tmvp["rel"](cur, tmvp["hints"][rf1]) if rf1 > 0 else 0
+        tpl_valid = tmvp["valid"]
+        tpl_mv = tmvp["mfmv"]
+        tpl_off = tmvp["offset"]
+        h2, w2 = tpl_valid.shape
+        allow_hp = tmvp["allow_hp"]
+        force_int = tmvp["force_int"]
+
+        def add_tpl(blk_row, blk_col):
+            nonlocal mode_context_extra
+            pr = blk_row if (ctx.mi_row & 1) else blk_row + 1
+            pc = blk_col if (ctx.mi_col & 1) else blk_col + 1
+            if not _is_inside(ctx, pr, pc):
+                return 0
+            tr = (ctx.mi_row + pr) >> 1
+            tc = (ctx.mi_col + pc) >> 1
+            if tr >= h2 or tc >= w2 or not tpl_valid[tr, tc]:
+                return 0
+            base = (int(tpl_mv[tr, tc, 0]), int(tpl_mv[tr, tc, 1]))
+            this = lower_mv_precision(
+                mv_projection(base, off0, int(tpl_off[tr, tc])),
+                allow_hp, force_int)
+            if not is_comp:
+                if blk_row == 0 and blk_col == 0:
+                    if abs(this[0]) >= 16 or abs(this[1]) >= 16:
+                        mode_context_extra |= 1 << GLOBALMV_OFFSET
+                for idx in range(counts[0]):
+                    if stack[idx] == this:
+                        weights[idx] += 2
+                        break
+                else:
+                    if counts[0] < MAX_REF_MV_STACK_SIZE:
+                        stack[counts[0]] = this
+                        weights[counts[0]] = 2
+                        counts[0] += 1
+            else:
+                comp = lower_mv_precision(
+                    mv_projection(base, off1, int(tpl_off[tr, tc])),
+                    allow_hp, force_int)
+                pair = (this, comp)
+                if blk_row == 0 and blk_col == 0:
+                    if (abs(this[0]) >= 16 or abs(this[1]) >= 16
+                            or abs(comp[0]) >= 16 or abs(comp[1]) >= 16):
+                        mode_context_extra |= 1 << GLOBALMV_OFFSET
+                for idx in range(counts[0]):
+                    if stack[idx] == pair:
+                        weights[idx] += 2
+                        break
+                else:
+                    if counts[0] < MAX_REF_MV_STACK_SIZE:
+                        stack[counts[0]] = pair
+                        weights[counts[0]] = 2
+                        counts[0] += 1
+            return 1
+
+        voffset = max(2, ctx.h4)
+        hoffset = max(2, ctx.w4)
+        blk_row_end = min(ctx.h4, 16)
+        blk_col_end = min(ctx.w4, 16)
+        allow_ext = (2 <= ctx.h4 < 16) and (2 <= ctx.w4 < 16)
+        step_h = 4 if ctx.h4 >= 16 else 2
+        step_w = 4 if ctx.w4 >= 16 else 2
+        is_available = 0
+        for blk_row in range(0, blk_row_end, step_h):
+            for blk_col in range(0, blk_col_end, step_w):
+                ret = add_tpl(blk_row, blk_col)
+                if blk_row == 0 and blk_col == 0:
+                    is_available = ret
+        if is_available == 0:
+            mode_context_extra |= 1 << GLOBALMV_OFFSET
+        if allow_ext:
+            for (br, bc) in ((voffset, -2), (voffset, hoffset),
+                             (voffset - 2, hoffset)):
+                row_in_sb = ctx.mi_row & 15
+                col_in_sb = ctx.mi_col & 15
+                if (0 <= row_in_sb + br < 16
+                        and 0 <= col_in_sb + bc < 16):
+                    add_tpl(br, bc)
 
     # outer area
     sub = [counts[0], 0, 0]
@@ -355,7 +492,7 @@ def find_mv_refs(ctx: RefMvContext, ref_frame: int, sign_bias=None):
             col_match[1] += sub[1]
 
     ref_match_count = (row_match[1] > 0) + (col_match[1] > 0)
-    mode_context = 0
+    mode_context = mode_context_extra
     if nearest_match == 0:
         if ref_match_count >= 1:
             mode_context |= 1
@@ -391,10 +528,70 @@ def find_mv_refs(ctx: RefMvContext, ref_frame: int, sign_bias=None):
     sort_range(0, nearest_refmv_count)
     sort_range(nearest_refmv_count, refmv_count)
 
-    # single-ref extension from first above/left rows
     mi_width = min(16, ctx.w4, g.mi_cols - ctx.mi_col)
     mi_height = min(16, ctx.h4, g.mi_rows - ctx.mi_row)
     mi_size = min(mi_width, mi_height)
+
+    if isinstance(ref_frame, tuple):
+        # compound extension (mvref_common.c:680): derive up to two
+        # candidate pairs from above/left rows, pad with global mvs
+        if refmv_count < MAX_MV_REF_CANDIDATES:
+            ref_id = [[], []]
+            ref_diff = [[], []]
+
+            def process_comp(cand):
+                r0, r1, _, _, mv = cand
+                for which, rr in ((0, r0), (1, r1)):
+                    if rr <= c.INTRA_FRAME:
+                        continue
+                    for cmp_idx in range(2):
+                        if rr == ref_frame[cmp_idx] and \
+                                len(ref_id[cmp_idx]) < 2:
+                            ref_id[cmp_idx].append(
+                                (int(mv[which][0]), int(mv[which][1])))
+                        elif len(ref_diff[cmp_idx]) < 2:
+                            this = (int(mv[which][0]), int(mv[which][1]))
+                            if sign_bias is not None and \
+                                    sign_bias[rr] != \
+                                    sign_bias[ref_frame[cmp_idx]]:
+                                this = (-this[0], -this[1])
+                            ref_diff[cmp_idx].append(this)
+
+            idx = 0
+            while abs(max_row_offset) >= 1 and idx < mi_size:
+                cand = g.at(ctx.mi_row - 1, ctx.mi_col + idx)
+                process_comp(cand)
+                idx += _mi_wide(cand[3])
+            idx = 0
+            while abs(max_col_offset) >= 1 and idx < mi_size:
+                cand = g.at(ctx.mi_row + idx, ctx.mi_col - 1)
+                process_comp(cand)
+                idx += _mi_high(cand[3])
+
+            comp_list = [[(0, 0)] * 2 for _ in range(MAX_MV_REF_CANDIDATES)]
+            for cmp_idx in range(2):
+                cands = (ref_id[cmp_idx] + ref_diff[cmp_idx]
+                         )[:MAX_MV_REF_CANDIDATES]
+                for k in range(MAX_MV_REF_CANDIDATES):
+                    comp_list[k][cmp_idx] = cands[k] if k < len(cands) \
+                        else (0, 0)
+            if refmv_count:
+                if (comp_list[0][0] == stack[0][0]
+                        and comp_list[0][1] == stack[0][1]):
+                    stack[refmv_count] = (comp_list[1][0], comp_list[1][1])
+                else:
+                    stack[refmv_count] = (comp_list[0][0], comp_list[0][1])
+                weights[refmv_count] = 2
+                refmv_count += 1
+            else:
+                for k in range(MAX_MV_REF_CANDIDATES):
+                    stack[refmv_count] = (comp_list[k][0], comp_list[k][1])
+                    weights[refmv_count] = 2
+                    refmv_count += 1
+        for i in range(refmv_count):
+            stack[i] = (_clamp_mv_ref(stack[i][0], ctx),
+                        _clamp_mv_ref(stack[i][1], ctx))
+        return stack, weights, refmv_count, mode_context, None
 
     def process_single(cand):
         nonlocal refmv_count

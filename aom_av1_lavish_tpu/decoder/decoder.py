@@ -135,6 +135,15 @@ class FrameDecoder(InterDecoderMixin):
         # reference frames: refs[LAST..ALTREF] = (planes tuple, order_hint)
         self.refs = [None] * 8
         self.sign_bias = [0] * 8
+        self.ref_hints = [0] * 8
+        self.ref_side = [0] * 8
+        self.ref_slot_bufs = [None] * 8
+        self.tmvp = None
+        # per-8x8 motion storage for future frames (av1_copy_frame_mvs)
+        h2 = (self.mi_rows + 1) >> 1
+        w2 = (self.mi_cols + 1) >> 1
+        self.frame_mvs_ref = np.full((h2, w2), -1, np.int8)
+        self.frame_mvs = np.zeros((h2, w2, 2), np.int16)
         self._ref_pad_cache = {}
         self._last_tx_type = c.DCT_DCT
         if not fh.is_intra:
@@ -144,9 +153,17 @@ class FrameDecoder(InterDecoderMixin):
                 buf = refs[slot]
                 assert buf is not None, "missing reference frame"
                 self.refs[c.LAST_FRAME + i] = buf["planes"]
+                self.ref_slot_bufs[c.LAST_FRAME + i] = buf
+                self.ref_hints[c.LAST_FRAME + i] = buf["order_hint"]
                 d = H.get_relative_dist(sh, buf["order_hint"],
                                         fh.order_hint)
                 self.sign_bias[c.LAST_FRAME + i] = int(d > 0)
+                if d > 0:
+                    self.ref_side[c.LAST_FRAME + i] = 1
+                elif buf["order_hint"] == fh.order_hint:
+                    self.ref_side[c.LAST_FRAME + i] = -1
+            if fh.allow_ref_frame_mvs:
+                self._setup_motion_field()
         # initial CDF state: primary ref's stored context or defaults
         # (decodeframe.c:5007 av1_setup_past_independence)
         if fh.primary_ref_frame != H.PRIMARY_REF_NONE and refs is not None:
@@ -188,6 +205,118 @@ class FrameDecoder(InterDecoderMixin):
             v = (q(self._dcq, qindex + dcd), q(self._acq, qindex + acd))
             self._dqv_cache[key] = v
         return v
+
+    def _setup_motion_field(self):
+        """av1_setup_motion_field (mvref_common.c:1006)."""
+        h2 = (self.mi_rows + 1) >> 1
+        w2 = (self.mi_cols + 1) >> 1
+        self.tpl_mfmv = np.zeros((h2, w2, 2), np.int16)
+        self.tpl_valid = np.zeros((h2, w2), bool)
+        self.tpl_offset = np.zeros((h2, w2), np.int32)
+        self.tmvp = {
+            "mfmv": self.tpl_mfmv, "valid": self.tpl_valid,
+            "offset": self.tpl_offset, "cur_hint": self.fh.order_hint,
+            "hints": self.ref_hints,
+            "rel": lambda a, b: H.get_relative_dist(self.sh, a, b),
+            "allow_hp": self.fh.allow_high_precision_mv,
+            "force_int": self.fh.force_integer_mv,
+        }
+        rel = self.tmvp["rel"]
+        cur = self.fh.order_hint
+        ref_stamp = 2  # MFMV_STACK_SIZE - 1
+        lst = self.ref_slot_bufs[c.LAST_FRAME]
+        if lst is not None:
+            alt_of_lst = lst.get("ref_order_hints", (0,) * 7)[
+                c.ALTREF_FRAME - c.LAST_FRAME]
+            if alt_of_lst != self.ref_hints[c.GOLDEN_FRAME]:
+                self._motion_field_projection(c.LAST_FRAME, 2)
+            ref_stamp -= 1
+        if rel(self.ref_hints[c.BWDREF_FRAME], cur) > 0:
+            if self._motion_field_projection(c.BWDREF_FRAME, 0):
+                ref_stamp -= 1
+        if rel(self.ref_hints[c.ALTREF2_FRAME], cur) > 0:
+            if self._motion_field_projection(c.ALTREF2_FRAME, 0):
+                ref_stamp -= 1
+        if rel(self.ref_hints[c.ALTREF_FRAME], cur) > 0 and ref_stamp >= 0:
+            if self._motion_field_projection(c.ALTREF_FRAME, 0):
+                ref_stamp -= 1
+        if ref_stamp >= 0:
+            self._motion_field_projection(c.LAST2_FRAME, 2)
+
+    def _motion_field_projection(self, start, direction):
+        """motion_field_projection (mvref_common.c:911)."""
+        buf = self.ref_slot_bufs[start]
+        if buf is None or buf.get("mvs") is None:
+            return 0
+        if buf.get("frame_type", c.INTER_FRAME) in (c.KEY_FRAME,
+                                                    c.INTRA_ONLY_FRAME):
+            return 0
+        if buf.get("mi_dims") != (self.mi_rows, self.mi_cols):
+            return 0
+        rel = self.tmvp["rel"]
+        start_hint = buf["order_hint"]
+        ref_hints_of_start = buf.get("ref_order_hints", (0,) * 7)
+        cur = self.fh.order_hint
+        s2c = rel(start_hint, cur)
+        if direction == 2:
+            s2c = -s2c
+        ref_offset = [0] * 8
+        for rf in range(1, 8):
+            ref_offset[rf] = rel(start_hint, ref_hints_of_start[rf - 1])
+        mv_ref, mv_mv = buf["mvs"]
+        h2, w2 = mv_ref.shape
+        sb = direction >> 1
+        for br in range(h2):
+            for bc in range(w2):
+                rf = int(mv_ref[br, bc])
+                if rf <= c.INTRA_FRAME:
+                    continue
+                roff = ref_offset[rf]
+                if not (0 < roff <= 31 and abs(s2c) <= 31):
+                    continue
+                from ..common import mvref as MRR
+                pr, pc = MRR.mv_projection(
+                    (int(mv_mv[br, bc, 0]), int(mv_mv[br, bc, 1])),
+                    s2c, roff)
+                # get_block_position (mvref_common.c:873)
+                ro = (pr >> 6) if pr >= 0 else -((-pr) >> 6)
+                co = (pc >> 6) if pc >= 0 else -((-pc) >> 6)
+                row = br - ro if sb == 1 else br + ro
+                col = bc - co if sb == 1 else bc + co
+                if not (0 <= row < (self.mi_rows >> 1)
+                        and 0 <= col < (self.mi_cols >> 1)):
+                    continue
+                base_r = (br >> 3) << 3
+                base_c = (bc >> 3) << 3
+                if not (base_r <= row < base_r + 8
+                        and base_c - 8 <= col < base_c + 8 + 8):
+                    continue
+                self.tpl_mfmv[row, col, 0] = mv_mv[br, bc, 0]
+                self.tpl_mfmv[row, col, 1] = mv_mv[br, bc, 1]
+                self.tpl_offset[row, col] = roff
+                self.tpl_valid[row, col] = True
+        return 1
+
+    def _copy_frame_mvs(self, bi, mi_row, mi_col, x_mis, y_mis):
+        """av1_copy_frame_mvs (mvref_common.c:40)."""
+        r0 = mi_row >> 1
+        c0 = mi_col >> 1
+        x2 = (x_mis + 1) >> 1
+        y2 = (y_mis + 1) >> 1
+        ref = -1
+        mv = (0, 0)
+        for idx in range(2):
+            rf = bi.ref_frame[idx]
+            if rf > c.INTRA_FRAME:
+                if self.ref_side[rf]:
+                    continue
+                if abs(bi.mv[idx][0]) > 4095 or abs(bi.mv[idx][1]) > 4095:
+                    continue
+                ref = rf
+                mv = bi.mv[idx]
+        self.frame_mvs_ref[r0:r0 + y2, c0:c0 + x2] = ref
+        self.frame_mvs[r0:r0 + y2, c0:c0 + x2, 0] = mv[0]
+        self.frame_mvs[r0:r0 + y2, c0:c0 + x2, 1] = mv[1]
 
     def _read_delta_q_params(self, ts, rd, bi, mi_row, mi_col):
         """read_delta_q_params (decodemv.c:84): per-superblock delta-q and
@@ -529,6 +658,17 @@ class FrameDecoder(InterDecoderMixin):
         self.qindex_grid[mi_row:r1, mi_col:c1] = \
             getattr(bi, "qindex", self.fh.base_q_idx)
         self.delta_lf_grid[mi_row:r1, mi_col:c1] = self.delta_lf
+        if self.sh.enable_ref_frame_mvs:
+            if bi.is_inter:
+                self._copy_frame_mvs(bi, mi_row, mi_col, c1 - mi_col,
+                                     r1 - mi_row)
+            # intra blocks leave NONE (grid pre-initialized to -1);
+            # intra_copy_frame_mvs resets explicitly
+            else:
+                r0 = mi_row >> 1
+                c0 = mi_col >> 1
+                self.frame_mvs_ref[r0:r0 + ((r1 - mi_row + 1) >> 1),
+                                   c0:c0 + ((c1 - mi_col + 1) >> 1)] = -1
         if bi.tx_size >= 0 and bi.inter_leaves is None:
             self.tx_wide_grid[mi_row:r1, mi_col:c1] = c.TX_WIDTH[bi.tx_size]
             self.tx_high_grid[mi_row:r1, mi_col:c1] = c.TX_HEIGHT[bi.tx_size]
@@ -1049,6 +1189,11 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
             "order_hint": fh.order_hint,
             "fc": fc_store,
             "deltas": (fh.ref_deltas, fh.mode_deltas),
+            "frame_type": fh.frame_type,
+            "mi_dims": (dec.mi_rows, dec.mi_cols),
+            "mvs": (dec.frame_mvs_ref.copy(), dec.frame_mvs.copy()),
+            "ref_order_hints": tuple(
+                dec.ref_hints[c.LAST_FRAME + i] for i in range(7)),
         }
         for slot in range(8):
             if fh.refresh_frame_flags & (1 << slot):

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream import constants as c
+from ..bitstream import headers as H
 from ..common import blockd
 from ..common import coeffs as CF
 from ..common import interpred as IP
@@ -71,20 +72,27 @@ class InterDecoderMixin:
                                        left_avail, self.skip_mode_grid)
                 bi.skip_mode = rd.decode_symbol_adapt(
                     fc.skip_mode_cdfs[ctx], 2)
-        if bi.skip_mode:
-            raise NotImplementedError("skip_mode blocks (compound) TBD")
+        # skip_mode blocks: compound NEAREST_NEARESTMV with derived refs
 
         # skip_txfm
-        skip_ctx = (above_mi.skip_txfm if above_mi else 0) + \
-                   (left_mi.skip_txfm if left_mi else 0)
-        bi.skip_txfm = rd.decode_symbol_adapt(fc.skip_txfm_cdfs[skip_ctx], 2)
+        if bi.skip_mode:
+            bi.skip_txfm = 1
+        else:
+            skip_ctx = (above_mi.skip_txfm if above_mi else 0) + \
+                       (left_mi.skip_txfm if left_mi else 0)
+            bi.skip_txfm = rd.decode_symbol_adapt(
+                fc.skip_txfm_cdfs[skip_ctx], 2)
 
         self._read_cdef(rd, bi, mi_row, mi_col)
         self._read_delta_q_params(ts, rd, bi, mi_row, mi_col)
 
         # is_inter
-        ctx = MR.intra_inter_ctx(g, mi_row, mi_col, up_avail, left_avail)
-        bi.is_inter = rd.decode_symbol_adapt(fc.intra_inter_cdf[ctx], 2)
+        if bi.skip_mode:
+            bi.is_inter = 1
+        else:
+            ctx = MR.intra_inter_ctx(g, mi_row, mi_col, up_avail,
+                                     left_avail)
+            bi.is_inter = rd.decode_symbol_adapt(fc.intra_inter_cdf[ctx], 2)
 
         if bi.is_inter:
             self._read_inter_block_mode_info(ts, rd, bi, mi_row, mi_col,
@@ -142,6 +150,10 @@ class InterDecoderMixin:
                          up, left):
         """read_ref_frames (decodemv.c:937), single-reference branch."""
         fc = ts.fc
+        if bi.skip_mode:
+            bi.ref_frame = (self.fh.skip_mode_refs[0],
+                            self.fh.skip_mode_refs[1])
+            return
         comp_allowed = min(blockd.block_wide(bi.bsize),
                            blockd.block_high(bi.bsize)) >= 8
         if (self.fh.reference_mode == c.REFERENCE_MODE_SELECT
@@ -149,7 +161,9 @@ class InterDecoderMixin:
             ctx = self._reference_mode_ctx(g, mi_row, mi_col, up, left)
             is_comp = rd.decode_symbol_adapt(fc.comp_inter_cdf[ctx], 2)
             if is_comp:
-                raise NotImplementedError("compound references TBD")
+                self._read_comp_ref_frames(ts, rd, bi, counts, g, mi_row,
+                                           mi_col, up, left)
+                return
         bit0 = rd.decode_symbol_adapt(
             fc.single_ref_cdf[MR.ctx_single_ref_p1(counts)][0], 2)
         if bit0:
@@ -173,6 +187,147 @@ class InterDecoderMixin:
                     fc.single_ref_cdf[MR.ctx_single_ref_p4(counts)][3], 2)
                 ref = c.LAST2_FRAME if bit3 else c.LAST_FRAME
         bi.ref_frame = (ref, -1)
+
+    def _read_comp_ref_frames(self, ts, rd, bi, counts, g, mi_row, mi_col,
+                              up, left):
+        """Compound branch of read_ref_frames (decodemv.c:956)."""
+        fc = ts.fc
+        ctx = self._comp_ref_type_ctx(g, mi_row, mi_col, up, left)
+        comp_ref_type = rd.decode_symbol_adapt(fc.comp_ref_type_cdf[ctx], 2)
+        if comp_ref_type == 0:  # UNIDIR_COMP_REFERENCE
+            bit = rd.decode_symbol_adapt(
+                fc.uni_comp_ref_cdf[MR.ctx_single_ref_p1(counts)][0], 2)
+            if bit:
+                bi.ref_frame = (c.BWDREF_FRAME, c.ALTREF_FRAME)
+                return
+            bit1 = rd.decode_symbol_adapt(
+                fc.uni_comp_ref_cdf[self._uni_p1_ctx(counts)][1], 2)
+            if bit1:
+                bit2 = rd.decode_symbol_adapt(
+                    fc.uni_comp_ref_cdf[MR.ctx_single_ref_p5(counts)][2], 2)
+                bi.ref_frame = (c.LAST_FRAME,
+                                c.GOLDEN_FRAME if bit2 else c.LAST3_FRAME)
+            else:
+                bi.ref_frame = (c.LAST_FRAME, c.LAST2_FRAME)
+            return
+        # BIDIR
+        bit = rd.decode_symbol_adapt(
+            fc.comp_ref_cdf[MR.ctx_single_ref_p3(counts)][0], 2)
+        if not bit:
+            bit1 = rd.decode_symbol_adapt(
+                fc.comp_ref_cdf[MR.ctx_single_ref_p4(counts)][1], 2)
+            rf0 = c.LAST2_FRAME if bit1 else c.LAST_FRAME
+        else:
+            bit2 = rd.decode_symbol_adapt(
+                fc.comp_ref_cdf[MR.ctx_single_ref_p5(counts)][2], 2)
+            rf0 = c.GOLDEN_FRAME if bit2 else c.LAST3_FRAME
+        bit_bwd = rd.decode_symbol_adapt(
+            fc.comp_bwdref_cdf[MR.ctx_single_ref_p2(counts)][0], 2)
+        if not bit_bwd:
+            bit1_bwd = rd.decode_symbol_adapt(
+                fc.comp_bwdref_cdf[MR.ctx_single_ref_p6(counts)][1], 2)
+            rf1 = c.ALTREF2_FRAME if bit1_bwd else c.BWDREF_FRAME
+        else:
+            rf1 = c.ALTREF_FRAME
+        bi.ref_frame = (rf0, rf1)
+
+    @staticmethod
+    def _uni_p1_ctx(counts):
+        """av1_get_pred_context_uni_comp_ref_p1: LAST2 vs LAST3+GOLDEN."""
+        last2 = int(counts[c.LAST2_FRAME])
+        l3g = int(counts[c.LAST3_FRAME] + counts[c.GOLDEN_FRAME])
+        return 1 if last2 == l3g else (0 if last2 < l3g else 2)
+
+    def _comp_ref_type_ctx(self, g, mi_row, mi_col, up, left):
+        """av1_get_comp_reference_type_context (pred_common.c:187)."""
+        def info(r, col):
+            m = g.m
+            return (int(g.ref0[r + m, col + m]), int(g.ref1[r + m, col + m]))
+
+        def is_bwd(r0):
+            return c.BWDREF_FRAME <= r0 <= c.ALTREF_FRAME
+
+        def uni(r0, r1):
+            # has_uni_comp_refs: both refs on the same side
+            return r1 > c.INTRA_FRAME and not (is_bwd(r1) and not is_bwd(r0))
+        if up and left:
+            a0, a1 = info(mi_row - 1, mi_col)
+            l0, l1 = info(mi_row, mi_col - 1)
+            a_intra = a0 <= c.INTRA_FRAME
+            l_intra = l0 <= c.INTRA_FRAME
+            if a_intra and l_intra:
+                return 2
+            if a_intra or l_intra:
+                e0, e1 = (l0, l1) if a_intra else (a0, a1)
+                if e1 <= c.INTRA_FRAME:
+                    return 2
+                return 1 + 2 * int(uni(e0, e1))
+            a_sg = a1 <= c.INTRA_FRAME
+            l_sg = l1 <= c.INTRA_FRAME
+            if a_sg and l_sg:
+                return 1 + 2 * int(not (is_bwd(a0) ^ is_bwd(l0)))
+            if a_sg or l_sg:
+                uni_rfc = uni(l0, l1) if a_sg else uni(a0, a1)
+                if not uni_rfc:
+                    return 1
+                return 3 + int(not (is_bwd(a0) ^ is_bwd(l0)))
+            a_uni = uni(a0, a1)
+            l_uni = uni(l0, l1)
+            if not a_uni and not l_uni:
+                return 0
+            if not a_uni or not l_uni:
+                return 2
+            return 3 + int(not ((a0 == c.BWDREF_FRAME)
+                                ^ (l0 == c.BWDREF_FRAME)))
+        if up or left:
+            e0, e1 = info(mi_row - 1, mi_col) if up else info(mi_row,
+                                                             mi_col - 1)
+            if e0 <= c.INTRA_FRAME:
+                return 2
+            if e1 <= c.INTRA_FRAME:
+                return 2
+            return 4 * int(uni(e0, e1))
+        return 2
+
+    def _comp_group_idx_ctx(self, mi_row, mi_col, up, left):
+        """get_comp_group_idx_context (pred_common.h:141)."""
+        a = l = 0
+        if up:
+            nb = self.mi[mi_row - 1, mi_col]
+            if nb.ref_frame[1] > c.INTRA_FRAME:
+                a = getattr(nb, "comp_group_idx", 0)
+            elif nb.ref_frame[0] == c.ALTREF_FRAME:
+                a = 3
+        if left:
+            nb = self.mi[mi_row, mi_col - 1]
+            if nb.ref_frame[1] > c.INTRA_FRAME:
+                l = getattr(nb, "comp_group_idx", 0)
+            elif nb.ref_frame[0] == c.ALTREF_FRAME:
+                l = 3
+        return min(5, a + l)
+
+    def _comp_index_ctx(self, bi, mi_row, mi_col, up, left):
+        """get_comp_index_context (pred_common.h:102)."""
+        cur = self.fh.order_hint
+        bck_h = self.ref_hints[bi.ref_frame[0]]
+        fwd_h = self.ref_hints[bi.ref_frame[1]]
+        fwd = abs(H.get_relative_dist(self.sh, fwd_h, cur))
+        bck = abs(H.get_relative_dist(self.sh, cur, bck_h))
+        offset = int(fwd == bck)
+        a = l = 0
+        if up:
+            nb = self.mi[mi_row - 1, mi_col]
+            if nb.ref_frame[1] > c.INTRA_FRAME:
+                a = getattr(nb, "compound_idx", 1)
+            elif nb.ref_frame[0] == c.ALTREF_FRAME:
+                a = 1
+        if left:
+            nb = self.mi[mi_row, mi_col - 1]
+            if nb.ref_frame[1] > c.INTRA_FRAME:
+                l = getattr(nb, "compound_idx", 1)
+            elif nb.ref_frame[0] == c.ALTREF_FRAME:
+                l = 1
+        return a + l + 3 * offset
 
     def _reference_mode_ctx(self, g, mi_row, mi_col, up, left):
         """av1_get_reference_mode_context (pred_common.c:145)."""
@@ -213,79 +368,206 @@ class InterDecoderMixin:
         self._read_ref_frames(ts, rd, bi, counts, g, mi_row, mi_col,
                               up_avail, left_avail)
         ref = bi.ref_frame[0]
+        is_compound = bi.ref_frame[1] > c.INTRA_FRAME
 
         ctx = MR.RefMvContext(
             g, mi_row, mi_col, bsize, self.sb_mi,
             ts.mi_row_start, ts.mi_row_end, ts.mi_col_start, ts.mi_col_end,
             bi.partition)
+        rf_key = bi.ref_frame if is_compound else ref
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, ref, sign_bias=self.sign_bias)
+            ctx, rf_key, sign_bias=self.sign_bias, tmvp=self.tmvp)
 
         allow_hp = fh.allow_high_precision_mv
         force_int = fh.force_integer_mv
         bi.ref_mv_idx = 0
 
-        newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
-        is_new = rd.decode_symbol_adapt(fc.newmv_cdf[newmv_ctx], 2) == 0
-        if is_new:
-            bi.mode = MR.NEWMV
+        if bi.skip_mode:
+            bi.mode = MR.NEAREST_NEARESTMV
+        elif is_compound:
+            newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
+            refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
+            comp_ctx = MR.COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][
+                min(newmv_ctx, 4)]
+            sym = rd.decode_symbol_adapt(
+                fc.inter_compound_mode_cdf[comp_ctx], 8)
+            bi.mode = MR.NEAREST_NEARESTMV + sym
         else:
-            zeromv_ctx = (mode_ctx >> MR.GLOBALMV_OFFSET) & \
-                MR.GLOBALMV_CTX_MASK
-            if rd.decode_symbol_adapt(fc.zeromv_cdf[zeromv_ctx], 2) == 0:
-                bi.mode = MR.GLOBALMV
+            newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
+            is_new = rd.decode_symbol_adapt(fc.newmv_cdf[newmv_ctx], 2) == 0
+            if is_new:
+                bi.mode = MR.NEWMV
             else:
-                refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
-                if rd.decode_symbol_adapt(fc.refmv_cdf[refmv_ctx], 2) == 0:
-                    bi.mode = MR.NEARESTMV
+                zeromv_ctx = (mode_ctx >> MR.GLOBALMV_OFFSET) & \
+                    MR.GLOBALMV_CTX_MASK
+                if rd.decode_symbol_adapt(fc.zeromv_cdf[zeromv_ctx],
+                                          2) == 0:
+                    bi.mode = MR.GLOBALMV
                 else:
-                    bi.mode = MR.NEARMV
+                    refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & \
+                        MR.REFMV_CTX_MASK
+                    if rd.decode_symbol_adapt(fc.refmv_cdf[refmv_ctx],
+                                              2) == 0:
+                        bi.mode = MR.NEARESTMV
+                    else:
+                        bi.mode = MR.NEARMV
 
         # drl index (decodemv.c:196)
-        if bi.mode == MR.NEWMV:
-            for idx in range(2):
-                if count > idx + 1:
-                    dctx = MR.drl_ctx(weights, idx)
-                    drl = rd.decode_symbol_adapt(fc.drl_cdf[dctx], 2)
-                    bi.ref_mv_idx = idx + drl
-                    if not drl:
-                        break
-        elif MR.have_nearmv(bi.mode):
-            for idx in range(1, 3):
-                if count > idx + 1:
-                    dctx = MR.drl_ctx(weights, idx)
-                    drl = rd.decode_symbol_adapt(fc.drl_cdf[dctx], 2)
-                    bi.ref_mv_idx = idx + drl - 1
-                    if not drl:
-                        break
+        if not bi.skip_mode:
+            if bi.mode in (MR.NEWMV, MR.NEW_NEWMV):
+                for idx in range(2):
+                    if count > idx + 1:
+                        dctx = MR.drl_ctx(weights, idx)
+                        drl = rd.decode_symbol_adapt(fc.drl_cdf[dctx], 2)
+                        bi.ref_mv_idx = idx + drl
+                        if not drl:
+                            break
+            elif MR.have_nearmv(bi.mode):
+                for idx in range(1, 3):
+                    if count > idx + 1:
+                        dctx = MR.drl_ctx(weights, idx)
+                        drl = rd.decode_symbol_adapt(fc.drl_cdf[dctx], 2)
+                        bi.ref_mv_idx = idx + drl - 1
+                        if not drl:
+                            break
 
-        # nearest/near (av1_find_best_ref_mvs)
-        nearest = MR.lower_mv_precision(mv_list[0], allow_hp, force_int)
-        near = MR.lower_mv_precision(mv_list[1], allow_hp, force_int)
-        if bi.ref_mv_idx > 0 and bi.mode == MR.NEARMV:
-            near = stack[1 + bi.ref_mv_idx]
+        prec = -1 if force_int else allow_hp
+        if is_compound:
+            if bi.mode != MR.GLOBAL_GLOBALMV:
+                idx1 = bi.ref_mv_idx + 1
+                nearest0 = MR.lower_mv_precision(stack[0][0], allow_hp,
+                                                 force_int)
+                nearest1 = MR.lower_mv_precision(stack[0][1], allow_hp,
+                                                 force_int)
+                near0 = MR.lower_mv_precision(stack[idx1][0], allow_hp,
+                                              force_int)
+                near1 = MR.lower_mv_precision(stack[idx1][1], allow_hp,
+                                              force_int)
+            else:
+                nearest0 = nearest1 = near0 = near1 = (0, 0)
+            ref_mv0, ref_mv1 = nearest0, nearest1
+            ref_mv_idx = bi.ref_mv_idx
+            if bi.mode in (MR.NEAR_NEWMV, MR.NEW_NEARMV):
+                ref_mv_idx = 1 + bi.ref_mv_idx
+            if bi.mode in (MR.NEWMV, MR.NEW_NEWMV, MR.NEW_NEARESTMV,
+                           MR.NEW_NEARMV):
+                ref_mv0 = stack[ref_mv_idx][0]
+            if bi.mode in (MR.NEW_NEWMV, MR.NEAREST_NEWMV, MR.NEAR_NEWMV):
+                ref_mv1 = stack[ref_mv_idx][1]
+            m = bi.mode
+            if m == MR.NEW_NEWMV:
+                mv0 = self._read_mv(ts, rd, ref_mv0, prec)
+                mv1 = self._read_mv(ts, rd, ref_mv1, prec)
+            elif m == MR.NEAREST_NEARESTMV:
+                mv0, mv1 = nearest0, nearest1
+            elif m == MR.NEAR_NEARMV:
+                mv0, mv1 = near0, near1
+            elif m == MR.NEW_NEARESTMV:
+                mv0 = self._read_mv(ts, rd, ref_mv0, prec)
+                mv1 = nearest1
+            elif m == MR.NEAREST_NEWMV:
+                mv0 = nearest0
+                mv1 = self._read_mv(ts, rd, ref_mv1, prec)
+            elif m == MR.NEAR_NEWMV:
+                mv0 = near0
+                mv1 = self._read_mv(ts, rd, ref_mv1, prec)
+            elif m == MR.NEW_NEARMV:
+                mv0 = self._read_mv(ts, rd, ref_mv0, prec)
+                mv1 = near1
+            else:  # GLOBAL_GLOBALMV (identity)
+                mv0 = mv1 = (0, 0)
+            bi.mv = (mv0, mv1)
+        else:
+            # nearest/near (av1_find_best_ref_mvs)
+            nearest = MR.lower_mv_precision(mv_list[0], allow_hp, force_int)
+            near = MR.lower_mv_precision(mv_list[1], allow_hp, force_int)
+            if bi.ref_mv_idx > 0 and bi.mode == MR.NEARMV:
+                near = stack[1 + bi.ref_mv_idx]
 
-        if bi.mode == MR.NEWMV:
-            ref_mv = nearest
-            if count > 1:
-                ref_mv = stack[bi.ref_mv_idx]
-            mv = self._read_mv(ts, rd, ref_mv,
-                               -1 if force_int else allow_hp)
-        elif bi.mode == MR.NEARESTMV:
-            mv = nearest
-        elif bi.mode == MR.NEARMV:
-            mv = near
-        else:  # GLOBALMV, identity
-            mv = (0, 0)
-        if not (-(1 << 13) < mv[0] < (1 << 13)
-                and -(1 << 13) < mv[1] < (1 << 13)):
-            raise ValueError("corrupt MV")
-        bi.mv = (mv, (0, 0))
+            if bi.mode == MR.NEWMV:
+                ref_mv = nearest
+                if count > 1:
+                    ref_mv = stack[bi.ref_mv_idx]
+                mv = self._read_mv(ts, rd, ref_mv, prec)
+            elif bi.mode == MR.NEARESTMV:
+                mv = nearest
+            elif bi.mode == MR.NEARMV:
+                mv = near
+            else:  # GLOBALMV, identity
+                mv = (0, 0)
+            bi.mv = (mv, (0, 0))
+        for v in bi.mv[0] + bi.mv[1]:
+            if not (-(1 << 13) < v < (1 << 13)):
+                raise ValueError("corrupt MV")
 
-        # interintra: seq flag off. motion mode:
-        if fh.is_motion_mode_switchable:
-            raise NotImplementedError("motion mode symbols TBD")
-        # compound type: single ref, none.
+        # interintra (decodemv.c:1382)
+        bi.interintra = 0
+        if (self.sh.enable_interintra_compound and not bi.skip_mode
+                and not is_compound
+                and c.BLOCK_8X8 <= bsize <= c.BLOCK_32X32
+                and MR.NEARESTMV <= bi.mode <= MR.NEWMV):
+            bsg = SIZE_GROUP[bsize]
+            bi.interintra = rd.decode_symbol_adapt(
+                fc.interintra_cdf[bsg], 2)
+            if bi.interintra:
+                raise NotImplementedError("interintra prediction TBD")
+
+        # motion mode (decodemv.c:226 read_motion_mode); requires warp
+        # sample search even when OBMC is chosen (gates WARPED vs OBMC)
+        bi.motion_mode = 0
+        bi.num_proj_ref = 0
+        bi.wm = None
+        if (blockd.block_wide(bsize) >= 8 and blockd.block_high(bsize) >= 8
+                and not bi.skip_mode and not is_compound):
+            bi.num_proj_ref, pts, pts_inref = self._find_samples(
+                ts, bi, mi_row, mi_col, bsize)
+        if fh.is_motion_mode_switchable and not bi.skip_mode \
+                and not is_compound:
+            allowed = self._motion_mode_allowed(ts, bi, mi_row, mi_col,
+                                                bsize, up_avail, left_avail)
+            if allowed == c.OBMC_CAUSAL:
+                bi.motion_mode = rd.decode_symbol_adapt(
+                    fc.obmc_cdf[bsize], 2)
+            elif allowed == c.WARPED_CAUSAL:
+                bi.motion_mode = rd.decode_symbol_adapt(
+                    fc.motion_mode_cdf[bsize], 3)
+
+        # compound group / index (decodemv.c:1428)
+        bi.comp_group_idx = 0
+        bi.compound_idx = 1
+        if is_compound and not bi.skip_mode:
+            comp_allowed = min(blockd.block_wide(bsize),
+                               blockd.block_high(bsize)) >= 8
+            masked_used = comp_allowed and self.sh.enable_masked_compound
+            if masked_used:
+                gctx = self._comp_group_idx_ctx(mi_row, mi_col, up_avail,
+                                                left_avail)
+                bi.comp_group_idx = rd.decode_symbol_adapt(
+                    fc.comp_group_idx_cdf[gctx], 2)
+            if bi.comp_group_idx == 0:
+                if self.sh.enable_jnt_comp:
+                    ictx = self._comp_index_ctx(bi, mi_row, mi_col,
+                                                up_avail, left_avail)
+                    bi.compound_idx = rd.decode_symbol_adapt(
+                        fc.compound_index_cdf[ictx], 2)
+            else:
+                # masked compound (decodemv.c:1458): wedge or diffwtd
+                wedge_used = bsize in (c.BLOCK_8X8, c.BLOCK_8X16,
+                                       c.BLOCK_16X8, c.BLOCK_16X16,
+                                       c.BLOCK_16X32, c.BLOCK_32X16,
+                                       c.BLOCK_32X32, c.BLOCK_8X32,
+                                       c.BLOCK_32X8)
+                if wedge_used:
+                    bi.comp_type = 1 + rd.decode_symbol_adapt(
+                        fc.compound_type_cdf[bsize], 2)  # WEDGE=1/DIFFWTD=2
+                else:
+                    bi.comp_type = 2
+                if bi.comp_type == 1:
+                    bi.wedge_index = rd.decode_symbol_adapt(
+                        fc.wedge_idx_cdf[bsize], 16)
+                    bi.wedge_sign = rd.decode_bit()
+                else:
+                    bi.mask_type = rd.decode_literal(1)
         # interp filter (decodemv.c:1033)
         if fh.interpolation_filter == c.SWITCHABLE:
             if self._interp_needed(bi):
@@ -294,6 +576,8 @@ class InterDecoderMixin:
                     ictx = self._interp_filter_ctx(g, mi_row, mi_col,
                                                    up_avail, left_avail,
                                                    d, ref)
+                    if is_compound:
+                        ictx += 4  # INTER_FILTER_COMP_OFFSET
                     filts.append(rd.decode_symbol_adapt(
                         fc.switchable_interp_cdf[ictx],
                         c.SWITCHABLE_FILTERS))
@@ -308,6 +592,180 @@ class InterDecoderMixin:
             f = fh.interpolation_filter
             bi.interp_filter = (f, f)
 
+        if bi.motion_mode == c.WARPED_CAUSAL:
+            from ..common import warp as WP
+            np_ref = bi.num_proj_ref
+            if np_ref > 1:
+                np_ref = WP.select_samples(
+                    bi.mv[0][0], bi.mv[0][1], pts, pts_inref, np_ref,
+                    blockd.block_wide(bsize), blockd.block_high(bsize))
+            ok, mat, alpha, beta, gamma, delta = WP.find_projection(
+                np_ref, pts, pts_inref, blockd.block_wide(bsize),
+                blockd.block_high(bsize), bi.mv[0][0], bi.mv[0][1],
+                mi_row, mi_col)
+            bi.wm = (mat, alpha, beta, gamma, delta) if ok else None
+
+    def _motion_mode_allowed(self, ts, bi, mi_row, mi_col, bsize, up_avail,
+                             left_avail):
+        """motion_mode_allowed (reconinter.h): gates the symbol read."""
+        if blockd.block_wide(bsize) < 8 or blockd.block_high(bsize) < 8:
+            return c.SIMPLE_TRANSLATION
+        # global-mv block with non-translational gm: identity-only here
+        if not self._has_overlappable_neighbor(bi, mi_row, mi_col, bsize,
+                                               up_avail, left_avail):
+            return c.SIMPLE_TRANSLATION
+        if (bi.num_proj_ref >= 1 and self.fh.allow_warped_motion
+                and not self.fh.force_integer_mv):
+            return c.WARPED_CAUSAL
+        return c.OBMC_CAUSAL
+
+    def _overlappable_above(self, mi_row, mi_col, w4, nb_max):
+        """foreach_overlappable_nb_above (obmc.h:20): yields (nb, rel, op)
+        for overlappable (inter) above neighbors, pair-adjusted for
+        width-4 blocks."""
+        if mi_row <= 0:
+            return
+        end_col = min(mi_col + w4, self.mi_cols)
+        count = 0
+        acol = mi_col
+        while acol < end_col and count < nb_max:
+            nb = self.mi[mi_row - 1, acol]
+            step = min(blockd.mi_size_wide(nb.bsize), 16)
+            if step == 1:
+                acol &= ~1
+                nb = self.mi[mi_row - 1, acol + 1]
+                step = 2
+            if nb.is_inter:
+                count += 1
+                yield nb, acol - mi_col, min(w4, step)
+            acol += step
+
+    def _overlappable_left(self, mi_row, mi_col, h4, nb_max):
+        if mi_col <= 0:
+            return
+        end_row = min(mi_row + h4, self.mi_rows)
+        count = 0
+        arow = mi_row
+        while arow < end_row and count < nb_max:
+            nb = self.mi[arow, mi_col - 1]
+            step = min(blockd.mi_size_high(nb.bsize), 16)
+            if step == 1:
+                arow &= ~1
+                nb = self.mi[arow + 1, mi_col - 1]
+                step = 2
+            if nb.is_inter:
+                count += 1
+                yield nb, arow - mi_row, min(h4, step)
+            arow += step
+
+    def _has_overlappable_neighbor(self, bi, mi_row, mi_col, bsize,
+                                   up_avail, left_avail):
+        """av1_count_overlappable_neighbors != 0 (pair-adjusted scan)."""
+        w4 = blockd.mi_size_wide(bsize)
+        h4 = blockd.mi_size_high(bsize)
+        if up_avail:
+            for _ in self._overlappable_above(mi_row, mi_col, w4, 1 << 30):
+                return True
+        if left_avail:
+            for _ in self._overlappable_left(mi_row, mi_col, h4, 1 << 30):
+                return True
+        return False
+
+    def _find_samples(self, ts, bi, mi_row, mi_col, bsize):
+        """av1_findSamples (mvref_common.c:1109); returns (np, pts,
+        pts_inref) with 1/8-pel coords relative to the block top-left."""
+        g = self.g
+        m = g.m
+        ref_frame = bi.ref_frame[0]
+        w4 = blockd.mi_size_wide(bsize)
+        h4 = blockd.mi_size_high(bsize)
+        up = mi_row > 0
+        left = mi_col > 0
+        pts = [0] * 16
+        pts_inref = [0] * 16
+        np_ = 0
+        do_tl = True
+        do_tr = True
+
+        def cand(r, cc):
+            return (int(g.ref0[r + m, cc + m]), int(g.ref1[r + m, cc + m]),
+                    int(g.bsize[r + m, cc + m]),
+                    g.mv[r + m, cc + m, 0])
+
+        def record(nb_bsize, nb_mv, row_off, sign_r, col_off, sign_c):
+            nonlocal np_
+            bw = blockd.block_wide(nb_bsize)
+            bh = blockd.block_high(nb_bsize)
+            x = col_off * 4 + sign_c * bw // 2 - 1
+            y = row_off * 4 + sign_r * bh // 2 - 1
+            pts[2 * np_] = x * 8
+            pts[2 * np_ + 1] = y * 8
+            pts_inref[2 * np_] = x * 8 + int(nb_mv[1])
+            pts_inref[2 * np_ + 1] = y * 8 + int(nb_mv[0])
+            np_ += 1
+
+        if up:
+            r0, r1, nb_bs, nb_mv = cand(mi_row - 1, mi_col)
+            sbw = blockd.mi_size_wide(nb_bs)
+            if w4 <= sbw:
+                col_off = -(mi_col % sbw)
+                if col_off < 0:
+                    do_tl = False
+                if col_off + sbw > w4:
+                    do_tr = False
+                if r0 == ref_frame and r1 == -1:
+                    record(nb_bs, nb_mv, 0, -1, col_off, 1)
+                    if np_ >= 8:
+                        return 8, pts, pts_inref
+            else:
+                i = 0
+                while i < min(w4, self.mi_cols - mi_col):
+                    r0, r1, nb_bs, nb_mv = cand(mi_row - 1, mi_col + i)
+                    sbw = blockd.mi_size_wide(nb_bs)
+                    if r0 == ref_frame and r1 == -1:
+                        record(nb_bs, nb_mv, 0, -1, i, 1)
+                        if np_ >= 8:
+                            return 8, pts, pts_inref
+                    i += sbw
+        if left:
+            r0, r1, nb_bs, nb_mv = cand(mi_row, mi_col - 1)
+            sbh = blockd.mi_size_high(nb_bs)
+            if h4 <= sbh:
+                row_off = -(mi_row % sbh)
+                if row_off < 0:
+                    do_tl = False
+                if r0 == ref_frame and r1 == -1:
+                    record(nb_bs, nb_mv, row_off, 1, 0, -1)
+                    if np_ >= 8:
+                        return 8, pts, pts_inref
+            else:
+                i = 0
+                while i < min(h4, self.mi_rows - mi_row):
+                    r0, r1, nb_bs, nb_mv = cand(mi_row + i, mi_col - 1)
+                    sbh = blockd.mi_size_high(nb_bs)
+                    if r0 == ref_frame and r1 == -1:
+                        record(nb_bs, nb_mv, i, 1, 0, -1)
+                        if np_ >= 8:
+                            return 8, pts, pts_inref
+                    i += sbh
+        if do_tl and left and up:
+            r0, r1, nb_bs, nb_mv = cand(mi_row - 1, mi_col - 1)
+            if r0 == ref_frame and r1 == -1:
+                record(nb_bs, nb_mv, 0, -1, 0, -1)
+                if np_ >= 8:
+                    return 8, pts, pts_inref
+        if do_tr:
+            ctx = MR.RefMvContext(
+                g, mi_row, mi_col, bsize, self.sb_mi, 0, self.mi_rows,
+                0, self.mi_cols, bi.partition)
+            if MR._has_top_right(ctx) and                     0 <= mi_row - 1 and mi_col + w4 < self.mi_cols:
+                r0, r1, nb_bs, nb_mv = cand(mi_row - 1, mi_col + w4)
+                if r0 == ref_frame and r1 == -1:
+                    record(nb_bs, nb_mv, 0, -1, w4, 1)
+                    if np_ >= 8:
+                        return 8, pts, pts_inref
+        return np_, pts, pts_inref
+
     def _interp_needed(self, bi) -> bool:
         """av1_is_interp_needed: GLOBALMV identity-translation blocks with
         fullpel MVs still need it only if mv is subpel; the reference
@@ -315,6 +773,8 @@ class InterDecoderMixin:
         identity gm the check reduces to: not skip_mode and mv has subpel?
         Reference: needed unless skip_mode or warp or gm block."""
         if bi.skip_mode:
+            return False
+        if getattr(bi, "motion_mode", 0) == c.WARPED_CAUSAL:
             return False
         # is_nontrans_global_motion: identity gm is translational-invalid
         # (wmtype IDENTITY < TRANSLATION is not 'nontrans'), so needed.
@@ -774,8 +1234,205 @@ class InterDecoderMixin:
                 b_h = max(bh_px >> ss_y, 4) if plane else bh_px
                 x0 = (mi_x + 4 * col_start) >> ss_x
                 y0 = (mi_y + 4 * row_start) >> ss_y
-                pred = IP.predict_inter_block(
-                    self._ref_pad(bi.ref_frame[0], plane), x0, y0, b_w, b_h,
-                    bi.mv[0][0], bi.mv[0][1], ss_x, ss_y,
-                    mb_to_left, mb_to_right, mb_to_top, mb_to_bottom, fx, fy)
+                wm = getattr(bi, "wm", None)
+                if bi.ref_frame[1] > c.INTRA_FRAME:
+                    pads = (self._ref_pad(bi.ref_frame[0], plane),
+                            self._ref_pad(bi.ref_frame[1], plane))
+                    if getattr(bi, "comp_group_idx", 0):
+                        bufs = IP.compound_conv_bufs(
+                            pads, x0, y0, b_w, b_h, bi.mv, ss_x, ss_y,
+                            mb_to_left, mb_to_right, mb_to_top,
+                            mb_to_bottom, fx, fy)
+                        if bi.comp_type == 1:
+                            mask = IP.wedge_mask(bsize, bi.wedge_sign,
+                                                 bi.wedge_index)
+                        else:
+                            if plane == 0:
+                                self._diffwtd_mask = IP.diffwtd_mask_d16(
+                                    bufs[0], bufs[1],
+                                    bool(bi.mask_type))
+                            mask = self._diffwtd_mask
+                        pred = IP.blend_a64_d16(bufs[0], bufs[1], mask,
+                                                ss_x, ss_y)
+                    else:
+                        use_dw, fo, bo = self._dist_wtd_weights(bi)
+                        pred = IP.predict_inter_compound(
+                            pads, x0, y0, b_w, b_h, bi.mv, ss_x, ss_y,
+                            mb_to_left, mb_to_right, mb_to_top,
+                            mb_to_bottom, fx, fy, use_dw, fo, bo)
+                elif (wm is not None
+                        and bi.motion_mode == c.WARPED_CAUSAL
+                        and b_w >= 8 and b_h >= 8):
+                    from ..common import warp as WP
+                    mat, alpha, beta, gamma, delta = wm
+                    pred = np.empty((b_h, b_w), np.uint8)
+                    WP.warp_affine(mat, self.refs[bi.ref_frame[0]][plane],
+                                   pred, x0, y0, b_w, b_h, ss_x, ss_y,
+                                   alpha, beta, gamma, delta)
+                else:
+                    pred = IP.predict_inter_block(
+                        self._ref_pad(bi.ref_frame[0], plane), x0, y0, b_w,
+                        b_h, bi.mv[0][0], bi.mv[0][1], ss_x, ss_y,
+                        mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                        fx, fy)
                 dst[y0:y0 + b_h, x0:x0 + b_w] = pred
+        if getattr(bi, "motion_mode", 0) == c.OBMC_CAUSAL:
+            self._obmc_blend(bi, mi_row, mi_col)
+
+    _QUANT_DIST_WEIGHT = [(2, 3), (2, 5), (2, 7), (1, 31)]
+    _QUANT_DIST_LOOKUP = [(9, 7), (11, 5), (12, 4), (13, 3)]
+
+    def _dist_wtd_weights(self, bi):
+        """av1_dist_wtd_comp_weight_assign (reconinter.c:668)."""
+        if getattr(bi, "compound_idx", 1):
+            return False, 8, 8
+        cur = self.fh.order_hint
+        bck_h = self.ref_hints[bi.ref_frame[0]]
+        fwd_h = self.ref_hints[bi.ref_frame[1]]
+        d0 = min(31, abs(H.get_relative_dist(self.sh, fwd_h, cur)))
+        d1 = min(31, abs(H.get_relative_dist(self.sh, cur, bck_h)))
+        order = int(d0 <= d1)
+        if d0 == 0 or d1 == 0:
+            return (True, self._QUANT_DIST_LOOKUP[3][order],
+                    self._QUANT_DIST_LOOKUP[3][1 - order])
+        for i in range(3):
+            c0 = self._QUANT_DIST_WEIGHT[i][order]
+            c1 = self._QUANT_DIST_WEIGHT[i][1 - order]
+            if (d0 > d1 and d0 * c0 < d1 * c1) or \
+                    (d0 <= d1 and d0 * c0 > d1 * c1):
+                break
+        else:
+            i = 3
+        return (True, self._QUANT_DIST_LOOKUP[i][order],
+                self._QUANT_DIST_LOOKUP[i][1 - order])
+
+    # --- OBMC -------------------------------------------------------------
+
+    _MAX_NEIGHBOR_OBMC = [0, 1, 2, 3, 4, 4]
+    _OBMC_MASKS = {
+        1: np.array([64], np.int32),
+        2: np.array([45, 64], np.int32),
+        4: np.array([39, 50, 59, 64], np.int32),
+        8: np.array([36, 42, 48, 53, 57, 61, 64, 64], np.int32),
+        16: np.array([34, 37, 40, 43, 46, 49, 52, 54, 56, 58, 60, 61,
+                      64, 64, 64, 64], np.int32),
+        32: np.array([33, 35, 36, 38, 40, 41, 43, 44, 45, 47, 48, 50,
+                      51, 52, 53, 55, 56, 57, 58, 59, 60, 60, 61, 62,
+                      64, 64, 64, 64, 64, 64, 64, 64], np.int32),
+    }
+
+    def _skip_obmc_chroma(self, bsize, plane, direction):
+        """av1_skip_u4x4_pred_in_obmc: one-sided chroma for tiny plane
+        blocks (above pass skipped)."""
+        if plane == 0:
+            return False
+        pb = blockd.plane_block_size(bsize, self.ss_x, self.ss_y)
+        if pb in (c.BLOCK_4X4, c.BLOCK_8X4, c.BLOCK_4X8):
+            return direction == 0
+        return False
+
+    def _obmc_blend(self, bi, mi_row, mi_col):
+        """dec_build_obmc_inter_predictors_sb (decodeframe.c:799):
+        re-predict overlappable neighbors into the overlap region and
+        blend with the normative a64 masks."""
+        bsize = bi.bsize
+        g = self.g
+        w4 = blockd.mi_size_wide(bsize)
+        h4 = blockd.mi_size_high(bsize)
+        bw_px = blockd.block_wide(bsize)
+        bh_px = blockd.block_high(bsize)
+        mi_x = mi_col * 4
+        mi_y = mi_row * 4
+        cur_right = (self.mi_cols - w4 - mi_col) * 4
+        cur_bottom = (self.mi_rows - h4 - mi_row) * 4
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y)             and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+
+        # --- above pass ---
+        if mi_row > 0:
+            pred_height = min(bh_px // 2, 32)
+            adj_bottom = cur_bottom + (bh_px - pred_height)
+            nb_max = self._MAX_NEIGHBOR_OBMC[w4.bit_length() - 1]
+            overlap = min(bh_px, 64) >> 1
+            count = 0
+            acol = mi_col
+            end_col = min(mi_col + w4, self.mi_cols)
+            while acol < end_col and count < nb_max:
+                nb = self.mi[mi_row - 1, acol]
+                step = min(blockd.mi_size_wide(nb.bsize), 16)
+                if step == 1:
+                    acol &= ~1
+                    nb = self.mi[mi_row - 1, acol + 1]
+                    step = 2
+                if nb.is_inter:
+                    count += 1
+                    op = min(w4, step)
+                    rel = acol - mi_col
+                    nfx, nfy = nb.interp_filter
+                    mb_l = -(mi_col + rel) * 4
+                    mb_r = cur_right + (w4 - rel - op) * 4
+                    for plane in range(nplanes):
+                        if self._skip_obmc_chroma(bsize, plane, 0):
+                            continue
+                        ss_x = self.ss_x if plane else 0
+                        ss_y = self.ss_y if plane else 0
+                        pw = (op * 4) >> ss_x
+                        ph = min(max(bh_px >> (ss_y + 1), 4), 64 >> (ss_y + 1))
+                        x0 = ((mi_x + rel * 4) >> ss_x)
+                        y0 = mi_y >> ss_y
+                        tmp = IP.predict_inter_block(
+                            self._ref_pad(nb.ref_frame[0], plane), x0, y0,
+                            pw, ph, nb.mv[0][0], nb.mv[0][1], ss_x, ss_y,
+                            mb_l, mb_r, -mi_y, adj_bottom, nfx, nfy)
+                        bh_b = overlap >> ss_y
+                        mask = self._OBMC_MASKS[bh_b][:, None]
+                        dstp = self.planes[plane]
+                        cur = dstp[y0:y0 + bh_b, x0:x0 + pw].astype(np.int32)
+                        nbp = tmp[:bh_b].astype(np.int32)
+                        dstp[y0:y0 + bh_b, x0:x0 + pw] =                             ((mask * cur + (64 - mask) * nbp + 32) >> 6)                             .astype(np.uint8)
+                acol += step
+
+        # --- left pass ---
+        if mi_col > 0:
+            pred_width = min(bw_px // 2, 32)
+            adj_right = cur_right + (bw_px - pred_width)
+            nb_max = self._MAX_NEIGHBOR_OBMC[h4.bit_length() - 1]
+            overlap = min(bw_px, 64) >> 1
+            count = 0
+            arow = mi_row
+            end_row = min(mi_row + h4, self.mi_rows)
+            while arow < end_row and count < nb_max:
+                nb = self.mi[arow, mi_col - 1]
+                step = min(blockd.mi_size_high(nb.bsize), 16)
+                if step == 1:
+                    arow &= ~1
+                    nb = self.mi[arow + 1, mi_col - 1]
+                    step = 2
+                if nb.is_inter:
+                    count += 1
+                    op = min(h4, step)
+                    rel = arow - mi_row
+                    nfx, nfy = nb.interp_filter
+                    mb_t = -(mi_row + rel) * 4
+                    mb_b = cur_bottom + (h4 - rel - op) * 4
+                    for plane in range(nplanes):
+                        if self._skip_obmc_chroma(bsize, plane, 1):
+                            continue
+                        ss_x = self.ss_x if plane else 0
+                        ss_y = self.ss_y if plane else 0
+                        pw = min(max(bw_px >> (ss_x + 1), 4), 64 >> (ss_x + 1))
+                        ph = (op * 4) >> ss_y
+                        x0 = mi_x >> ss_x
+                        y0 = ((mi_y + rel * 4) >> ss_y)
+                        tmp = IP.predict_inter_block(
+                            self._ref_pad(nb.ref_frame[0], plane), x0, y0,
+                            pw, ph, nb.mv[0][0], nb.mv[0][1], ss_x, ss_y,
+                            -mi_x, adj_right, mb_t, mb_b, nfx, nfy)
+                        bw_b = overlap >> ss_x
+                        mask = self._OBMC_MASKS[bw_b][None, :]
+                        dstp = self.planes[plane]
+                        cur = dstp[y0:y0 + ph, x0:x0 + bw_b].astype(np.int32)
+                        nbp = tmp[:, :bw_b].astype(np.int32)
+                        dstp[y0:y0 + ph, x0:x0 + bw_b] =                             ((mask * cur + (64 - mask) * nbp + 32) >> 6)                             .astype(np.uint8)
+                arow += step

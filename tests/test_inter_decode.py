@@ -62,6 +62,63 @@ def test_inter_decode_non_error_resilient(tmp_path):
     _run_conformance(tmp_path, 5, 35, extra=None, error_resilient=False)
 
 
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+def test_inter_decode_motion_modes_compound(tmp_path):
+    """OBMC + warped motion + masked/dist-wtd compound + TMVP + hidden
+    ARF frames (lag-in-frames) + show_existing_frame, non-error-resilient.
+
+    Exercises: setup_ref_mv_list compound stacks, motion_field_projection
+    (mvref_common.c:1132), av1_warp_affine (warped_motion.c:538), OBMC
+    blending (reconinter.c), wedge/diffwtd masks, dist-wtd averaging."""
+    w, h = 128, 96
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "t.ivf")
+    dec = str(tmp_path / "dec.y4m")
+    write_y4m(src, _moving_frames(w, h, 8), w, h)
+    flags = ["--cpu-used=4", "--end-usage=q", "--cq-level=32", "--passes=1",
+             "--lag-in-frames=8", "--auto-alt-ref=1", "--kf-max-dist=9999",
+             "--enable-obmc=1", "--enable-warped-motion=1",
+             "--enable-masked-comp=1", "--enable-dist-wtd-comp=1",
+             "--enable-ref-frame-mvs=1", "--enable-global-motion=0",
+             "--enable-interintra-comp=0", "--enable-restoration=0",
+             "--tile-columns=0", "--tile-rows=0", "--threads=1"]
+    subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
+                    "--ivf", "-o", ivf] + flags + [src],
+                   check=True, capture_output=True)
+    subprocess.run([AOMDEC, "-o", dec, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(dec)[0]
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
+                                          f"plane {pi}")
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+def test_inter_decode_default_flags(tmp_path):
+    """Fully-default aomenc invocation (all tools at their defaults,
+    including CDEF, dual filters, compound, OBMC/warp, TMVP, hidden
+    frames): the stream a real user would produce."""
+    w, h = 128, 96
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "t.ivf")
+    dec = str(tmp_path / "dec.y4m")
+    write_y4m(src, _moving_frames(w, h, 6), w, h)
+    subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
+                    "--ivf", "-o", ivf, "--cpu-used=6", "--passes=1",
+                    "--threads=1", "--tile-columns=0", "--kf-max-dist=9999",
+                    src], check=True, capture_output=True)
+    subprocess.run([AOMDEC, "-o", dec, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(dec)[0]
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
+                                          f"plane {pi}")
+
+
 def _run_conformance(tmp_path, cpu, q, extra, error_resilient=True):
     w, h = 128, 96
     src = str(tmp_path / "src.y4m")

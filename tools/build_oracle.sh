@@ -28,3 +28,5 @@ gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/cdef_oracle.c \
   "$REF"/av1/common/cdef_block.c -o "$OUT"/../libcdef_oracle.so
 gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/convolve_oracle.c \
   "$OUT"/libaom.a -o "$OUT"/../libconvolve_oracle.so
+gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/warp_oracle.c \
+  "$OUT"/libaom.a -o "$OUT"/../libwarp_oracle.so

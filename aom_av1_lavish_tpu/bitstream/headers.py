@@ -350,6 +350,9 @@ class FrameHeader:
     skip_mode_flag: int = 0
     skip_mode_refs: tuple = ()
     gm_type: tuple = (0,) * 7             # global motion per ref (identity)
+    # per ref LAST..ALTREF: (wmtype, (wmmat0..5), invalid)
+    gm_params: tuple = tuple((0, (0, 0, 65536, 0, 0, 65536), 0)
+                             for _ in range(7))
     # loop filter deltas
     ref_deltas: tuple = (1, 0, 0, 0, -1, 0, -1, -1)
     mode_deltas: tuple = (0, 0)
@@ -768,15 +771,125 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
             fh.allow_warped_motion = r.read_bit()
     fh.reduced_tx_set = r.read_bit()
     if not fh.is_intra:
-        gm = []
-        for _ in range(7):
-            is_global = r.read_bit()
-            assert not is_global, "non-identity global motion TBD"
-            gm.append(c.IDENTITY)
-        fh.gm_type = tuple(gm)
+        _parse_global_motion(fh, r, ref_state)
     if sh.film_grain_params_present and (fh.show_frame or fh.showable_frame):
         raise NotImplementedError("film grain parse TBD")
     return fh, r.bit_offset
+
+
+def _inv_recenter_nonneg(ref: int, v: int) -> int:
+    if v > 2 * ref:
+        return v
+    if v & 1:
+        return ref - ((v + 1) >> 1)
+    return (v >> 1) + ref
+
+
+def _inv_recenter_finite_nonneg(n: int, ref: int, v: int) -> int:
+    if 2 * ref <= n:
+        return _inv_recenter_nonneg(ref, v)
+    return n - 1 - _inv_recenter_nonneg(n - 1 - ref, v)
+
+
+def _read_primitive_quniform(r: BitReader, n: int) -> int:
+    if n <= 1:
+        return 0
+    lbits = n.bit_length()
+    m = (1 << lbits) - n
+    v = r.read_literal(lbits - 1)
+    return v if v < m else (v << 1) - m + r.read_bit()
+
+
+def _read_primitive_subexpfin(r: BitReader, n: int, k: int) -> int:
+    i = 0
+    mk = 0
+    while True:
+        b = k + i - 1 if i else k
+        a = 1 << b
+        if n <= mk + 3 * a:
+            return _read_primitive_quniform(r, n - mk) + mk
+        if not r.read_bit():
+            return r.read_literal(b) + mk
+        i += 1
+        mk += a
+
+
+def _read_signed_primitive_refsubexpfin(r: BitReader, n: int, k: int,
+                                        ref: int) -> int:
+    """aom_rb_read_signed_primitive_refsubexpfin
+    (bitreader_buffer.c:111)."""
+    ref += n - 1
+    scaled_n = (n << 1) - 1
+    return _inv_recenter_finite_nonneg(
+        scaled_n, ref, _read_primitive_subexpfin(r, scaled_n, k)) - n + 1
+
+
+GM_ALPHA_MAX = 1 << 12
+GM_TRANS_MAX = 1 << 12
+_GM_IDENTITY_MAT = (0, 0, 65536, 0, 0, 65536)
+
+
+def _parse_global_motion(fh: FrameHeader, r: BitReader,
+                         ref_state: dict | None) -> None:
+    """read_global_motion (decodeframe.c:4335): per-ref warp model coded
+    as subexp diffs relative to the primary-ref frame's stored params."""
+    from ..common import warp as WP
+    prev = None
+    if (fh.primary_ref_frame != PRIMARY_REF_NONE and ref_state is not None):
+        slot = fh.ref_frame_idx[fh.primary_ref_frame]
+        prev = ref_state.get("gm", {}).get(slot)
+    gm_types = []
+    gm_params = []
+    for ref in range(7):
+        ref_mat = prev[ref][1] if prev is not None else _GM_IDENTITY_MAT
+        wmtype = c.IDENTITY
+        if r.read_bit():
+            if r.read_bit():
+                wmtype = c.ROTZOOM
+            else:
+                wmtype = c.TRANSLATION if r.read_bit() else c.AFFINE
+        mat = [0, 0, 1 << 16, 0, 0, 1 << 16]
+        if wmtype >= c.ROTZOOM:
+            # GM_ALPHA_PREC_DIFF=1, GM_ALPHA_DECODE_FACTOR=2
+            mat[2] = _read_signed_primitive_refsubexpfin(
+                r, GM_ALPHA_MAX + 1, 3,
+                (ref_mat[2] >> 1) - (1 << 15)) * 2 + (1 << 16)
+            mat[3] = _read_signed_primitive_refsubexpfin(
+                r, GM_ALPHA_MAX + 1, 3, ref_mat[3] >> 1) * 2
+        if wmtype >= c.AFFINE:
+            mat[4] = _read_signed_primitive_refsubexpfin(
+                r, GM_ALPHA_MAX + 1, 3, ref_mat[4] >> 1) * 2
+            mat[5] = _read_signed_primitive_refsubexpfin(
+                r, GM_ALPHA_MAX + 1, 3,
+                (ref_mat[5] >> 1) - (1 << 15)) * 2 + (1 << 16)
+        elif wmtype == c.ROTZOOM:
+            mat[4] = -mat[3]
+            mat[5] = mat[2]
+        if wmtype >= c.TRANSLATION:
+            hp = fh.allow_high_precision_mv
+            if wmtype == c.TRANSLATION:
+                # GM_ABS_TRANS_ONLY_BITS=9, GM_TRANS_ONLY_PREC_DIFF=13
+                trans_bits = 9 - (not hp)
+                trans_dec = 1 << (13 + (not hp))
+                trans_prec_diff = 13 + (not hp)
+            else:
+                trans_bits = 12
+                trans_dec = 1 << 10
+                trans_prec_diff = 10
+            mat[0] = _read_signed_primitive_refsubexpfin(
+                r, (1 << trans_bits) + 1, 3,
+                ref_mat[0] >> trans_prec_diff) * trans_dec
+            mat[1] = _read_signed_primitive_refsubexpfin(
+                r, (1 << trans_bits) + 1, 3,
+                ref_mat[1] >> trans_prec_diff) * trans_dec
+        invalid = 0
+        if wmtype > c.TRANSLATION:
+            ok, *_ = WP.get_shear_params(mat)
+            invalid = 0 if ok else 1
+        gm_types.append(wmtype)
+        gm_params.append((wmtype, tuple(mat), invalid))
+    fh.gm_type = tuple(gm_types)
+    fh.gm_params = tuple(gm_params)
 
 
 def _parse_frame_size(fh: FrameHeader, sh: SequenceHeader,

@@ -174,12 +174,22 @@ def compound_average(buf0: np.ndarray, buf1: np.ndarray,
 
 def compound_conv_bufs(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
                        mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                       filt_x, filt_y):
-    """CONV-domain prediction buffers for both references."""
+                       filt_x, filt_y, warp_specs=None):
+    """CONV-domain prediction buffers for both references.  warp_specs:
+    optional per-ref (mat, shear, unpadded_plane) to produce a buffer by
+    affine warp (global motion) instead of translation+convolve."""
     bufs = []
     kx = filter_kernels(filt_x, bw)
     ky = filter_kernels(filt_y, bh)
     for ref in range(2):
+        if warp_specs is not None and warp_specs[ref] is not None:
+            from . import warp as WP
+            mat, shear, plane_ref = warp_specs[ref]
+            buf = np.empty((bh, bw), np.int32)
+            WP.warp_affine(mat, plane_ref, buf, x0, y0, bw, bh, ss_x,
+                           ss_y, *shear, is_compound=True)
+            bufs.append(buf)
+            continue
         row_q4, col_q4 = clamp_mv_to_umv_border(
             mvs[ref][0], mvs[ref][1], bw, bh, ss_x, ss_y, mb_to_left,
             mb_to_right, mb_to_top, mb_to_bottom)

@@ -165,18 +165,27 @@ def _has_top_right(ctx: RefMvContext) -> int:
     return int(has_tr)
 
 
-def _add_candidate(cand, ref_frame, stack, weights, counts, weight):
+def _add_candidate(cand, ref_frame, stack, weights, counts, weight,
+                   gm=None):
     """add_ref_mv_candidate (mvref_common.c:74).  ref_frame is either a
     single ref or a (rf0, rf1) compound pair; counts = [refmv_count,
-    ref_match_count, newmv_count]."""
-    ref0, ref1, mode, _, mv = cand
+    ref_match_count, newmv_count].  gm = {"mv": (mv0, mv1), "types":
+    per-ref wmtype} substitutes global-mv candidates."""
+    ref0, ref1, mode, cand_bsize, mv = cand
     if ref0 <= c.INTRA_FRAME:           # not inter
         return
     if isinstance(ref_frame, tuple):
         rf0, rf1 = ref_frame
         if ref0 == rf0 and ref1 == rf1:
-            this = ((int(mv[0][0]), int(mv[0][1])),
-                    (int(mv[1][0]), int(mv[1][1])))
+            pair = []
+            for which in range(2):
+                if gm is not None and is_global_mv_block(
+                        mode, cand_bsize,
+                        gm["types"][ref_frame[which]]):
+                    pair.append(gm["mv"][which])
+                else:
+                    pair.append((int(mv[which][0]), int(mv[which][1])))
+            this = tuple(pair)
             for idx in range(counts[0]):
                 if stack[idx] == this:
                     weights[idx] += weight
@@ -193,9 +202,11 @@ def _add_candidate(cand, ref_frame, stack, weights, counts, weight):
     for which in range(2):
         rr = ref0 if which == 0 else ref1
         if rr == ref_frame:
-            # global-motion blocks use the gm candidate; with identity-only
-            # global motion the stored mv already equals it
-            this = (int(mv[which][0]), int(mv[which][1]))
+            if gm is not None and is_global_mv_block(
+                    mode, cand_bsize, gm["types"][ref_frame]):
+                this = gm["mv"][0]
+            else:
+                this = (int(mv[which][0]), int(mv[which][1]))
             for idx in range(counts[0]):
                 if stack[idx] == this:
                     weights[idx] += weight
@@ -211,7 +222,7 @@ def _add_candidate(cand, ref_frame, stack, weights, counts, weight):
 
 
 def _scan_row(ctx, ref_frame, row_offset, stack, weights, counts,
-              max_row_offset, processed_rows):
+              max_row_offset, processed_rows, gm=None):
     g = ctx.g
     end_mi = min(ctx.w4, g.mi_cols - ctx.mi_col, 16)
     col_offset = 0
@@ -235,12 +246,12 @@ def _scan_row(ctx, ref_frame, row_offset, stack, weights, counts,
             weight = max(weight, inc)
             processed_rows[0] = inc - row_offset - 1
         _add_candidate(cand, ref_frame, stack, weights, counts,
-                       length * weight)
+                       length * weight, gm)
         i += length
 
 
 def _scan_col(ctx, ref_frame, col_offset, stack, weights, counts,
-              max_col_offset, processed_cols):
+              max_col_offset, processed_cols, gm=None):
     g = ctx.g
     end_mi = min(ctx.h4, g.mi_rows - ctx.mi_row, 16)
     row_offset = 0
@@ -264,7 +275,7 @@ def _scan_col(ctx, ref_frame, col_offset, stack, weights, counts,
             weight = max(weight, inc)
             processed_cols[0] = inc - col_offset - 1
         _add_candidate(cand, ref_frame, stack, weights, counts,
-                       length * weight)
+                       length * weight, gm)
         i += length
 
 
@@ -275,10 +286,11 @@ def _is_inside(ctx, row_off, col_off) -> bool:
                 or col >= ctx.tce)
 
 
-def _scan_blk(ctx, ref_frame, row_off, col_off, stack, weights, counts):
+def _scan_blk(ctx, ref_frame, row_off, col_off, stack, weights, counts,
+              gm=None):
     if _is_inside(ctx, row_off, col_off):
         cand = ctx.g.at(ctx.mi_row + row_off, ctx.mi_col + col_off)
-        _add_candidate(cand, ref_frame, stack, weights, counts, 2 * 2)
+        _add_candidate(cand, ref_frame, stack, weights, counts, 2 * 2, gm)
 
 
 def _clamp_mv_ref(mv, ctx):
@@ -317,7 +329,8 @@ def mv_projection(mv, num, den):
             max(clamp_min, min(clamp_max, cc)))
 
 
-def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
+def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None,
+                 gm=None):
     """Single-ref av1_find_mv_refs.  Returns (stack, weights, count,
     mode_context, mv_ref_list) where stack entries are (row, col) in
     1/8 pel.  Global motion is identity-only, so gm candidates are 0."""
@@ -357,20 +370,20 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
     if abs(max_row_offset) >= 1:
         sub = [counts[0], 0, 0]
         _scan_row(ctx, ref_frame, -1, stack, weights, sub, max_row_offset,
-                  processed_rows)
+                  processed_rows, gm)
         counts[0] = sub[0]
         row_match[1] += sub[1]
         counts[2] += sub[2]
     if abs(max_col_offset) >= 1:
         sub = [counts[0], 0, 0]
         _scan_col(ctx, ref_frame, -1, stack, weights, sub, max_col_offset,
-                  processed_cols)
+                  processed_cols, gm)
         counts[0] = sub[0]
         col_match[1] += sub[1]
         counts[2] += sub[2]
     if _has_top_right(ctx):
         sub = [counts[0], 0, 0]
-        _scan_blk(ctx, ref_frame, -1, ctx.w4, stack, weights, sub)
+        _scan_blk(ctx, ref_frame, -1, ctx.w4, stack, weights, sub, gm)
         counts[0] = sub[0]
         row_match[1] += sub[1]
         counts[2] += sub[2]
@@ -411,9 +424,11 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
             this = lower_mv_precision(
                 mv_projection(base, off0, int(tpl_off[tr, tc])),
                 allow_hp, force_int)
+            gm_mv = gm["mv"] if gm is not None else ((0, 0), (0, 0))
             if not is_comp:
                 if blk_row == 0 and blk_col == 0:
-                    if abs(this[0]) >= 16 or abs(this[1]) >= 16:
+                    if (abs(this[0] - gm_mv[0][0]) >= 16
+                            or abs(this[1] - gm_mv[0][1]) >= 16):
                         mode_context_extra |= 1 << GLOBALMV_OFFSET
                 for idx in range(counts[0]):
                     if stack[idx] == this:
@@ -430,8 +445,10 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
                     allow_hp, force_int)
                 pair = (this, comp)
                 if blk_row == 0 and blk_col == 0:
-                    if (abs(this[0]) >= 16 or abs(this[1]) >= 16
-                            or abs(comp[0]) >= 16 or abs(comp[1]) >= 16):
+                    if (abs(this[0] - gm_mv[0][0]) >= 16
+                            or abs(this[1] - gm_mv[0][1]) >= 16
+                            or abs(comp[0] - gm_mv[1][0]) >= 16
+                            or abs(comp[1] - gm_mv[1][1]) >= 16):
                         mode_context_extra |= 1 << GLOBALMV_OFFSET
                 for idx in range(counts[0]):
                     if stack[idx] == pair:
@@ -470,7 +487,7 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
 
     # outer area
     sub = [counts[0], 0, 0]
-    _scan_blk(ctx, ref_frame, -1, -1, stack, weights, sub)
+    _scan_blk(ctx, ref_frame, -1, -1, stack, weights, sub, gm)
     counts[0] = sub[0]
     row_match[1] += sub[1]
     for idx in range(2, MVREF_ROW_COLS + 1):
@@ -480,14 +497,14 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
                 and abs(row_offset) > processed_rows[0]):
             sub = [counts[0], 0, 0]
             _scan_row(ctx, ref_frame, row_offset, stack, weights, sub,
-                      max_row_offset, processed_rows)
+                      max_row_offset, processed_rows, gm)
             counts[0] = sub[0]
             row_match[1] += sub[1]
         if (abs(col_offset) <= abs(max_col_offset)
                 and abs(col_offset) > processed_cols[0]):
             sub = [counts[0], 0, 0]
             _scan_col(ctx, ref_frame, col_offset, stack, weights, sub,
-                      max_col_offset, processed_cols)
+                      max_col_offset, processed_cols, gm)
             counts[0] = sub[0]
             col_match[1] += sub[1]
 
@@ -572,9 +589,10 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
             for cmp_idx in range(2):
                 cands = (ref_id[cmp_idx] + ref_diff[cmp_idx]
                          )[:MAX_MV_REF_CANDIDATES]
+                gm_fill = gm["mv"][cmp_idx] if gm is not None else (0, 0)
                 for k in range(MAX_MV_REF_CANDIDATES):
                     comp_list[k][cmp_idx] = cands[k] if k < len(cands) \
-                        else (0, 0)
+                        else gm_fill
             if refmv_count:
                 if (comp_list[0][0] == stack[0][0]
                         and comp_list[0][1] == stack[0][1]):
@@ -626,10 +644,66 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None):
     for i in range(refmv_count):
         stack[i] = _clamp_mv_ref(stack[i], ctx)
 
-    mv_ref_list = [(0, 0)] * MAX_MV_REF_CANDIDATES
+    gm_fill = gm["mv"][0] if gm is not None else (0, 0)
+    mv_ref_list = [gm_fill] * MAX_MV_REF_CANDIDATES
     for i in range(min(MAX_MV_REF_CANDIDATES, refmv_count)):
         mv_ref_list[i] = stack[i]
     return stack, weights, refmv_count, mode_context, mv_ref_list
+
+
+def _round2s(x: int, n: int) -> int:
+    if x < 0:
+        return -((-x + (1 << (n - 1))) >> n)
+    return (x + (1 << (n - 1))) >> n
+
+
+def _integer_mv_component(v: int) -> int:
+    """integer_mv_precision (mv.h:199), one component."""
+    mod = v - (v // 8) * 8 if v >= 0 else -((-v) - ((-v) // 8) * 8)
+    if mod != 0:
+        v -= mod
+        if abs(mod) > 4:
+            v += 8 if mod > 0 else -8
+    return v
+
+
+def _convert_to_trans_prec(allow_hp: int, coor: int) -> int:
+    if allow_hp:
+        return _round2s(coor, 16 - 3)
+    return _round2s(coor, 16 - 2) * 2
+
+
+def gm_get_motion_vector(gm_entry, allow_hp, bw, bh, mi_col, mi_row,
+                         is_integer):
+    """gm_get_motion_vector (mv.h:231).  gm_entry = (wmtype, mat,
+    invalid, shear); bw/bh = block dims in pixels.  Keeps the spec's
+    row/col swap for TRANSLATION models (crbug.com/aomedia/3328)."""
+    wmtype, mat = gm_entry[0], gm_entry[1]
+    if wmtype == c.IDENTITY:
+        return (0, 0)
+    if wmtype == c.TRANSLATION:
+        row = mat[0] >> 13          # GM_TRANS_ONLY_PREC_DIFF
+        col = mat[1] >> 13
+        if is_integer:
+            row = _integer_mv_component(row)
+            col = _integer_mv_component(col)
+        return (row, col)
+    x = mi_col * 4 + bw // 2 - 1
+    y = mi_row * 4 + bh // 2 - 1
+    xc = (mat[2] - (1 << 16)) * x + mat[3] * y + mat[0]
+    yc = mat[4] * x + (mat[5] - (1 << 16)) * y + mat[1]
+    tx = _convert_to_trans_prec(allow_hp, xc)
+    ty = _convert_to_trans_prec(allow_hp, yc)
+    if is_integer:
+        ty = _integer_mv_component(ty)
+        tx = _integer_mv_component(tx)
+    return (ty, tx)
+
+
+def is_global_mv_block(mode, bsize, wmtype) -> bool:
+    """is_global_mv_block (blockd.h:421)."""
+    return (mode in (GLOBALMV, GLOBAL_GLOBALMV) and wmtype > c.TRANSLATION
+            and _mi_wide(bsize) >= 2 and _mi_high(bsize) >= 2)
 
 
 def lower_mv_precision(mv, allow_hp: int, force_int: int):

@@ -209,16 +209,16 @@ def select_samples(mv_row, mv_col, pts, pts_inref, length, bw, bh):
 
 
 def warp_affine(mat, ref, pred, p_col, p_row, p_width, p_height, ss_x, ss_y,
-                alpha, beta, gamma, delta):
-    """av1_warp_affine_c, single-ref 8-bit path (round_0=3, round_1=11).
-
-    ref: the (unpadded) reference plane; pred: output (p_height, p_width)
-    uint8 array; p_col/p_row: block position in plane pixels."""
+                alpha, beta, gamma, delta, is_compound=False):
+    """av1_warp_affine_c, 8-bit path (round_0=3; round_1=11 single-ref /
+    7 compound).  ref: the (unpadded) reference plane; pred: output
+    (p_height, p_width) uint8 array (or int32 CONV_BUF when
+    is_compound); p_col/p_row: block position in plane pixels."""
     height, width = ref.shape
     r32 = ref.astype(np.int32)
     filt = warp_filter()
     reduce_bits_horiz = 3
-    reduce_bits_vert = 2 * 7 - reduce_bits_horiz
+    reduce_bits_vert = 7 if is_compound else 2 * 7 - reduce_bits_horiz
     offset_bits_horiz = 8 + 7 - 1
     offset_bits_vert = 8 + 2 * 7 - reduce_bits_horiz
     for i in range(p_row, p_row + p_height, 8):
@@ -264,7 +264,11 @@ def warp_affine(mat, ref, pred, p_col, p_row, p_width, p_height, ss_x, ss_y,
             vals = tmp[rows, cols]
             sums = (vals * coeffs).sum(-1) + (1 << offset_bits_vert)
             res = (sums + (1 << (reduce_bits_vert - 1))) >> reduce_bits_vert
-            out = np.clip(res - (1 << 7) - (1 << 8), 0, 255)
             oy = i - p_row + 4 + kv[0]
             ox = j - p_col + 4 + lv[0]
-            pred[oy:oy + len(kv), ox:ox + len(lv)] = out.astype(np.uint8)
+            if is_compound:
+                pred[oy:oy + len(kv), ox:ox + len(lv)] = res
+            else:
+                out = np.clip(res - (1 << 7) - (1 << 8), 0, 255)
+                pred[oy:oy + len(kv), ox:ox + len(lv)] = \
+                    out.astype(np.uint8)

@@ -139,6 +139,18 @@ class FrameDecoder(InterDecoderMixin):
         self.ref_side = [0] * 8
         self.ref_slot_bufs = [None] * 8
         self.tmvp = None
+        # global motion per ref frame index (LAST..ALTREF at 1..7):
+        # (wmtype, wmmat list, invalid, shear or None)
+        self.gm = [(c.IDENTITY, [0, 0, 65536, 0, 0, 65536], 0, None)]
+        for wmtype, mat, invalid in fh.gm_params:
+            shear = None
+            if wmtype > c.TRANSLATION and not invalid:
+                from ..common import warp as WP
+                ok, a, b, gmm, d = WP.get_shear_params(list(mat))
+                shear = (a, b, gmm, d) if ok else None
+                if not ok:
+                    invalid = 1
+            self.gm.append((wmtype, list(mat), invalid, shear))
         # per-8x8 motion storage for future frames (av1_copy_frame_mvs)
         h2 = (self.mi_rows + 1) >> 1
         w2 = (self.mi_cols + 1) >> 1
@@ -1200,10 +1212,12 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
                 state["slots"][slot] = stored
         state.setdefault("order_hints", [0] * 8)
         state.setdefault("deltas", {})
+        state.setdefault("gm", {})
         for slot in range(8):
             if fh.refresh_frame_flags & (1 << slot):
                 state["order_hints"][slot] = fh.order_hint
                 state["deltas"][slot] = (fh.ref_deltas, fh.mode_deltas)
+                state["gm"][slot] = fh.gm_params
     return out
 
 

@@ -375,8 +375,20 @@ class InterDecoderMixin:
             ts.mi_row_start, ts.mi_row_end, ts.mi_col_start, ts.mi_col_end,
             bi.partition)
         rf_key = bi.ref_frame if is_compound else ref
+        bw, bh = blockd.block_wide(bsize), blockd.block_high(bsize)
+        gm_mv0 = MR.gm_get_motion_vector(
+            self.gm[ref], fh.allow_high_precision_mv, bw, bh,
+            mi_col, mi_row, fh.force_integer_mv)
+        gm_mv1 = (0, 0)
+        if is_compound:
+            gm_mv1 = MR.gm_get_motion_vector(
+                self.gm[bi.ref_frame[1]], fh.allow_high_precision_mv,
+                bw, bh, mi_col, mi_row, fh.force_integer_mv)
+        gm_info = {"mv": (gm_mv0, gm_mv1),
+                   "types": [e[0] for e in self.gm]}
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, rf_key, sign_bias=self.sign_bias, tmvp=self.tmvp)
+            ctx, rf_key, sign_bias=self.sign_bias, tmvp=self.tmvp,
+            gm=gm_info)
 
         allow_hp = fh.allow_high_precision_mv
         force_int = fh.force_integer_mv
@@ -474,8 +486,8 @@ class InterDecoderMixin:
             elif m == MR.NEW_NEARMV:
                 mv0 = self._read_mv(ts, rd, ref_mv0, prec)
                 mv1 = near1
-            else:  # GLOBAL_GLOBALMV (identity)
-                mv0 = mv1 = (0, 0)
+            else:  # GLOBAL_GLOBALMV
+                mv0, mv1 = gm_mv0, gm_mv1
             bi.mv = (mv0, mv1)
         else:
             # nearest/near (av1_find_best_ref_mvs)
@@ -493,8 +505,8 @@ class InterDecoderMixin:
                 mv = nearest
             elif bi.mode == MR.NEARMV:
                 mv = near
-            else:  # GLOBALMV, identity
-                mv = (0, 0)
+            else:  # GLOBALMV
+                mv = gm_mv0
             bi.mv = (mv, (0, 0))
         for v in bi.mv[0] + bi.mv[1]:
             if not (-(1 << 13) < v < (1 << 13)):
@@ -610,7 +622,10 @@ class InterDecoderMixin:
         """motion_mode_allowed (reconinter.h): gates the symbol read."""
         if blockd.block_wide(bsize) < 8 or blockd.block_high(bsize) < 8:
             return c.SIMPLE_TRANSLATION
-        # global-mv block with non-translational gm: identity-only here
+        # global-mv blocks with non-translational gm stay simple
+        if (not self.fh.force_integer_mv and MR.is_global_mv_block(
+                bi.mode, bsize, self.gm[bi.ref_frame[0]][0])):
+            return c.SIMPLE_TRANSLATION
         if not self._has_overlappable_neighbor(bi, mi_row, mi_col, bsize,
                                                up_avail, left_avail):
             return c.SIMPLE_TRANSLATION
@@ -767,17 +782,23 @@ class InterDecoderMixin:
         return np_, pts, pts_inref
 
     def _interp_needed(self, bi) -> bool:
-        """av1_is_interp_needed: GLOBALMV identity-translation blocks with
-        fullpel MVs still need it only if mv is subpel; the reference
-        returns 0 for global-mv blocks with non-translational gm.  With
-        identity gm the check reduces to: not skip_mode and mv has subpel?
-        Reference: needed unless skip_mode or warp or gm block."""
+        """av1_is_interp_needed (reconinter.h:418): no interp filter for
+        skip-mode, warped-causal, or nontrans-global-motion blocks
+        (mode GLOBALMV/GLOBAL_GLOBALMV, >=8x8, no ref with a pure
+        TRANSLATION model - IDENTITY counts as nontranslational)."""
         if bi.skip_mode:
             return False
         if getattr(bi, "motion_mode", 0) == c.WARPED_CAUSAL:
             return False
-        # is_nontrans_global_motion: identity gm is translational-invalid
-        # (wmtype IDENTITY < TRANSLATION is not 'nontrans'), so needed.
+        if bi.mode in (MR.GLOBALMV, MR.GLOBAL_GLOBALMV):
+            bsize = bi.bsize
+            if (blockd.block_wide(bsize) >= 8
+                    and blockd.block_high(bsize) >= 8):
+                refs = [bi.ref_frame[0]]
+                if bi.ref_frame[1] > c.INTRA_FRAME:
+                    refs.append(bi.ref_frame[1])
+                if all(self.gm[r][0] != c.TRANSLATION for r in refs):
+                    return False
         return True
 
     def _interp_filter_ctx(self, g, mi_row, mi_col, up, left, d, ref):
@@ -1161,6 +1182,22 @@ class InterDecoderMixin:
             self._ref_pad_cache[key] = pad
         return pad
 
+    def _warp_params(self, bi, ref_idx, b_w, b_h):
+        """av1_init_warp_params + av1_allow_warp (reconinter.c:33):
+        returns (mat, shear) for this ref or None.  Local (WARPED_CAUSAL)
+        params win over global motion."""
+        if b_w < 8 or b_h < 8 or self.fh.force_integer_mv:
+            return None
+        if (ref_idx == 0 and bi.motion_mode == c.WARPED_CAUSAL
+                and getattr(bi, "wm", None) is not None):
+            mat, alpha, beta, gamma, delta = bi.wm
+            return mat, (alpha, beta, gamma, delta)
+        gm = self.gm[bi.ref_frame[ref_idx]]
+        if (MR.is_global_mv_block(bi.mode, bi.bsize, gm[0])
+                and not gm[2] and gm[3] is not None):
+            return gm[1], gm[3]
+        return None
+
     def _predict_inter_block(self, bi, mi_row, mi_col):
         """dec_build_inter_predictor + build_inter_predictors
         (reconinter_template.inc)."""
@@ -1238,11 +1275,19 @@ class InterDecoderMixin:
                 if bi.ref_frame[1] > c.INTRA_FRAME:
                     pads = (self._ref_pad(bi.ref_frame[0], plane),
                             self._ref_pad(bi.ref_frame[1], plane))
+                    warp_specs = [None, None]
+                    for wref in range(2):
+                        wp = self._warp_params(bi, wref, b_w, b_h)
+                        if wp is not None:
+                            warp_specs[wref] = (
+                                wp[0], wp[1],
+                                self.refs[bi.ref_frame[wref]][plane])
+                    have_warp = any(w is not None for w in warp_specs)
                     if getattr(bi, "comp_group_idx", 0):
                         bufs = IP.compound_conv_bufs(
                             pads, x0, y0, b_w, b_h, bi.mv, ss_x, ss_y,
                             mb_to_left, mb_to_right, mb_to_top,
-                            mb_to_bottom, fx, fy)
+                            mb_to_bottom, fx, fy, warp_specs)
                         if bi.comp_type == 1:
                             mask = IP.wedge_mask(bsize, bi.wedge_sign,
                                                  bi.wedge_index)
@@ -1256,19 +1301,26 @@ class InterDecoderMixin:
                                                 ss_x, ss_y)
                     else:
                         use_dw, fo, bo = self._dist_wtd_weights(bi)
-                        pred = IP.predict_inter_compound(
-                            pads, x0, y0, b_w, b_h, bi.mv, ss_x, ss_y,
-                            mb_to_left, mb_to_right, mb_to_top,
-                            mb_to_bottom, fx, fy, use_dw, fo, bo)
-                elif (wm is not None
-                        and bi.motion_mode == c.WARPED_CAUSAL
-                        and b_w >= 8 and b_h >= 8):
+                        if have_warp:
+                            bufs = IP.compound_conv_bufs(
+                                pads, x0, y0, b_w, b_h, bi.mv, ss_x,
+                                ss_y, mb_to_left, mb_to_right, mb_to_top,
+                                mb_to_bottom, fx, fy, warp_specs)
+                            pred = IP.compound_average(
+                                bufs[0], bufs[1], use_dw, fo, bo)
+                        else:
+                            pred = IP.predict_inter_compound(
+                                pads, x0, y0, b_w, b_h, bi.mv, ss_x,
+                                ss_y, mb_to_left, mb_to_right, mb_to_top,
+                                mb_to_bottom, fx, fy, use_dw, fo, bo)
+                elif (wp0 := self._warp_params(bi, 0, b_w, b_h)) \
+                        is not None:
                     from ..common import warp as WP
-                    mat, alpha, beta, gamma, delta = wm
+                    mat, shear = wp0
                     pred = np.empty((b_h, b_w), np.uint8)
                     WP.warp_affine(mat, self.refs[bi.ref_frame[0]][plane],
                                    pred, x0, y0, b_w, b_h, ss_x, ss_y,
-                                   alpha, beta, gamma, delta)
+                                   *shear)
                 else:
                     pred = IP.predict_inter_block(
                         self._ref_pad(bi.ref_frame[0], plane), x0, y0, b_w,

@@ -96,6 +96,45 @@ def test_inter_decode_motion_modes_compound(tmp_path):
 
 
 @pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+def test_inter_decode_global_motion(tmp_path):
+    """Non-identity global motion: per-ref warp model parse
+    (read_global_motion, decodeframe.c:4335), gm_get_motion_vector MV
+    derivation, GLOBALMV candidate substitution, and global-warp
+    prediction.  Global pan+zoom content forces ROTZOOM models."""
+    w, h = 160, 128
+    rng = np.random.default_rng(3)
+    base = (np.kron(rng.integers(0, 256, ((h + 96) // 8, (w + 96) // 8)),
+                    np.ones((8, 8)))
+            + rng.integers(-25, 25, (h + 96, w + 96))) \
+        .clip(0, 255).astype(np.uint8)
+    frames = []
+    for i in range(6):
+        y = base[4 + 3 * i:4 + 3 * i + h, 6 + 5 * i:6 + 5 * i + w].copy()
+        u = base[2 + i:2 + i + h // 2, 3 + 2 * i:3 + 2 * i + w // 2].copy()
+        v = base[10 + i:10 + i + h // 2, 1 + 3 * i:1 + 3 * i + w // 2].copy()
+        frames.append((y, u, v))
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "t.ivf")
+    dec = str(tmp_path / "dec.y4m")
+    write_y4m(src, frames, w, h)
+    subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
+                    "--ivf", "-o", ivf, "--cpu-used=3", "--passes=1",
+                    "--threads=1", "--tile-columns=0", "--kf-max-dist=9999",
+                    "--enable-global-motion=1", "--enable-restoration=0",
+                    "--enable-palette=0", "--enable-intrabc=0",
+                    "--end-usage=q", "--cq-level=30", src],
+                   check=True, capture_output=True)
+    subprocess.run([AOMDEC, "-o", dec, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(dec)[0]
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
+                                          f"plane {pi}")
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
 def test_inter_decode_default_flags(tmp_path):
     """Fully-default aomenc invocation (all tools at their defaults,
     including CDEF, dual filters, compound, OBMC/warp, TMVP, hidden

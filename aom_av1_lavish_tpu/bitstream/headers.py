@@ -499,7 +499,12 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
         uses_lr = any(fh.lr_type)
         uses_chroma_lr = any(fh.lr_type[1:])
         for t in fh.lr_type:
-            w.write_literal(t, 2)
+            if t in (c.RESTORE_WIENER, c.RESTORE_SGRPROJ):
+                w.write_bit(1)
+                w.write_bit(t == c.RESTORE_SGRPROJ)
+            else:
+                w.write_bit(0)
+                w.write_bit(t == c.RESTORE_SWITCHABLE)
         if uses_lr:
             w.write_bit(fh.lr_unit_shift >= 1)
             if fh.lr_unit_shift >= 1:
@@ -748,10 +753,18 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
         fh.cdef_uv_pri, fh.cdef_uv_sec = tuple(up), tuple(us)
     all_lossless = coded_lossless and fh.superres_denom == SUPERRES_NUM
     if not (all_lossless or fh.allow_intrabc) and sh.enable_restoration:
-        types = [r.read_literal(2) for _ in range(3 if not sh.mono_chrome
-                                                 else 1)]
+        # decode_restoration_mode (decodeframe.c:1494)
+        types = []
+        for _ in range(3 if not sh.mono_chrome else 1):
+            if r.read_bit():
+                types.append(c.RESTORE_SGRPROJ if r.read_bit()
+                             else c.RESTORE_WIENER)
+            else:
+                types.append(c.RESTORE_SWITCHABLE if r.read_bit()
+                             else c.RESTORE_NONE)
         fh.lr_type = tuple(types + [0] * (3 - len(types)))
         if any(types):
+            assert not sh.use_128x128_superblock, "sb128 LR units TBD"
             shift = r.read_bit()
             if shift:
                 shift += r.read_bit()

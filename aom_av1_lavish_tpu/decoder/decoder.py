@@ -103,9 +103,32 @@ class FrameDecoder(InterDecoderMixin):
         self.ss_x = sh.subsampling_x
         self.ss_y = sh.subsampling_y
         self.lossless = fh.coded_lossless(sh)
-        if not self.lossless:
-            assert not sh.enable_restoration, "loop restoration decode TBD"
         self._cdef_tx = [False] * 4
+        # loop restoration (decode_restoration_mode, decodeframe.c:1494)
+        self.lr = None
+        if any(fh.lr_type[:self.num_planes]):
+            from ..common import restoration as LR
+            ysize = 64 << fh.lr_unit_shift
+            ss = min(self.ss_x, self.ss_y) if self.num_planes > 1 else 0
+            uvsize = ysize >> (fh.lr_uv_shift * ss)
+            sizes = (ysize, uvsize, uvsize)
+            self.lr = []
+            for p in range(self.num_planes):
+                ss_x = self.ss_x if p else 0
+                ss_y = self.ss_y if p else 0
+                pw = (fh.frame_width + ss_x) >> ss_x
+                ph = (fh.frame_height + ss_y) >> ss_y
+                self.lr.append(LR.PlaneRestoration(
+                    fh.lr_type[p], sizes[p], pw, ph))
+            self.lr_bounds = [{"above": {}, "below": {}}
+                              for _ in range(self.num_planes)]
+            do_cdef = (not self.lossless and not fh.allow_intrabc
+                       and (fh.cdef_bits
+                            or (fh.cdef_y_pri and (fh.cdef_y_pri[0]
+                                                   or fh.cdef_y_sec[0]))
+                            or (fh.cdef_uv_pri and (fh.cdef_uv_pri[0]
+                                                    or fh.cdef_uv_sec[0]))))
+            self.lr_optimized = not do_cdef
         w = self.mi_cols * 4
         h = self.mi_rows * 4
         # +64 margin: large-tx blocks at the frame edge may write recon
@@ -392,6 +415,14 @@ class FrameDecoder(InterDecoderMixin):
         self._last_ts = ts
         self.cur_qindex = self.fh.base_q_idx
         self.delta_lf = [0, 0, 0, 0]
+        if self.lr is not None:
+            # av1_reset_loop_restoration: per-tile coeff prediction refs
+            from ..common import restoration as LR
+            self.lr_wiener_ref = [{"v": LR.default_wiener(),
+                                   "h": LR.default_wiener()}
+                                  for _ in range(self.num_planes)]
+            self.lr_sgr_ref = [LR.default_sgrproj()
+                               for _ in range(self.num_planes)]
         for mi_row in range(ts.mi_row_start, ts.mi_row_end, self.sb_mi):
             ts.left_partition[:] = 0
             for le in ts.left_entropy:
@@ -399,6 +430,179 @@ class FrameDecoder(InterDecoderMixin):
             ts.left_txfm[:] = 64
             for mi_col in range(ts.mi_col_start, ts.mi_col_end, self.sb_mi):
                 self._decode_partition(ts, rd, mi_row, mi_col, self.sb_size)
+
+    # --- loop restoration symbols ----------------------------------------
+
+    def _rd_quniform(self, rd, n):
+        """aom_read_primitive_quniform (binary_codes_reader.c:15)."""
+        if n <= 1:
+            return 0
+        lb = n.bit_length()
+        m = (1 << lb) - n
+        v = rd.decode_literal(lb - 1)
+        return v if v < m else (v << 1) - m + rd.decode_literal(1)
+
+    def _rd_subexpfin(self, rd, n, k):
+        i = 0
+        mk = 0
+        while True:
+            b = k + i - 1 if i else k
+            a = 1 << b
+            if n <= mk + 3 * a:
+                return self._rd_quniform(rd, n - mk) + mk
+            if not rd.decode_literal(1):
+                return rd.decode_literal(b) + mk
+            i += 1
+            mk += a
+
+    def _rd_refsubexpfin(self, rd, n, k, ref):
+        v = self._rd_subexpfin(rd, n, k)
+        # inv_recenter_finite_nonneg (recenter.h:31)
+        def inv_nonneg(r0, vv):
+            if vv > 2 * r0:
+                return vv
+            if vv & 1:
+                return r0 - ((vv + 1) >> 1)
+            return (vv >> 1) + r0
+        if 2 * ref <= n:
+            return inv_nonneg(ref, v)
+        return n - 1 - inv_nonneg(n - 1 - ref, v)
+
+    def _read_lr_units(self, ts, rd, mi_row, mi_col):
+        """loop_restoration_read_sb_coeffs via
+        av1_loop_restoration_corners_in_sb (restoration.c:1316)."""
+        from ..common import restoration as LR
+        for plane in range(self.num_planes):
+            pr = self.lr[plane]
+            if pr.frame_rtype == LR.RESTORE_NONE:
+                continue
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            mi_sz_x = 4 >> ss_x
+            mi_sz_y = 4 >> ss_y
+            size = pr.unit_size
+            sb4 = self.sb_mi
+            rcol0 = (mi_col * mi_sz_x + size - 1) // size
+            rrow0 = (mi_row * mi_sz_y + size - 1) // size
+            rcol1 = min(((mi_col + sb4) * mi_sz_x + size - 1) // size,
+                        pr.hunits)
+            rrow1 = min(((mi_row + sb4) * mi_sz_y + size - 1) // size,
+                        pr.vunits)
+            for rrow in range(rrow0, rrow1):
+                for rcol in range(rcol0, rcol1):
+                    idx = rrow * pr.hunits + rcol
+                    pr.unit_info[idx] = self._read_lr_unit(
+                        ts, rd, plane, pr.frame_rtype)
+
+    def _read_lr_unit(self, ts, rd, plane, frame_rtype):
+        from ..common import restoration as LR
+        fc = ts.fc
+        if frame_rtype == LR.RESTORE_SWITCHABLE:
+            rtype = rd.decode_symbol_adapt(
+                fc.switchable_restore_cdf, LR.RESTORE_SWITCHABLE_TYPES)
+            if rtype == LR.RESTORE_WIENER:
+                return (rtype, self._read_wiener(rd, plane))
+            if rtype == LR.RESTORE_SGRPROJ:
+                return (rtype, self._read_sgrproj(rd, plane))
+            return (LR.RESTORE_NONE, None)
+        if frame_rtype == LR.RESTORE_WIENER:
+            if rd.decode_symbol_adapt(fc.wiener_restore_cdf, 2):
+                return (LR.RESTORE_WIENER, self._read_wiener(rd, plane))
+            return (LR.RESTORE_NONE, None)
+        # RESTORE_SGRPROJ
+        if rd.decode_symbol_adapt(fc.sgrproj_restore_cdf, 2):
+            return (LR.RESTORE_SGRPROJ, self._read_sgrproj(rd, plane))
+        return (LR.RESTORE_NONE, None)
+
+    def _read_wiener(self, rd, plane):
+        """read_wiener_filter (decodeframe.c:1551)."""
+        from ..common import restoration as LR
+        win = LR.WIENER_WIN if plane == 0 else LR.WIENER_WIN - 2
+        ref = self.lr_wiener_ref[plane]
+        out = {}
+        for key in ("v", "h"):
+            filt = [0] * 8
+            reff = ref[key]
+            for tap in range(3):
+                if tap == 0 and win != LR.WIENER_WIN:
+                    continue
+                mn = LR.WIENER_TAP_MIN[tap]
+                mx = LR.WIENER_TAP_MAX[tap]
+                k = LR.WIENER_TAP_K[tap]
+                filt[tap] = self._rd_refsubexpfin(
+                    rd, mx - mn + 1, k, reff[tap] - mn) + mn
+                filt[6 - tap] = filt[tap]
+            filt[3] = -2 * (filt[0] + filt[1] + filt[2])
+            out[key] = filt
+        self.lr_wiener_ref[plane] = {"v": list(out["v"]),
+                                     "h": list(out["h"])}
+        return (out["h"], out["v"])
+
+    def _read_sgrproj(self, rd, plane):
+        """read_sgrproj_filter (decodeframe.c:1612)."""
+        from ..common import restoration as LR
+        ep = rd.decode_literal(LR.SGRPROJ_PARAMS_BITS)
+        r0, r1, _, _ = LR.SGR_PARAMS[ep]
+        ref = self.lr_sgr_ref[plane]
+        xqd = [0, 0]
+        if r0 == 0:
+            xqd[0] = 0
+            xqd[1] = self._rd_refsubexpfin(
+                rd, LR.SGRPROJ_PRJ_MAX1 - LR.SGRPROJ_PRJ_MIN1 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K,
+                ref[1] - LR.SGRPROJ_PRJ_MIN1) + LR.SGRPROJ_PRJ_MIN1
+        elif r1 == 0:
+            xqd[0] = self._rd_refsubexpfin(
+                rd, LR.SGRPROJ_PRJ_MAX0 - LR.SGRPROJ_PRJ_MIN0 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K,
+                ref[0] - LR.SGRPROJ_PRJ_MIN0) + LR.SGRPROJ_PRJ_MIN0
+            xqd[1] = max(LR.SGRPROJ_PRJ_MIN1,
+                         min(LR.SGRPROJ_PRJ_MAX1,
+                             (1 << LR.SGRPROJ_PRJ_BITS) - xqd[0]))
+        else:
+            xqd[0] = self._rd_refsubexpfin(
+                rd, LR.SGRPROJ_PRJ_MAX0 - LR.SGRPROJ_PRJ_MIN0 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K,
+                ref[0] - LR.SGRPROJ_PRJ_MIN0) + LR.SGRPROJ_PRJ_MIN0
+            xqd[1] = self._rd_refsubexpfin(
+                rd, LR.SGRPROJ_PRJ_MAX1 - LR.SGRPROJ_PRJ_MIN1 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K,
+                ref[1] - LR.SGRPROJ_PRJ_MIN1) + LR.SGRPROJ_PRJ_MIN1
+        self.lr_sgr_ref[plane] = list(xqd)
+        return (ep, xqd)
+
+    def save_lr_boundaries(self, after_cdef):
+        """av1_loop_restoration_save_boundary_lines; no-op when LR is off
+        or the optimized (no-cdef) path is in use."""
+        if self.lr is None or self.lr_optimized:
+            return
+        from ..common import restoration as LR
+        for plane in range(self.num_planes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            pw = (self.fh.frame_width + ss_x) >> ss_x
+            ph = (self.fh.frame_height + ss_y) >> ss_y
+            view = self.planes[plane][:ph, :pw]
+            LR.save_boundary_lines(view, ss_y, after_cdef,
+                                   self.lr_bounds[plane])
+
+    def apply_loop_restoration(self):
+        if self.lr is None:
+            return
+        from ..common import restoration as LR
+        for plane in range(self.num_planes):
+            pr = self.lr[plane]
+            if pr.frame_rtype == LR.RESTORE_NONE:
+                continue
+            ss_y = self.ss_y if plane else 0
+            ss_x = self.ss_x if plane else 0
+            pw = (self.fh.frame_width + ss_x) >> ss_x
+            ph = (self.fh.frame_height + ss_y) >> ss_y
+            view = self.planes[plane][:ph, :pw]
+            out = LR.filter_frame_plane(view, pr, ss_y,
+                                        self.lr_bounds[plane],
+                                        self.lr_optimized)
+            view[:] = out
 
     # --- partition tree ---------------------------------------------------
 
@@ -479,6 +683,8 @@ class FrameDecoder(InterDecoderMixin):
     def _decode_partition(self, ts, rd, mi_row, mi_col, bsize):
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return
+        if bsize == self.sb_size and self.lr is not None:
+            self._read_lr_units(ts, rd, mi_row, mi_col)
         bw = blockd.mi_size_wide(bsize)
         hbs = bw // 2
         qbs = bw // 4
@@ -1185,7 +1391,10 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
             dec.decode_tile_data(tile_data, trow, tcol)
             idx += 1
     dec.apply_loop_filter()
+    dec.save_lr_boundaries(0)
     dec.apply_cdef()
+    dec.save_lr_boundaries(1)
+    dec.apply_loop_restoration()
     out = dec.output()
     if state is not None and fh.refresh_frame_flags:
         # stored frame context: the post-decode state of the context

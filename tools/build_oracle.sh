@@ -30,3 +30,5 @@ gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/convolve_oracle.c \
   "$OUT"/libaom.a -o "$OUT"/../libconvolve_oracle.so
 gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/warp_oracle.c \
   "$OUT"/libaom.a -o "$OUT"/../libwarp_oracle.so
+gcc -O2 -shared -fPIC -I"$REF" -I"$OUT" /root/repo/tools/lr_oracle.c \
+  "$OUT"/libaom.a -o "$OUT"/../liblr_oracle.so

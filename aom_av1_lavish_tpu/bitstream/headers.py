@@ -311,6 +311,13 @@ class FrameHeader:
     qm_v: int = 0
     # segmentation / delta q
     segmentation_enabled: int = 0
+    seg_update_map: int = 0
+    seg_temporal_update: int = 0
+    seg_update_data: int = 0
+    seg_feature_mask: tuple = (0,) * 8
+    seg_feature_data: tuple = tuple((0,) * 8 for _ in range(8))
+    seg_preskip: int = 0
+    seg_last_active: int = 0
     delta_q_present: int = 0
     delta_q_res_log2: int = 0
     delta_lf_present: int = 0
@@ -696,8 +703,7 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
                                        else r.read_bit())
     _parse_tile_info(fh, sh, r)
     _parse_quantization_params(fh, sh, r)
-    fh.segmentation_enabled = r.read_bit()
-    assert not fh.segmentation_enabled, "segmentation parse TBD"
+    _parse_segmentation(fh, r, ref_state)
     if fh.base_q_idx > 0:
         fh.delta_q_present = r.read_bit()
         if fh.delta_q_present:
@@ -788,6 +794,65 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
     if sh.film_grain_params_present and (fh.show_frame or fh.showable_frame):
         raise NotImplementedError("film grain parse TBD")
     return fh, r.bit_offset
+
+
+# seg_feature_data_signed / _max (seg_common.c:19)
+SEG_FEATURE_SIGNED = (1, 1, 1, 1, 1, 0, 0, 0)
+SEG_FEATURE_MAX = (255, 63, 63, 63, 63, 7, 0, 0)
+SEG_FEATURE_BITS = (8, 6, 6, 6, 6, 3, 0, 0)
+
+
+def _parse_segmentation(fh: FrameHeader, r: BitReader,
+                        ref_state: dict | None) -> None:
+    """setup_segmentation (decodeframe.c:1419)."""
+    fh.segmentation_enabled = r.read_bit()
+    if not fh.segmentation_enabled:
+        return
+    if fh.primary_ref_frame == PRIMARY_REF_NONE:
+        fh.seg_update_map = 1
+        fh.seg_temporal_update = 0
+        fh.seg_update_data = 1
+    else:
+        fh.seg_update_map = r.read_bit()
+        fh.seg_temporal_update = r.read_bit() if fh.seg_update_map else 0
+        fh.seg_update_data = r.read_bit()
+    if fh.seg_update_data:
+        mask = [0] * 8
+        data = [[0] * 8 for _ in range(8)]
+        for i in range(8):
+            for j in range(8):
+                val = 0
+                if r.read_bit():
+                    mask[i] |= 1 << j
+                    bits = SEG_FEATURE_BITS[j]
+                    if SEG_FEATURE_SIGNED[j]:
+                        # aom_rb_read_inv_signed_literal: (bits+1)-bit
+                        # two's complement
+                        raw = r.read_literal(bits + 1)
+                        val = raw - (1 << (bits + 1))                             if raw >= (1 << bits) else raw
+                        val = max(-SEG_FEATURE_MAX[j],
+                                  min(SEG_FEATURE_MAX[j], val))
+                    else:
+                        val = min(r.read_literal(bits), SEG_FEATURE_MAX[j])
+                data[i][j] = val
+        fh.seg_feature_mask = tuple(mask)
+        fh.seg_feature_data = tuple(tuple(row) for row in data)
+    elif ref_state is not None and fh.primary_ref_frame != PRIMARY_REF_NONE:
+        slot = fh.ref_frame_idx[fh.primary_ref_frame]
+        prev = ref_state.get("seg", {}).get(slot)
+        if prev is not None:
+            fh.seg_feature_mask, fh.seg_feature_data = prev
+    # av1_calculate_segdata
+    preskip = 0
+    last_active = 0
+    for i in range(8):
+        for j in range(8):
+            if fh.seg_feature_mask[i] & (1 << j):
+                if j >= 5:          # SEG_LVL_REF_FRAME
+                    preskip = 1
+                last_active = i
+    fh.seg_preskip = preskip
+    fh.seg_last_active = last_active
 
 
 def _inv_recenter_nonneg(ref: int, v: int) -> int:

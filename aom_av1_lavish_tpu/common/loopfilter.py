@@ -213,30 +213,45 @@ MODE_LF_LUT = np.array([0] * 13 + [1, 1, 0, 1, 1, 1, 1, 1, 1, 1, 0, 1],
                        np.int32)
 
 
+# seg_lvl_lf_lut (av1_loopfilter.c:31): feature id per (plane, dir)
+_SEG_LF_FEATURE = ((1, 2), (3, 3), (4, 4))
+
+
 def build_filter_levels(fh):
-    """lvl[plane][dir][ref0][mode_bucket] (av1_loop_filter_frame_init)."""
+    """lvl[seg][plane][dir][ref0][mode_bucket]
+    (av1_loop_filter_frame_init)."""
     base = [(fh.filter_level[0], fh.filter_level[1]),
             (fh.filter_level_u, fh.filter_level_u),
             (fh.filter_level_v, fh.filter_level_v)]
-    lvl = np.zeros((3, 2, 8, 2), np.int32)
-    for plane in range(3):
-        for d in range(2):
-            seg = base[plane][d]
-            if not fh.loop_filter_delta_enabled:
-                lvl[plane, d, :, :] = seg
-                continue
-            scale = 1 << (seg >> 5)
-            lvl[plane, d, 0, :] = np.clip(
-                seg + fh.ref_deltas[0] * scale, 0, MAX_LOOP_FILTER)
-            for ref in range(1, 8):
-                for mb in range(2):
-                    v = seg + fh.ref_deltas[ref] * scale                         + fh.mode_deltas[mb] * scale
-                    lvl[plane, d, ref, mb] = np.clip(v, 0, MAX_LOOP_FILTER)
+    nseg = 8 if fh.segmentation_enabled else 1
+    lvl = np.zeros((nseg, 3, 2, 8, 2), np.int32)
+    for seg_id in range(nseg):
+        for plane in range(3):
+            for d in range(2):
+                seg = base[plane][d]
+                feat = _SEG_LF_FEATURE[plane][d]
+                if (fh.segmentation_enabled
+                        and fh.seg_feature_mask[seg_id] & (1 << feat)):
+                    seg = int(np.clip(
+                        seg + fh.seg_feature_data[seg_id][feat],
+                        0, MAX_LOOP_FILTER))
+                if not fh.loop_filter_delta_enabled:
+                    lvl[seg_id, plane, d, :, :] = seg
+                    continue
+                scale = 1 << (seg >> 5)
+                lvl[seg_id, plane, d, 0, :] = np.clip(
+                    seg + fh.ref_deltas[0] * scale, 0, MAX_LOOP_FILTER)
+                for ref in range(1, 8):
+                    for mb in range(2):
+                        v = seg + fh.ref_deltas[ref] * scale                             + fh.mode_deltas[mb] * scale
+                        lvl[seg_id, plane, d, ref, mb] = np.clip(
+                            v, 0, MAX_LOOP_FILTER)
     return lvl
 
 
 def loop_filter_frame(planes, fh, sh, luma_txw4, luma_txh4, bsize_grid,
-                      ref_grid, mode_grid, skip_inter_grid, plane_tx_fn):
+                      ref_grid, mode_grid, skip_inter_grid, plane_tx_fn,
+                      seg_grid=None):
     """Filter recon planes in place.
 
     luma_txw4/txh4: (mi_h, mi_w) luma tx dims per mi in 4x4 units.
@@ -282,6 +297,10 @@ def loop_filter_frame(planes, fh, sh, luma_txw4, luma_txh4, bsize_grid,
         ref_sel = ref_clip[sel_r[:, None], sel_c[None, :]]
         mb_sel = mode_bucket[sel_r[:, None], sel_c[None, :]]
         skip_sel = skip_inter_grid[sel_r[:, None], sel_c[None, :]]
+        if seg_grid is not None and lvl_tab.shape[0] > 1:
+            seg_sel = seg_grid[sel_r[:, None], sel_c[None, :]]                 .astype(np.int64)
+        else:
+            seg_sel = None
         gh, gw = bs_sel.shape
         if plane == 0:
             dimw4 = luma_txw4.astype(np.int64)
@@ -299,12 +318,15 @@ def loop_filter_frame(planes, fh, sh, luma_txw4, luma_txh4, bsize_grid,
                 pb[bs_sel == b] = blockd.plane_block_size(int(b), ss_x, ss_y)
             pbw4 = bw4_of[pb]
             pbh4 = bh4_of[pb]
-        lvl_plane = lvl_tab[plane]  # [dir][ref][modebucket]
+        lvl_all = lvl_tab[:, plane]  # [seg][dir][ref][modebucket]
         for horizontal in (False, True):
             d = 1 if horizontal else 0
             dim4 = dimh4 if horizontal else dimw4
             pdim4 = pbh4 if horizontal else pbw4
-            lvl_map = lvl_plane[d][ref_sel, mb_sel]
+            if seg_sel is None:
+                lvl_map = lvl_all[0, d][ref_sel, mb_sel]
+            else:
+                lvl_map = lvl_all[seg_sel, d, ref_sel, mb_sel]
             r_idx, c_idx = np.mgrid[0:gh, 0:gw]
             coord = r_idx if horizontal else c_idx
             tu_edge = (coord % dim4) == 0

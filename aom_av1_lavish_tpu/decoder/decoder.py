@@ -58,6 +58,9 @@ class BlockInfo:
     interp_filter: tuple = (c.EIGHTTAP_REGULAR, c.EIGHTTAP_REGULAR)
     tx_size: int = -1
     inter_leaves: object = None
+    segment_id: int = 0
+    seg_id_predicted: int = 0
+    qindex: int = 0
 
 
 class TileState:
@@ -181,6 +184,19 @@ class FrameDecoder(InterDecoderMixin):
         self.frame_mvs = np.zeros((h2, w2, 2), np.int16)
         self._ref_pad_cache = {}
         self._last_tx_type = c.DCT_DCT
+        # segmentation (setup_segmentation, decodeframe.c:1419)
+        self.seg_map = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.seg_pred_grid = np.zeros((self.mi_rows, self.mi_cols),
+                                      np.uint8)
+        self.prev_seg_map = None
+        if (fh.segmentation_enabled and refs is not None
+                and fh.primary_ref_frame != H.PRIMARY_REF_NONE
+                and not fh.is_intra):
+            slot = fh.ref_frame_idx[fh.primary_ref_frame]
+            buf = refs[slot]
+            if (buf is not None and buf.get("seg_map") is not None
+                    and buf["seg_map"].shape == self.seg_map.shape):
+                self.prev_seg_map = buf["seg_map"]
         if not fh.is_intra:
             assert refs is not None, "inter frame needs reference frames"
             for i in range(7):
@@ -358,7 +374,7 @@ class FrameDecoder(InterDecoderMixin):
         delta-lf, applied as running state across the tile."""
         fh = self.fh
         if not fh.delta_q_present:
-            bi.qindex = fh.base_q_idx
+            bi.qindex = self.seg_qindex(bi.segment_id, fh.base_q_idx)
             return
         sbm = self.sb_mi
         first = (mi_row & (sbm - 1)) == 0 and (mi_col & (sbm - 1)) == 0
@@ -378,7 +394,7 @@ class FrameDecoder(InterDecoderMixin):
         d = read_delta(ts.fc.delta_q_cdf)
         self.cur_qindex = max(1, min(255, self.cur_qindex
                                      + d * (1 << fh.delta_q_res_log2)))
-        bi.qindex = self.cur_qindex
+        bi.qindex = self.seg_qindex(bi.segment_id, self.cur_qindex)
         if fh.delta_lf_present:
             n = 4 if (self.num_planes > 1 and fh.delta_lf_multi) else 1
             if fh.delta_lf_multi:
@@ -772,6 +788,126 @@ class FrameDecoder(InterDecoderMixin):
         left_mi = self.mi[mi_row, mi_col - 1] if left else None
         return up, left, above_mi, left_mi
 
+    # --- segmentation (decodemv.c:257-441) --------------------------------
+
+    def seg_active(self, segment_id: int, feature: int) -> bool:
+        return bool(self.fh.segmentation_enabled
+                    and (self.fh.seg_feature_mask[segment_id]
+                         & (1 << feature)))
+
+    def seg_data(self, segment_id: int, feature: int) -> int:
+        return self.fh.seg_feature_data[segment_id][feature]
+
+    def seg_qindex(self, segment_id: int, base: int) -> int:
+        """av1_get_qindex (quant_common.c:217)."""
+        if self.seg_active(segment_id, 0):      # SEG_LVL_ALT_Q
+            return max(0, min(255, base + self.seg_data(segment_id, 0)))
+        return base
+
+    def _spatial_seg_pred(self, ts, mi_row, mi_col):
+        """av1_get_spatial_seg_pred (pred_common.h:48)."""
+        up = mi_row > ts.mi_row_start
+        left = mi_col > ts.mi_col_start
+        prev_ul = prev_u = prev_l = -1
+        if up and left:
+            prev_ul = int(self.seg_map[mi_row - 1, mi_col - 1])
+        if up:
+            prev_u = int(self.seg_map[mi_row - 1, mi_col])
+        if left:
+            prev_l = int(self.seg_map[mi_row, mi_col - 1])
+        if prev_ul < 0:
+            cdf_index = 0
+        elif prev_ul == prev_u and prev_ul == prev_l:
+            cdf_index = 2
+        elif prev_ul == prev_u or prev_ul == prev_l or prev_u == prev_l:
+            cdf_index = 1
+        else:
+            cdf_index = 0
+        if prev_u < 0:
+            pred = 0 if prev_l < 0 else prev_l
+        elif prev_l < 0:
+            pred = prev_u
+        else:
+            pred = prev_u if prev_ul == prev_u else prev_l
+        return pred, cdf_index
+
+    @staticmethod
+    def _neg_deinterleave(diff, ref, mx):
+        """av1_neg_deinterleave (decodemv.c:257)."""
+        if not ref:
+            return diff
+        if ref >= mx - 1:
+            return mx - diff - 1
+        if 2 * ref < mx:
+            if diff <= 2 * ref:
+                if diff & 1:
+                    return ref + ((diff + 1) >> 1)
+                return ref - (diff >> 1)
+            return diff
+        if diff <= 2 * (mx - ref - 1):
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return mx - (diff + 1)
+
+    def _read_segment_id(self, ts, rd, mi_row, mi_col, skip):
+        pred, cdf_index = self._spatial_seg_pred(ts, mi_row, mi_col)
+        if skip:
+            return pred
+        coded = rd.decode_symbol_adapt(
+            ts.fc.seg_spatial_pred_cdf[cdf_index], c.MAX_SEGMENTS)
+        return self._neg_deinterleave(coded, pred,
+                                      self.fh.seg_last_active + 1)
+
+    def _set_segment_id(self, bi, mi_row, mi_col, bsize, segment_id):
+        bi.segment_id = segment_id
+        h4 = min(blockd.mi_size_high(bsize), self.mi_rows - mi_row)
+        w4 = min(blockd.mi_size_wide(bsize), self.mi_cols - mi_col)
+        self.seg_map[mi_row:mi_row + h4, mi_col:mi_col + w4] = segment_id
+
+    def _predicted_segment_id(self, mi_row, mi_col, bsize):
+        if self.prev_seg_map is None:
+            return 0
+        h4 = min(blockd.mi_size_high(bsize), self.mi_rows - mi_row)
+        w4 = min(blockd.mi_size_wide(bsize), self.mi_cols - mi_col)
+        return int(self.prev_seg_map[mi_row:mi_row + h4,
+                                     mi_col:mi_col + w4].min())
+
+    def _read_inter_segment_id(self, ts, rd, bi, mi_row, mi_col, preskip):
+        """read_inter_segment_id (decodemv.c:362)."""
+        fh = self.fh
+        bsize = bi.bsize
+        if not fh.segmentation_enabled:
+            return 0
+        if not fh.seg_update_map:
+            seg = self._predicted_segment_id(mi_row, mi_col, bsize)
+            self._set_segment_id(bi, mi_row, mi_col, bsize, seg)
+            return seg
+        if preskip:
+            if not fh.seg_preskip:
+                return 0
+        elif bi.skip_txfm:
+            bi.seg_id_predicted = 0
+            seg = self._read_segment_id(ts, rd, mi_row, mi_col, 1)
+            self._set_segment_id(bi, mi_row, mi_col, bsize, seg)
+            return seg
+        if fh.seg_temporal_update:
+            up = mi_row > ts.mi_row_start
+            left = mi_col > ts.mi_col_start
+            ctx = (int(self.seg_pred_grid[mi_row - 1, mi_col]) if up
+                   else 0) +                   (int(self.seg_pred_grid[mi_row, mi_col - 1]) if left
+                   else 0)
+            bi.seg_id_predicted = rd.decode_symbol_adapt(
+                ts.fc.seg_pred_cdf[ctx], 2)
+            if bi.seg_id_predicted:
+                seg = self._predicted_segment_id(mi_row, mi_col, bsize)
+            else:
+                seg = self._read_segment_id(ts, rd, mi_row, mi_col, 0)
+        else:
+            seg = self._read_segment_id(ts, rd, mi_row, mi_col, 0)
+        self._set_segment_id(bi, mi_row, mi_col, bsize, seg)
+        return seg
+
     def _decode_block(self, ts, rd, mi_row, mi_col, bsize, partition):
         fc = ts.fc
         bi = BlockInfo(bsize=bsize, partition=partition,
@@ -789,10 +925,24 @@ class FrameDecoder(InterDecoderMixin):
                                up_avail, left_avail)
             return
 
+        # read_intra_frame_mode_info (decodemv.c:772): seg id order
+        if self.fh.segmentation_enabled and self.fh.seg_preskip:
+            self._set_segment_id(bi, mi_row, mi_col, bsize,
+                                 self._read_segment_id(ts, rd, mi_row,
+                                                       mi_col, 0))
         # skip_txfm (decodemv.c:445)
-        skip_ctx = (above_mi.skip_txfm if above_mi else 0) + \
-                   (left_mi.skip_txfm if left_mi else 0)
-        bi.skip_txfm = rd.decode_symbol_adapt(fc.skip_txfm_cdfs[skip_ctx], 2)
+        if self.seg_active(bi.segment_id, 6):   # SEG_LVL_SKIP
+            bi.skip_txfm = 1
+        else:
+            skip_ctx = (above_mi.skip_txfm if above_mi else 0) + \
+                       (left_mi.skip_txfm if left_mi else 0)
+            bi.skip_txfm = rd.decode_symbol_adapt(
+                fc.skip_txfm_cdfs[skip_ctx], 2)
+        if self.fh.segmentation_enabled and not self.fh.seg_preskip:
+            self._set_segment_id(bi, mi_row, mi_col, bsize,
+                                 self._read_segment_id(ts, rd, mi_row,
+                                                       mi_col,
+                                                       bi.skip_txfm))
 
         self._read_cdef(rd, bi, mi_row, mi_col)
         self._read_delta_q_params(ts, rd, bi, mi_row, mi_col)
@@ -873,6 +1023,7 @@ class FrameDecoder(InterDecoderMixin):
             bi.interp_filter[0]
         self.skip_inter_grid[mi_row:r1, mi_col:c1] = \
             1 if (bi.skip_txfm and bi.is_inter) else 0
+        self.seg_pred_grid[mi_row:r1, mi_col:c1] = bi.seg_id_predicted
         self.qindex_grid[mi_row:r1, mi_col:c1] = \
             getattr(bi, "qindex", self.fh.base_q_idx)
         self.delta_lf_grid[mi_row:r1, mi_col:c1] = self.delta_lf
@@ -1283,7 +1434,8 @@ class FrameDecoder(InterDecoderMixin):
             self.planes, fh, sh,
             (self.tx_wide_grid >> 2).astype(np.int64),
             (self.tx_high_grid >> 2).astype(np.int64),
-            bsg, ref_grid, mode_grid, skip_inter, plane_tx)
+            bsg, ref_grid, mode_grid, skip_inter, plane_tx,
+            seg_grid=self.seg_map if fh.segmentation_enabled else None)
 
     def output(self):
         w, h = self.fh.frame_width, self.fh.frame_height
@@ -1413,6 +1565,7 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
             "frame_type": fh.frame_type,
             "mi_dims": (dec.mi_rows, dec.mi_cols),
             "mvs": (dec.frame_mvs_ref.copy(), dec.frame_mvs.copy()),
+            "seg_map": dec.seg_map.copy(),
             "ref_order_hints": tuple(
                 dec.ref_hints[c.LAST_FRAME + i] for i in range(7)),
         }
@@ -1422,11 +1575,16 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
         state.setdefault("order_hints", [0] * 8)
         state.setdefault("deltas", {})
         state.setdefault("gm", {})
+        state.setdefault("seg", {})
+        seg_store = ((fh.seg_feature_mask, fh.seg_feature_data)
+                     if fh.segmentation_enabled
+                     else ((0,) * 8, tuple((0,) * 8 for _ in range(8))))
         for slot in range(8):
             if fh.refresh_frame_flags & (1 << slot):
                 state["order_hints"][slot] = fh.order_hint
                 state["deltas"][slot] = (fh.ref_deltas, fh.mode_deltas)
                 state["gm"][slot] = fh.gm_params
+                state["seg"][slot] = seg_store
     return out
 
 

@@ -64,9 +64,14 @@ class InterDecoderMixin:
         fh = self.fh
         g = self.g
 
-        # skip mode
+        self._read_inter_segment_id(ts, rd, bi, mi_row, mi_col, 1)
+
+        # skip mode (read_skip_mode, decodemv.c:421)
         bi.skip_mode = 0
-        if fh.skip_mode_flag:
+        if fh.skip_mode_flag and not (
+                self.seg_active(bi.segment_id, 6)
+                or self.seg_active(bi.segment_id, 5)
+                or self.seg_active(bi.segment_id, 7)):
             if min(blockd.block_wide(bsize), blockd.block_high(bsize)) >= 8:
                 ctx = MR.skip_mode_ctx(g, mi_row, mi_col, up_avail,
                                        left_avail, self.skip_mode_grid)
@@ -77,17 +82,27 @@ class InterDecoderMixin:
         # skip_txfm
         if bi.skip_mode:
             bi.skip_txfm = 1
+        elif self.seg_active(bi.segment_id, 6):  # SEG_LVL_SKIP
+            bi.skip_txfm = 1
         else:
             skip_ctx = (above_mi.skip_txfm if above_mi else 0) + \
                        (left_mi.skip_txfm if left_mi else 0)
             bi.skip_txfm = rd.decode_symbol_adapt(
                 fc.skip_txfm_cdfs[skip_ctx], 2)
 
+        if not fh.seg_preskip:
+            self._read_inter_segment_id(ts, rd, bi, mi_row, mi_col, 0)
+
         self._read_cdef(rd, bi, mi_row, mi_col)
         self._read_delta_q_params(ts, rd, bi, mi_row, mi_col)
 
-        # is_inter
+        # is_inter (read_is_inter_block, decodemv.c:1222)
         if bi.skip_mode:
+            bi.is_inter = 1
+        elif self.seg_active(bi.segment_id, 5):  # SEG_LVL_REF_FRAME
+            frame = self.seg_data(bi.segment_id, 5)
+            bi.is_inter = int(frame >= c.LAST_FRAME)
+        elif self.seg_active(bi.segment_id, 7):  # SEG_LVL_GLOBALMV
             bi.is_inter = 1
         else:
             ctx = MR.intra_inter_ctx(g, mi_row, mi_col, up_avail,
@@ -153,6 +168,13 @@ class InterDecoderMixin:
         if bi.skip_mode:
             bi.ref_frame = (self.fh.skip_mode_refs[0],
                             self.fh.skip_mode_refs[1])
+            return
+        if self.seg_active(bi.segment_id, 5):   # SEG_LVL_REF_FRAME
+            bi.ref_frame = (self.seg_data(bi.segment_id, 5), -1)
+            return
+        if self.seg_active(bi.segment_id, 6) or \
+                self.seg_active(bi.segment_id, 7):  # SKIP / GLOBALMV
+            bi.ref_frame = (c.LAST_FRAME, -1)
             return
         comp_allowed = min(blockd.block_wide(bi.bsize),
                            blockd.block_high(bi.bsize)) >= 8
@@ -396,6 +418,9 @@ class InterDecoderMixin:
 
         if bi.skip_mode:
             bi.mode = MR.NEAREST_NEARESTMV
+        elif (self.seg_active(bi.segment_id, 6)
+                or self.seg_active(bi.segment_id, 7)):
+            bi.mode = MR.GLOBALMV
         elif is_compound:
             newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
             refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
@@ -451,10 +476,14 @@ class InterDecoderMixin:
                                                  force_int)
                 nearest1 = MR.lower_mv_precision(stack[0][1], allow_hp,
                                                  force_int)
-                near0 = MR.lower_mv_precision(stack[idx1][0], allow_hp,
-                                              force_int)
-                near1 = MR.lower_mv_precision(stack[idx1][1], allow_hp,
-                                              force_int)
+                if idx1 < count:
+                    near0 = MR.lower_mv_precision(stack[idx1][0],
+                                                  allow_hp, force_int)
+                    near1 = MR.lower_mv_precision(stack[idx1][1],
+                                                  allow_hp, force_int)
+                else:
+                    # only reachable for NEW-modes, which never use near
+                    near0 = near1 = (0, 0)
             else:
                 nearest0 = nearest1 = near0 = near1 = (0, 0)
             ref_mv0, ref_mv1 = nearest0, nearest1

@@ -135,6 +135,58 @@ def test_inter_decode_global_motion(tmp_path):
 
 
 @pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+@pytest.mark.parametrize("aq", [1, 2])
+def test_inter_decode_segmentation(tmp_path, aq):
+    """Segmentation (aq-mode): setup_segmentation parse with primary-ref
+    inheritance (decodeframe.c:1419), spatial/temporal segment-id coding
+    (decodemv.c:279-441), per-segment qindex and loop-filter deltas."""
+    w, h = 176, 144
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "t.ivf")
+    dec = str(tmp_path / "dec.y4m")
+    write_y4m(src, _moving_frames(w, h, 6), w, h)
+    subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
+                    "--ivf", "-o", ivf, "--cpu-used=5", "--passes=1",
+                    "--threads=1", "--tile-columns=0", "--kf-max-dist=9999",
+                    f"--aq-mode={aq}", "--end-usage=q", "--cq-level=35",
+                    "--enable-palette=0", "--enable-intrabc=0", src],
+                   check=True, capture_output=True)
+    subprocess.run([AOMDEC, "-o", dec, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(dec)[0]
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
+                                          f"plane {pi}")
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+def test_inter_decode_two_pass_vbr(tmp_path):
+    """Two-pass VBR encode: exercises the full GOP/ARF structure plus
+    drl indices beyond the populated compound stack."""
+    w, h = 176, 144
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "t.ivf")
+    dec = str(tmp_path / "dec.y4m")
+    write_y4m(src, _moving_frames(w, h, 8), w, h)
+    subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
+                    "--ivf", "-o", ivf, "--cpu-used=5", "--passes=2",
+                    "--target-bitrate=200", "--threads=1",
+                    "--tile-columns=0", "--kf-max-dist=9999",
+                    "--enable-palette=0", "--enable-intrabc=0", src],
+                   check=True, capture_output=True)
+    subprocess.run([AOMDEC, "-o", dec, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(dec)[0]
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
+                                          f"plane {pi}")
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
 def test_inter_decode_default_flags(tmp_path):
     """Fully-default aomenc invocation (all tools at their defaults,
     including CDEF, dual filters, compound, OBMC/warp, TMVP, hidden

@@ -325,3 +325,54 @@ def predict_inter_block(ref_pad: np.ndarray, x0: int, y0: int, bw: int,
     kx = filter_kernels(filt_x, bw)
     ky = filter_kernels(filt_y, bh)
     return convolve_sr(region, subx, suby, kx, ky)
+
+
+# ---------------------------------------------------------------------------
+# Interintra (reconinter.c:516-1170; spec 7.11.3.13 II_Weights_1d)
+
+II_WEIGHTS_1D = (
+    60, 58, 56, 54, 52, 50, 48, 47, 45, 44, 42, 41, 39, 38, 37, 35, 34, 33,
+    32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 22, 21, 20, 19, 19, 18, 18,
+    17, 16, 16, 15, 15, 14, 14, 13, 13, 12, 12, 12, 11, 11, 10, 10, 10, 9,
+    9, 9, 8, 8, 8, 8, 7, 7, 7, 7, 6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 4, 4, 4, 4,
+    4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1)
+
+II_SIZE_SCALES = (32, 16, 16, 16, 8, 8, 8, 4, 4, 4, 2, 2, 2, 1, 1, 1,
+                  8, 8, 4, 4, 2, 2)
+
+
+def smooth_interintra_mask(plane_bsize: int, ii_mode: int) -> np.ndarray:
+    """build_smooth_interintra_mask (reconinter.c:532)."""
+    from . import blockd
+    bw = blockd.block_wide(plane_bsize)
+    bh = blockd.block_high(plane_bsize)
+    scale = II_SIZE_SCALES[plane_bsize]
+    w = np.asarray(II_WEIGHTS_1D, np.uint8)
+    if ii_mode == 1:        # II_V_PRED
+        return np.repeat(w[np.arange(bh) * scale][:, None], bw, axis=1)
+    if ii_mode == 2:        # II_H_PRED
+        return np.repeat(w[np.arange(bw) * scale][None, :], bh, axis=0)
+    if ii_mode == 3:        # II_SMOOTH_PRED
+        idx = np.minimum(np.arange(bh)[:, None], np.arange(bw)[None, :])
+        return w[idx * scale]
+    return np.full((bh, bw), 32, np.uint8)  # II_DC_PRED
+
+
+def blend_a64_mask_pixel(intra, inter, mask, subw, subh):
+    """aom_blend_a64_mask_c (pixel domain): mask may be at 2x resolution
+    when subw/subh (chroma planes of a luma-resolution wedge mask)."""
+    m = mask.astype(np.int32)
+    if subh and subw:
+        m = (m[::2, ::2] + m[::2, 1::2] + m[1::2, ::2] + m[1::2, 1::2]
+             + 2) >> 2
+    elif subw:
+        m = (m[:, ::2] + m[:, 1::2] + 1) >> 1
+    elif subh:
+        m = (m[::2, :] + m[1::2, :] + 1) >> 1
+    bh, bw = inter.shape
+    m = m[:bh, :bw]
+    out = (m * intra.astype(np.int32)
+           + (64 - m) * inter.astype(np.int32) + 32) >> 6
+    return out.astype(np.uint8)

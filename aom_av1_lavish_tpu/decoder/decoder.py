@@ -61,6 +61,10 @@ class BlockInfo:
     segment_id: int = 0
     seg_id_predicted: int = 0
     qindex: int = 0
+    interintra: int = 0
+    interintra_mode: int = 0
+    use_wedge_interintra: int = 0
+    interintra_wedge_index: int = 0
 
 
 class TileState:

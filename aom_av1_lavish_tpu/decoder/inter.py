@@ -551,7 +551,21 @@ class InterDecoderMixin:
             bi.interintra = rd.decode_symbol_adapt(
                 fc.interintra_cdf[bsg], 2)
             if bi.interintra:
-                raise NotImplementedError("interintra prediction TBD")
+                bi.interintra_mode = rd.decode_symbol_adapt(
+                    fc.interintra_mode_cdf[bsg], c.INTERINTRA_MODES)
+                bi.ref_frame = (ref, c.INTRA_FRAME)
+                bi.angle_delta_y = 0
+                bi.angle_delta_uv = 0
+                bi.filter_intra_mode = -1
+                bi.use_wedge_interintra = 0
+                if bsize in (c.BLOCK_8X8, c.BLOCK_8X16, c.BLOCK_16X8,
+                             c.BLOCK_16X16, c.BLOCK_16X32, c.BLOCK_32X16,
+                             c.BLOCK_32X32, c.BLOCK_8X32, c.BLOCK_32X8):
+                    bi.use_wedge_interintra = rd.decode_symbol_adapt(
+                        fc.wedge_interintra_cdf[bsize], 2)
+                    if bi.use_wedge_interintra:
+                        bi.interintra_wedge_index = rd.decode_symbol_adapt(
+                            fc.wedge_idx_cdf[bsize], 16)
 
         # motion mode (decodemv.c:226 read_motion_mode); requires warp
         # sample search even when OBMC is chosen (gates WARPED vs OBMC)
@@ -563,7 +577,7 @@ class InterDecoderMixin:
             bi.num_proj_ref, pts, pts_inref = self._find_samples(
                 ts, bi, mi_row, mi_col, bsize)
         if fh.is_motion_mode_switchable and not bi.skip_mode \
-                and not is_compound:
+                and not is_compound and not bi.interintra:
             allowed = self._motion_mode_allowed(ts, bi, mi_row, mi_col,
                                                 bsize, up_avail, left_avail)
             if allowed == c.OBMC_CAUSAL:
@@ -1211,6 +1225,43 @@ class InterDecoderMixin:
             self._ref_pad_cache[key] = pad
         return pad
 
+    _II_TO_INTRA = (c.DC_PRED, c.V_PRED, c.H_PRED, c.SMOOTH_PRED)
+
+    def _interintra_blend(self, bi, plane, x0, y0, b_w, b_h, inter_pred,
+                          ss_x, ss_y):
+        """av1_build_interintra_predictor (reconinter.c:1152): intra
+        prediction of the whole plane block from recon edges, blended
+        with the inter prediction by a wedge or smooth mask."""
+        from ..common import intra
+        ts = self._last_ts
+        mode = self._II_TO_INTRA[bi.interintra_mode]
+        ref = self.planes[plane]
+        mi_row, mi_col = bi.mi_row, bi.mi_col
+        up_avail = mi_row > ts.mi_row_start
+        left_avail = mi_col > ts.mi_col_start
+        bw_mi = blockd.mi_size_wide(bi.bsize)
+        bh_mi = blockd.mi_size_high(bi.bsize)
+        xr = ((self.mi_cols - bw_mi - mi_col) * 4) >> ss_x
+        yd = ((self.mi_rows - bh_mi - mi_row) * 4) >> ss_y
+        edge_type = self._intra_edge_filter_type(
+            bi, plane, up_avail, left_avail, up_avail, left_avail)
+        ipred = intra.build_intra_predictor(
+            ref, x0, y0, b_w, b_h, mode, 0, -1,
+            n_top_px=min(b_w, xr + b_w) if up_avail else 0,
+            n_topright_px=-1,
+            n_left_px=min(b_h, yd + b_h) if left_avail else 0,
+            n_bottomleft_px=-1,
+            disable_edge_filter=not self.sh.enable_intra_edge_filter,
+            intra_edge_filter_type=edge_type)
+        if bi.use_wedge_interintra:
+            # INTERINTRA_WEDGE_SIGN == 0 (blockd.h:40)
+            mask = IP.wedge_mask(bi.bsize, 0, bi.interintra_wedge_index)
+            return IP.blend_a64_mask_pixel(ipred, inter_pred, mask,
+                                           ss_x, ss_y)
+        pb = blockd.plane_block_size(bi.bsize, ss_x, ss_y)
+        mask = IP.smooth_interintra_mask(pb, bi.interintra_mode)
+        return IP.blend_a64_mask_pixel(ipred, inter_pred, mask, 0, 0)
+
     def _warp_params(self, bi, ref_idx, b_w, b_h):
         """av1_init_warp_params + av1_allow_warp (reconinter.c:33):
         returns (mat, shear) for this ref or None.  Local (WARPED_CAUSAL)
@@ -1281,11 +1332,16 @@ class InterDecoderMixin:
                         cc = mi_col + col + m
                         sref = int(g.ref0[rr, cc])
                         smv = g.mv[rr, cc, 0]
+                        # this_mbmi->interp_filters: each sub-block uses
+                        # its own block's filters (reconinter_template
+                        # .inc:144)
+                        sfy = int(self.interp_grid[rr, cc, 0])
+                        sfx = int(self.interp_grid[rr, cc, 1])
                         pred = IP.predict_inter_block(
                             self._ref_pad(sref, plane), pre_x + x, pre_y + y,
                             b4_w, b4_h, int(smv[0]), int(smv[1]), ss_x, ss_y,
                             mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                            fx, fy)
+                            sfx, sfy)
                         dst[pre_y + y:pre_y + y + b4_h,
                             pre_x + x:pre_x + x + b4_w] = pred
                         col += 1
@@ -1356,6 +1412,9 @@ class InterDecoderMixin:
                         b_h, bi.mv[0][0], bi.mv[0][1], ss_x, ss_y,
                         mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
                         fx, fy)
+                if getattr(bi, "interintra", 0):
+                    pred = self._interintra_blend(bi, plane, x0, y0, b_w,
+                                                  b_h, pred, ss_x, ss_y)
                 dst[y0:y0 + b_h, x0:x0 + b_w] = pred
         if getattr(bi, "motion_mode", 0) == c.OBMC_CAUSAL:
             self._obmc_blend(bi, mi_row, mi_col)

@@ -162,6 +162,32 @@ def test_inter_decode_segmentation(tmp_path, aq):
 
 
 @pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
+def test_inter_decode_interintra(tmp_path):
+    """cpu-used=1 toolset: interintra (wedge + smooth) prediction
+    (reconinter.c:1152), plus per-sub-block interp filters in the
+    sub8x8 chroma path (reconinter_template.inc:144)."""
+    w, h = 176, 144
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "t.ivf")
+    dec = str(tmp_path / "dec.y4m")
+    write_y4m(src, _moving_frames(w, h, 3), w, h)
+    subprocess.run([AOMENC, "--codec=av1", "-w", str(w), "-h", str(h),
+                    "--ivf", "-o", ivf, "--cpu-used=1", "--passes=1",
+                    "--threads=1", "--tile-columns=0", "--kf-max-dist=9999",
+                    "--enable-palette=0", "--enable-intrabc=0",
+                    "--end-usage=q", "--cq-level=40", src],
+                   check=True, capture_output=True)
+    subprocess.run([AOMDEC, "-o", dec, ivf], check=True, capture_output=True)
+    ours = decode_ivf(ivf)
+    ref = read_y4m(dec)[0]
+    assert len(ours) == len(ref)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
+                                          f"plane {pi}")
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aom oracle not built")
 def test_inter_decode_two_pass_vbr(tmp_path):
     """Two-pass VBR encode: exercises the full GOP/ARF structure plus
     drl indices beyond the populated compound stack."""

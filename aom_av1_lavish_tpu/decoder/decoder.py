@@ -416,16 +416,21 @@ class FrameDecoder(InterDecoderMixin):
     # --- tiles ------------------------------------------------------------
 
     def tile_row_range(self, tr: int):
-        n = 1 << self.fh.tile_rows_log2
+        """Uniform tile spacing (tile_info, spec 5.9.15): ceil-sized
+        tiles of size_sb = ceil(sb_rows / n)."""
+        log2 = self.fh.tile_rows_log2
         sbs = self.fh.sb_rows(self.sh)
-        start = (tr * sbs) >> self.fh.tile_rows_log2
-        end = ((tr + 1) * sbs) >> self.fh.tile_rows_log2
+        size_sb = (sbs + (1 << log2) - 1) >> log2
+        start = min(tr * size_sb, sbs)
+        end = min((tr + 1) * size_sb, sbs)
         return start * self.sb_mi, min(end * self.sb_mi, self.mi_rows)
 
     def tile_col_range(self, tc: int):
+        log2 = self.fh.tile_cols_log2
         sbs = self.fh.sb_cols(self.sh)
-        start = (tc * sbs) >> self.fh.tile_cols_log2
-        end = ((tc + 1) * sbs) >> self.fh.tile_cols_log2
+        size_sb = (sbs + (1 << log2) - 1) >> log2
+        start = min(tc * size_sb, sbs)
+        end = min((tc + 1) * size_sb, sbs)
         return start * self.sb_mi, min(end * self.sb_mi, self.mi_cols)
 
     def decode_tile_data(self, data: bytes, tile_row: int, tile_col: int):
@@ -1533,6 +1538,7 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
         assert data[pos] >> 7 == 0, "partial tile groups unsupported"
         pos += 1
     idx = 0
+    tile_states = []
     for trow in range(1 << fh.tile_rows_log2):
         for tcol in range(1 << fh.tile_cols_log2):
             last = idx == n_tiles - 1
@@ -1545,7 +1551,11 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
             else:
                 tile_data = data[pos:]
             dec.decode_tile_data(tile_data, trow, tcol)
+            tile_states.append(dec._last_ts)
             idx += 1
+    # backward context update uses context_update_tile_id's tile context
+    dec._last_ts = tile_states[min(fh.context_update_tile_id,
+                                   n_tiles - 1)]
     dec.apply_loop_filter()
     dec.save_lr_boundaries(0)
     dec.apply_cdef()

@@ -20,3 +20,27 @@ runtime   : host-side orchestration, native (C) fast paths.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (opt out: AVL_NO_COMPILE_CACHE=1).
+
+    Kernel programs here are large (whole-frame wavefront loops) and the
+    TPU compile round-trip is expensive; caching makes warmup a disk read
+    after the first run.  Applies to CPU (tests) and TPU alike."""
+    import os
+    if os.environ.get("AVL_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        path = os.environ.get(
+            "AVL_JAX_CACHE_DIR",
+            os.path.expanduser("~/.cache/aom_av1_lavish_tpu/jax"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is best-effort; never block the import
+        pass
+
+
+_enable_compile_cache()

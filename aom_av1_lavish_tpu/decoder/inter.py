@@ -7,9 +7,10 @@ read_inter_block_mode_info, :885 read_mv, decodeframe.c:1015
 read_tx_size_vartx / :1080 read_selected_tx_size, reconinter_template.inc
 build_inter_predictors.
 
-Current scope: single reference frames, simple translation, identity
-global motion, no segmentation / skip-mode / compound (asserted at the
-header parse layer where possible, here otherwise).
+Current scope: single + compound references (incl. skip-mode, interintra,
+wedge/dist-wtd masked compound), translation, OBMC and warped motion,
+global motion, segmentation.  Not yet: film grain, superres, palette /
+intraBC (asserted at the header parse layer where possible).
 """
 
 from __future__ import annotations

@@ -174,10 +174,8 @@ class LosslessEncoder:
                                 dtype=np.int32)
         self.mi_valid = np.zeros((self.mi_rows, self.mi_cols), dtype=bool)
 
-    def encode_frame(self, planes, use_jax: bool = True) -> bytes:
-        """planes: (y, u, v) uint8 source.  Returns full temporal unit."""
-        fh, sh = self.fh, self.sh
-        # pad source planes to the mi grid
+    def pad_planes(self, planes) -> list:
+        """Pad source planes to the mi grid (+PAD margin); fills src/recon."""
         w = self.mi_cols * 4
         h = self.mi_rows * 4
         self.src = []
@@ -194,10 +192,22 @@ class LosslessEncoder:
                 buf[sh_:ph, :pw] = buf[sh_ - 1:sh_, :pw]
             self.src.append(buf)
             self.recon.append(np.zeros_like(buf))
+        return self.src
+
+    def encode_frame(self, planes, use_jax: bool = True,
+                     analysis=None) -> bytes:
+        """planes: (y, u, v) uint8 source.  Returns full temporal unit.
+
+        analysis: optional precomputed device analyze (from
+        ops/lossless.analyze_frames_for_encoder) for batched pipelines."""
+        fh, sh = self.fh, self.sh
+        self.pad_planes(planes)
 
         # batched analyze: per-4x4 qcoeff + zero flags for every plane
         # (TPU path; lossless ⇒ recon == source ⇒ fully parallel)
-        if use_jax:
+        if analysis is not None:
+            self.analysis = analysis
+        elif use_jax:
             from ..ops.lossless import analyze_for_encoder
             self.analysis = analyze_for_encoder(self.src)
         else:
@@ -208,20 +218,44 @@ class LosslessEncoder:
         # assemble: TD + sequence header + frame OBU
         out = bytearray()
         out += H.temporal_delimiter()
+        out += self.sequence_header_obu()
+        out += self.frame_obu(tile_data)
+        return bytes(out)
+
+    def sequence_header_obu(self) -> bytes:
         w_seq = BitWriter()
-        H.write_sequence_header(sh, w_seq)
+        H.write_sequence_header(self.sh, w_seq)
         w_seq.write_bit(1)  # trailing bit
         w_seq.byte_align()
-        out += H.wrap_obu(c.OBU_SEQUENCE_HEADER, w_seq.data())
+        return H.wrap_obu(c.OBU_SEQUENCE_HEADER, w_seq.data())
+
+    def frame_obu(self, tile_data: bytes) -> bytes:
         w_fh = BitWriter()
-        H.write_frame_header(fh, sh, w_fh)
+        H.write_frame_header(self.fh, self.sh, w_fh)
         w_fh.byte_align()
-        out += H.wrap_obu(c.OBU_FRAME, w_fh.data() + tile_data)
-        return bytes(out)
+        return H.wrap_obu(c.OBU_FRAME, w_fh.data() + tile_data)
+
+    def encode_frame_obu(self, planes, **kw) -> bytes:
+        """Like encode_frame but returns ONLY the frame OBU (no TD / seq
+        header) — for multi-frame temporal units (hidden ARFs)."""
+        full = self.encode_frame(planes, **kw)
+        return b"".join(H.wrap_obu(t, p) for (t, p) in H.split_obus(full)
+                        if t == c.OBU_FRAME)
 
     # --- tile encode ------------------------------------------------------
 
     def _encode_tile(self) -> bytes:
+        if (self.use_native and self.analysis is not None
+                and type(self) is LosslessEncoder):
+            # full-native walk: partition + modes + coeffs in C
+            # (runtime/lossless_tile.c), byte-exact with the path below
+            from ..runtime import encode_lossless_tile
+            self.fc = FrameContext(self.fh.base_q_idx)
+            for plane in range(self.num_planes):
+                self.recon[plane][:] = self.src[plane]
+            return encode_lossless_tile(
+                self.fc, self.analysis, self.mi_rows, self.mi_cols,
+                self.num_planes, sb_mi=self.sb_mi)
         self.fc = FrameContext(self.fh.base_q_idx)
         if self.use_native:
             self.sink = NativeSink(self.fc)
@@ -494,11 +528,22 @@ class LosslessEncoder:
 
 def encode_lossless_ivf(path: str, frames, width: int, height: int,
                         fps=(30, 1)) -> None:
-    """Encode frames (list of (y,u,v)) as all-keyframe lossless IVF."""
+    """Encode frames (list of (y,u,v)) as all-keyframe lossless IVF.
+
+    The per-4x4 analyze for ALL frames runs as one batched jit call (one
+    device round-trip); the per-frame native tile walk then packs each
+    frame's symbols at C speed."""
     sh = make_sequence_header(width, height)
-    payloads = []
-    for i, f in enumerate(frames):
+    encs = []
+    srcs = []
+    for f in frames:
         fh = make_lossless_frame_header(sh)
         enc = LosslessEncoder(sh, fh)
-        payloads.append((enc.encode_frame(f), i))
+        srcs.append(enc.pad_planes(f))
+        encs.append(enc)
+    from ..ops.lossless import analyze_frames_for_encoder
+    analyses = analyze_frames_for_encoder(srcs)
+    payloads = []
+    for i, (enc, f, an) in enumerate(zip(encs, frames, analyses)):
+        payloads.append((enc.encode_frame(f, analysis=an), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

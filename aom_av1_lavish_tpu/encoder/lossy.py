@@ -5,7 +5,7 @@ SURVEY.md §7 step 4: recon-in-the-loop intra coding with
   * all 13 intra modes for luma (angle deltas 0 for now),
   * chroma DC-vs-CfL decision with least-squares alpha fit,
   * rate-aware costs (token-level bit estimates, lambda from qindex).
-In-loop filters disabled in this config (seq cdef/restoration off, lf 0).
+Deblocking runs on recon (level from q); seq cdef/restoration still off.
 
 Reference analog: av1/encoder/partition_search.c av1_rd_pick_partition +
 rdopt.c av1_rd_pick_intra_mode_sb (recast: trial encodes over recon

@@ -107,3 +107,28 @@ def analyze_for_encoder(planes):
     """Host-friendly wrapper: numpy in/out for the encoder integration."""
     rs = lossless_frame_analyze_jit(*[jnp.asarray(p) for p in planes])
     return [(np.asarray(q), np.asarray(z)) for (q, z) in rs]
+
+
+@jax.jit
+def _lossless_batch_analyze(ys, us, vs):
+    """(N, H, W) stacked planes -> vmapped per-frame analyze."""
+    qy, zy = jax.vmap(lossless_plane_analyze)(ys)
+    qu, zu = jax.vmap(lossless_plane_analyze)(us)
+    qv, zv = jax.vmap(lossless_plane_analyze)(vs)
+    return qy, zy, qu, zu, qv, zv
+
+
+def analyze_frames_for_encoder(frame_planes):
+    """Batched multi-frame analyze: one jit call + one transfer for a
+    whole sequence (amortizes device dispatch latency).
+
+    frame_planes: list of (y, u, v) same-shape numpy planes (mi-aligned).
+    Returns a list (per frame) of per-plane (qcoeff, zero) numpy arrays.
+    """
+    ys = jnp.asarray(np.stack([f[0] for f in frame_planes]))
+    us = jnp.asarray(np.stack([f[1] for f in frame_planes]))
+    vs = jnp.asarray(np.stack([f[2] for f in frame_planes]))
+    qy, zy, qu, zu, qv, zv = [np.asarray(a) for a in
+                              _lossless_batch_analyze(ys, us, vs)]
+    return [[(qy[i], zy[i]), (qu[i], zu[i]), (qv[i], zv[i])]
+            for i in range(len(frame_planes))]

@@ -17,16 +17,13 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
-jax.config.update("jax_enable_x64", True)
-
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
-
-from ..bitstream import constants as c  # noqa: E402
-from ..common import quant as Q  # noqa: E402
-from ..common.intra import SMOOTH_WEIGHTS  # noqa: E402
-from . import txfm_jax as TJ  # noqa: E402
+from ..bitstream import constants as c
+from ..common import quant as Q
+from ..common.intra import SMOOTH_WEIGHTS
+from . import txfm_jax as TJ
 
 # candidate modes (no edge-filter dependency; exact without TR/BL)
 WAVE_MODES = (c.DC_PRED, c.V_PRED, c.H_PRED, c.SMOOTH_PRED,
@@ -133,7 +130,7 @@ class _PQ:
 
 def _pq_array(pq):
     return np.array([pq.zbin, pq.round, pq.quant, pq.quant_shift,
-                     pq.dequant], np.int64)
+                     pq.dequant], np.int32)
 
 
 class WavefrontEncoder:

@@ -31,8 +31,9 @@ def batched_analyze_step(y_batch):
     """Analyze a batch of luma planes: (B, H, W) uint8 -> qcoeff + a global
     bit-cost proxy (psum-style reduction across the mesh)."""
     q, zero = jax.vmap(lossless_plane_analyze)(y_batch)
-    # rate proxy: total nonzero coefficient magnitude (drives RC later)
-    bits_proxy = jnp.sum(jnp.abs(q).astype(jnp.int64))
+    # rate proxy: total nonzero coefficient magnitude (drives RC later);
+    # float32 — int64 is emulated on TPU and int32 can overflow here
+    bits_proxy = jnp.sum(jnp.abs(q).astype(jnp.float32))
     return q, zero, bits_proxy
 
 

@@ -24,10 +24,13 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    src = os.path.join(_DIR, "entropy_enc.c")
+    # unity build: lossless_tile.c #includes entropy_enc.c
+    src = os.path.join(_DIR, "lossless_tile.c")
+    deps = [src, os.path.join(_DIR, "entropy_enc.c")]
     so = os.path.join(_BUILD, "libavl_runtime.so")
     if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
+            or os.path.getmtime(so) < max(os.path.getmtime(d)
+                                          for d in deps)):
         os.makedirs(_BUILD, exist_ok=True)
         subprocess.run(
             ["gcc", "-O2", "-shared", "-fPIC", "-o", so, src],
@@ -39,6 +42,14 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.avl_encode_lossless_tile.restype = ctypes.c_int
+    lib.avl_encode_lossless_tile.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -187,3 +198,52 @@ _EOB_CDF_NAME = {
     3: "eob_flag_cdf128", 4: "eob_flag_cdf256", 5: "eob_flag_cdf512",
     6: "eob_flag_cdf1024",
 }
+
+
+def encode_lossless_tile(fc, analysis, mi_rows: int, mi_cols: int,
+                         num_planes: int = 3, sb_mi: int = 16) -> bytes:
+    """Full-native lossless tile encode (avl_encode_lossless_tile).
+
+    analysis: per-plane (qcoeff (h4, w4, 16) int32, zero) from
+    ops/lossless.analyze_for_encoder.  Byte-exact with the Python walk in
+    encoder/encoder.py (LosslessEncoder._encode_tile)."""
+    lib = get_lib()
+    arena_obj = FcArena(fc)
+    a = arena_obj.offset
+
+    def cdfset(plane_type):
+        return [a("txb_skip_cdf", 0, 0),
+                a("eob_flag_cdf16", plane_type, 0),
+                a("eob_extra_cdf", 0, plane_type, 0),
+                a("coeff_base_eob_cdf", 0, plane_type, 0),
+                a("coeff_base_cdf", 0, plane_type, 0),
+                a("coeff_br_cdf", 0, plane_type, 0),
+                a("dc_sign_cdf", plane_type, 0), 0]
+
+    part_base, part_shape = arena_obj.offsets["partition_cdf"]
+    offs = np.asarray(
+        [part_base, part_shape[-1], a("skip_txfm_cdfs", 0),
+         a("kf_y_cdf", 0, 0), a("uv_mode_cdf", 0, 0),
+         a("uv_mode_cdf", 1, 0)], dtype=np.int32)
+    cdfsets = np.asarray([cdfset(0), cdfset(1)], dtype=np.int32)
+    from ..bitstream import tables
+    scan4 = np.ascontiguousarray(tables.scan(0, 0), dtype=np.int16)
+    qs = []
+    for i in range(3):
+        q = analysis[min(i, len(analysis) - 1)][0]
+        qs.append(np.ascontiguousarray(q, dtype=np.int32))
+    w4y = qs[0].shape[1]
+    w4c = qs[1].shape[1] if num_planes > 1 else 0
+    arena = arena_obj.arena.copy()
+    cap = int(sum(q.size for q in qs) * 4 + mi_rows * mi_cols * 4 + 4096)
+    out = np.zeros(cap, dtype=np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.avl_encode_lossless_tile(
+        qs[0].ctypes.data_as(i32p), qs[1].ctypes.data_as(i32p),
+        qs[2].ctypes.data_as(i32p), mi_rows, mi_cols, w4y, w4c,
+        num_planes, arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        offs.ctypes.data_as(i32p), cdfsets.ctypes.data_as(i32p),
+        scan4.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), sb_mi,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    assert 0 < n <= cap
+    return bytes(out[:n])

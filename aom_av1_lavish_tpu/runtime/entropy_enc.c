@@ -243,12 +243,159 @@ static int br_ctx_eob(int pos, int bhl, int tx_class) {
   return 14;
 }
 
+/* ---- gathered split-vs-rect binary from the live partition cdf row
+ * (av1_common_int.h:1460 partition_gather_*_alike semantics) ---- */
+
+static void enc_gather_split(RangeEnc *e, const uint16_t *cdf, int is_128,
+                             int horz_alike, int sym) {
+  static const int horz_elems[6] = {1, 3, 4, 5, 6, 8};
+  static const int vert_elems[6] = {2, 3, 4, 6, 7, 9};
+  const int *elems = horz_alike ? horz_elems : vert_elems;
+  int n_elems = is_128 ? 5 : 6;
+  int p = CDF_PROB_TOP;
+  for (int k = 0; k < n_elems; k++) {
+    int el = elems[k];
+    int prev = el == 0 ? CDF_PROB_TOP : cdf[el - 1];
+    p -= prev - cdf[el];
+  }
+  uint16_t g[2];
+  g[0] = (uint16_t)(CDF_PROB_TOP - p);
+  g[1] = 0;
+  enc_symbol(e, g, sym, 2, 0);
+}
+
+/* ---- one transform block (skip flag + eob + levels + signs).
+ * cs: the 8-offset cdfset row (see avl_encode_tile docs).  pend_off >= 0
+ * emits that (tx_type) symbol right after a nonzero skip flag.  levels is
+ * caller scratch of at least (height+4)*(width+4) int16.  Returns the
+ * cul_level entropy-context byte (sum|q| capped + dc-sign code). ---- */
+
+static int code_txb(RangeEnc *e, uint16_t *arena, const int32_t *cs,
+                    const int32_t *q, const int16_t *scan,
+                    int width, int height, int bhl, int tx_class,
+                    int raw_w, int raw_h, int eob_ms,
+                    int skip_ctx, int dc_sign_ctx,
+                    int pend_off, int pend_nsymbs, int pend_sym,
+                    int16_t *levels) {
+  int n_coeffs = width * height;
+  int eob = 0;
+  int abs_sum = 0;
+  for (int si = 0; si < n_coeffs; si++) {
+    int v = q[scan[si]];
+    if (v) {
+      eob = si + 1;
+      abs_sum += v < 0 ? -v : v;
+    }
+  }
+  int cul = abs_sum < COEFF_CONTEXT_MASK ? abs_sum : COEFF_CONTEXT_MASK;
+  if (q[0] < 0) cul |= 1 << 6;
+  else if (q[0] > 0) cul += 2 << 6;
+
+  int eob_nsym = eob_ms + 5;
+  uint16_t *txb_skip = arena + cs[0] + skip_ctx * 3;
+  enc_symbol(e, txb_skip, eob == 0, 2, 1);
+  if (eob == 0) return cul;
+  if (pend_off >= 0) /* luma tx_type symbol follows the skip flag */
+    enc_symbol(e, arena + pend_off, pend_sym, pend_nsymbs, 1);
+
+    int eob_pt = 1;
+    for (int t = 1; t < 12; t++) {
+      if (EOB_GROUP_START[t] <= eob &&
+          (t + 1 >= 12 || eob < EOB_GROUP_START[t + 1])) {
+        eob_pt = t;
+        break;
+      }
+    }
+    /* eob_flag cdf row: eob_multi_ctx = (tx_class == 2D) ? 0 : 1 */
+    enc_symbol(e, arena + cs[1] + (tx_class ? 1 : 0) * (eob_nsym + 1),
+               eob_pt - 1, eob_nsym, 1);
+    int offset_bits = EOB_OFFSET_BITS[eob_pt];
+    int eob_extra = eob - EOB_GROUP_START[eob_pt];
+    if (offset_bits > 0) {
+      int eob_ctx = eob_pt - 3;
+      int bit = (eob_extra >> (offset_bits - 1)) & 1;
+      enc_symbol(e, arena + cs[2] + eob_ctx * 3, bit, 2, 1);
+      for (int b = 1; b < offset_bits; b++)
+        re_encode_bit(e, (eob_extra >> (offset_bits - 1 - b)) & 1);
+    }
+
+    int stride = width + 4;
+    memset(levels, 0, sizeof(int16_t) * (size_t)((height + 4) * stride));
+
+    /* last coeff */
+    {
+      int ci = eob - 1;
+      int pos = scan[ci];
+      int v = q[pos];
+      int level = v < 0 ? -v : v;
+      if (level > MAX_BASE_BR_RANGE) level = MAX_BASE_BR_RANGE;
+      int ctx = (ci == 0) ? 0
+                : (ci <= (width << bhl) / 8) ? 1
+                : (ci <= (width << bhl) / 4) ? 2 : 3;
+      int sym = (level < 3 ? level : 3) - 1;
+      enc_symbol(e, arena + cs[3] + ctx * 4, sym, 3, 1);
+      if (level > NUM_BASE_LEVELS) {
+        int bctx = br_ctx_eob(pos, bhl, tx_class);
+        uint16_t *cdf = arena + cs[5] + bctx * 5;
+        int rem = level - NUM_BASE_LEVELS - 1;
+        for (int idx = 0; idx < COEFF_BASE_RANGE; idx += BR_CDF_SIZE - 1) {
+          int k = rem < BR_CDF_SIZE - 1 ? rem : BR_CDF_SIZE - 1;
+          enc_symbol(e, cdf, k, BR_CDF_SIZE, 1);
+          rem -= k;
+          if (k < BR_CDF_SIZE - 1) break;
+        }
+      }
+      int col = pos >> bhl, row = pos - (col << bhl);
+      levels[row * stride + col] = (int16_t)level;
+    }
+
+    for (int ci = eob - 2; ci >= 0; ci--) {
+      int pos = scan[ci];
+      int v = q[pos];
+      int level = v < 0 ? -v : v;
+      if (level > MAX_BASE_BR_RANGE) level = MAX_BASE_BR_RANGE;
+      int ctx = base_ctx(levels, stride, raw_w, raw_h, pos, bhl, tx_class);
+      enc_symbol(e, arena + cs[4] + ctx * 5, level < 3 ? level : 3, 4, 1);
+      if (level > NUM_BASE_LEVELS) {
+        int bctx = br_ctx(levels, stride, pos, bhl, tx_class);
+        uint16_t *cdf = arena + cs[5] + bctx * 5;
+        int rem = level - NUM_BASE_LEVELS - 1;
+        for (int idx = 0; idx < COEFF_BASE_RANGE; idx += BR_CDF_SIZE - 1) {
+          int k = rem < BR_CDF_SIZE - 1 ? rem : BR_CDF_SIZE - 1;
+          enc_symbol(e, cdf, k, BR_CDF_SIZE, 1);
+          rem -= k;
+          if (k < BR_CDF_SIZE - 1) break;
+        }
+      }
+      int col = pos >> bhl, row = pos - (col << bhl);
+      levels[row * stride + col] = (int16_t)level;
+    }
+
+    /* signs + golomb */
+    for (int ci = 0; ci < eob; ci++) {
+      int pos = scan[ci];
+      int v = q[pos];
+      if (!v) continue;
+      int level = v < 0 ? -v : v;
+      int sign = v < 0;
+      if (ci == 0)
+        enc_symbol(e, arena + cs[6] + dc_sign_ctx * 3, sign, 2, 1);
+      else
+        re_encode_bit(e, sign);
+      if (level >= MAX_BASE_BR_RANGE)
+        write_golomb(e, level - MAX_BASE_BR_RANGE);
+    }
+  return cul;
+}
+
 /* ---- op stream ----
  * ops: int32 rows of 8:
  *  kind 0 SYMBOL:  [0, cdf_off, nsymbs, symbol, adapt, 0, 0, 0]
  *  kind 1 BIT:     [1, bit, 0, ...]
  *  kind 2 TXB:     [2, qcoeff_off, geom: (w<<20|h<<8|bhl<<4|txclass),
  *                   skip_ctx, dc_sign_ctx, cdfset_idx, scan_off, eob_ms]
+ *  kind 3 GATHER_SPLIT: [3, cdf_off, is_128, horz_alike, sym, 0, 0, 0]
+ *  kind 4 PENDING: [4, cdf_off, nsymbs, sym, 1, 0, 0, 0]
  * cdfset: int32 rows of 8 per (plane_type x txs_ctx) combination:
  *  [txb_skip_base, eob_flag_base, eob_extra_base, coeff_base_eob_base,
  *   coeff_base_base, coeff_br_base, dc_sign_base, 0]
@@ -281,143 +428,17 @@ int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
       continue;
     }
     if (op[0] == 3) {
-      /* gathered split-vs-rect binary from the live partition cdf row
-       * (av1_common_int.h:1460 partition_gather_*_alike semantics) */
-      const uint16_t *cdf = arena + op[1];
-      int is_128 = op[2];
-      int horz_alike = op[3];
-      int sym = op[4];
-      static const int horz_elems[6] = {1, 3, 4, 5, 6, 8};
-      static const int vert_elems[6] = {2, 3, 4, 6, 7, 9};
-      const int *elems = horz_alike ? horz_elems : vert_elems;
-      int n_elems = is_128 ? 5 : 6;
-      int p = CDF_PROB_TOP;
-      for (int k = 0; k < n_elems; k++) {
-        int el = elems[k];
-        int prev = el == 0 ? CDF_PROB_TOP : cdf[el - 1];
-        p -= prev - cdf[el];
-      }
-      uint16_t g[2];
-      g[0] = (uint16_t)(CDF_PROB_TOP - p);
-      g[1] = 0;
-      enc_symbol(&e, g, sym, 2, 0);
+      enc_gather_split(&e, arena + op[1], op[2], op[3], op[4]);
       continue;
     }
     /* TXB */
-    const int32_t *q = qcoeff + op[1];
     int geom = op[2];
-    int width = (geom >> 20) & 0xFFF;
-    int height = (geom >> 8) & 0xFFF;
-    int bhl = (geom >> 4) & 0xF;
-    int tx_class = geom & 0xF;
-    int skip_ctx = op[3];
-    int dc_sign_ctx = op[4];
-    const int32_t *cs = cdfsets + 8 * op[5];
-    const int16_t *scan = scans + op[6];
-    int eob_ms = op[7] & 0xFF;
-    int raw_w = (op[7] >> 8) & 0xFFF;
-    int raw_h = (op[7] >> 20) & 0xFFF;
-    int n_coeffs = width * height;
-    int eob = 0;
-    for (int si = 0; si < n_coeffs; si++)
-      if (q[scan[si]]) eob = si + 1;
-
-    int eob_nsym = eob_ms + 5;
-    uint16_t *txb_skip = arena + cs[0] + skip_ctx * 3;
-    enc_symbol(&e, txb_skip, eob == 0, 2, 1);
-    if (eob == 0) { pend_off = -1; continue; }
-    if (pend_off >= 0) { /* luma tx_type symbol follows the skip flag */
-      enc_symbol(&e, arena + pend_off, pend_sym, pend_nsymbs, 1);
-      pend_off = -1;
-    }
-
-    int eob_pt = 1;
-    for (int t = 1; t < 12; t++) {
-      if (EOB_GROUP_START[t] <= eob &&
-          (t + 1 >= 12 || eob < EOB_GROUP_START[t + 1])) {
-        eob_pt = t;
-        break;
-      }
-    }
-    /* eob_flag cdf row: eob_multi_ctx = (tx_class == 2D) ? 0 : 1 */
-    enc_symbol(&e, arena + cs[1] + (tx_class ? 1 : 0) * (eob_nsym + 1),
-               eob_pt - 1, eob_nsym, 1);
-    int offset_bits = EOB_OFFSET_BITS[eob_pt];
-    int eob_extra = eob - EOB_GROUP_START[eob_pt];
-    if (offset_bits > 0) {
-      int eob_ctx = eob_pt - 3;
-      int bit = (eob_extra >> (offset_bits - 1)) & 1;
-      enc_symbol(&e, arena + cs[2] + eob_ctx * 3, bit, 2, 1);
-      for (int b = 1; b < offset_bits; b++)
-        re_encode_bit(&e, (eob_extra >> (offset_bits - 1 - b)) & 1);
-    }
-
-    int stride = width + 4;
-    memset(levels, 0, sizeof(int16_t) * (size_t)((height + 4) * stride));
-
-    /* last coeff */
-    {
-      int ci = eob - 1;
-      int pos = scan[ci];
-      int v = q[pos];
-      int level = v < 0 ? -v : v;
-      if (level > MAX_BASE_BR_RANGE) level = MAX_BASE_BR_RANGE;
-      int ctx = (ci == 0) ? 0
-                : (ci <= (width << bhl) / 8) ? 1
-                : (ci <= (width << bhl) / 4) ? 2 : 3;
-      int sym = (level < 3 ? level : 3) - 1;
-      enc_symbol(&e, arena + cs[3] + ctx * 4, sym, 3, 1);
-      if (level > NUM_BASE_LEVELS) {
-        int bctx = br_ctx_eob(pos, bhl, tx_class);
-        uint16_t *cdf = arena + cs[5] + bctx * 5;
-        int rem = level - NUM_BASE_LEVELS - 1;
-        for (int idx = 0; idx < COEFF_BASE_RANGE; idx += BR_CDF_SIZE - 1) {
-          int k = rem < BR_CDF_SIZE - 1 ? rem : BR_CDF_SIZE - 1;
-          enc_symbol(&e, cdf, k, BR_CDF_SIZE, 1);
-          rem -= k;
-          if (k < BR_CDF_SIZE - 1) break;
-        }
-      }
-      int col = pos >> bhl, row = pos - (col << bhl);
-      levels[row * stride + col] = (int16_t)level;
-    }
-
-    for (int ci = eob - 2; ci >= 0; ci--) {
-      int pos = scan[ci];
-      int v = q[pos];
-      int level = v < 0 ? -v : v;
-      if (level > MAX_BASE_BR_RANGE) level = MAX_BASE_BR_RANGE;
-      int ctx = base_ctx(levels, stride, raw_w, raw_h, pos, bhl, tx_class);
-      enc_symbol(&e, arena + cs[4] + ctx * 5, level < 3 ? level : 3, 4, 1);
-      if (level > NUM_BASE_LEVELS) {
-        int bctx = br_ctx(levels, stride, pos, bhl, tx_class);
-        uint16_t *cdf = arena + cs[5] + bctx * 5;
-        int rem = level - NUM_BASE_LEVELS - 1;
-        for (int idx = 0; idx < COEFF_BASE_RANGE; idx += BR_CDF_SIZE - 1) {
-          int k = rem < BR_CDF_SIZE - 1 ? rem : BR_CDF_SIZE - 1;
-          enc_symbol(&e, cdf, k, BR_CDF_SIZE, 1);
-          rem -= k;
-          if (k < BR_CDF_SIZE - 1) break;
-        }
-      }
-      int col = pos >> bhl, row = pos - (col << bhl);
-      levels[row * stride + col] = (int16_t)level;
-    }
-
-    /* signs + golomb */
-    for (int ci = 0; ci < eob; ci++) {
-      int pos = scan[ci];
-      int v = q[pos];
-      if (!v) continue;
-      int level = v < 0 ? -v : v;
-      int sign = v < 0;
-      if (ci == 0)
-        enc_symbol(&e, arena + cs[6] + dc_sign_ctx * 3, sign, 2, 1);
-      else
-        re_encode_bit(&e, sign);
-      if (level >= MAX_BASE_BR_RANGE)
-        write_golomb(&e, level - MAX_BASE_BR_RANGE);
-    }
+    code_txb(&e, arena, cdfsets + 8 * op[5], qcoeff + op[1],
+             scans + op[6], (geom >> 20) & 0xFFF, (geom >> 8) & 0xFFF,
+             (geom >> 4) & 0xF, geom & 0xF, (op[7] >> 8) & 0xFFF,
+             (op[7] >> 20) & 0xFFF, op[7] & 0xFF, op[3], op[4],
+             pend_off, pend_nsymbs, pend_sym, levels);
+    pend_off = -1;
   }
   return (int)re_done(&e);
 }

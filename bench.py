@@ -36,8 +36,8 @@ def make_frames():
 def bench_ours(frames, tmpdir):
     from aom_av1_lavish_tpu.encoder import encode_lossless_ivf
     out = os.path.join(tmpdir, "ours.ivf")
-    # warmup (jit compile) on one frame
-    encode_lossless_ivf(os.path.join(tmpdir, "warm.ivf"), frames[:1], W, H)
+    # warmup (jit compile) at the same batch geometry
+    encode_lossless_ivf(os.path.join(tmpdir, "warm.ivf"), frames, W, H)
     t0 = time.perf_counter()
     encode_lossless_ivf(out, frames, W, H)
     dt = time.perf_counter() - t0

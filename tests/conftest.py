@@ -14,6 +14,11 @@ if not os.environ.get("AVL_TPU_TESTS"):
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # the axon TPU plugin ignores JAX_PLATFORMS; force via config too,
+    # before any backend initialization (otherwise the whole suite
+    # silently dispatches over the TPU tunnel)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 

@@ -1094,6 +1094,19 @@ def temporal_delimiter() -> bytes:
     return wrap_obu(c.OBU_TEMPORAL_DELIMITER, b"")
 
 
+def show_existing_frame_obu(map_idx: int) -> bytes:
+    """Standalone frame-header OBU displaying ref slot map_idx (spec 5.9.2
+    show_existing_frame path; the ARF display mechanism — reference
+    behavior: av1/encoder/bitstream.c write_frame_header_obu when
+    show_existing_frame).  Assumes no decoder model + no film grain."""
+    w = BitWriter()
+    w.write_bit(1)                    # show_existing_frame
+    w.write_literal(map_idx, 3)       # frame_to_show_map_idx
+    w.write_bit(1)                    # trailing one bit
+    w.byte_align()
+    return wrap_obu(c.OBU_FRAME_HEADER, w.data())
+
+
 def split_obus(data: bytes):
     """Yield (obu_type, payload) for each OBU in a temporal unit."""
     pos = 0

@@ -1,0 +1,179 @@
+"""GOP structure + rate-controlled encoding: KEY / ARF / P frames.
+
+TPU-native re-design of libaom's encode strategy (reference behavior:
+av1/encoder/encode_strategy.c av1_encode_strategy :1213 — frame-type
+decision, ref assignment, ARF insertion; gop_structure.c — GF group
+layout; ratectrl.c — Q selection, here encoder/ratectrl.py).
+
+Structure per GF group of length L (after the key frame):
+
+    [hidden ARF  = source frame t+L-1, refs {LAST},      refresh arf_slot]
+    [P frame t+0, refs {LAST, ALTREF}, refresh last_slot]
+    ...
+    [P frame t+L-2, refs {LAST, ALTREF}, refresh last_slot]
+    [show_existing(arf_slot)]          <- displays frame t+L-1
+
+after which the ARF becomes LAST for the next group (slot roles swap).
+The ARF is coded at a boosted (lower) qindex — the GF-boost analog —
+which propagates quality through the group via prediction.
+
+Temporal-unit packing: the hidden ARF OBU rides in the same TU as the
+first P frame (one shown frame per TU), matching aomenc's packing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import constants as c
+from ..bitstream import headers as H
+from .encoder import make_sequence_header
+from .inter import InterFrameEncoder, make_inter_frame_header
+from .lossy import LossyAllIntraEncoder, make_lossy_frame_header
+from .ratectrl import MODE_Q, RateControl, RateControlConfig
+
+
+class GopEncoder:
+    """Rate-controlled GOP encoder (host RD path or TPU batched path)."""
+
+    def __init__(self, width: int, height: int,
+                 rc_cfg: RateControlConfig | None = None,
+                 qindex: int = 60, gf_length: int = 8,
+                 kf_interval: int = 120, use_arf: bool = True,
+                 use_tpu: bool = False, use_native=None,
+                 block_size: int = c.BLOCK_16X16):
+        self.sh = make_sequence_header(width, height)
+        if rc_cfg is None:
+            rc_cfg = RateControlConfig(mode=MODE_Q, fixed_qindex=qindex,
+                                       width=width, height=height)
+        rc_cfg.width, rc_cfg.height = width, height
+        self.rc = RateControl(rc_cfg)
+        self.gf_length = gf_length
+        self.kf_interval = kf_interval
+        self.use_arf = use_arf
+        self.use_tpu = use_tpu
+        self.use_native = use_native
+        self.block_size = block_size
+        self.slots = [None] * 8          # slot -> (y, u, v) recon planes
+        self.last_slot = 0
+        self.arf_slot = 1
+
+    # --- single-frame encoders -----------------------------------------
+
+    def _encode_key(self, planes, qindex: int) -> bytes:
+        fh = make_lossy_frame_header(self.sh, qindex)
+        if self.use_tpu:
+            from .tpu_intra import TpuAllIntraEncoder
+            enc = TpuAllIntraEncoder(self.sh, fh, use_native=self.use_native)
+        else:
+            enc = LossyAllIntraEncoder(self.sh, fh,
+                                       use_native=self.use_native,
+                                       block_size=self.block_size)
+        payload = enc.encode_frame(planes)
+        if self.use_tpu:
+            enc._filter_recon()
+        self._store_recon(enc, 0xFF)
+        return payload
+
+    def _encode_inter(self, planes, qindex: int, ref_list,
+                      refresh_slot: int, show: bool) -> bytes:
+        """Returns the frame OBU bytes only (caller packs the TU)."""
+        ref_frame_idx = [0] * 7
+        ref_frame_idx[c.LAST_FRAME - 1] = self.last_slot
+        ref_frame_idx[c.ALTREF_FRAME - 1] = self.arf_slot
+        ref_frame_idx[c.GOLDEN_FRAME - 1] = self.last_slot
+        fh = make_inter_frame_header(
+            self.sh, qindex, refresh_frame_flags=1 << refresh_slot,
+            ref_frame_idx=ref_frame_idx, show_frame=int(show),
+            showable_frame=int(not show))
+        if self.use_tpu:
+            from .tpu_inter import TpuInterFrameEncoder
+            enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
+                                       use_native=self.use_native,
+                                       ref_list=ref_list)
+        else:
+            enc = InterFrameEncoder(self.sh, fh, self.slots,
+                                    use_native=self.use_native,
+                                    block_size=self.block_size,
+                                    ref_list=ref_list)
+        obu = enc.encode_frame_obu(planes)
+        enc._filter_recon()
+        self._store_recon(enc, 1 << refresh_slot)
+        return obu
+
+    def _store_recon(self, enc, refresh_flags: int) -> None:
+        w, h = self.sh.max_frame_width, self.sh.max_frame_height
+        cw, ch = (w + 1) >> 1, (h + 1) >> 1
+        out = (enc.recon[0][:h, :w].copy(),
+               enc.recon[1][:ch, :cw].copy(),
+               enc.recon[2][:ch, :cw].copy())
+        for slot in range(8):
+            if refresh_flags & (1 << slot):
+                self.slots[slot] = out
+
+    # --- sequence driver ------------------------------------------------
+
+    def encode_sequence(self, frames) -> list:
+        """Encode all frames; returns one payload per display frame."""
+        n = len(frames)
+        payloads = []
+        i = 0
+        while i < n:
+            if i % self.kf_interval == 0:
+                q = self.rc.pick_q("key")
+                p = self._encode_key(frames[i], q)
+                self.rc.postencode("key", q, len(p) * 8)
+                self.last_slot, self.arf_slot = 0, 1
+                payloads.append(p)
+                i += 1
+                continue
+            # group length: stop at the next key frame or sequence end
+            until_kf = self.kf_interval - (i % self.kf_interval)
+            L = min(self.gf_length, n - i, until_kf)
+            if self.use_arf and L >= 3:
+                payloads.extend(self._encode_gf_group(frames[i:i + L]))
+            else:
+                for j in range(L):
+                    q = self.rc.pick_q("inter")
+                    obu = self._encode_inter(
+                        frames[i + j], q, (c.LAST_FRAME,),
+                        self.last_slot, show=True)
+                    tu = H.temporal_delimiter() + obu
+                    self.rc.postencode("inter", q, len(tu) * 8)
+                    payloads.append(tu)
+            i += L
+        return payloads
+
+    def _encode_gf_group(self, group) -> list:
+        """ARF-first coding of one GF group; returns display-order TUs."""
+        L = len(group)
+        q_arf = self.rc.pick_q("arf")
+        arf_obu = self._encode_inter(group[L - 1], q_arf, (c.LAST_FRAME,),
+                                     self.arf_slot, show=False)
+        self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
+        tus = []
+        for j in range(L - 1):
+            q = self.rc.pick_q("inter")
+            obu = self._encode_inter(
+                group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
+                self.last_slot, show=True)
+            tu = H.temporal_delimiter() + (arf_obu if j == 0 else b"") + obu
+            self.rc.postencode("inter", q, len(tu) * 8)
+            tus.append(tu)
+        # display the ARF; it becomes LAST for the next group
+        tus.append(H.temporal_delimiter()
+                   + H.show_existing_frame_obu(self.arf_slot))
+        if L == 1:
+            tus = [H.temporal_delimiter() + arf_obu + tus[-1]]
+        self.last_slot, self.arf_slot = self.arf_slot, self.last_slot
+        return tus
+
+
+def encode_gop_ivf(path: str, frames, width: int, height: int,
+                   fps=(30, 1), **kw) -> None:
+    """Encode frames with GOP structure + rate control into IVF."""
+    from ..bitstream.ivf import write_ivf
+    enc = GopEncoder(width, height, **kw)
+    payloads = enc.encode_sequence(frames)
+    write_ivf(path, [(p, i) for i, p in enumerate(payloads)],
+              width, height, fps[0], fps[1])

@@ -33,22 +33,52 @@ from .lossy import LossyAllIntraEncoder, make_lossy_frame_header
 
 
 def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
-                            deblock: bool = True) -> H.FrameHeader:
+                            deblock: bool = True,
+                            refresh_frame_flags: int = 0x01,
+                            ref_frame_idx=(0,) * 7,
+                            show_frame: int = 1,
+                            showable_frame: int = 0) -> H.FrameHeader:
     from ..common.loopfilter import pick_filter_level_from_q
     lvl = pick_filter_level_from_q(qindex, frame_is_key=False) if deblock \
         else 0
     return H.FrameHeader(
-        frame_type=c.INTER_FRAME, show_frame=1, error_resilient_mode=1,
+        frame_type=c.INTER_FRAME, show_frame=show_frame,
+        showable_frame=showable_frame, error_resilient_mode=1,
         disable_cdf_update=0, disable_frame_end_update_cdf=1,
         frame_size_override=0,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
         base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
-        refresh_frame_flags=0x01, ref_frame_idx=(0,) * 7,
+        refresh_frame_flags=refresh_frame_flags,
+        ref_frame_idx=tuple(ref_frame_idx),
         allow_high_precision_mv=0, is_filter_switchable=0,
         interpolation_filter=c.EIGHTTAP_REGULAR,
         is_motion_mode_switchable=0, reference_mode=c.SINGLE_REFERENCE,
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
+
+
+# single_ref decision-tree coding: ref enum -> [(cdf_col, ctx_fn, bit)]
+# (mirrors decoder/inter.py read order / av1 read_single_ref)
+def _single_ref_tree(ref, counts):
+    if ref <= c.GOLDEN_FRAME:
+        bits = [(0, MR.ctx_single_ref_p1(counts), 0)]
+        if ref <= c.LAST2_FRAME:
+            bits.append((2, MR.ctx_single_ref_p3(counts), 0))
+            bits.append((3, MR.ctx_single_ref_p4(counts),
+                         int(ref == c.LAST2_FRAME)))
+        else:
+            bits.append((2, MR.ctx_single_ref_p3(counts), 1))
+            bits.append((4, MR.ctx_single_ref_p5(counts),
+                         int(ref == c.GOLDEN_FRAME)))
+        return bits
+    bits = [(0, MR.ctx_single_ref_p1(counts), 1)]
+    if ref == c.ALTREF_FRAME:
+        bits.append((1, MR.ctx_single_ref_p2(counts), 1))
+    else:
+        bits.append((1, MR.ctx_single_ref_p2(counts), 0))
+        bits.append((5, MR.ctx_single_ref_p6(counts),
+                     int(ref == c.ALTREF2_FRAME)))
+    return bits
 
 
 def _mv_class(z: int):
@@ -65,11 +95,13 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     def __init__(self, sh, fh, refs, use_native=None,
                  block_size=c.BLOCK_16X16, mode_set=(c.DC_PRED,),
-                 enable_cfl=False, search_range=16):
+                 enable_cfl=False, search_range=16,
+                 ref_list=(c.LAST_FRAME,)):
         super().__init__(sh, fh, use_native=use_native,
                          block_size=block_size, mode_set=mode_set,
                          enable_cfl=enable_cfl)
         self.refs = refs                # slot -> (y, u, v) visible planes
+        self.ref_list = tuple(ref_list)  # ref enums searched per block
         self.search_range = search_range
         self.g = MR.MiGrids(self.mi_rows, self.mi_cols)
         self._ref_pad_cache = {}
@@ -89,14 +121,15 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     # --- motion search (non-normative) ------------------------------------
 
-    def _motion_search(self, mi_row, mi_col, bsize, pred_mv):
+    def _motion_search(self, mi_row, mi_col, bsize, pred_mv,
+                       ref_frame=c.LAST_FRAME):
         """Fullpel diamond + subpel refine on luma SAD.  Returns an MV in
         1/8-pel with even components (allow_hp=0)."""
         y0, x0 = mi_row * 4, mi_col * 4
         h = min(blockd.block_high(bsize), self.mi_rows * 4 - y0)
         w = min(blockd.block_wide(bsize), self.mi_cols * 4 - x0)
         src = self.src[0][y0:y0 + h, x0:x0 + w].astype(np.int32)
-        ref = self._ref_pad(c.LAST_FRAME, 0)
+        ref = self._ref_pad(ref_frame, 0)
         P = IP.PAD
 
         def sad_full(dy, dx):
@@ -159,42 +192,48 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             0, self.mi_rows, 0, self.mi_cols, c.PARTITION_NONE)
 
     def _trial_block(self, mi_row, mi_col, bsize):
-        """Try inter modes and intra fallback; pick by RD."""
+        """Try inter modes over every active reference + intra fallback;
+        pick by RD."""
         up_avail = mi_row > 0
         left_avail = mi_col > 0
         ctx = self._refmv_context(mi_row, mi_col, bsize)
-        stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, c.LAST_FRAME)
-        nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
-        near = MR.lower_mv_precision(mv_list[1], 0, 0)
-
-        searched = self._motion_search(mi_row, mi_col, bsize, nearest)
-        cands = [(MR.NEWMV, searched)]
-        if searched != nearest:
-            cands.append((MR.NEARESTMV, nearest))
-        if near != nearest and near != searched:
-            cands.append((MR.NEARMV, near))
-        if (0, 0) not in (searched, nearest, near):
-            cands.append((MR.GLOBALMV, (0, 0)))
-        # NEWMV with mv equal to nearest is illegal-ish (wasteful): demote
-        if searched == nearest:
-            cands[0] = (MR.NEARESTMV, nearest)
-        seen = set()
-        uniq = []
-        for mode, mv in cands:
-            if (mode, mv) in seen:
-                continue
-            seen.add((mode, mv))
-            uniq.append((mode, mv))
 
         best = None
-        for mode, mv in uniq:
-            dist, bits, txbs = self._code_inter_planes(
-                mi_row, mi_col, bsize, mv)
-            bits += self._est_inter_mode_bits(mode, mv, nearest, mode_ctx)
-            cost = dist + self.lam * bits
-            if best is None or cost < best[0]:
-                best = (cost, mode, mv, txbs)
+        for ref in self.ref_list:
+            stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
+                ctx, ref)
+            nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
+            near = MR.lower_mv_precision(mv_list[1], 0, 0)
+
+            searched = self._motion_search(mi_row, mi_col, bsize, nearest,
+                                           ref)
+            cands = [(MR.NEWMV, searched)]
+            if searched != nearest:
+                cands.append((MR.NEARESTMV, nearest))
+            if near != nearest and near != searched:
+                cands.append((MR.NEARMV, near))
+            if (0, 0) not in (searched, nearest, near):
+                cands.append((MR.GLOBALMV, (0, 0)))
+            # NEWMV with mv equal to nearest is wasteful: demote
+            if searched == nearest:
+                cands[0] = (MR.NEARESTMV, nearest)
+            seen = set()
+            uniq = []
+            for mode, mv in cands:
+                if (mode, mv) in seen:
+                    continue
+                seen.add((mode, mv))
+                uniq.append((mode, mv))
+
+            for mode, mv in uniq:
+                dist, bits, txbs = self._code_inter_planes(
+                    mi_row, mi_col, bsize, mv, ref)
+                bits += self._est_inter_mode_bits(mode, mv, nearest,
+                                                  mode_ctx)
+                bits += 1.5 * (len(self.ref_list) > 1)  # ref signaling
+                cost = dist + self.lam * bits
+                if best is None or cost < best[0]:
+                    best = (cost, mode, mv, txbs, ref)
 
         # intra fallback (DC)
         intra_best = None
@@ -211,14 +250,14 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             and self.num_planes > 1
 
         if best[0] <= intra_best[0]:
-            cost, mode, mv, txbs = best
+            cost, mode, mv, txbs, ref = best
             self._apply_txbs(0, [t for t in txbs if t["plane"] == 0])
             for plane in (1, 2):
                 self._apply_txbs(plane,
                                  [t for t in txbs if t["plane"] == plane])
             return cost, dict(
                 mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=1,
-                mode=mode, mv=mv, ref_mv_idx=0, txbs=txbs,
+                mode=mode, mv=mv, ref=ref, ref_mv_idx=0, txbs=txbs,
                 is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
                 uv_mode=c.DC_PRED, cfl=None)
         # intra path (chroma DC)
@@ -236,7 +275,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 self._apply_txbs(plane, t)
         return cost + uv_cost, dict(
             mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=0,
-            mode=0, mv=(0, 0), ref_mv_idx=0, txbs=y_txbs + uv_txbs,
+            mode=0, mv=(0, 0), ref=c.INTRA_FRAME, ref_mv_idx=0,
+            txbs=y_txbs + uv_txbs,
             is_chroma_ref=is_chroma_ref, y_mode=y_mode, uv_mode=c.DC_PRED,
             cfl=None)
 
@@ -248,7 +288,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             bits += 6.0 + (np.log2(dr + 1) + np.log2(dc + 1)) * 2.0
         return bits
 
-    def _code_inter_planes(self, mi_row, mi_col, bsize, mv):
+    def _code_inter_planes(self, mi_row, mi_col, bsize, mv,
+                           ref=c.LAST_FRAME):
         """Motion-compensate + transform-code all planes for one MV."""
         bw4 = blockd.mi_size_wide(bsize)
         bh4 = blockd.mi_size_high(bsize)
@@ -278,7 +319,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             x0 = (mi_x + 4 * col_start) >> ss_x
             y0 = (mi_y + 4 * row_start) >> ss_y
             pred = IP.predict_inter_block(
-                self._ref_pad(c.LAST_FRAME, plane), x0, y0, b_w, b_h,
+                self._ref_pad(ref, plane), x0, y0, b_w, b_h,
                 mv[0], mv[1], ss_x, ss_y, mb_to_left, mb_to_right,
                 mb_to_top, mb_to_bottom, c.EIGHTTAP_REGULAR,
                 c.EIGHTTAP_REGULAR)
@@ -430,8 +471,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self.mi_bsize[mi_row:rmax, mi_col:cmax] = bsize
         self.g.fill_block(
             mi_row, mi_col, bh, bw,
-            c.LAST_FRAME if is_inter else c.INTRA_FRAME, -1,
-            emitted_mode if is_inter else bplan["y_mode"], bsize,
+            bplan.get("ref", c.LAST_FRAME) if is_inter else c.INTRA_FRAME,
+            -1, emitted_mode if is_inter else bplan["y_mode"], bsize,
             partition, bplan["mv"], (0, 0))
 
         # residual
@@ -478,21 +519,17 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         emit time for the planned MV (the trial ran with a stale mv stack,
         so NEAREST/NEAR may map differently here).  Returns the mode."""
         mv = bplan["mv"]
+        ref = bplan.get("ref", c.LAST_FRAME)
         counts = MR.neighbors_ref_counts(self.g, mi_row, mi_col, up_avail,
                                          left_avail)
-        # single-ref LAST tree: p1=0 (fwd), p3=0 (L/L2), p4=0 (LAST)
         if self.fh.reference_mode == c.REFERENCE_MODE_SELECT:
             raise NotImplementedError
-        self.sink.symbol(0, 2, "single_ref_cdf",
-                         MR.ctx_single_ref_p1(counts), 0)
-        self.sink.symbol(0, 2, "single_ref_cdf",
-                         MR.ctx_single_ref_p3(counts), 2)
-        self.sink.symbol(0, 2, "single_ref_cdf",
-                         MR.ctx_single_ref_p4(counts), 3)
+        for (col, rctx, bit) in _single_ref_tree(ref, counts):
+            self.sink.symbol(bit, 2, "single_ref_cdf", rctx, col)
 
         ctx = self._refmv_context(mi_row, mi_col, bsize)
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, c.LAST_FRAME)
+            ctx, ref)
         nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
         near = MR.lower_mv_precision(mv_list[1], 0, 0)
         if mv == nearest:

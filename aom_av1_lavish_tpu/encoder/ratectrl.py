@@ -1,0 +1,187 @@
+"""Single-pass rate control: per-frame Q selection + buffer model.
+
+TPU-native re-design of libaom's one-pass rate controller (reference
+behavior: av1/encoder/ratectrl.c — av1_rc_pick_q_and_bounds :2093,
+av1_rc_postencode_update :2202, av1_rc_update_rate_correction_factors,
+av1_rc_bits_per_mb; buffer model av1_rc_init / update_buffer_level).
+
+The controller is a pure host-side feedback loop (control flow is
+data-dependent and tiny — exactly the part that should NOT live in the
+jitted graph).  The model:
+
+    predicted_bits(q) = n_mb * C(frame_type) * correction / qstep(q)
+
+with the per-frame-type correction factor learned online from the ratio
+of actual to predicted bits (the same inverse-q first-order model the
+reference uses).  CBR keeps a leaky-bucket buffer; frame targets bend
+toward restoring the optimal buffer level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..common import quant as Q
+
+# rate-control modes (aom_encoder.h:184-187)
+MODE_VBR = 0
+MODE_CBR = 1
+MODE_CQ = 2
+MODE_Q = 3
+
+MIN_Q = 1
+MAX_Q = 255
+
+# bits-per-MB model numerators at qstep == 1 (learned online via the
+# correction factor; these only set the starting operating point)
+_BPMB_NUM_KEY = 2200.0
+_BPMB_NUM_INTER = 1400.0
+
+
+def qstep_of(qindex: int) -> float:
+    """AC quantizer step in pixel units for 8-bit."""
+    return max(Q.ac_quant_qtx(qindex, 0) / 8.0, 0.25)
+
+
+@dataclass
+class RateControlConfig:
+    target_bps: int = 400_000
+    fps: float = 30.0
+    width: int = 352
+    height: int = 288
+    mode: int = MODE_CBR
+    worst_q: int = 255
+    best_q: int = 4
+    # leaky bucket, in milliseconds of stream (aomenc --buf-*-sz analogs)
+    buf_initial_ms: int = 4000
+    buf_optimal_ms: int = 5000
+    buf_sz_ms: int = 6000
+    # frame-size clamps as % of per-frame bandwidth (rc_min/max_quantizer
+    # analog of rc_min_frame_bandwidth / rc_max_inter_bitrate_pct)
+    min_frame_pct: int = 5
+    max_frame_pct: int = 800
+    # fixed q for MODE_Q
+    fixed_qindex: int = 60
+
+
+@dataclass
+class RateControl:
+    cfg: RateControlConfig
+    # learned correction factors per frame class
+    cf_key: float = 1.0
+    cf_inter: float = 1.0
+    cf_arf: float = 1.0
+    buffer_level: float = 0.0
+    frames_coded: int = 0
+    last_q_inter: int = 60
+    last_q_key: int = 60
+    total_bits: int = 0
+    # accumulated VBR debt (bits we owe / are owed vs the target)
+    bits_off_target: float = 0.0
+
+    def __post_init__(self):
+        c = self.cfg
+        self.per_frame_bandwidth = c.target_bps / c.fps
+        self.buffer_level = c.target_bps * c.buf_initial_ms / 1000.0
+        self.optimal_level = c.target_bps * c.buf_optimal_ms / 1000.0
+        self.maximum_buffer = c.target_bps * c.buf_sz_ms / 1000.0
+        self.n_mb = ((c.width + 15) // 16) * ((c.height + 15) // 16)
+
+    # --- model ---------------------------------------------------------
+
+    def _cf(self, frame_kind: str) -> float:
+        return {"key": self.cf_key, "arf": self.cf_arf}.get(
+            frame_kind, self.cf_inter)
+
+    def _set_cf(self, frame_kind: str, v: float) -> None:
+        v = min(max(v, 0.05), 20.0)
+        if frame_kind == "key":
+            self.cf_key = v
+        elif frame_kind == "arf":
+            self.cf_arf = v
+        else:
+            self.cf_inter = v
+
+    def predicted_bits(self, qindex: int, frame_kind: str) -> float:
+        num = _BPMB_NUM_KEY if frame_kind == "key" else _BPMB_NUM_INTER
+        return self.n_mb * num * self._cf(frame_kind) / qstep_of(qindex)
+
+    # --- frame targets (av1_calc_{i,p}frame_target_size_one_pass_cbr) --
+
+    def frame_target(self, frame_kind: str) -> float:
+        c = self.cfg
+        if frame_kind == "key":
+            # keyframe boost, tapered by buffer headroom
+            boost = 6.0 if self.frames_coded == 0 else 4.0
+            target = self.per_frame_bandwidth * boost
+        elif frame_kind == "arf":
+            target = self.per_frame_bandwidth * 2.5
+        else:
+            target = self.per_frame_bandwidth
+        if c.mode == MODE_CBR:
+            # bend toward the optimal buffer level over ~one buffer window
+            diff = self.optimal_level - self.buffer_level
+            adj = diff / max(c.fps, 1.0)
+            target = max(target - adj, 0.0)
+        else:
+            # VBR: pay back a fraction of the accumulated debt
+            target = max(target - self.bits_off_target * 0.05, 0.0)
+        lo = self.per_frame_bandwidth * c.min_frame_pct / 100.0
+        hi = self.per_frame_bandwidth * c.max_frame_pct / 100.0
+        return min(max(target, lo), hi)
+
+    # --- q selection (av1_rc_pick_q_and_bounds one-pass) ---------------
+
+    def pick_q(self, frame_kind: str) -> int:
+        c = self.cfg
+        if c.mode == MODE_Q:
+            if frame_kind == "key":
+                return max(c.best_q, int(c.fixed_qindex * 0.8))
+            if frame_kind == "arf":
+                return max(c.best_q, int(c.fixed_qindex * 0.85))
+            return c.fixed_qindex
+        target = self.frame_target(frame_kind)
+        # binary search the monotone inverse-q model
+        lo, hi = c.best_q, c.worst_q
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.predicted_bits(mid, frame_kind) > target:
+                lo = mid + 1
+            else:
+                hi = mid
+        q = lo
+        # stability clamp: inter frames move at most +-16 steps per frame
+        if frame_kind != "key" and self.frames_coded > 0:
+            last = self.last_q_inter
+            q = min(max(q, last - 16), last + 16)
+        if frame_kind == "arf":
+            # ARF rides below the inter operating point (GF boost)
+            q = max(c.best_q, min(q, self.last_q_inter) - 12)
+        return min(max(q, c.best_q), c.worst_q)
+
+    # --- postencode (av1_rc_postencode_update) -------------------------
+
+    def postencode(self, frame_kind: str, qindex: int,
+                   used_bits: int) -> None:
+        predicted = self.predicted_bits(qindex, frame_kind)
+        if predicted > 0:
+            ratio = used_bits / predicted
+            # damped multiplicative update
+            cf = self._cf(frame_kind) * (1.0 + 0.5 * (ratio - 1.0))
+            self._set_cf(frame_kind, cf)
+        self.buffer_level += self.per_frame_bandwidth - used_bits
+        self.buffer_level = min(self.buffer_level, self.maximum_buffer)
+        self.bits_off_target += used_bits - self.per_frame_bandwidth
+        self.total_bits += used_bits
+        if frame_kind == "key":
+            self.last_q_key = qindex
+        else:
+            self.last_q_inter = qindex
+        self.frames_coded += 1
+
+    # --- reporting -----------------------------------------------------
+
+    def achieved_bps(self) -> float:
+        if self.frames_coded == 0:
+            return 0.0
+        return self.total_bits * self.cfg.fps / self.frames_coded

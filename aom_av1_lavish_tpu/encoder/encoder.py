@@ -27,6 +27,20 @@ INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 PARTITION_PLOFFSET = 4
 
 
+def pack_tile_group(tiles: list, tile_size_bytes: int) -> bytes:
+    """Concatenate per-tile bytestreams into tile-group payload bytes
+    (spec 5.11.1 inside an OBU_FRAME: tile_start_and_end_present_flag=0,
+    tile_size_minus_1 before every tile but the last)."""
+    if len(tiles) == 1:
+        return tiles[0]
+    out = bytearray(b"\x00")  # start/end flag + byte alignment
+    for t in tiles[:-1]:
+        out += (len(t) - 1).to_bytes(tile_size_bytes, "little")
+        out += t
+    out += tiles[-1]
+    return bytes(out)
+
+
 
 def _cul_level_of(qcoeff: np.ndarray) -> int:
     """Entropy-context value from quantized coeffs (matches the tokenizer:
@@ -135,14 +149,17 @@ def make_sequence_header(width: int, height: int) -> H.SequenceHeader:
         subsampling_x=1, subsampling_y=1, separate_uv_delta_q=0)
 
 
-def make_lossless_frame_header(sh: H.SequenceHeader) -> H.FrameHeader:
+def make_lossless_frame_header(sh: H.SequenceHeader,
+                               tile_cols_log2: int = 0,
+                               tile_rows_log2: int = 0) -> H.FrameHeader:
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
         disable_cdf_update=0, disable_frame_end_update_cdf=1,
         frame_size_override=0,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
-        base_q_idx=0, tx_mode=c.ONLY_4X4, reduced_tx_set=0)
+        base_q_idx=0, tx_mode=c.ONLY_4X4, reduced_tx_set=0,
+        tile_cols_log2=tile_cols_log2, tile_rows_log2=tile_rows_log2)
 
 
 class LosslessEncoder:
@@ -207,6 +224,11 @@ class LosslessEncoder:
         # (TPU path; lossless ⇒ recon == source ⇒ fully parallel)
         if analysis is not None:
             self.analysis = analysis
+        elif use_jax and (fh.tile_cols_log2 or fh.tile_rows_log2):
+            from ..ops.lossless import analyze_tiled_for_encoder
+            self.analysis = analyze_tiled_for_encoder(
+                self.src, self.tile_px_ranges(rows=True),
+                self.tile_px_ranges(rows=False))
         elif use_jax:
             from ..ops.lossless import analyze_for_encoder
             self.analysis = analyze_for_encoder(self.src)
@@ -244,18 +266,49 @@ class LosslessEncoder:
 
     # --- tile encode ------------------------------------------------------
 
+    def tile_mi_range(self, idx: int, rows: bool):
+        """Uniform tile spacing (spec 5.9.15): mi [start, end) of tile
+        row/col idx.  Mirrors decoder.tile_row_range/tile_col_range."""
+        fh, sh = self.fh, self.sh
+        log2 = fh.tile_rows_log2 if rows else fh.tile_cols_log2
+        sbs = fh.sb_rows(sh) if rows else fh.sb_cols(sh)
+        mi_max = self.mi_rows if rows else self.mi_cols
+        size_sb = (sbs + (1 << log2) - 1) >> log2
+        start = min(idx * size_sb, sbs)
+        end = min((idx + 1) * size_sb, sbs)
+        return start * self.sb_mi, min(end * self.sb_mi, mi_max)
+
+    def tile_px_ranges(self, rows: bool):
+        log2 = self.fh.tile_rows_log2 if rows else self.fh.tile_cols_log2
+        out = []
+        for i in range(1 << log2):
+            s, e = self.tile_mi_range(i, rows)
+            if s < e:
+                out.append((s * 4, e * 4))
+        return out
+
     def _encode_tile(self) -> bytes:
         if (self.use_native and self.analysis is not None
                 and type(self) is LosslessEncoder):
             # full-native walk: partition + modes + coeffs in C
             # (runtime/lossless_tile.c), byte-exact with the path below
             from ..runtime import encode_lossless_tile
-            self.fc = FrameContext(self.fh.base_q_idx)
+            fh = self.fh
             for plane in range(self.num_planes):
                 self.recon[plane][:] = self.src[plane]
-            return encode_lossless_tile(
-                self.fc, self.analysis, self.mi_rows, self.mi_cols,
-                self.num_planes, sb_mi=self.sb_mi)
+            tiles = []
+            for (r0, r1) in [self.tile_mi_range(i, True)
+                             for i in range(1 << fh.tile_rows_log2)]:
+                for (c0, c1) in [self.tile_mi_range(i, False)
+                                 for i in range(1 << fh.tile_cols_log2)]:
+                    self.fc = FrameContext(fh.base_q_idx)
+                    tiles.append(encode_lossless_tile(
+                        self.fc, self.analysis, r1 - r0, c1 - c0,
+                        self.num_planes, sb_mi=self.sb_mi,
+                        mi_row0=r0, mi_col0=c0))
+            return pack_tile_group(tiles, fh.tile_size_bytes)
+        assert not (self.fh.tile_cols_log2 or self.fh.tile_rows_log2), \
+            "multi-tile requires the native walker path"
         self.fc = FrameContext(self.fh.base_q_idx)
         if self.use_native:
             self.sink = NativeSink(self.fc)

@@ -111,11 +111,15 @@ def analyze_for_encoder(planes):
 
 @jax.jit
 def _lossless_batch_analyze(ys, us, vs):
-    """(N, H, W) stacked planes -> vmapped per-frame analyze."""
-    qy, zy = jax.vmap(lossless_plane_analyze)(ys)
-    qu, zu = jax.vmap(lossless_plane_analyze)(us)
-    qv, zv = jax.vmap(lossless_plane_analyze)(vs)
-    return qy, zy, qu, zu, qv, zv
+    """(N, H, W) stacked planes -> vmapped per-frame analyze.
+
+    Coefficients are returned as int16 (lossless 4x4 WHT/4 of 8-bit
+    residuals fits 13 bits) to halve the device->host transfer."""
+    qy, _ = jax.vmap(lossless_plane_analyze)(ys)
+    qu, _ = jax.vmap(lossless_plane_analyze)(us)
+    qv, _ = jax.vmap(lossless_plane_analyze)(vs)
+    return (qy.astype(jnp.int16), qu.astype(jnp.int16),
+            qv.astype(jnp.int16))
 
 
 def analyze_frames_for_encoder(frame_planes):
@@ -123,12 +127,38 @@ def analyze_frames_for_encoder(frame_planes):
     whole sequence (amortizes device dispatch latency).
 
     frame_planes: list of (y, u, v) same-shape numpy planes (mi-aligned).
-    Returns a list (per frame) of per-plane (qcoeff, zero) numpy arrays.
+    Returns a list (per frame) of per-plane (qcoeff, zero) entries; zero
+    flags are not materialized (the tile walkers test qcoeff directly).
     """
     ys = jnp.asarray(np.stack([f[0] for f in frame_planes]))
     us = jnp.asarray(np.stack([f[1] for f in frame_planes]))
     vs = jnp.asarray(np.stack([f[2] for f in frame_planes]))
-    qy, zy, qu, zu, qv, zv = [np.asarray(a) for a in
-                              _lossless_batch_analyze(ys, us, vs)]
-    return [[(qy[i], zy[i]), (qu[i], zu[i]), (qv[i], zv[i])]
+    qy, qu, qv = [np.asarray(a) for a in
+                  _lossless_batch_analyze(ys, us, vs)]
+    return [[(qy[i], None), (qu[i], None), (qv[i], None)]
             for i in range(len(frame_planes))]
+
+
+def analyze_tiled_for_encoder(planes, row_ranges, col_ranges):
+    """Per-tile analyze: DC prediction availability resets at tile edges
+    (AV1 tiles are fully independent).  Each tile slice goes through the
+    SAME per-plane analyze — a tile's local (0, 0) origin gives exactly
+    the in-tile availability rule.
+
+    row_ranges/col_ranges: luma pixel [start, end) per tile row/col.
+    Returns per-plane (qcoeff (h4, w4, 16) int32, None) for the whole
+    frame, assembled from the per-tile results.
+    """
+    out = []
+    for pi, p in enumerate(planes[:3]):
+        ss = 1 if pi else 0
+        h4, w4 = p.shape[0] // 4, p.shape[1] // 4
+        q = np.zeros((h4, w4, 16), np.int32)
+        for (r0, r1) in row_ranges:
+            for (c0, c1) in col_ranges:
+                pr0, pr1 = r0 >> ss, r1 >> ss
+                pc0, pc1 = c0 >> ss, c1 >> ss
+                qt, _ = lossless_plane_analyze(p[pr0:pr1, pc0:pc1])
+                q[pr0 >> 2:pr1 >> 2, pc0 >> 2:pc1 >> 2] = np.asarray(qt)
+        out.append((q, None))
+    return out

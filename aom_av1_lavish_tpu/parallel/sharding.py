@@ -1,16 +1,25 @@
 """Multi-chip sharding for the encoder (jax.sharding over a device Mesh).
 
 TPU-native mapping of the reference's parallelism (SURVEY §2.7):
-  * tile-parallel  → 'tile' mesh axis: frame columns are AV1 tiles; tiles
-    are fully independent in AV1 (prediction + entropy state reset), so the
-    analyze step shards with NO halo communication — the cross-chip traffic
-    is only the final stats/bitstream gather.
-  * frame-parallel (FPMT, ethread.c:1224) → 'frame' mesh axis: a batch of
-    frames (e.g. a GOP's non-dependent layer) encodes concurrently.
-Reductions (bit estimates for rate control) ride psum over both axes.
+  * tile-parallel  → 'tile' mesh axis: AV1 tile columns are fully
+    independent (prediction availability and entropy state reset at tile
+    edges), so the per-tile analyze shards with NO halo communication —
+    the only cross-chip traffic is the final qcoeff gather + the rate
+    reduction (psum).  Reference analog: av1_encode_tiles_mt
+    (av1/encoder/ethread.c:1506), one worker per tile.
+  * frame-parallel (FPMT, ethread.c:1224) → 'frame' mesh axis: a batch
+    of frames encodes concurrently.
+
+The sharded path drives the REAL lossless encoder: device analyze per
+(frame, tile) shard, then per-tile native entropy walk + tile-group
+packing on host, producing streams byte-identical to the single-device
+encoder (tested in tests/test_sharding.py — the ethread_test.cc
+determinism contract).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +34,123 @@ def make_mesh(n_frame: int, n_tile: int, devices=None) -> Mesh:
     assert len(devices) >= n_frame * n_tile
     arr = np.array(devices[:n_frame * n_tile]).reshape(n_frame, n_tile)
     return Mesh(arr, ("frame", "tile"))
+
+
+def _tiled_analyze(ys, us, vs):
+    """(F, T, H, Wt) stacked tile columns -> per-plane int16 qcoeffs +
+    a frame-level rate proxy (psum across the mesh)."""
+    an2 = jax.vmap(jax.vmap(lossless_plane_analyze))
+    qy, _ = an2(ys)
+    qu, _ = an2(us)
+    qv, _ = an2(vs)
+    bits_proxy = (jnp.abs(qy).sum(dtype=jnp.float32)
+                  + jnp.abs(qu).sum(dtype=jnp.float32)
+                  + jnp.abs(qv).sum(dtype=jnp.float32))
+    return (qy.astype(jnp.int16), qu.astype(jnp.int16),
+            qv.astype(jnp.int16), bits_proxy)
+
+
+def make_sharded_tile_analyze(mesh: Mesh):
+    """jit of the tiled analyze with (frame, tile) input sharding; XLA
+    inserts the psum for the rate proxy."""
+    shard_in = NamedSharding(mesh, P("frame", "tile", None, None))
+    shard_q = NamedSharding(mesh, P("frame", "tile", None, None, None))
+    return jax.jit(
+        _tiled_analyze,
+        in_shardings=(shard_in, shard_in, shard_in),
+        out_shardings=(shard_q, shard_q, shard_q,
+                       NamedSharding(mesh, P())))
+
+
+class ShardedLosslessEncoder:
+    """Lossless all-intra encoder sharded over a ('frame','tile') mesh.
+
+    Requires width to split into equal SB-aligned tile columns (the
+    general unequal-tile path lives in encoder/encoder.py).  Produces
+    the same bytes as the single-device encoder.
+    """
+
+    def __init__(self, width: int, height: int, mesh: Mesh):
+        from ..encoder.encoder import (make_lossless_frame_header,
+                                       make_sequence_header)
+        self.mesh = mesh
+        self.n_tile = mesh.devices.shape[1]
+        self.n_frame = mesh.devices.shape[0]
+        tile_cols_log2 = max(self.n_tile - 1, 0).bit_length()
+        assert (1 << tile_cols_log2) == self.n_tile, \
+            "tile count must be a power of two"
+        self.sh = make_sequence_header(width, height)
+        self.fh = make_lossless_frame_header(
+            self.sh, tile_cols_log2=tile_cols_log2)
+        self.mi_cols = self.fh.mi_cols()
+        self.mi_rows = self.fh.mi_rows()
+        sb_cols = self.fh.sb_cols(self.sh)
+        assert sb_cols % self.n_tile == 0 and width % 64 == 0 \
+            and height % 8 == 0 and width % (self.n_tile * 4) == 0, \
+            "sharded path needs equal SB-aligned tile columns"
+        self._fn = make_sharded_tile_analyze(mesh)
+
+    def _split_tiles(self, plane, ss):
+        H, W = plane.shape
+        T = self.n_tile
+        wt = W // T
+        return plane.reshape(H, T, wt).transpose(1, 0, 2)
+
+    def encode_frames(self, frames) -> list:
+        """frames: list of (y, u, v); length must be a multiple of the
+        mesh frame axis.  Returns one temporal-unit payload per frame."""
+        from ..bitstream.tables import FrameContext
+        from ..encoder.encoder import LosslessEncoder, pack_tile_group
+        from ..runtime import encode_lossless_tile
+        F = len(frames)
+        assert F % self.n_frame == 0, \
+            f"frame count {F} not a multiple of mesh axis {self.n_frame}"
+        ys = np.stack([self._split_tiles(f[0], 0) for f in frames])
+        us = np.stack([self._split_tiles(f[1], 1) for f in frames])
+        vs = np.stack([self._split_tiles(f[2], 1) for f in frames])
+        payloads = []
+        with self.mesh:
+            for f0 in range(0, F, self.n_frame):
+                sl = slice(f0, f0 + self.n_frame)
+                qy, qu, qv, _bits = self._fn(
+                    jnp.asarray(ys[sl]), jnp.asarray(us[sl]),
+                    jnp.asarray(vs[sl]))
+                qy, qu, qv = np.asarray(qy), np.asarray(qu), np.asarray(qv)
+                for fi in range(self.n_frame):
+                    payloads.append(self._pack_frame(
+                        frames[f0 + fi], qy[fi], qu[fi], qv[fi]))
+        return payloads
+
+    def _pack_frame(self, planes, qy_t, qu_t, qv_t) -> bytes:
+        """Assemble one frame's TU from per-tile qcoeffs (T, h4, wt4, 16).
+
+        Reuses the single-device encoder for headers; the per-tile
+        entropy walk runs the same native coder."""
+        from ..bitstream import headers as Hd
+        from ..bitstream.tables import FrameContext
+        from ..encoder.encoder import LosslessEncoder, pack_tile_group
+        from ..runtime import encode_lossless_tile
+        enc = LosslessEncoder(self.sh, self.fh)
+        enc.pad_planes(planes)
+        tiles = []
+        for t in range(self.n_tile):
+            # tile-local analysis arrays: walker reads offset (0, 0)
+            analysis = [(qy_t[t], None), (qu_t[t], None), (qv_t[t], None)]
+            r0, r1 = 0, self.mi_rows
+            c0, c1 = enc.tile_mi_range(t, rows=False)
+            fc = FrameContext(self.fh.base_q_idx)
+            tiles.append(encode_lossless_tile(
+                fc, analysis, r1 - r0, c1 - c0, enc.num_planes,
+                sb_mi=enc.sb_mi))
+        tile_data = pack_tile_group(tiles, self.fh.tile_size_bytes)
+        out = bytearray()
+        out += Hd.temporal_delimiter()
+        out += enc.sequence_header_obu()
+        out += enc.frame_obu(tile_data)
+        return bytes(out)
+
+
+# --- legacy toy analyze kept for the simple sharding demo/tests --------
 
 
 def batched_analyze_step(y_batch):

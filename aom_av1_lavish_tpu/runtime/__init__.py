@@ -201,12 +201,15 @@ _EOB_CDF_NAME = {
 
 
 def encode_lossless_tile(fc, analysis, mi_rows: int, mi_cols: int,
-                         num_planes: int = 3, sb_mi: int = 16) -> bytes:
+                         num_planes: int = 3, sb_mi: int = 16,
+                         mi_row0: int = 0, mi_col0: int = 0) -> bytes:
     """Full-native lossless tile encode (avl_encode_lossless_tile).
 
-    analysis: per-plane (qcoeff (h4, w4, 16) int32, zero) from
-    ops/lossless.analyze_for_encoder.  Byte-exact with the Python walk in
-    encoder/encoder.py (LosslessEncoder._encode_tile)."""
+    analysis: per-plane (qcoeff (h4, w4, 16), zero) from
+    ops/lossless.analyze_*_for_encoder (whole-frame arrays).  mi_rows/
+    mi_cols are the TILE's mi dims; mi_row0/mi_col0 its origin (must be
+    SB-aligned).  Byte-exact with the Python walk in encoder/encoder.py
+    (LosslessEncoder._encode_tile)."""
     lib = get_lib()
     arena_obj = FcArena(fc)
     a = arena_obj.offset
@@ -238,9 +241,14 @@ def encode_lossless_tile(fc, analysis, mi_rows: int, mi_cols: int,
     cap = int(sum(q.size for q in qs) * 4 + mi_rows * mi_cols * 4 + 4096)
     out = np.zeros(cap, dtype=np.uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def qptr(i, w4, ss):
+        off = ((mi_row0 * 4 >> ss) >> 2) * w4 + ((mi_col0 * 4 >> ss) >> 2)
+        return ctypes.cast(qs[i].ctypes.data + off * 16 * 4, i32p)
+
     n = lib.avl_encode_lossless_tile(
-        qs[0].ctypes.data_as(i32p), qs[1].ctypes.data_as(i32p),
-        qs[2].ctypes.data_as(i32p), mi_rows, mi_cols, w4y, w4c,
+        qptr(0, w4y, 0), qptr(1, w4c, 1), qptr(2, w4c, 1),
+        mi_rows, mi_cols, w4y, w4c,
         num_planes, arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         offs.ctypes.data_as(i32p), cdfsets.ctypes.data_as(i32p),
         scan4.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), sb_mi,

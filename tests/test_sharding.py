@@ -1,0 +1,70 @@
+"""Multi-chip sharding determinism: sharded encode == single-device.
+
+The reference's concurrency contract is bit-exactness, not speed
+(test/ethread_test.cc: N-thread encode == 1-thread; SURVEY §4.5).  Here:
+the ('frame','tile') mesh-sharded lossless encoder must produce byte-
+identical streams to the single-device multi-tile encoder, and those
+streams must decode losslessly.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def _frames(n, W, H, seed=0):
+    rng = np.random.default_rng(seed)
+    return [(rng.integers(0, 256, (H, W), dtype=np.uint8),
+             rng.integers(0, 256, (H // 2, W // 2), dtype=np.uint8),
+             rng.integers(0, 256, (H // 2, W // 2), dtype=np.uint8))
+            for _ in range(n)]
+
+
+def test_sharded_encode_matches_single_device():
+    from aom_av1_lavish_tpu.encoder.encoder import (
+        LosslessEncoder, make_lossless_frame_header, make_sequence_header)
+    from aom_av1_lavish_tpu.parallel.sharding import (
+        ShardedLosslessEncoder, make_mesh)
+
+    W, H = 256, 128   # 4 SB-aligned tile columns
+    n_frame, n_tile = 2, 4
+    assert jax.device_count() >= n_frame * n_tile
+    frames = _frames(n_frame, W, H)
+    mesh = make_mesh(n_frame, n_tile)
+    enc = ShardedLosslessEncoder(W, H, mesh)
+    sharded = enc.encode_frames(frames)
+
+    sh = make_sequence_header(W, H)
+    single = []
+    for f in frames:
+        fh = make_lossless_frame_header(sh, tile_cols_log2=2)
+        e = LosslessEncoder(sh, fh)
+        single.append(e.encode_frame(f))
+    assert [len(s) for s in sharded] == [len(s) for s in single]
+    for s, t in zip(sharded, single):
+        assert s == t, "sharded encode differs from single-device"
+
+
+def test_sharded_stream_decodes_losslessly():
+    from aom_av1_lavish_tpu.decoder.decoder import decode_frame_obus
+    from aom_av1_lavish_tpu.parallel.sharding import (
+        ShardedLosslessEncoder, make_mesh)
+
+    W, H = 128, 64
+    frames = _frames(4, W, H, seed=3)
+    mesh = make_mesh(2, 2)
+    enc = ShardedLosslessEncoder(W, H, mesh)
+    payloads = enc.encode_frames(frames)
+    assert len(payloads) == 4
+    sh = None
+    state = {"slots": [None] * 8}
+    for i, p in enumerate(payloads):
+        out, sh = decode_frame_obus(p, sh, state)
+        for plane in range(3):
+            assert np.array_equal(out[0][plane], frames[i][plane])
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+    g.dryrun_multichip(jax.device_count())

@@ -23,19 +23,17 @@ __version__ = "0.1.0"
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache (opt out: AVL_NO_COMPILE_CACHE=1).
+    """Persistent XLA compilation cache, opt-in via AVL_JAX_CACHE_DIR.
 
-    Kernel programs here are large (whole-frame wavefront loops) and the
-    TPU compile round-trip is expensive; caching makes warmup a disk read
-    after the first run.  Applies to CPU (tests) and TPU alike."""
+    Off by default: XLA's CPU AOT cache entries embed machine features
+    and can SIGILL when loaded on a host that differs from the compile
+    host, and some TPU plugins key the cache per-process (no reuse)."""
     import os
-    if os.environ.get("AVL_NO_COMPILE_CACHE"):
+    path = os.environ.get("AVL_JAX_CACHE_DIR")
+    if not path:
         return
     try:
         import jax
-        path = os.environ.get(
-            "AVL_JAX_CACHE_DIR",
-            os.path.expanduser("~/.cache/aom_av1_lavish_tpu/jax"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -20,11 +20,13 @@ from .tpu_intra import TpuAllIntraEncoder
 
 
 class TpuInterFrameEncoder(InterFrameEncoder):
-    """Fixed 16x16 inter blocks, whole-frame device encode."""
+    """Fixed 16x16 inter blocks, whole-frame device encode; searches
+    every ref in ref_list on device, each block picks its best."""
 
-    def __init__(self, sh, fh, refs, use_native=None):
+    def __init__(self, sh, fh, refs, use_native=None,
+                 ref_list=(c.LAST_FRAME,)):
         super().__init__(sh, fh, refs, use_native=use_native,
-                         block_size=c.BLOCK_16X16)
+                         block_size=c.BLOCK_16X16, ref_list=ref_list)
         self._results = None
 
     def encode_frame(self, planes, use_jax: bool = True) -> bytes:
@@ -41,12 +43,13 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         if self._results is None:
             from ..ops.inter_tpu import DeviceInterEncoder
             dev = DeviceInterEncoder(self.fh.base_q_idx)
-            slot = self.fh.ref_frame_idx[0]
+            ref_planes = [self.refs[self.fh.ref_frame_idx[r - 1]]
+                          for r in self.ref_list]
             self._results = dev.encode_frame(
                 [self.src[0][:self.mi_rows * 4, :self.mi_cols * 4],
                  self.src[1][:self.mi_rows * 2, :self.mi_cols * 2],
                  self.src[2][:self.mi_rows * 2, :self.mi_cols * 2]],
-                self.refs[slot])
+                ref_planes)
             ry, ru, rv = dev.recon
             self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
             self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
@@ -96,7 +99,9 @@ class TpuInterFrameEncoder(InterFrameEncoder):
                 plane_bsize=c.BLOCK_8X8, py=cy, px=cx,
                 recon=None, acol=cx >> 2, lrow=cy >> 2))
         return dict(mi_row=mi_row, mi_col=mi_col, bsize=c.BLOCK_16X16,
-                    is_inter=1, mode=0, mv=res["mv"], ref_mv_idx=0,
+                    is_inter=1, mode=0, mv=res["mv"],
+                    ref=self.ref_list[res.get("ref_idx", 0)],
+                    ref_mv_idx=0,
                     txbs=txbs, is_chroma_ref=True, y_mode=c.DC_PRED,
                     uv_mode=c.DC_PRED, cfl=None)
 

@@ -1,16 +1,26 @@
 """TPU-batched P-frame encoding: motion search + MC + transform coding.
 
-Inter blocks only read the (fixed) reference frame, so unlike intra there
-is no wavefront dependency at all: every 16x16 block's motion search,
-motion compensation, forward transform, quantization and reconstruction
-runs as ONE batched jit invocation over the whole frame.  The host then
-walks the fixed partition tree and feeds the entropy coder
+Inter blocks only read the (fixed) reference frames, so unlike intra
+there is no wavefront dependency at all: every 16x16 block's motion
+search, motion compensation, forward transform, quantization and
+reconstruction runs as ONE batched jit invocation over the whole frame.
+The host then walks the fixed partition tree and feeds the entropy coder
 (encoder/tpu_inter.py).
 
-Search: 3-stage fullpel grid refinement (stride 4/2/1 over +-16) then a
-5x5 quarter-pel refine through the normative 8-tap interpolator.  The MC
-math mirrors common/interpred.py bit-exactly (verified against the
-convolve oracle via the conformance tests).
+Motion search (TPU-first redesign of av1/encoder/mcomp.c:1755
+av1_full_pixel_search + mcomp.h:337 subpel tree): instead of the
+reference's sequential NSTEP/diamond descent, the full-pel cost surface
+is computed EXHAUSTIVELY on the MXU via the SSD identity
+    ssd(dy,dx) = sum(src^2) + sum(ref^2)[dy,dx] - 2*corr[dy,dx]
+where corr is a grouped convolution of each block against its search
+window and sum(ref^2) a reduce_window — both batched over all blocks of
+the frame.  A half-resolution pass doubles the radius (effective +-32),
+then a two-stage half/quarter-pel refine runs through the normative
+8-tap interpolator.  Multi-reference: the search runs per ref and each
+block picks its best by cost.
+
+The MC math mirrors common/interpred.py bit-exactly (verified against
+the convolve oracle via the conformance tests).
 """
 
 from __future__ import annotations
@@ -28,6 +38,8 @@ from .txfm_jax import fwd_txfm2d_batched, inv_txfm2d_add_batched
 from .wavefront import _quantize_jnp, _est_bits, _PQ, _pq_array
 
 PADR = 64          # device ref padding (>= clamp overshoot + taps)
+FULLPEL_RADIUS = 16
+MV_COST_W = 16.0   # SSD units per full-pel step of |mv| (rate proxy)
 FILT8 = jnp.asarray(IP.SUBPEL_FILTERS_8)    # (16, 8) regular
 
 
@@ -56,7 +68,7 @@ def _mc_block(refp, x0, y0, bw, bh, mv_r_q4, mv_c_q4):
                             bh + 7, bw + 7).astype(jnp.int32)
     kx = FILT8[sc]          # (B, 8)
     ky = FILT8[sr]
-    # horizontal pass -> (B, bh+7, bw), int16 wrap not reachable at bd8
+    # horizontal pass -> (B, bh+7, bw)
     acc = jnp.zeros(region.shape[:1] + (bh + 7, bw), jnp.int32)
     for k in range(8):
         acc = acc + kx[:, k, None, None] * region[:, :, k:k + bw]
@@ -68,9 +80,6 @@ def _mc_block(refp, x0, y0, bw, bh, mv_r_q4, mv_c_q4):
     sum_ = acc2 + (1 << (8 + 14 - 3))
     res = _round2(sum_, 11) - ((1 << 8) + (1 << 7))
     both = jnp.clip(res, 0, 255)
-    # subpel==0 paths collapse to the same result through the 2d pipe only
-    # when the kernel is the identity phase (phase 0 = [..128..]), which
-    # FILT8[0] is -- so the unified 2d path is bit-exact for all phases.
     return both.astype(jnp.uint8)
 
 
@@ -94,14 +103,111 @@ def _clamp_mv(mv_r, mv_c, bw, bh, ss_x, ss_y, x0l, y0l, fw, fh_, bw4l,
     return (jnp.clip(row, lo_r, hi_r), jnp.clip(col, lo_c, hi_c))
 
 
+def _ssd_surface(src_blk, refp, y0, x0, bsz, radius):
+    """Exhaustive full-pel SSD surface on the MXU.
+
+    src_blk: (B, bsz, bsz) int; refp: padded plane; y0/x0: (B,) block
+    origins in plane coords.  Returns (B, 2r+1, 2r+1) float32 SSD (exact:
+    all partial sums are integers < 2^24)."""
+    B = src_blk.shape[0]
+    W = 2 * radius + bsz
+    win = _gather_blocks(refp, PADR + y0 - radius, PADR + x0 - radius,
+                         W, W).astype(jnp.float32)
+    src = src_blk.astype(jnp.float32)
+    corr = jax.lax.conv_general_dilated(
+        win[None], src[:, None], window_strides=(1, 1), padding="VALID",
+        feature_group_count=B)[0]                      # (B, 2r+1, 2r+1)
+    e_ref = jax.lax.reduce_window(
+        win * win, 0.0, jax.lax.add, (1, bsz, bsz), (1, 1, 1), "VALID")
+    e_src = (src * src).sum((1, 2))
+    return e_src[:, None, None] + e_ref - 2.0 * corr
+
+
+def _argmin2d(cost):
+    """(B, H, W) -> (dy_idx, dx_idx, val) of the row-major first minimum."""
+    B, H, W = cost.shape
+    flat = cost.reshape(B, H * W)
+    idx = jnp.argmin(flat, axis=1)
+    return idx // W, idx % W, jnp.take_along_axis(
+        flat, idx[:, None], axis=1)[:, 0]
+
+
+def _mv_bias(dy, dx):
+    return MV_COST_W * (jnp.abs(dy) + jnp.abs(dx)).astype(jnp.float32)
+
+
+def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz):
+    """Two-scale exhaustive full-pel search for one reference.
+
+    Returns (best_dy, best_dx, cost) in full-pel units, range ~+-32."""
+    r = FULLPEL_RADIUS
+    # full-res surface: +-16
+    ssd0 = _ssd_surface(sy_blk, refp_y, y0, x0, bsz, r)
+    iy0, ix0, c0 = _argmin2d(
+        ssd0 + _mv_bias(jnp.arange(2 * r + 1)[None, :, None] - r,
+                        jnp.arange(2 * r + 1)[None, None, :] - r))
+    dy0, dx0 = iy0 - r, ix0 - r
+    # half-res surface: +-16 at half res == +-32 full-res
+    src_h = sy_blk.reshape(sy_blk.shape[0], bsz // 2, 2, bsz // 2, 2) \
+        .sum((2, 4))
+    ssd1 = _ssd_surface(src_h, refp_y2, y0 // 2, x0 // 2, bsz // 2, r)
+    iy1, ix1, _ = _argmin2d(ssd1)
+    dy1, dx1 = (iy1 - r) * 2, (ix1 - r) * 2
+    # refine the half-res candidate at full res (+-2)
+    cands = [(dy0, dx0, c0)]
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            ny = jnp.clip(dy1 + oy, -2 * r, 2 * r)
+            nx = jnp.clip(dx1 + ox, -2 * r, 2 * r)
+            blk = _gather_blocks(refp_y, PADR + y0 + ny, PADR + x0 + nx,
+                                 bsz, bsz).astype(jnp.float32)
+            d = blk - sy_blk.astype(jnp.float32)
+            cands.append((ny, nx, (d * d).sum((1, 2)) + _mv_bias(ny, nx)))
+    cy = jnp.stack([t[0] for t in cands], 1)
+    cx = jnp.stack([t[1] for t in cands], 1)
+    cc = jnp.stack([t[2] for t in cands], 1)
+    bi = jnp.argmin(cc, axis=1)
+    ar = jnp.arange(cy.shape[0])
+    return cy[ar, bi], cx[ar, bi], cc[ar, bi]
+
+
+def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
+    """Half-pel 3x3 then quarter-pel 3x3 around the full-pel winner,
+    through the normative interpolator.  Returns 1/8-pel even MVs."""
+    def eval_mv(mv_r, mv_c):
+        cr, ccol = _clamp_mv(mv_r, mv_c, bsz, bsz, 0, 0, x0, y0, W, H,
+                             bsz, bsz)
+        pred = _mc_block(refp_y, x0, y0, bsz, bsz, cr, ccol)
+        d = pred.astype(jnp.float32) - sy_blk.astype(jnp.float32)
+        return (d * d).sum((1, 2)) + MV_COST_W / 8.0 * (
+            jnp.abs(mv_r) + jnp.abs(mv_c)).astype(jnp.float32)
+
+    mv_r = best_dy * 8
+    mv_c = best_dx * 8
+    for step in (4, 2):
+        cands = []
+        for oy in (-step, 0, step):
+            for ox in (-step, 0, step):
+                r_ = mv_r + oy
+                c_ = mv_c + ox
+                cands.append((eval_mv(r_, c_), r_, c_))
+        sstack = jnp.stack([t[0] for t in cands], 1)
+        rstack = jnp.stack([t[1] for t in cands], 1)
+        cstack = jnp.stack([t[2] for t in cands], 1)
+        bi = jnp.argmin(sstack, axis=1)
+        ar = jnp.arange(sstack.shape[0])
+        mv_r = rstack[ar, bi]
+        mv_c = cstack[ar, bi]
+    return mv_r, mv_c
+
+
 _FN_CACHE = {}
 
 
 def _p_frame_fn(key):
     if key in _FN_CACHE:
         return _FN_CACHE[key]
-    H, W = key
-    Hc, Wc = H >> 1, W >> 1
+    H, W, n_refs = key
     nby, nbx = H // 16, W // 16
     B = nby * nbx
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
@@ -109,88 +215,47 @@ def _p_frame_fn(key):
     x0 = jnp.asarray((bx.ravel() * 16).astype(np.int32))
     scan_y = jnp.asarray(np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT)))
     scan_c = jnp.asarray(np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT)))
-    dc_mask_y = np.zeros(256, bool)
-    dc_mask_y[0] = True
-    dc_mask_c = np.zeros(64, bool)
-    dc_mask_c[0] = True
-    dc_y = jnp.asarray(dc_mask_y)
-    dc_c = jnp.asarray(dc_mask_c)
+    dc_y = jnp.asarray(np.arange(256) == 0)
+    dc_c = jnp.asarray(np.arange(64) == 0)
 
-    # static fullpel search offset stages
-    stage1 = [(dy, dx) for dy in range(-16, 17, 4)
-              for dx in range(-16, 17, 4)]
-    stage23 = ([(dy, dx) for dy in (-2, 0, 2) for dx in (-2, 0, 2)],
-               [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
-    subpel = [(dy, dx) for dy in (-4, -2, 0, 2, 4)
-              for dx in (-4, -2, 0, 2, 4)]
-
-    def fn(src_y, src_u, src_v, refp_y, refp_u, refp_v, pq_arr_y,
-           pq_arr_u, pq_arr_v):
+    def fn(src_y, src_u, src_v, refs_y, refs_u, refs_v, refs_y2,
+           pq_arr_y, pq_arr_u, pq_arr_v):
+        """refs_*: (R, Hp, Wp) stacked padded ref planes; refs_y2 the
+        half-res luma (sum-pooled)."""
         pq_y = _PQ(pq_arr_y)
         pq_u = _PQ(pq_arr_u)
         pq_v = _PQ(pq_arr_v)
         sy_blk = src_y.reshape(nby, 16, nbx, 16).transpose(0, 2, 1, 3) \
             .reshape(B, 16, 16).astype(jnp.int32)
 
-        def sad_at(dy, dx):
-            blk = _gather_blocks(refp_y, PADR + y0 + dy, PADR + x0 + dx,
-                                 16, 16).astype(jnp.int32)
-            return jnp.abs(blk - sy_blk).sum((1, 2))
-
-        # stage 1: fixed grid
-        sads = jnp.stack([sad_at(dy, dx) for (dy, dx) in stage1], 1)
-        bidx = jnp.argmin(sads, 1)
-        off = jnp.asarray(np.array(stage1, np.int32))
-        best_dy = off[bidx, 0]
-        best_dx = off[bidx, 1]
-        best_sad = jnp.min(sads, 1)
-
-        def sad_at_var(dy, dx):
-            blk = _gather_blocks(refp_y, PADR + y0 + dy, PADR + x0 + dx,
-                                 16, 16).astype(jnp.int32)
-            return jnp.abs(blk - sy_blk).sum((1, 2))
-
-        for offs in stage23:
-            cands = []
-            for (dy, dx) in offs:
-                ny = jnp.clip(best_dy + dy, -40, 40)
-                nx = jnp.clip(best_dx + dx, -40, 40)
-                cands.append((sad_at_var(ny, nx), ny, nx))
-            sstack = jnp.stack([s for (s, _, _) in cands], 1)
-            nystack = jnp.stack([y for (_, y, _) in cands], 1)
-            nxstack = jnp.stack([x for (_, _, x) in cands], 1)
-            bi = jnp.argmin(sstack, 1)
-            ar = jnp.arange(B)
-            best_dy = nystack[ar, bi]
-            best_dx = nxstack[ar, bi]
-            best_sad = sstack[ar, bi]
-
-        # quarter-pel refine via normative interpolation
-        fw4 = W // 4
-        fh4 = H // 4
-        cands = []
-        for (dy, dx) in subpel:
-            mv_r = best_dy * 8 + dy
-            mv_c = best_dx * 8 + dx
+        # --- per-ref search ---
+        per_ref = []
+        for ri in range(n_refs):
+            fdy, fdx, fcost = _fullpel_search(sy_blk, refs_y[ri],
+                                              refs_y2[ri], y0, x0, 16)
+            mv_r, mv_c = _subpel_refine(sy_blk, refs_y[ri], y0, x0, 16,
+                                        fdy, fdx, W, H)
             cr, ccol = _clamp_mv(mv_r, mv_c, 16, 16, 0, 0, x0, y0, W, H,
                                  16, 16)
-            # q4 luma units = 2 * (1/8 pel)
-            pred = _mc_block(refp_y, x0, y0, 16, 16, cr, ccol)
-            sad = jnp.abs(pred.astype(jnp.int32) - sy_blk).sum((1, 2))
-            cands.append((sad, mv_r, mv_c))
-        sstack = jnp.stack([s for (s, _, _) in cands], 1)
-        rstack = jnp.stack([r for (_, r, _) in cands], 1)
-        cstack = jnp.stack([cc for (_, _, cc) in cands], 1)
-        bi = jnp.argmin(sstack, 1)
-        ar = jnp.arange(B)
-        mv_r = rstack[ar, bi]
-        mv_c = cstack[ar, bi]
+            pred = _mc_block(refs_y[ri], x0, y0, 16, 16, cr, ccol)
+            d = pred.astype(jnp.float32) - sy_blk.astype(jnp.float32)
+            cost = (d * d).sum((1, 2))
+            per_ref.append((cost, mv_r, mv_c, pred))
+        if n_refs == 1:
+            best_ref = jnp.zeros(B, jnp.int32)
+            cost, mv_r, mv_c, pred_y = per_ref[0]
+        else:
+            costs = jnp.stack([t[0] for t in per_ref], 1)
+            best_ref = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            sel = best_ref[:, None, None]
+            mv_r = jnp.stack([t[1] for t in per_ref], 1)[
+                jnp.arange(B), best_ref]
+            mv_c = jnp.stack([t[2] for t in per_ref], 1)[
+                jnp.arange(B), best_ref]
+            pred_y = jnp.where(
+                sel == 0, per_ref[0][3], per_ref[1][3])
 
-        # --- final MC + residual coding ---
-        # luma (clamp scales 1/8-pel mv to q4 internally)
-        cr, ccol = _clamp_mv(mv_r, mv_c, 16, 16, 0, 0, x0, y0, W, H,
-                             16, 16)
-        pred_y = _mc_block(refp_y, x0, y0, 16, 16, cr, ccol)
+        # --- final residual coding ---
         resid_y = sy_blk - pred_y.astype(jnp.int32)
         coeff_y = fwd_txfm2d_batched(resid_y, c.TX_16X16, c.DCT_DCT)
         qy, dqy = _quantize_jnp(coeff_y, pq_y, CF._tx_scale(c.TX_16X16),
@@ -203,13 +268,18 @@ def _p_frame_fn(key):
         xc = x0 >> 1
         yc = y0 >> 1
         out_c = []
-        for (src_p, refp, pq_p) in ((src_u, refp_u, pq_u),
-                                    (src_v, refp_v, pq_v)):
+        for (src_p, refs_p, pq_p) in ((src_u, refs_u, pq_u),
+                                      (src_v, refs_v, pq_v)):
             sc_blk = src_p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) \
                 .reshape(B, 8, 8).astype(jnp.int32)
             crc, cccol = _clamp_mv(mv_r, mv_c, 8, 8, 1, 1, x0, y0, W, H,
                                    16, 16)
-            pred = _mc_block(refp, xc, yc, 8, 8, crc, cccol)
+            if n_refs == 1:
+                pred = _mc_block(refs_p[0], xc, yc, 8, 8, crc, cccol)
+            else:
+                p0 = _mc_block(refs_p[0], xc, yc, 8, 8, crc, cccol)
+                p1 = _mc_block(refs_p[1], xc, yc, 8, 8, crc, cccol)
+                pred = jnp.where(best_ref[:, None, None] == 0, p0, p1)
             resid = sc_blk - pred.astype(jnp.int32)
             coeff = fwd_txfm2d_batched(resid, c.TX_8X8, c.DCT_DCT)
             qc, dqc = _quantize_jnp(coeff, pq_p, CF._tx_scale(c.TX_8X8),
@@ -224,7 +294,7 @@ def _p_frame_fn(key):
                 .reshape(nby * n, nbx * n)
 
         (qu, eob_u, rec_u), (qv, eob_v, rec_v) = out_c
-        return (mv_r, mv_c, qy, eob_y, qu, eob_u, qv, eob_v,
+        return (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
                 untile(rec_y, 16), untile(rec_u, 8), untile(rec_v, 8))
 
     fn = jax.jit(fn)
@@ -233,7 +303,8 @@ def _p_frame_fn(key):
 
 
 class DeviceInterEncoder:
-    """Whole-frame batched P-frame encode at fixed 16x16 blocks."""
+    """Whole-frame batched P-frame encode at fixed 16x16 blocks, over
+    one or two reference frames."""
 
     def __init__(self, qindex: int):
         self.qindex = qindex
@@ -242,20 +313,34 @@ class DeviceInterEncoder:
             self.pq_arrs.append(_pq_array(
                 Q.build_plane_quant(qindex, dcd, acd)))
 
-    def encode_frame(self, src_planes, ref_planes):
-        """src_planes: mi-aligned (y, u, v); ref_planes: visible (y, u, v)
-        of the reference.  Returns dict of per-block results + recon."""
+    def encode_frame(self, src_planes, ref_planes_list):
+        """src_planes: mi-aligned (y, u, v); ref_planes_list: list of
+        visible (y, u, v) reference frames (1 or 2).  Returns dict of
+        per-block results + recon."""
         H, W = src_planes[0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
-        fn = _p_frame_fn((H, W))
-        refp = [np.pad(p, PADR, mode="edge") for p in ref_planes]
+        n_refs = len(ref_planes_list)
+        fn = _p_frame_fn((H, W, n_refs))
+        refs_y, refs_u, refs_v, refs_y2 = [], [], [], []
+        for rp in ref_planes_list:
+            py = np.pad(rp[0], PADR, mode="edge").astype(np.uint8)
+            refs_y.append(py)
+            refs_u.append(np.pad(rp[1], PADR, mode="edge"))
+            refs_v.append(np.pad(rp[2], PADR, mode="edge"))
+            y2 = py.astype(np.int32)
+            h2 = (y2.shape[0] // 2) * 2
+            w2 = (y2.shape[1] // 2) * 2
+            y2 = y2[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
+            refs_y2.append(y2)
         out = fn(jnp.asarray(src_planes[0][:H, :W]),
                  jnp.asarray(src_planes[1][:H >> 1, :W >> 1]),
                  jnp.asarray(src_planes[2][:H >> 1, :W >> 1]),
-                 jnp.asarray(refp[0]), jnp.asarray(refp[1]),
-                 jnp.asarray(refp[2]),
+                 jnp.asarray(np.stack(refs_y)),
+                 jnp.asarray(np.stack(refs_u)),
+                 jnp.asarray(np.stack(refs_v)),
+                 jnp.asarray(np.stack(refs_y2)),
                  self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2])
-        (mv_r, mv_c, qy, eob_y, qu, eob_u, qv, eob_v,
+        (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
          rec_y, rec_u, rec_v) = [np.asarray(o) for o in out]
         self.recon = (rec_y, rec_u, rec_v)
         nbx = W // 16
@@ -263,7 +348,7 @@ class DeviceInterEncoder:
         for b in range(mv_r.shape[0]):
             r, cc = divmod(b, nbx)
             res[(r, cc)] = dict(
-                mv=(int(mv_r[b]), int(mv_c[b])), qy=qy[b],
-                eoby=int(eob_y[b]), qu=qu[b], eobu=int(eob_u[b]),
-                qv=qv[b], eobv=int(eob_v[b]))
+                mv=(int(mv_r[b]), int(mv_c[b])), ref_idx=int(best_ref[b]),
+                qy=qy[b], eoby=int(eob_y[b]), qu=qu[b],
+                eobu=int(eob_u[b]), qv=qv[b], eobv=int(eob_v[b]))
         return res

@@ -137,14 +137,15 @@ class NativeSink:
         return self.os.run()
 
 
-def make_sequence_header(width: int, height: int) -> H.SequenceHeader:
+def make_sequence_header(width: int, height: int,
+                         enable_cdef: int = 0) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path."""
     return H.SequenceHeader(
         profile=0, seq_level_idx=31, max_frame_width=width,
         max_frame_height=height, use_128x128_superblock=0,
         enable_filter_intra=0, enable_intra_edge_filter=0,
         enable_order_hint=0, force_screen_content_tools=0,
-        force_integer_mv=2, enable_superres=0, enable_cdef=0,
+        force_integer_mv=2, enable_superres=0, enable_cdef=enable_cdef,
         enable_restoration=0, high_bitdepth=0, mono_chrome=0,
         subsampling_x=1, subsampling_y=1, separate_uv_delta_q=0)
 

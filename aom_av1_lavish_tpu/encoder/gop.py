@@ -41,8 +41,10 @@ class GopEncoder:
                  qindex: int = 60, gf_length: int = 8,
                  kf_interval: int = 120, use_arf: bool = True,
                  use_tpu: bool = False, use_native=None,
-                 block_size: int = c.BLOCK_16X16):
-        self.sh = make_sequence_header(width, height)
+                 block_size: int = c.BLOCK_16X16,
+                 enable_cdef: bool = True):
+        self.sh = make_sequence_header(width, height,
+                                       enable_cdef=int(enable_cdef))
         if rc_cfg is None:
             rc_cfg = RateControlConfig(mode=MODE_Q, fixed_qindex=qindex,
                                        width=width, height=height)

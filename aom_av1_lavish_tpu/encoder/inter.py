@@ -386,30 +386,13 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     cross_r=mb_to_right < 0, cross_b=mb_to_bottom < 0))
         return dist, bits, txbs
 
-    def _filter_recon(self):
-        fh = self.fh
-        if fh.filter_level[0] == 0 and fh.filter_level[1] == 0:
-            return
-        from ..common import loopfilter as LF
-
-        def plane_tx(plane, bsize):
-            return self._plane_tx(plane, bsize)
-
+    def _lf_grids(self, mh, mw):
         m = self.g.m
-        bsg = self.mi_bsize.astype(np.int32)
-        mh, mw = bsg.shape
-        txw4 = np.zeros((mh, mw), np.int64)
-        txh4 = np.zeros((mh, mw), np.int64)
-        for b in np.unique(bsg):
-            tx = self._plane_tx(0, int(b))
-            txw4[bsg == b] = c.TX_WIDTH[tx] >> 2
-            txh4[bsg == b] = c.TX_HEIGHT[tx] >> 2
         ref_grid = self.g.ref0[m:m + mh, m:m + mw].astype(np.int32)
         mode_grid = self.g.mode[m:m + mh, m:m + mw].astype(np.int32)
         skip_inter = (self.mi_skip.astype(np.uint8)
                       & (ref_grid > 0).astype(np.uint8))
-        LF.loop_filter_frame(self.recon, fh, self.sh, txw4, txh4, bsg,
-                             ref_grid, mode_grid, skip_inter, plane_tx)
+        return ref_grid, mode_grid, skip_inter
 
     # --- emit -------------------------------------------------------------
 

@@ -73,14 +73,16 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self._filter_recon()
         return out
 
-    def _filter_recon(self):
+    def _filter_recon(self, search: bool = True):
+        """Deblock-level search + apply, then CDEF search (when the
+        sequence enables it).  Mirrors av1/encoder/picklpf.c +
+        pickcdef.c at frame level; recon afterwards equals what the
+        decoder reconstructs."""
         fh = self.fh
-        if (fh.filter_level[0] == 0 and fh.filter_level[1] == 0
-                and fh.filter_level_u == 0 and fh.filter_level_v == 0):
+        if fh.base_q_idx == 0:
             return
         import numpy as np
         from ..common import loopfilter as LF
-        from ..common import blockd
 
         def plane_tx(plane, bsize):
             return self._plane_tx(plane, bsize)
@@ -93,9 +95,37 @@ class LossyAllIntraEncoder(LosslessEncoder):
             tx = self._plane_tx(0, int(b))
             txw4[bsg == b] = c.TX_WIDTH[tx] >> 2
             txh4[bsg == b] = c.TX_HEIGHT[tx] >> 2
+        ref_grid, mode_grid, skip_inter = self._lf_grids(mh, mw)
+
+        def lf_apply(planes, lvl):
+            old = (fh.filter_level, fh.filter_level_u, fh.filter_level_v)
+            fh.filter_level = (lvl, lvl)
+            fh.filter_level_u = lvl
+            fh.filter_level_v = lvl
+            LF.loop_filter_frame(planes, fh, self.sh, txw4, txh4, bsg,
+                                 ref_grid, mode_grid, skip_inter,
+                                 plane_tx)
+            (fh.filter_level, fh.filter_level_u, fh.filter_level_v) = old
+
+        from .pickfilters import pick_cdef, pick_filter_level
+        if fh.filter_level[0] == 0:
+            lvl = 0          # caller disabled deblocking
+        elif search:
+            lvl = pick_filter_level(self.src, self.recon, fh, self.sh,
+                                    lf_apply)
+        else:
+            lvl = fh.filter_level[0]
+        if lvl:
+            lf_apply(self.recon, lvl)
+        if self.sh.enable_cdef:
+            pick_cdef(self.src, self.recon, self.mi_rows, self.mi_cols,
+                      self.ss_x, self.ss_y, self.num_planes,
+                      self.mi_skip, fh)
+
+    def _lf_grids(self, mh, mw):
+        import numpy as np
         zeros = np.zeros((mh, mw), np.int32)
-        LF.loop_filter_frame(self.recon, fh, self.sh, txw4, txh4, bsg,
-                             zeros, zeros, zeros.astype(np.uint8), plane_tx)
+        return zeros, zeros, zeros.astype(np.uint8)
 
     # ------------------------------------------------------------------
     # partition: RD search pass builds a plan tree, then emit pass codes it

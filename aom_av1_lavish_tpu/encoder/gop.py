@@ -42,7 +42,10 @@ class GopEncoder:
                  kf_interval: int = 120, use_arf: bool = True,
                  use_tpu: bool = False, use_native=None,
                  block_size: int = c.BLOCK_16X16,
-                 enable_cdef: bool = True):
+                 enable_cdef: bool = True, tune: str = "psnr",
+                 luma_bias: float = 0.0):
+        self.tune = tune
+        self.luma_bias = luma_bias
         self.sh = make_sequence_header(width, height,
                                        enable_cdef=int(enable_cdef))
         if rc_cfg is None:
@@ -70,7 +73,9 @@ class GopEncoder:
         else:
             enc = LossyAllIntraEncoder(self.sh, fh,
                                        use_native=self.use_native,
-                                       block_size=self.block_size)
+                                       block_size=self.block_size,
+                                       tune=self.tune,
+                                       luma_bias=self.luma_bias)
         payload = enc.encode_frame(planes)
         if self.use_tpu:
             enc._filter_recon()
@@ -97,7 +102,8 @@ class GopEncoder:
             enc = InterFrameEncoder(self.sh, fh, self.slots,
                                     use_native=self.use_native,
                                     block_size=self.block_size,
-                                    ref_list=ref_list)
+                                    ref_list=ref_list, tune=self.tune,
+                                    luma_bias=self.luma_bias)
         obu = enc.encode_frame_obu(planes)
         enc._filter_recon()
         self._store_recon(enc, 1 << refresh_slot)

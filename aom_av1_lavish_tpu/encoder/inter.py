@@ -96,10 +96,11 @@ class InterFrameEncoder(LossyAllIntraEncoder):
     def __init__(self, sh, fh, refs, use_native=None,
                  block_size=c.BLOCK_16X16, mode_set=(c.DC_PRED,),
                  enable_cfl=False, search_range=16,
-                 ref_list=(c.LAST_FRAME,)):
+                 ref_list=(c.LAST_FRAME,), tune="psnr", luma_bias=0.0):
         super().__init__(sh, fh, use_native=use_native,
                          block_size=block_size, mode_set=mode_set,
-                         enable_cfl=enable_cfl)
+                         enable_cfl=enable_cfl, tune=tune,
+                         luma_bias=luma_bias)
         self.refs = refs                # slot -> (y, u, v) visible planes
         self.ref_list = tuple(ref_list)  # ref enums searched per block
         self.search_range = search_range
@@ -231,7 +232,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 bits += self._est_inter_mode_bits(mode, mv, nearest,
                                                   mode_ctx)
                 bits += 1.5 * (len(self.ref_list) > 1)  # ref signaling
-                cost = dist + self.lam * bits
+                cost = dist + self._lam(mi_row, mi_col) * bits
                 if best is None or cost < best[0]:
                     best = (cost, mode, mv, txbs, ref)
 
@@ -241,7 +242,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             dist, bits, txbs = self._code_plane(
                 0, mode, mi_row, mi_col, bsize, up_avail, left_avail,
                 write_recon=False)
-            cost = dist + self.lam * (bits + 6.0)
+            cost = dist + self._lam(mi_row, mi_col) * (bits + 6.0)
             if intra_best is None or cost < intra_best[0]:
                 intra_best = (cost, mode, txbs)
 
@@ -270,7 +271,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 d, b, t = self._code_plane(
                     plane, c.DC_PRED, mi_row, mi_col, bsize, up_avail,
                     left_avail, write_recon=False)
-                uv_cost += d + self.lam * b
+                uv_cost += d + self._lam(mi_row, mi_col) * b
                 uv_txbs += t
                 self._apply_txbs(plane, t)
         return cost + uv_cost, dict(

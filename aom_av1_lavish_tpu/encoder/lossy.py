@@ -54,11 +54,15 @@ class LossyAllIntraEncoder(LosslessEncoder):
     PAD = 64
 
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
-                 mode_set=ALL_Y_MODES, enable_cfl=True):
+                 mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
+                 luma_bias=0.0):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
         self.enable_cfl = enable_cfl
+        self.tune = tune
+        self.luma_bias = luma_bias
+        self.lam_map = None
         self.pq = []
         for (dcd, acd) in ((fh.delta_q_y_dc, 0),
                            (fh.delta_q_u_dc, fh.delta_q_u_ac),
@@ -67,11 +71,26 @@ class LossyAllIntraEncoder(LosslessEncoder):
         qstep = Q.ac_quant_qtx(fh.base_q_idx, 0) / 8.0
         self.lam = 0.12 * qstep * qstep  # lambda in (SSE per bit)
 
+    def _lam(self, mi_row, mi_col):
+        """Per-block lambda: global rdmult scaled by the psy tune map
+        (av1_set_ssim_rdmult analog)."""
+        if self.lam_map is None:
+            return self.lam
+        m = self.lam_map
+        return self.lam * m[min(mi_row >> 2, m.shape[0] - 1),
+                            min(mi_col >> 2, m.shape[1] - 1)]
+
     def encode_frame(self, planes, use_jax: bool = False) -> bytes:
         self.analysis = None
+        self._setup_tune_map(planes)
         out = super().encode_frame(planes, use_jax=False)
         self._filter_recon()
         return out
+
+    def _setup_tune_map(self, planes) -> None:
+        from .tune import combined_rdmult_map
+        self.lam_map = combined_rdmult_map(
+            np.asarray(planes[0]), self.tune, 16, self.luma_bias)
 
     def _filter_recon(self, search: bool = True):
         """Deblock-level search + apply, then CDEF search (when the
@@ -180,7 +199,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
         if bsize <= self.min_bsize or bsize == c.BLOCK_8X8:
             cost, bplan = self._trial_block(mi_row, mi_col, bsize)
-            return cost + self.lam * 2, ("NONE", mi_row, mi_col, bsize,
+            return cost + self._lam(mi_row, mi_col) * 2, ("NONE", mi_row, mi_col, bsize,
                                          [bplan])
 
         # trial NONE with snapshot
@@ -192,7 +211,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         # trial SPLIT (children keep their recon)
         sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
         kids = []
-        cost_split = self.lam * 8  # partition signaling overhead
+        cost_split = self._lam(mi_row, mi_col) * 8  # partition signaling overhead
         for (r, cc) in ((mi_row, mi_col), (mi_row, mi_col + hbs),
                         (mi_row + hbs, mi_col), (mi_row + hbs,
                                                  mi_col + hbs)):
@@ -200,9 +219,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
             cost_split += k_cost
             kids.append(k_plan)
 
-        if cost_none + self.lam * 2 <= cost_split:
+        if cost_none + self._lam(mi_row, mi_col) * 2 <= cost_split:
             self._restore_region(mi_row, mi_col, bsize, none_recon)
-            return cost_none + self.lam * 2, ("NONE", mi_row, mi_col, bsize,
+            return cost_none + self._lam(mi_row, mi_col) * 2, ("NONE", mi_row, mi_col, bsize,
                                               [bplan])
         return cost_split, ("SPLIT", mi_row, mi_col, bsize, kids)
 
@@ -290,7 +309,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             dist, bits, txbs = self._code_plane(
                 0, mode, mi_row, mi_col, bsize, up_avail, left_avail,
                 write_recon=False)
-            cost = dist + self.lam * (bits + 4.0)
+            cost = dist + self._lam(mi_row, mi_col) * (bits + 4.0)
             if best is None or cost < best[0]:
                 best = (cost, mode, txbs)
         y_cost, y_mode, y_txbs = best
@@ -316,7 +335,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 dist_dc += d
                 bits_dc += b
                 txbs_dc += t
-            cost_dc = dist_dc + self.lam * (bits_dc + 2.0)
+            cost_dc = dist_dc + self._lam(mi_row, mi_col) * (bits_dc + 2.0)
             best_uv = (cost_dc, c.DC_PRED, None, txbs_dc)
             if self.enable_cfl and self._cfl_allowed_enc(bsize):
                 r = self._try_cfl(mi_row, mi_col, bsize, up_avail,
@@ -488,7 +507,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             dist += d
             bits += b
             txbs += t
-        return dist + self.lam * bits, c.UV_CFL_PRED, (joint, idx), txbs
+        return dist + self._lam(mi_row, mi_col) * bits, c.UV_CFL_PRED, (joint, idx), txbs
 
     # ------------------------------------------------------------------
 

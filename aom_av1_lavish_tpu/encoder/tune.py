@@ -1,0 +1,69 @@
+"""Psy tuning: perceptual rdmult maps (the lavish layer, step 1).
+
+TPU-native re-design of the upstream SSIM tune that the lavish fork's
+perceptual tunes build on:
+  * av1/encoder/encoder_utils.c:1295 av1_set_mb_ssim_rdmult_scaling —
+    per-16x16 scaling factor from local (Wiener-style) variance,
+    geometric-mean normalized, applied per superblock
+    (encodeframe_utils.c:21 av1_set_ssim_rdmult);
+  * the lavish luma-bias sigmoid (partition_search.c:681-700) — rdmult
+    lowered in dark regions where quantization noise is most visible.
+
+Both produce a per-block multiplier on lambda; flat/dark areas get a
+smaller lambda (more bits, fewer artifacts), busy areas a larger one.
+The whole map is one vectorized pass over the source — no per-block
+loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _block_reduce(x, b, fn):
+    H, W = x.shape
+    Hc, Wc = H // b * b, W // b * b
+    v = x[:Hc, :Wc].reshape(Hc // b, b, Wc // b, b)
+    return fn(v, (1, 3))
+
+
+def ssim_rdmult_map(src_y, block: int = 16) -> np.ndarray:
+    """Per-block lambda multipliers from local variance (SSIM tune).
+
+    Matches the reference's shape: factor_i = sqrt(var_i + C), divided
+    by the geometric mean so the frame-average rdmult is preserved."""
+    x = src_y.astype(np.float64)
+    mean = _block_reduce(x, block, np.mean)
+    ex2 = _block_reduce(x * x, block, np.mean)
+    var = np.maximum(ex2 - mean * mean, 0.0)
+    factor = np.sqrt(var + 16.0)
+    geo = np.exp(np.mean(np.log(factor)))
+    return factor / geo
+
+
+def luma_bias_map(src_y, block: int = 16, strength: float = 1.0,
+                  midpoint: float = 128.0) -> np.ndarray:
+    """Lavish luma-bias sigmoid: darker blocks get a lower lambda.
+
+    multiplier = 1 / (1 + strength * sigmoid((mid - luma) / 32) - s/2)
+    normalized to mean 1 so the operating point is bitrate-neutral."""
+    x = src_y.astype(np.float64)
+    mean = _block_reduce(x, block, np.mean)
+    sig = 1.0 / (1.0 + np.exp((mean - midpoint) / 32.0))
+    mult = 1.0 / (1.0 + strength * (sig - 0.5))
+    return mult / mult.mean()
+
+
+def combined_rdmult_map(src_y, tune: str = "psnr", block: int = 16,
+                        luma_bias: float = 0.0):
+    """Build the per-block lambda map for a tune setting, or None for
+    plain PSNR tuning with no luma bias."""
+    if tune == "psnr" and luma_bias == 0.0:
+        return None
+    m = np.ones(((src_y.shape[0] // block) or 1,
+                 (src_y.shape[1] // block) or 1))
+    if tune == "ssim":
+        m = m * ssim_rdmult_map(src_y, block)
+    if luma_bias > 0.0:
+        m = m * luma_bias_map(src_y, block, strength=luma_bias)
+    return m

@@ -33,7 +33,8 @@ def get_lib():
                                           for d in deps)):
         os.makedirs(_BUILD, exist_ok=True)
         subprocess.run(
-            ["gcc", "-O2", "-shared", "-fPIC", "-o", so, src],
+            ["gcc", "-O3", "-march=native", "-shared", "-fPIC", "-o", so,
+             src],
             check=True, capture_output=True)
     lib = ctypes.CDLL(so)
     lib.avl_encode_tile.restype = ctypes.c_int

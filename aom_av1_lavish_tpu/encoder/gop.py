@@ -43,7 +43,7 @@ class GopEncoder:
                  use_tpu: bool = False, use_native=None,
                  block_size: int = c.BLOCK_16X16,
                  enable_cdef: bool = True, tune: str = "psnr",
-                 luma_bias: float = 0.0):
+                 luma_bias: float = 0.0, twopass_stats=None):
         self.tune = tune
         self.luma_bias = luma_bias
         self.sh = make_sequence_header(width, height,
@@ -62,6 +62,8 @@ class GopEncoder:
         self.slots = [None] * 8          # slot -> (y, u, v) recon planes
         self.last_slot = 0
         self.arf_slot = 1
+        self.twopass_stats = twopass_stats
+        self._targets = None             # per-display-frame bit budgets
 
     # --- single-frame encoders -----------------------------------------
 
@@ -121,14 +123,41 @@ class GopEncoder:
 
     # --- sequence driver ------------------------------------------------
 
+    def _frame_kinds(self, n: int) -> list:
+        """Display-order frame kinds for the scheduling rule below."""
+        kinds = ["inter"] * n
+        i = 0
+        while i < n:
+            if i % self.kf_interval == 0:
+                kinds[i] = "key"
+                i += 1
+                continue
+            until_kf = self.kf_interval - (i % self.kf_interval)
+            L = min(self.gf_length, n - i, until_kf)
+            if self.use_arf and L >= 3:
+                kinds[i + L - 1] = "arf"
+            i += L
+        return kinds
+
+    def _target(self, display_idx: int):
+        if self._targets is None:
+            return None
+        return float(self._targets[display_idx])
+
     def encode_sequence(self, frames) -> list:
         """Encode all frames; returns one payload per display frame."""
         n = len(frames)
+        if self.twopass_stats is not None:
+            from .pass2 import TwoPassAllocator
+            alloc = TwoPassAllocator(self.twopass_stats,
+                                     self.rc.cfg.target_bps,
+                                     self.rc.cfg.fps)
+            self._targets = alloc.frame_targets(self._frame_kinds(n))
         payloads = []
         i = 0
         while i < n:
             if i % self.kf_interval == 0:
-                q = self.rc.pick_q("key")
+                q = self.rc.pick_q("key", self._target(i))
                 p = self._encode_key(frames[i], q)
                 self.rc.postencode("key", q, len(p) * 8)
                 self.last_slot, self.arf_slot = 0, 1
@@ -139,10 +168,10 @@ class GopEncoder:
             until_kf = self.kf_interval - (i % self.kf_interval)
             L = min(self.gf_length, n - i, until_kf)
             if self.use_arf and L >= 3:
-                payloads.extend(self._encode_gf_group(frames[i:i + L]))
+                payloads.extend(self._encode_gf_group(frames[i:i + L], i))
             else:
                 for j in range(L):
-                    q = self.rc.pick_q("inter")
+                    q = self.rc.pick_q("inter", self._target(i + j))
                     obu = self._encode_inter(
                         frames[i + j], q, (c.LAST_FRAME,),
                         self.last_slot, show=True)
@@ -152,21 +181,25 @@ class GopEncoder:
             i += L
         return payloads
 
-    def _encode_gf_group(self, group) -> list:
+    def _encode_gf_group(self, group, base_idx: int = 0) -> list:
         """ARF-first coding of one GF group; returns display-order TUs."""
         L = len(group)
-        q_arf = self.rc.pick_q("arf")
+        q_arf = self.rc.pick_q("arf", self._target(base_idx + L - 1))
         arf_obu = self._encode_inter(group[L - 1], q_arf, (c.LAST_FRAME,),
                                      self.arf_slot, show=False)
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
         tus = []
         for j in range(L - 1):
-            q = self.rc.pick_q("inter")
+            q = self.rc.pick_q("inter", self._target(base_idx + j))
             obu = self._encode_inter(
                 group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
                 self.last_slot, show=True)
             tu = H.temporal_delimiter() + (arf_obu if j == 0 else b"") + obu
-            self.rc.postencode("inter", q, len(tu) * 8)
+            # charge only this frame's bits (the ARF's were already
+            # accounted at its own postencode)
+            self.rc.postencode("inter", q,
+                               (len(tu) - (len(arf_obu) if j == 0 else 0))
+                               * 8)
             tus.append(tu)
         # display the ARF; it becomes LAST for the next group
         tus.append(H.temporal_delimiter()
@@ -182,6 +215,23 @@ def encode_gop_ivf(path: str, frames, width: int, height: int,
     """Encode frames with GOP structure + rate control into IVF."""
     from ..bitstream.ivf import write_ivf
     enc = GopEncoder(width, height, **kw)
+    payloads = enc.encode_sequence(frames)
+    write_ivf(path, [(p, i) for i, p in enumerate(payloads)],
+              width, height, fps[0], fps[1])
+
+
+def encode_twopass_ivf(path: str, frames, width: int, height: int,
+                       fps=(30, 1), stats_path: str | None = None,
+                       **kw) -> None:
+    """Two-pass encode: stats pass (firstpass.py), optional stats file
+    round-trip, then pass 2 with closed-form bit allocation."""
+    from ..bitstream.ivf import write_ivf
+    from .firstpass import first_pass, load_stats, save_stats
+    stats = first_pass(frames)
+    if stats_path is not None:
+        save_stats(stats_path, stats)
+        stats = load_stats(stats_path)
+    enc = GopEncoder(width, height, twopass_stats=stats, **kw)
     payloads = enc.encode_sequence(frames)
     write_ivf(path, [(p, i) for i, p in enumerate(payloads)],
               width, height, fps[0], fps[1])

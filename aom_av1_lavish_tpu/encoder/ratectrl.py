@@ -132,8 +132,21 @@ class RateControl:
 
     # --- q selection (av1_rc_pick_q_and_bounds one-pass) ---------------
 
-    def pick_q(self, frame_kind: str) -> int:
+    def pick_q(self, frame_kind: str,
+               ext_target_bits: float | None = None) -> int:
+        """ext_target_bits: externally allocated frame budget (two-pass
+        path, av1_get_second_pass_params analog) — overrides the
+        one-pass buffer-model target."""
         c = self.cfg
+        if ext_target_bits is not None:
+            lo, hi = c.best_q, c.worst_q
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if self.predicted_bits(mid, frame_kind) > ext_target_bits:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return min(max(lo, c.best_q), c.worst_q)
         if c.mode == MODE_Q:
             if frame_kind == "key":
                 return max(c.best_q, int(c.fixed_qindex * 0.8))

@@ -58,8 +58,8 @@ def aomenc_fps(frames, tmpdir, args, w=W, h=H):
     write_y4m(src, frames, w, h)
     out = os.path.join(tmpdir, "ref.ivf")
     t0 = time.perf_counter()
-    subprocess.run([aomenc, "--threads=1", "--passes=1", "-o", out, src]
-                   + args, check=True, capture_output=True)
+    subprocess.run([aomenc, "--threads=1", "--passes=1"] + args
+                   + ["-o", out, src], check=True, capture_output=True)
     return len(frames) / (time.perf_counter() - t0)
 
 

@@ -1,0 +1,81 @@
+"""Two-pass pipeline: stats pass, file round-trip, pass-2 allocation."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def _clip(n, W, H, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H + 2 * n + 8, 0:W + 4 * n + 8]
+    base = (128 + 60 * np.sin(yy / 13.0) * np.cos(xx / 19.0)
+            + 35 * (xx % 83 < 34) + rng.normal(0, 3, yy.shape))
+    base = base.clip(0, 255).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        y = np.ascontiguousarray(base[2 * (i % 4):2 * (i % 4) + H,
+                                      4 * i:4 * i + W])
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 124, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_firstpass_stats_and_roundtrip():
+    from aom_av1_lavish_tpu.encoder.firstpass import (first_pass,
+                                                      load_stats,
+                                                      save_stats)
+    frames = _clip(5, 64, 64)
+    stats = first_pass(frames)
+    assert len(stats) == 5
+    assert stats[0].pcnt_inter == 0.0          # frame 0 is intra-only
+    assert stats[1].pcnt_inter > 0.5           # translating content
+    assert stats[1].coded_error < stats[1].intra_error
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s.npy")
+        save_stats(p, stats)
+        back = load_stats(p)
+        for a, b in zip(stats, back):
+            assert a.to_array().tolist() == b.to_array().tolist()
+
+
+def test_twopass_allocation_and_encode():
+    from aom_av1_lavish_tpu.decoder.decoder import decode_ivf
+    from aom_av1_lavish_tpu.dsp.metrics import psnr
+    from aom_av1_lavish_tpu.encoder.firstpass import first_pass
+    from aom_av1_lavish_tpu.encoder.gop import (encode_gop_ivf,
+                                                encode_twopass_ivf)
+    from aom_av1_lavish_tpu.encoder.ratectrl import (MODE_CBR,
+                                                     RateControlConfig)
+    W, H, N = 96, 64, 18
+    frames = _clip(N, W, H, seed=2)
+    target = 100_000
+    with tempfile.TemporaryDirectory() as td:
+        p1 = os.path.join(td, "one.ivf")
+        p2 = os.path.join(td, "two.ivf")
+        cfg1 = RateControlConfig(target_bps=target, fps=30.0,
+                                 mode=MODE_CBR)
+        encode_gop_ivf(p1, frames, W, H, rc_cfg=cfg1, gf_length=6,
+                       enable_cdef=False)
+        cfg2 = RateControlConfig(target_bps=target, fps=30.0,
+                                 mode=MODE_CBR)
+        encode_twopass_ivf(p2, frames, W, H, rc_cfg=cfg2, gf_length=6,
+                           enable_cdef=False,
+                           stats_path=os.path.join(td, "st"))
+
+        def score(path):
+            dec = decode_ivf(path)
+            assert len(dec) == N
+            ps = [psnr(d[0], f[0]) for d, f in zip(dec, frames)]
+            return float(np.mean(ps)), os.path.getsize(path) * 8
+
+        ps1, bits1 = score(p1)
+        ps2, bits2 = score(p2)
+        # two-pass must be competitive: not worse in PSNR-per-rate terms
+        assert ps2 + 1e-6 >= ps1 - 2.0, (ps1, ps2, bits1, bits2)
+        rate2 = bits2 * 30.0 / N
+        assert 0.4 * target < rate2 < 2.0 * target, rate2

@@ -367,6 +367,7 @@ class FrameHeader:
     current_frame_id: int = 0
     show_existing_frame: int = 0
     frame_to_show: int = 0
+    film_grain: object = None             # FilmGrainParams or None
 
     def coded_lossless(self, sh: SequenceHeader) -> bool:
         if self.base_q_idx != 0 or self.delta_q_y_dc != 0:
@@ -792,8 +793,91 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
     if not fh.is_intra:
         _parse_global_motion(fh, r, ref_state)
     if sh.film_grain_params_present and (fh.show_frame or fh.showable_frame):
-        raise NotImplementedError("film grain parse TBD")
+        _parse_film_grain(fh, sh, r, ref_state)
     return fh, r.bit_offset
+
+
+def _parse_film_grain(fh: FrameHeader, sh: SequenceHeader, r: BitReader,
+                      ref_state: dict | None) -> None:
+    """av1_read_film_grain_params (decodeframe.c:3870)."""
+    from ..decoder.grain import FilmGrainParams
+    if not r.read_bit():                       # apply_grain
+        fh.film_grain = None
+        return
+    p = FilmGrainParams(apply_grain=1, bit_depth=sh.bit_depth)
+    p.random_seed = r.read_literal(16)
+    p.update_parameters = (r.read_bit()
+                           if fh.frame_type == c.INTER_FRAME else 1)
+    if not p.update_parameters:
+        ref_idx = r.read_literal(3)
+        assert ref_state is not None
+        prev = ref_state.get("grain", {}).get(ref_idx)
+        assert prev is not None, "film grain ref params unavailable"
+        seed = p.random_seed
+        p = FilmGrainParams(**{f: getattr(prev, f) for f in
+                               ("apply_grain", "num_y_points",
+                                "scaling_points_y",
+                                "chroma_scaling_from_luma",
+                                "num_cb_points", "scaling_points_cb",
+                                "num_cr_points", "scaling_points_cr",
+                                "scaling_shift", "ar_coeff_lag",
+                                "ar_coeffs_y", "ar_coeffs_cb",
+                                "ar_coeffs_cr", "ar_coeff_shift",
+                                "grain_scale_shift", "cb_mult",
+                                "cb_luma_mult", "cb_offset", "cr_mult",
+                                "cr_luma_mult", "cr_offset",
+                                "overlap_flag",
+                                "clip_to_restricted_range",
+                                "bit_depth")})
+        p.random_seed = seed
+        p.update_parameters = 0
+        fh.film_grain = p
+        return
+    p.num_y_points = r.read_literal(4)
+    assert p.num_y_points <= 14
+    p.scaling_points_y = tuple(
+        (r.read_literal(8), r.read_literal(8))
+        for _ in range(p.num_y_points))
+    p.chroma_scaling_from_luma = (0 if sh.mono_chrome else r.read_bit())
+    if (sh.mono_chrome or p.chroma_scaling_from_luma
+            or (sh.subsampling_x and sh.subsampling_y
+                and p.num_y_points == 0)):
+        p.num_cb_points = p.num_cr_points = 0
+    else:
+        p.num_cb_points = r.read_literal(4)
+        p.scaling_points_cb = tuple(
+            (r.read_literal(8), r.read_literal(8))
+            for _ in range(p.num_cb_points))
+        p.num_cr_points = r.read_literal(4)
+        p.scaling_points_cr = tuple(
+            (r.read_literal(8), r.read_literal(8))
+            for _ in range(p.num_cr_points))
+    p.scaling_shift = r.read_literal(2) + 8
+    p.ar_coeff_lag = r.read_literal(2)
+    num_pos_luma = 2 * p.ar_coeff_lag * (p.ar_coeff_lag + 1)
+    num_pos_chroma = num_pos_luma + (1 if p.num_y_points else 0)
+    if p.num_y_points:
+        p.ar_coeffs_y = tuple(r.read_literal(8) - 128
+                              for _ in range(num_pos_luma))
+    if p.num_cb_points or p.chroma_scaling_from_luma:
+        p.ar_coeffs_cb = tuple(r.read_literal(8) - 128
+                               for _ in range(num_pos_chroma))
+    if p.num_cr_points or p.chroma_scaling_from_luma:
+        p.ar_coeffs_cr = tuple(r.read_literal(8) - 128
+                               for _ in range(num_pos_chroma))
+    p.ar_coeff_shift = r.read_literal(2) + 6
+    p.grain_scale_shift = r.read_literal(2)
+    if p.num_cb_points:
+        p.cb_mult = r.read_literal(8)
+        p.cb_luma_mult = r.read_literal(8)
+        p.cb_offset = r.read_literal(9)
+    if p.num_cr_points:
+        p.cr_mult = r.read_literal(8)
+        p.cr_luma_mult = r.read_literal(8)
+        p.cr_offset = r.read_literal(9)
+    p.overlap_flag = r.read_bit()
+    p.clip_to_restricted_range = r.read_bit()
+    fh.film_grain = p
 
 
 # seg_feature_data_signed / _max (seg_common.c:19)

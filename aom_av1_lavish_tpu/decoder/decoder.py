@@ -1508,20 +1508,32 @@ def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
             if fh.show_existing_frame:
                 slot = state["slots"][fh.frame_to_show]
                 assert slot is not None
-                frames.append(slot["planes"])
+                frames.append(_grain_output(slot["planes"],
+                                            slot.get("grain"), sh))
                 continue
             assert obu_type == c.OBU_FRAME, "separate frame header OBUs TBD"
             # tile group: byte-aligned after header
             pos = (endbit + 7) >> 3
             out = _decode_tile_group(payload[pos:], sh, fh, state)
             if fh.show_frame:
-                frames.append(out)
+                frames.append(_grain_output(out, fh.film_grain, sh))
         elif obu_type in (c.OBU_TEMPORAL_DELIMITER, c.OBU_METADATA,
                           c.OBU_PADDING):
             continue
         elif obu_type == c.OBU_TILE_GROUP:
             raise NotImplementedError("separate tile group OBUs")
     return frames, sh
+
+
+def _grain_output(planes, params, sh):
+    """Film grain applied at output only (av1_dx_iface.c:780); reference
+    frames stay un-grained."""
+    if params is None or not params.apply_grain:
+        return planes
+    from .grain import apply_film_grain
+    return apply_film_grain(
+        params, planes, sub_x=sh.subsampling_x, sub_y=sh.subsampling_y,
+        mc_identity=(sh.matrix_coefficients == 0))
 
 
 def _decode_tile_group(data: bytes, sh, fh, state=None):
@@ -1583,10 +1595,15 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
             "ref_order_hints": tuple(
                 dec.ref_hints[c.LAST_FRAME + i] for i in range(7)),
         }
+        stored["grain"] = fh.film_grain
         for slot in range(8):
             if fh.refresh_frame_flags & (1 << slot):
                 state["slots"][slot] = stored
         state.setdefault("order_hints", [0] * 8)
+        state.setdefault("grain", {})
+        for slot in range(8):
+            if fh.refresh_frame_flags & (1 << slot):
+                state["grain"][slot] = fh.film_grain
         state.setdefault("deltas", {})
         state.setdefault("gm", {})
         state.setdefault("seg", {})

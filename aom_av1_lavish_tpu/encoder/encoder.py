@@ -238,12 +238,23 @@ class LosslessEncoder:
 
         tile_data = self._encode_tile()
 
+        # in-loop filter search (picklpf/pickcdef/pickrst analog) MUST
+        # run between tile encode and header serialization: it mutates
+        # fh and filters recon, and the header must carry what recon got
+        tile_data = self._post_tile(tile_data)
+
         # assemble: TD + sequence header + frame OBU
         out = bytearray()
         out += H.temporal_delimiter()
         out += self.sequence_header_obu()
         out += self.frame_obu(tile_data)
         return bytes(out)
+
+    def _post_tile(self, tile_data: bytes) -> bytes:
+        """Hook between tile encode and header write; subclasses run
+        filter searches here (may re-emit tile data, e.g. for LR
+        units)."""
+        return tile_data
 
     def sequence_header_obu(self) -> bytes:
         w_seq = BitWriter()

@@ -79,8 +79,6 @@ class GopEncoder:
                                        tune=self.tune,
                                        luma_bias=self.luma_bias)
         payload = enc.encode_frame(planes)
-        if self.use_tpu:
-            enc._filter_recon()
         self._store_recon(enc, 0xFF)
         return payload
 
@@ -107,7 +105,6 @@ class GopEncoder:
                                     ref_list=ref_list, tune=self.tune,
                                     luma_bias=self.luma_bias)
         obu = enc.encode_frame_obu(planes)
-        enc._filter_recon()
         self._store_recon(enc, 1 << refresh_slot)
         return obu
 

@@ -83,9 +83,11 @@ class LossyAllIntraEncoder(LosslessEncoder):
     def encode_frame(self, planes, use_jax: bool = False) -> bytes:
         self.analysis = None
         self._setup_tune_map(planes)
-        out = super().encode_frame(planes, use_jax=False)
+        return super().encode_frame(planes, use_jax=False)
+
+    def _post_tile(self, tile_data: bytes) -> bytes:
         self._filter_recon()
-        return out
+        return tile_data
 
     def _setup_tune_map(self, planes) -> None:
         from .tune import combined_rdmult_map

@@ -131,9 +131,6 @@ class TpuLowDelayEncoder:
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
                                        use_native=self.use_native)
         payload = enc.encode_frame(planes)
-        # both TPU encoders bypass the lossy encode_frame wrapper, so the
-        # in-loop filter on recon (the next frame's reference) runs here
-        enc._filter_recon()
         w, h = self.sh.max_frame_width, self.sh.max_frame_height
         cw = (w + 1) >> 1
         ch = (h + 1) >> 1

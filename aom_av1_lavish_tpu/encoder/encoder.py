@@ -69,6 +69,9 @@ class PySink:
         else:
             self.wr.encode_symbol(sym, cdf, nsymbs)
 
+    def bit(self, b):
+        self.wr.encode_bit(int(b))
+
     def gather_split(self, sym, ctx, is_128, horz_alike):
         from ..decoder.decoder import FrameDecoder
         cdf = self.fc.partition_cdf[ctx]
@@ -107,6 +110,9 @@ class NativeSink:
     def symbol(self, sym, nsymbs, name, *idx, adapt=True):
         self.os.symbol(sym, name, *idx, nsymbs=nsymbs, adapt=adapt)
 
+    def bit(self, b):
+        self.os.bit(int(b))
+
     def gather_split(self, sym, ctx, is_128, horz_alike):
         self.os.gather_split(sym, ctx, is_128, horz_alike)
 
@@ -138,7 +144,8 @@ class NativeSink:
 
 
 def make_sequence_header(width: int, height: int,
-                         enable_cdef: int = 0) -> H.SequenceHeader:
+                         enable_cdef: int = 0,
+                         enable_restoration: int = 0) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path."""
     return H.SequenceHeader(
         profile=0, seq_level_idx=31, max_frame_width=width,
@@ -146,7 +153,8 @@ def make_sequence_header(width: int, height: int,
         enable_filter_intra=0, enable_intra_edge_filter=0,
         enable_order_hint=0, force_screen_content_tools=0,
         force_integer_mv=2, enable_superres=0, enable_cdef=enable_cdef,
-        enable_restoration=0, high_bitdepth=0, mono_chrome=0,
+        enable_restoration=enable_restoration, high_bitdepth=0,
+        mono_chrome=0,
         subsampling_x=1, subsampling_y=1, separate_uv_delta_q=0)
 
 

@@ -91,6 +91,8 @@ def _mv_class(z: int):
 
 
 class InterFrameEncoder(LossyAllIntraEncoder):
+    # emit builds MV-ref state; plan replay (LR re-emit) not yet supported
+    _lr_capable = False
     """Encode one inter frame against a LAST reference."""
 
     def __init__(self, sh, fh, refs, use_native=None,

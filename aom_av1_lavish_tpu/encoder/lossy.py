@@ -19,6 +19,7 @@ import numpy as np
 from ..bitstream import constants as c
 from ..bitstream import headers as H
 from ..bitstream import tables
+from ..bitstream.tables import FrameContext
 from ..common import blockd, coeffs as CF, intra, quant as Q
 from ..common import txfm2d as T2
 from ..common import txtype as TT
@@ -80,13 +81,28 @@ class LossyAllIntraEncoder(LosslessEncoder):
         return self.lam * m[min(mi_row >> 2, m.shape[0] - 1),
                             min(mi_col >> 2, m.shape[1] - 1)]
 
+    #: subclasses that cannot replay their emit pass (e.g. inter, which
+    #: builds MV-ref state during emit) set this False until supported
+    _lr_capable = True
+    #: LR state; None unless encode_frame initialized a searchable frame
+    #: (subclasses with their own encode_frame drivers inherit the off
+    #: state rather than crashing in _post_tile)
+    _lr = None
+    _sb_plans = None
+
     def encode_frame(self, planes, use_jax: bool = False) -> bytes:
         self.analysis = None
+        self._sb_plans = []
+        self._lr = None
         self._setup_tune_map(planes)
         return super().encode_frame(planes, use_jax=False)
 
     def _post_tile(self, tile_data: bytes) -> bytes:
         self._filter_recon()
+        if self._lr is not None and any(self.fh.lr_type):
+            # LR unit symbols are interleaved per superblock inside the
+            # tile, so the tile must be re-emitted from the saved plans
+            tile_data = self._reemit_tile()
         return tile_data
 
     def _setup_tune_map(self, planes) -> None:
@@ -138,15 +154,229 @@ class LossyAllIntraEncoder(LosslessEncoder):
             lvl = fh.filter_level[0]
         if lvl:
             lf_apply(self.recon, lvl)
+        use_lr = self.sh.enable_restoration and self._lr_capable
+        if use_lr:
+            # mirror the decoder's sequencing: deblock -> save LR
+            # boundaries(0) -> CDEF -> save(1) -> LR
+            self._init_lr()
+            self._save_lr_boundaries(0)
         if self.sh.enable_cdef:
             pick_cdef(self.src, self.recon, self.mi_rows, self.mi_cols,
                       self.ss_x, self.ss_y, self.num_planes,
                       self.mi_skip, fh)
+        if use_lr:
+            self._save_lr_boundaries(1)
+            self._search_lr()
 
     def _lf_grids(self, mh, mw):
         import numpy as np
         zeros = np.zeros((mh, mw), np.int32)
         return zeros, zeros, zeros.astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    # loop restoration search (av1_pick_filter_restoration, pickrst.c:1779)
+    # ------------------------------------------------------------------
+
+    def _init_lr(self):
+        from ..common import restoration as LR
+        fh = self.fh
+        fh.lr_unit_shift = 1            # 128-px luma units (aom default)
+        ysize = 64 << fh.lr_unit_shift
+        ss = min(self.ss_x, self.ss_y) if self.num_planes > 1 else 0
+        fh.lr_uv_shift = 1 if ss else 0
+        uvsize = ysize >> (fh.lr_uv_shift * ss)
+        sizes = (ysize, uvsize, uvsize)
+        self._lr = []
+        self._lr_bounds = [{"above": {}, "below": {}}
+                           for _ in range(self.num_planes)]
+        for p in range(self.num_planes):
+            ph, pw = self._plane_dims(p)
+            self._lr.append(LR.PlaneRestoration(
+                LR.RESTORE_SWITCHABLE, sizes[p], pw, ph))
+
+    def _plane_dims(self, p):
+        ss_x = self.ss_x if p else 0
+        ss_y = self.ss_y if p else 0
+        return ((self.fh.frame_height + ss_y) >> ss_y,
+                (self.fh.frame_width + ss_x) >> ss_x)
+
+    def _save_lr_boundaries(self, after_cdef):
+        from ..common import restoration as LR
+        for p in range(self.num_planes):
+            ph, pw = self._plane_dims(p)
+            LR.save_boundary_lines(self.recon[p][:ph, :pw],
+                                   self.ss_y if p else 0, after_cdef,
+                                   self._lr_bounds[p])
+
+    def _search_lr(self):
+        """Per-unit NONE/WIENER/SGR RD decisions; sets fh.lr_type and
+        applies the chosen filters to recon (decoder-identical)."""
+        from ..common import restoration as LR
+        from .pickrst import pick_restoration_plane
+        fh = self.fh
+        do_cdef = (fh.cdef_bits
+                   or (fh.cdef_y_pri and (fh.cdef_y_pri[0]
+                                          or fh.cdef_y_sec[0]))
+                   or (fh.cdef_uv_pri and (fh.cdef_uv_pri[0]
+                                           or fh.cdef_uv_sec[0])))
+        self._lr_optimized = not do_cdef
+        types = []
+        for p in range(self.num_planes):
+            pr = self._lr[p]
+            ss_y = self.ss_y if p else 0
+            ph, pw = self._plane_dims(p)
+            win = LR.WIENER_WIN if p == 0 else LR.WIENER_WIN - 2
+            used = pick_restoration_plane(
+                self.src[p], self.recon[p], pr, ss_y,
+                self._lr_bounds[p], self._lr_optimized, self.lam,
+                win=win)
+            used.discard(LR.RESTORE_NONE)
+            if not used:
+                ftype = LR.RESTORE_NONE
+            elif used == {LR.RESTORE_WIENER}:
+                ftype = LR.RESTORE_WIENER
+            elif used == {LR.RESTORE_SGRPROJ}:
+                ftype = LR.RESTORE_SGRPROJ
+            else:
+                ftype = LR.RESTORE_SWITCHABLE
+            pr.frame_rtype = ftype
+            types.append(ftype)
+        fh.lr_type = tuple(types + [0] * (3 - len(types)))
+        for p in range(self.num_planes):
+            pr = self._lr[p]
+            if pr.frame_rtype == LR.RESTORE_NONE:
+                continue
+            ph, pw = self._plane_dims(p)
+            view = self.recon[p][:ph, :pw]
+            out = LR.filter_frame_plane(view, pr, self.ss_y if p else 0,
+                                        self._lr_bounds[p],
+                                        self._lr_optimized)
+            view[:] = out
+
+    def _reemit_tile(self) -> bytes:
+        """Replay the emit pass with LR unit symbols interleaved per
+        superblock (loop_restoration_read_sb_coeffs write analog)."""
+        from ..common import restoration as LR
+        from .encoder import NativeSink, PySink
+        self.fc = FrameContext(self.fh.base_q_idx)
+        self.sink = NativeSink(self.fc) if self.use_native \
+            else PySink(self.fc)
+        self.above_partition = np.zeros(self.mi_cols + 32, dtype=np.uint8)
+        self.left_partition = np.zeros(self.mi_rows + 32, dtype=np.uint8)
+        self.above_entropy = [np.zeros(self.mi_cols + 32, dtype=np.uint8)
+                              for _ in range(self.num_planes)]
+        self.left_entropy = [np.zeros(self.mi_rows + 32, dtype=np.uint8)
+                             for _ in range(self.num_planes)]
+        # av1_reset_loop_restoration: per-tile coeff prediction refs
+        self._lr_wiener_ref = [{"v": LR.default_wiener(),
+                                "h": LR.default_wiener()}
+                               for _ in range(self.num_planes)]
+        self._lr_sgr_ref = [LR.default_sgrproj()
+                            for _ in range(self.num_planes)]
+        it = iter(self._sb_plans)
+        for mi_row in range(0, self.mi_rows, self.sb_mi):
+            self.left_partition[:] = 0
+            for le in self.left_entropy:
+                le[:] = 0
+            for mi_col in range(0, self.mi_cols, self.sb_mi):
+                self._write_lr_units(mi_row, mi_col)
+                self._emit(next(it))
+        return self.sink.finish()
+
+    def _write_lr_units(self, mi_row, mi_col):
+        """Write analog of decoder._read_lr_units
+        (av1_loop_restoration_corners_in_sb, restoration.c:1316)."""
+        from ..common import restoration as LR
+        for plane in range(self.num_planes):
+            pr = self._lr[plane]
+            if pr.frame_rtype == LR.RESTORE_NONE:
+                continue
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            mi_sz_x = 4 >> ss_x
+            mi_sz_y = 4 >> ss_y
+            size = pr.unit_size
+            sb4 = self.sb_mi
+            rcol0 = (mi_col * mi_sz_x + size - 1) // size
+            rrow0 = (mi_row * mi_sz_y + size - 1) // size
+            rcol1 = min(((mi_col + sb4) * mi_sz_x + size - 1) // size,
+                        pr.hunits)
+            rrow1 = min(((mi_row + sb4) * mi_sz_y + size - 1) // size,
+                        pr.vunits)
+            for rrow in range(rrow0, rrow1):
+                for rcol in range(rcol0, rcol1):
+                    self._write_lr_unit(
+                        plane, pr.frame_rtype,
+                        pr.unit_info[rrow * pr.hunits + rcol])
+
+    def _write_lr_unit(self, plane, frame_rtype, ui):
+        from ..common import restoration as LR
+        rtype, info = ui
+        if frame_rtype == LR.RESTORE_SWITCHABLE:
+            self.sink.symbol(rtype, LR.RESTORE_SWITCHABLE_TYPES,
+                             "switchable_restore_cdf")
+            if rtype == LR.RESTORE_WIENER:
+                self._write_wiener(plane, info)
+            elif rtype == LR.RESTORE_SGRPROJ:
+                self._write_sgrproj(plane, info)
+        elif frame_rtype == LR.RESTORE_WIENER:
+            on = int(rtype == LR.RESTORE_WIENER)
+            self.sink.symbol(on, 2, "wiener_restore_cdf")
+            if on:
+                self._write_wiener(plane, info)
+        else:
+            on = int(rtype == LR.RESTORE_SGRPROJ)
+            self.sink.symbol(on, 2, "sgrproj_restore_cdf")
+            if on:
+                self._write_sgrproj(plane, info)
+
+    def _write_wiener(self, plane, info):
+        """write_wiener_filter (bitstream.c analog of decodeframe.c:1551)."""
+        from ..common import restoration as LR
+        from .pickrst import write_refsubexpfin
+        hf, vf = info
+        win = LR.WIENER_WIN if plane == 0 else LR.WIENER_WIN - 2
+        ref = self._lr_wiener_ref[plane]
+        for key, filt in (("v", vf), ("h", hf)):
+            reff = ref[key]
+            for tap in range(3):
+                if tap == 0 and win != LR.WIENER_WIN:
+                    continue
+                mn = LR.WIENER_TAP_MIN[tap]
+                mx = LR.WIENER_TAP_MAX[tap]
+                write_refsubexpfin(self.sink, mx - mn + 1,
+                                   LR.WIENER_TAP_K[tap],
+                                   reff[tap] - mn, filt[tap] - mn)
+        self._lr_wiener_ref[plane] = {"v": list(vf), "h": list(hf)}
+
+    def _write_sgrproj(self, plane, info):
+        """write_sgrproj_filter (decodeframe.c:1612 analog)."""
+        from ..common import restoration as LR
+        from .pickrst import write_literal, write_refsubexpfin
+        ep, xqd = info
+        write_literal(self.sink, ep, LR.SGRPROJ_PARAMS_BITS)
+        r0, r1, _, _ = LR.SGR_PARAMS[ep]
+        ref = self._lr_sgr_ref[plane]
+        if r0 == 0:
+            write_refsubexpfin(
+                self.sink, LR.SGRPROJ_PRJ_MAX1 - LR.SGRPROJ_PRJ_MIN1 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K, ref[1] - LR.SGRPROJ_PRJ_MIN1,
+                xqd[1] - LR.SGRPROJ_PRJ_MIN1)
+        elif r1 == 0:
+            write_refsubexpfin(
+                self.sink, LR.SGRPROJ_PRJ_MAX0 - LR.SGRPROJ_PRJ_MIN0 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K, ref[0] - LR.SGRPROJ_PRJ_MIN0,
+                xqd[0] - LR.SGRPROJ_PRJ_MIN0)
+        else:
+            write_refsubexpfin(
+                self.sink, LR.SGRPROJ_PRJ_MAX0 - LR.SGRPROJ_PRJ_MIN0 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K, ref[0] - LR.SGRPROJ_PRJ_MIN0,
+                xqd[0] - LR.SGRPROJ_PRJ_MIN0)
+            write_refsubexpfin(
+                self.sink, LR.SGRPROJ_PRJ_MAX1 - LR.SGRPROJ_PRJ_MIN1 + 1,
+                LR.SGRPROJ_PRJ_SUBEXP_K, ref[1] - LR.SGRPROJ_PRJ_MIN1,
+                xqd[1] - LR.SGRPROJ_PRJ_MIN1)
+        self._lr_sgr_ref[plane] = list(xqd)
 
     # ------------------------------------------------------------------
     # partition: RD search pass builds a plan tree, then emit pass codes it
@@ -156,6 +386,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return
         _, plan = self._search(mi_row, mi_col, bsize)
+        if getattr(self, "_sb_plans", None) is not None:
+            self._sb_plans.append(plan)   # kept for LR tile re-emit
         self._emit(plan)
 
     def _fits(self, mi_row, mi_col, bsize):
@@ -645,9 +877,12 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
 def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      qindex: int = 60, fps=(30, 1),
-                     block_size: int = c.BLOCK_16X16, **kw) -> None:
+                     block_size: int = c.BLOCK_16X16,
+                     enable_cdef: int = 0, enable_restoration: int = 0,
+                     **kw) -> None:
     from ..bitstream.ivf import write_ivf
-    sh = make_sequence_header(width, height)
+    sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
+                              enable_restoration=enable_restoration)
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex)

@@ -115,3 +115,65 @@ def test_restoration_stream_conformance(tmp_path):
         for pi, (a, b) in enumerate(zip(o, r)):
             np.testing.assert_array_equal(a, b, err_msg=f"frame {i} "
                                           f"plane {pi}")
+
+
+# ---------------------------------------------------------------------------
+# Encoder-side LR search (pickrst.py)
+# ---------------------------------------------------------------------------
+
+
+def _noisy_frame(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+         + rng.normal(0, 12, (h, w))).clip(0, 255).astype(np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    u = (128 + 40 * np.sin(xx[:ch * 2:2, :cw * 2:2] / 31.0)
+         + rng.normal(0, 6, (ch, cw))).clip(0, 255).astype(np.uint8)
+    v = (128 + rng.normal(0, 8, (ch, cw))).clip(0, 255).astype(np.uint8)
+    return y, u, v
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse else 99.0
+
+
+@pytest.mark.parametrize("cdef", [0, 1])
+def test_encoder_lr_selfdecode(tmp_path, cdef):
+    """LR search must emit decodable streams and not hurt quality."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+    w, h = 160, 128
+    frame = _noisy_frame(w, h)
+    base = str(tmp_path / "base.ivf")
+    lr = str(tmp_path / "lr.ivf")
+    encode_lossy_ivf(base, [frame], w, h, qindex=120, enable_cdef=cdef)
+    encode_lossy_ivf(lr, [frame], w, h, qindex=120, enable_cdef=cdef,
+                     enable_restoration=1)
+    yb = decode_ivf(base)[0][0]
+    yl = decode_ivf(lr)[0][0]
+    assert _psnr(yl, frame[0]) >= _psnr(yb, frame[0]) - 0.01
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+@pytest.mark.parametrize("dims,cdef", [
+    ((160, 128), 0), ((160, 128), 1),
+    ((176, 144), 0),    # non-multiple-of-unit dims
+    ((100, 76), 0),     # tiny partial units
+])
+def test_encoder_lr_conformance_aomdec(tmp_path, dims, cdef):
+    """Streams carrying searched LR units must decode identically in
+    stock aomdec and in our decoder."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+    w, h = dims
+    frame = _noisy_frame(w, h, seed=5)
+    ivf = str(tmp_path / "lr.ivf")
+    out = str(tmp_path / "dec.y4m")
+    encode_lossy_ivf(ivf, [frame], w, h, qindex=140, enable_cdef=cdef,
+                     enable_restoration=1)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ours = decode_ivf(ivf)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)

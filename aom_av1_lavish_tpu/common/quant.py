@@ -85,6 +85,100 @@ def build_plane_quant(qindex: int, dc_delta: int, ac_delta: int,
                       tuple(deq))
 
 
+@lru_cache(maxsize=None)
+def tx_gain(tx_size: int, tx_type: int) -> float:
+    """Empirical energy gain ||fwd(r)||^2 / ||r||^2 of the integer
+    transform — converts coefficient-domain SSE to pixel-domain SSE for
+    RD decisions (the reference's block-error shift discipline,
+    av1/encoder/rdopt_utils.h get_tx_scale usage, measured rather than
+    derived so rect/identity scalings stay exact)."""
+    from . import txfm2d as T2
+    rng = np.random.default_rng(1234)
+    from ..bitstream import constants as c
+    h, w = c.TX_HEIGHT[tx_size], c.TX_WIDTH[tx_size]
+    num = 0.0
+    den = 0.0
+    for _ in range(4):
+        r = rng.integers(-96, 96, (h, w)).astype(np.int32)
+        coeff = T2.fwd_txfm2d(r, tx_size, tx_type)
+        num += float((coeff.astype(np.int64) ** 2).sum())
+        den += float((r.astype(np.int64) ** 2).sum())
+    return num / den
+
+
+def optimize_txb(qcoeff: np.ndarray, dqcoeff: np.ndarray,
+                 coeff_flat: np.ndarray, scan: np.ndarray,
+                 pq: PlaneQuant, log_scale: int, eob: int,
+                 lam_pix: float, gain: float):
+    """Trellis-style coefficient optimization (av1_optimize_txb analog,
+    av1/encoder/txb_rdopt.c:296).
+
+    Two passes, both against the same level-rate model the block RD
+    search uses (_est_txb_bits), so decisions compose:
+      1. vectorized per-coefficient level drop: for every scan position
+         before the last, keep q or lower |q| by one (including 1 -> 0,
+         which turns a coded level into a run zero) by coefficient-domain
+         RD;
+      2. eob trim: repeatedly zero the final nonzero coefficient when
+         the eob move + level bits saved beat the added distortion.
+    Returns (qcoeff, dqcoeff, eob) mutated in place."""
+    if eob <= 0:
+        return qcoeff, dqcoeff, eob
+    lam = lam_pix * gain          # SSE-per-bit in coefficient domain
+    sc = scan[:eob].astype(np.int64)
+    aq = np.abs(qcoeff[sc]).astype(np.int64)
+    av = np.abs(coeff_flat[sc]).astype(np.int64)
+    deq = np.where(sc == 0, pq.dequant[0], pq.dequant[1]).astype(np.int64)
+
+    def dq_of(levels):
+        return (levels * deq) >> log_scale
+
+    def level_bits(levels):
+        return np.where(levels > 0,
+                        1.7 + 2.0 * np.log2(levels + 1.0), 0.55)
+
+    err_cur = (av - dq_of(aq)).astype(np.float64) ** 2
+    low = np.maximum(aq - 1, 0)
+    err_low = (av - dq_of(low)).astype(np.float64) ** 2
+    better = (err_low + lam * level_bits(low)
+              < err_cur + lam * level_bits(aq))
+    # last coded position can only shrink via the eob-trim pass (a 1 -> 0
+    # there moves the eob, which pass 1's independent model can't price)
+    better &= aq > 0
+    if aq[eob - 1] <= 1:
+        better[eob - 1] = False
+    aq = np.where(better, low, aq)
+
+    # pass 2: trim trailing levels while RD favors the shorter eob
+    eob_bits = lambda e: 2.0 + 0.9 * np.log2(e + 1.0) if e else 0.6
+    nz = np.flatnonzero(aq)
+    while nz.size:
+        si = int(nz[-1])
+        prev = int(nz[-2]) if nz.size > 1 else -1
+        new_eob = prev + 1
+        # dropping level at si: its error becomes |c|^2; saved bits =
+        # its level bits + run zeros between prev nonzero and si + the
+        # eob length change
+        d_dist = float(av[si] ** 2) - float((av[si] - dq_of(aq)[si]) ** 2)
+        d_bits = (float(level_bits(aq[[si]])[0]) + 0.55 * (si - new_eob)
+                  + eob_bits(si + 1) - eob_bits(new_eob))
+        if d_dist < lam * d_bits:
+            aq[si] = 0
+            nz = nz[:-1]
+        else:
+            break
+    new_eob = int(nz[-1]) + 1 if nz.size else 0
+
+    sign = np.where(qcoeff[sc] < 0, -1, 1).astype(np.int64)
+    qcoeff[sc] = (aq * sign).astype(qcoeff.dtype)
+    dqcoeff[sc] = (dq_of(aq) * sign).astype(dqcoeff.dtype)
+    if new_eob < eob:
+        tail = scan[new_eob:eob].astype(np.int64)
+        qcoeff[tail] = 0
+        dqcoeff[tail] = 0
+    return qcoeff, dqcoeff, new_eob
+
+
 def quantize_b(coeff_flat: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
                log_scale: int):
     """Returns (qcoeff, dqcoeff, eob).  coeff_flat is col-major flat."""

@@ -374,6 +374,11 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 coeff = T2.fwd_txfm2d(resid, tx_size, tx_type)
                 qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
                                                     log_scale)
+                if self.trellis and eob:
+                    qcoeff, dqcoeff, eob = Q.optimize_txb(
+                        qcoeff, dqcoeff, coeff, scan, pq, log_scale, eob,
+                        self._lam(mi_row, mi_col),
+                        Q.tx_gain(tx_size, tx_type))
                 recon = (T2.inv_txfm2d_add(dqcoeff, p, tx_size, tx_type)
                          if eob else p.copy())
                 dist += float(((src.astype(np.int64)

@@ -56,11 +56,12 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
-                 luma_bias=0.0):
+                 luma_bias=0.0, trellis=True):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
         self.enable_cfl = enable_cfl
+        self.trellis = trellis
         self.tune = tune
         self.luma_bias = luma_bias
         self.lam_map = None
@@ -664,6 +665,11 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 coeff = T2.fwd_txfm2d(resid, tx_size, tx_type)
                 qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
                                                     log_scale)
+                if self.trellis and eob:
+                    qcoeff, dqcoeff, eob = Q.optimize_txb(
+                        qcoeff, dqcoeff, coeff, scan, pq, log_scale, eob,
+                        self._lam(mi_row, mi_col),
+                        Q.tx_gain(tx_size, tx_type))
                 recon = (T2.inv_txfm2d_add(dqcoeff, pred, tx_size, tx_type)
                          if eob else pred)
                 dist += float(((src.astype(np.int64)

@@ -105,3 +105,35 @@ def test_lossy_qindex_sweep(tmp_path, qindex):
     ref = read_y4m(out)[0][0]
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_trellis_improves_rd(tmp_path):
+    """optimize_txb must save bits at equal q without losing more
+    quality than the rate saving is worth (mini BD check at one point),
+    and trellis streams must stay self-decodable."""
+    w, h = 176, 144
+    frame = _content(w, h, seed=9)
+    nt = str(tmp_path / "nt.ivf")
+    tr = str(tmp_path / "tr.ivf")
+    encode_lossy_ivf(nt, [frame], w, h, qindex=120, trellis=False)
+    encode_lossy_ivf(tr, [frame], w, h, qindex=120)
+    yn = decode_ivf(nt)[0][0]
+    yt = decode_ivf(tr)[0][0]
+    sz_nt, sz_tr = os.path.getsize(nt), os.path.getsize(tr)
+    assert sz_tr < sz_nt
+    assert _psnr(yt, frame[0]) > _psnr(yn, frame[0]) - 1.0
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_trellis_conformance_aomdec(tmp_path):
+    w, h = 176, 144
+    frame = _content(w, h, seed=9)
+    ivf = str(tmp_path / "tr.ivf")
+    out = str(tmp_path / "dec.y4m")
+    encode_lossy_ivf(ivf, [frame], w, h, qindex=100)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ours = decode_ivf(ivf)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)

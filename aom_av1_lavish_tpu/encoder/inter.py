@@ -438,7 +438,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                              SIZE_GROUP[bsize])
             use_angle_delta = bsize >= c.BLOCK_8X8
             if use_angle_delta and intra.is_directional(y_mode):
-                self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
+                self.sink.symbol(MAX_ANGLE_DELTA + bplan.get("y_angle", 0),
+                                 2 * MAX_ANGLE_DELTA + 1,
                                  "angle_delta_cdf", y_mode - c.V_PRED)
             if bplan["is_chroma_ref"]:
                 cfl_allowed = self._cfl_allowed_enc(bsize)

@@ -56,12 +56,13 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
-                 luma_bias=0.0, trellis=True):
+                 luma_bias=0.0, trellis=True, rect_parts=True):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
         self.enable_cfl = enable_cfl
         self.trellis = trellis
+        self.rect_parts = rect_parts
         self.tune = tune
         self.luma_bias = luma_bias
         self.lam_map = None
@@ -442,6 +443,31 @@ class LossyAllIntraEncoder(LosslessEncoder):
         cost_none, bplan = self._trial_block(mi_row, mi_col, bsize)
         none_recon = self._save_region(mi_row, mi_col, bsize)
         self._restore_region(mi_row, mi_col, bsize, snap)
+        best = (cost_none + self._lam(mi_row, mi_col) * 2,
+                ("NONE", mi_row, mi_col, bsize, [bplan]), none_recon)
+
+        # trial HORZ / VERT (rect candidates of the 10-type search,
+        # partition_search.c:5310; AB/4-way pending)
+        if self.rect_parts:
+            for part, kind in ((c.PARTITION_HORZ, "HORZ"),
+                               (c.PARTITION_VERT, "VERT")):
+                sub = blockd.partition_subsize(bsize, part)
+                if blockd.mi_size_wide(sub) < 2 and self.ss_x:
+                    continue
+                offs = ((mi_row, mi_col),
+                        (mi_row + hbs, mi_col)
+                        if part == c.PARTITION_HORZ
+                        else (mi_row, mi_col + hbs))
+                cost = self._lam(mi_row, mi_col) * 4
+                plans = []
+                for (r, cc) in offs:
+                    k_cost, k_bplan = self._trial_block(r, cc, sub)
+                    cost += k_cost
+                    plans.append(k_bplan)
+                if cost < best[0]:
+                    best = (cost, (kind, mi_row, mi_col, bsize, plans),
+                            self._save_region(mi_row, mi_col, bsize))
+                self._restore_region(mi_row, mi_col, bsize, snap)
 
         # trial SPLIT (children keep their recon)
         sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
@@ -454,10 +480,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
             cost_split += k_cost
             kids.append(k_plan)
 
-        if cost_none + self._lam(mi_row, mi_col) * 2 <= cost_split:
-            self._restore_region(mi_row, mi_col, bsize, none_recon)
-            return cost_none + self._lam(mi_row, mi_col) * 2, ("NONE", mi_row, mi_col, bsize,
-                                              [bplan])
+        if best[0] <= cost_split:
+            self._restore_region(mi_row, mi_col, bsize, best[2])
+            return best[0], best[1]
         return cost_split, ("SPLIT", mi_row, mi_col, bsize, kids)
 
     def _save_region(self, mi_row, mi_col, bsize):
@@ -500,8 +525,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         if kind == "NONE":
             self._emit_block(kids[0], partition)
         elif kind in ("HORZ", "VERT"):
-            self._emit_block(kids[0], partition)
-            # second half out of frame by construction here
+            # one half at frame edges, both halves for interior rects
+            for k in kids:
+                self._emit_block(k, partition)
         else:
             for k in kids:
                 self._emit(k)
@@ -548,6 +574,19 @@ class LossyAllIntraEncoder(LosslessEncoder):
             if best is None or cost < best[0]:
                 best = (cost, mode, txbs)
         y_cost, y_mode, y_txbs = best
+        # angle-delta refinement for the winning directional mode
+        # (intra_mode_search.c angle_estimation analog: deltas only on
+        # the best base angle, not the full mode x delta product)
+        y_angle = 0
+        if bsize >= c.BLOCK_8X8 and intra.is_directional(y_mode):
+            for delta in (-3, -2, -1, 1, 2, 3):
+                dist, bits, txbs = self._code_plane(
+                    0, y_mode, mi_row, mi_col, bsize, up_avail,
+                    left_avail, write_recon=False, angle_delta=delta)
+                cost = dist + self._lam(mi_row, mi_col) * (
+                    bits + 4.0 + 1.0 + 0.9 * abs(delta))
+                if cost < y_cost:
+                    y_cost, y_angle, y_txbs = cost, delta, txbs
         # write luma recon for the chosen mode (chroma CfL needs it)
         self._apply_txbs(0, y_txbs)
 
@@ -583,8 +622,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                                  [t for t in uv_txbs if t["plane"] == plane])
         return y_cost + uv_cost, dict(
             mi_row=mi_row, mi_col=mi_col, bsize=bsize, y_mode=y_mode,
-            uv_mode=uv_mode, cfl=cfl, txbs=y_txbs + uv_txbs,
-            is_chroma_ref=is_chroma_ref)
+            y_angle=y_angle, uv_mode=uv_mode, cfl=cfl,
+            txbs=y_txbs + uv_txbs, is_chroma_ref=is_chroma_ref)
 
     def _cfl_allowed_enc(self, bsize):
         return (blockd.block_wide(bsize) <= 32
@@ -597,7 +636,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 t["recon"]
 
     def _code_plane(self, plane, mode, mi_row, mi_col, bsize, up_avail,
-                    left_avail, write_recon, pred_override=None):
+                    left_avail, write_recon, pred_override=None,
+                    angle_delta=0):
         """Predict/transform/quantize all txbs of one plane for `mode`.
 
         Returns (dist, bits, txb list).  Does not touch self.recon unless
@@ -654,7 +694,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                                      chroma_up if (plane and ss_y)
                                      else up_avail,
                                      chroma_left if (plane and ss_x)
-                                     else left_avail)
+                                     else left_avail,
+                                     angle_delta=angle_delta)
                 if pred_override is not None:
                     pred = pred_override
                 py = row0 + r4 * 4
@@ -775,7 +816,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                          INTRA_MODE_CONTEXT[left_mode])
         use_angle_delta = bsize >= c.BLOCK_8X8
         if use_angle_delta and intra.is_directional(y_mode):
-            self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
+            self.sink.symbol(MAX_ANGLE_DELTA + bplan.get("y_angle", 0),
+                             2 * MAX_ANGLE_DELTA + 1,
                              "angle_delta_cdf", y_mode - c.V_PRED)
         if bplan["is_chroma_ref"]:
             cfl_allowed = self._cfl_allowed_enc(bsize)
@@ -829,7 +871,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     # predictor identical to before, kept for reuse
     def _predict(self, plane, mode, mi_row, mi_col, bsize, tx_size,
-                 row_off, col_off, up_avail, left_avail):
+                 row_off, col_off, up_avail, left_avail, angle_delta=0):
         ss_x = self.ss_x if plane else 0
         ss_y = self.ss_y if plane else 0
         plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
@@ -859,7 +901,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
         bottom_avail = (yd > 0) and \
             (mi_row + ((row_off + txh) << ss_y) < self.mi_rows)
         is_dr = intra.is_directional(mode)
-        p_angle = intra.MODE_TO_ANGLE.get(mode, 0) if is_dr else 0
+        p_angle = (intra.MODE_TO_ANGLE.get(mode, 0)
+                   + angle_delta * intra.ANGLE_STEP) if is_dr else 0
         need_tr = is_dr and p_angle < 90
         need_bl = is_dr and p_angle > 180
         cbsize = bsize
@@ -872,7 +915,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             have_left, c.PARTITION_NONE, tx_size, row_off, col_off,
             ss_x, ss_y) if need_bl else -1
         return intra.build_intra_predictor(
-            self.recon[plane], px, py, txwpx, txhpx, mode, 0, -1,
+            self.recon[plane], px, py, txwpx, txhpx, mode, angle_delta, -1,
             n_top_px=min(txwpx, xr + txwpx) if have_top else 0,
             n_topright_px=(min(txwpx, xr) if have_tr > 0 else have_tr),
             n_left_px=min(txhpx, yd + txhpx) if have_left else 0,

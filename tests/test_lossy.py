@@ -137,3 +137,28 @@ def test_trellis_conformance_aomdec(tmp_path):
     ref = read_y4m(out)[0][0]
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_rect_partitions_and_angle_delta_conformance(tmp_path):
+    """Interior HORZ/VERT partitions + nonzero intra angle deltas must
+    produce streams stock aomdec decodes identically."""
+    rng = np.random.default_rng(2)
+    w, h = 176, 144
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.where((yy // 16) % 2 == 0,
+                 60 + rng.integers(-4, 5, (h, w)),
+                 (128 + 90 * np.sin((2 * xx + 5 * yy) / 11.0))
+                 ).clip(0, 255).astype(np.uint8)
+    u = (100 + rng.integers(-20, 20, (h // 2, w // 2))).astype(np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    frame = (y, u, v)
+    ivf = str(tmp_path / "rp.ivf")
+    out = str(tmp_path / "dec.y4m")
+    encode_lossy_ivf(ivf, [frame], w, h, qindex=80, block_size=3)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ours = decode_ivf(ivf)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)

@@ -43,7 +43,8 @@ class GopEncoder:
                  use_tpu: bool = False, use_native=None,
                  block_size: int = c.BLOCK_16X16,
                  enable_cdef: bool = True, tune: str = "psnr",
-                 luma_bias: float = 0.0, twopass_stats=None):
+                 luma_bias: float = 0.0, twopass_stats=None,
+                 enable_tf: bool = True, enable_tpl: bool = True):
         self.tune = tune
         self.luma_bias = luma_bias
         self.sh = make_sequence_header(width, height,
@@ -63,7 +64,10 @@ class GopEncoder:
         self.last_slot = 0
         self.arf_slot = 1
         self.twopass_stats = twopass_stats
+        self.enable_tf = enable_tf
+        self.enable_tpl = enable_tpl
         self._targets = None             # per-display-frame bit budgets
+        self._tpl_maps = None            # per-group rdmult scale maps
 
     # --- single-frame encoders -----------------------------------------
 
@@ -83,7 +87,8 @@ class GopEncoder:
         return payload
 
     def _encode_inter(self, planes, qindex: int, ref_list,
-                      refresh_slot: int, show: bool) -> bytes:
+                      refresh_slot: int, show: bool,
+                      rdmult_map=None) -> bytes:
         """Returns the frame OBU bytes only (caller packs the TU)."""
         ref_frame_idx = [0] * 7
         ref_frame_idx[c.LAST_FRAME - 1] = self.last_slot
@@ -104,6 +109,8 @@ class GopEncoder:
                                     block_size=self.block_size,
                                     ref_list=ref_list, tune=self.tune,
                                     luma_bias=self.luma_bias)
+        if rdmult_map is not None:
+            enc.ext_rdmult_map = rdmult_map
         obu = enc.encode_frame_obu(planes)
         self._store_recon(enc, 1 << refresh_slot)
         return obu
@@ -182,15 +189,33 @@ class GopEncoder:
         """ARF-first coding of one GF group; returns display-order TUs."""
         L = len(group)
         q_arf = self.rc.pick_q("arf", self._target(base_idx + L - 1))
-        arf_obu = self._encode_inter(group[L - 1], q_arf, (c.LAST_FRAME,),
-                                     self.arf_slot, show=False)
+
+        # TPL dependency pass (av1_tpl_setup_stats analog): deepen the
+        # ARF q boost by how much the group references it, and build
+        # per-frame rdmult maps
+        tpl_maps = [None] * L
+        if self.enable_tpl and L >= 2:
+            from .tpl import tpl_gf_group, tpl_q_offset
+            importance, tpl_maps = tpl_gf_group(group, L - 1)
+            q_arf = max(self.rc.cfg.best_q,
+                        q_arf + tpl_q_offset(importance[L - 1], q_arf))
+
+        # ALTREF temporal filtering (av1_temporal_filter analog)
+        arf_src = group[L - 1]
+        if self.enable_tf and L >= 3:
+            from .temporal_filter import temporal_filter
+            arf_src = temporal_filter(group, L - 1, q_arf)
+
+        arf_obu = self._encode_inter(arf_src, q_arf, (c.LAST_FRAME,),
+                                     self.arf_slot, show=False,
+                                     rdmult_map=tpl_maps[L - 1])
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
         tus = []
         for j in range(L - 1):
             q = self.rc.pick_q("inter", self._target(base_idx + j))
             obu = self._encode_inter(
                 group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
-                self.last_slot, show=True)
+                self.last_slot, show=True, rdmult_map=tpl_maps[j])
             tu = H.temporal_delimiter() + (arf_obu if j == 0 else b"") + obu
             # charge only this frame's bits (the ARF's were already
             # accounted at its own postencode)

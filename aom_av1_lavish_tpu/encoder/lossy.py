@@ -107,10 +107,23 @@ class LossyAllIntraEncoder(LosslessEncoder):
             tile_data = self._reemit_tile()
         return tile_data
 
+    #: optional externally-supplied per-16x16 rdmult multipliers
+    #: (TPL dependency map, av1_tpl_rdmult_setup analog)
+    ext_rdmult_map = None
+
     def _setup_tune_map(self, planes) -> None:
         from .tune import combined_rdmult_map
         self.lam_map = combined_rdmult_map(
             np.asarray(planes[0]), self.tune, 16, self.luma_bias)
+        if self.ext_rdmult_map is not None:
+            m = np.asarray(self.ext_rdmult_map, np.float64)
+            if self.lam_map is None:
+                self.lam_map = m
+            else:
+                h = min(self.lam_map.shape[0], m.shape[0])
+                w = min(self.lam_map.shape[1], m.shape[1])
+                self.lam_map = self.lam_map.copy()
+                self.lam_map[:h, :w] *= m[:h, :w]
 
     def _filter_recon(self, search: bool = True):
         """Deblock-level search + apply, then CDEF search (when the

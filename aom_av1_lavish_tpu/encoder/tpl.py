@@ -1,0 +1,177 @@
+"""TPL (temporal dependency) model — GOP-wide rate allocation.
+
+TPU-native re-design of av1_tpl_setup_stats
+(/root/reference/av1/encoder/tpl_model.c:1681) + the rdmult/q hooks
+(av1_tpl_rdmult_setup, tpl_model.c:2405; av1_tpl_get_qstep_ratio):
+estimate, per 16x16 unit of every frame in a GF group, how much future
+coded quality depends on it, then (a) boost the anchor frames that are
+heavily referenced and (b) scale per-block rdmult within each frame.
+
+Design inversion: libaom runs a serial per-block mini-encoder
+(mode_estimation -> tpl_model_update) with satd/subpel search; here
+each frame's intra/inter costs come from one batched full-pel SSD
+cost-volume pass (shared _tf-style lax.scan over offsets), and the
+backward dependency propagation is a vectorized scatter over the
+4 overlapped destination blocks per MV (tpl_model_update_block's
+overlap-area arithmetic, tpl_model.c:328, as one np.add.at per
+corner).
+
+Outputs mirror the reference contracts:
+  frame_importance[j]  -> q boost for anchors (get_q analog)
+  rdmult_scale[j]      -> per-16x16 lambda multipliers (tpl_rdmult)
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+BLOCK = 16
+RADIUS = 8
+
+
+@lru_cache(maxsize=None)
+def _cost_fn(key):
+    import jax
+    import jax.numpy as jnp
+
+    H, W = key
+    Hb, Wb = H // BLOCK, W // BLOCK
+
+    def block_sum(x):
+        return x.reshape(Hb, BLOCK, Wb, BLOCK).sum(axis=(1, 3))
+
+    def fn(cur, ref):
+        """cur/ref (H, W) f32 -> (intra_cost (Hb,Wb), inter_cost,
+        mv (Hb,Wb,2))."""
+        # intra proxy: SSD vs the block DC predictor (mode_estimation's
+        # best-intra cost collapses to DC on the flat/textured axis)
+        blocks = cur.reshape(Hb, BLOCK, Wb, BLOCK)
+        mean = blocks.mean(axis=(1, 3), keepdims=True)
+        intra = ((blocks - mean) ** 2).sum(axis=(1, 3))
+
+        pad = jnp.pad(ref, ((RADIUS, RADIUS), (RADIUS, RADIUS)),
+                      mode="edge")
+        offs = jnp.stack(jnp.meshgrid(
+            jnp.arange(-RADIUS, RADIUS + 1),
+            jnp.arange(-RADIUS, RADIUS + 1), indexing="ij"),
+            axis=-1).reshape(-1, 2)
+
+        def scan_off(carry, off):
+            best, bidx, idx = carry
+            s = jax.lax.dynamic_slice(
+                pad, (off[0] + RADIUS, off[1] + RADIUS), (H, W))
+            cost = block_sum((s - cur) ** 2)
+            better = cost < best
+            return (jnp.where(better, cost, best),
+                    jnp.where(better, idx, bidx), idx + 1), None
+
+        init = (jnp.full((Hb, Wb), jnp.inf, jnp.float32),
+                jnp.zeros((Hb, Wb), jnp.int32), jnp.int32(0))
+        (inter, idx, _), _ = jax.lax.scan(scan_off, init, offs)
+        return intra, inter, offs[idx]
+
+    return jax.jit(fn)
+
+
+def _frame_costs(cur_y, ref_y):
+    H = (cur_y.shape[0] // BLOCK) * BLOCK
+    W = (cur_y.shape[1] // BLOCK) * BLOCK
+    intra, inter, mv = _cost_fn((H, W))(
+        cur_y[:H, :W].astype(np.float32),
+        ref_y[:H, :W].astype(np.float32))
+    return (np.asarray(intra).astype(np.float64),
+            np.asarray(inter).astype(np.float64),
+            np.asarray(mv))
+
+
+def _propagate(dep_ref, intra, inter, mv, dep_cur):
+    """tpl_model_update_block analog: each block sends
+    (intra - inter)/intra * (intra + dep) to the 4 reference blocks its
+    MV overlaps, weighted by overlap area."""
+    Hb, Wb = intra.shape
+    safe_intra = np.maximum(intra, 1.0)
+    ratio = np.clip((safe_intra - np.minimum(inter, safe_intra))
+                    / safe_intra, 0.0, 1.0)
+    payload = ratio * (intra + dep_cur)
+
+    ys, xs = np.mgrid[0:Hb, 0:Wb]
+    ty = ys * BLOCK + mv[..., 0]
+    tx = xs * BLOCK + mv[..., 1]
+    b0y, b0x = ty // BLOCK, tx // BLOCK
+    fy, fx = ty - b0y * BLOCK, tx - b0x * BLOCK
+    for dy in (0, 1):
+        for dx in (0, 1):
+            wy = (BLOCK - fy) if dy == 0 else fy
+            wx = (BLOCK - fx) if dx == 0 else fx
+            area = (wy * wx) / float(BLOCK * BLOCK)
+            by = np.clip(b0y + dy, 0, Hb - 1)
+            bx = np.clip(b0x + dx, 0, Wb - 1)
+            np.add.at(dep_ref, (by, bx), payload * area)
+
+
+def tpl_gf_group(frames, arf_idx: int):
+    """Run the TPL pass over one GF group (display order; the ARF is
+    frames[arf_idx], coded first, referenced by every other frame).
+
+    Returns (importance, rdmult_scale):
+      importance: per-frame scalar >= 1 — how much the group depends on
+        that frame (ARF boost driver, av1_tpl_get_qstep_ratio analog);
+      rdmult_scale: per-frame (Hb, Wb) lambda multipliers < 1 on blocks
+        whose quality propagates (av1_tpl_rdmult_setup_sb analog)."""
+    n = len(frames)
+    Hb = (frames[0][0].shape[0] // BLOCK)
+    Wb = (frames[0][0].shape[1] // BLOCK)
+    dep = [np.zeros((Hb, Wb)) for _ in range(n)]
+    intra_all = [None] * n
+
+    # coding order: everyone except the ARF references it (and their
+    # display predecessor); walk display order backward so dep_cur is
+    # final before it is forwarded to the reference frame
+    for j in range(n - 1, -1, -1):
+        if j == arf_idx:
+            continue
+        intra, inter_a, mv_a = _frame_costs(frames[j][0],
+                                            frames[arf_idx][0])
+        intra_all[j] = intra
+        best_inter, best_mv, best_ref = inter_a, mv_a, arf_idx
+        if j > 0 and (j - 1) != arf_idx:
+            _, inter_p, mv_p = _frame_costs(frames[j][0],
+                                            frames[j - 1][0])
+            use_p = inter_p < best_inter
+            best_mv = np.where(use_p[..., None], mv_p, best_mv)
+            best_inter = np.minimum(inter_p, best_inter)
+            # propagate to whichever ref each block actually uses
+            _propagate(dep[j - 1], np.where(use_p, intra, 0),
+                       np.where(use_p, inter_p, 0),
+                       mv_p, np.where(use_p, dep[j], 0))
+            _propagate(dep[arf_idx], np.where(use_p, 0, intra),
+                       np.where(use_p, 0, inter_a),
+                       mv_a, np.where(use_p, 0, dep[j]))
+        else:
+            _propagate(dep[arf_idx], intra, inter_a, mv_a, dep[j])
+    intra_all[arf_idx] = _frame_costs(frames[arf_idx][0],
+                                      frames[arf_idx][0])[0]
+
+    importance = []
+    rdmult_scale = []
+    for j in range(n):
+        base = np.maximum(intra_all[j], 1.0)
+        beta = (base + dep[j]) / base          # >= 1
+        importance.append(float(np.mean(beta)))
+        # blocks that matter more get a lower lambda (finer quant)
+        rdmult_scale.append(np.clip(1.0 / np.sqrt(beta), 0.5, 1.0))
+    return importance, rdmult_scale
+
+
+def tpl_q_offset(importance: float, qindex: int) -> int:
+    """Map group dependency on a frame to a q reduction
+    (av1_tpl_get_qstep_ratio + av1_get_q_index_from_qstep_ratio
+    analog): qstep_new = qstep / importance^0.5, expressed in qindex
+    steps (~qstep doubles every 40 qindex)."""
+    if importance <= 1.0:
+        return 0
+    ratio = 1.0 / np.sqrt(importance)
+    dq = int(round(40.0 * np.log2(ratio) / 1.0))
+    return max(-60, min(0, dq))

@@ -30,13 +30,20 @@ def _block_reduce(x, b, fn):
 def ssim_rdmult_map(src_y, block: int = 16) -> np.ndarray:
     """Per-block lambda multipliers from local variance (SSIM tune).
 
-    Matches the reference's shape: factor_i = sqrt(var_i + C), divided
-    by the geometric mean so the frame-average rdmult is preserved."""
+    Matches the reference's shape (encoder_utils.c:1295
+    av1_set_mb_ssim_rdmult_scaling): mean of 8x8 per-pixel variances in
+    each 16x16, mapped through the saturating exponential fit
+    67.035434*(1-exp(-0.0021489*var))+17.492222 (range ~[17.5, 84.5]),
+    then divided by the geometric mean so frame-average rdmult is
+    preserved."""
     x = src_y.astype(np.float64)
-    mean = _block_reduce(x, block, np.mean)
-    ex2 = _block_reduce(x * x, block, np.mean)
-    var = np.maximum(ex2 - mean * mean, 0.0)
-    factor = np.sqrt(var + 16.0)
+    sub = 8
+    mean8 = _block_reduce(x, sub, np.mean)
+    ex28 = _block_reduce(x * x, sub, np.mean)
+    var8 = np.maximum(ex28 - mean8 * mean8, 0.0)
+    r = block // sub
+    var = _block_reduce(var8, r, np.mean) if r > 1 else var8
+    factor = 67.035434 * (1.0 - np.exp(-0.0021489 * var)) + 17.492222
     geo = np.exp(np.mean(np.log(factor)))
     return factor / geo
 

@@ -101,7 +101,7 @@ def _constrain(diff, threshold, damping):
 
 def filter_block(inb: np.ndarray, pri_strength: int, sec_strength: int,
                  direction: int, pri_damping: int, sec_damping: int,
-                 bw: int, bh: int) -> np.ndarray:
+                 bw: int, bh: int, coeff_shift: int = 0) -> np.ndarray:
     """Filter one block.  inb: (bh+4, bw+4) int32 source with the block at
     [2:2+bh, 2:2+bw] (taps reach +-2); returns (bh, bw) int32."""
     enable_p = pri_strength != 0
@@ -117,7 +117,8 @@ def filter_block(inb: np.ndarray, pri_strength: int, sec_strength: int,
     def tap(dr, dc):
         return inb[2 + dr:2 + dr + bh, 2 + dc:2 + dc + bw]
 
-    pri_taps = _PRI_TAPS[pri_strength & 1]
+    # tap parity from the unshifted strength (cdef_block.c:147)
+    pri_taps = _PRI_TAPS[(pri_strength >> coeff_shift) & 1]
     for k in range(2):
         if enable_p:
             dr, dc = _DIRS[direction][k]
@@ -229,6 +230,7 @@ def cdef_frame(planes, mi_rows, mi_cols, ss_x, ss_y, num_planes,
                     inb = pristine[plane][4 + py - 2:4 + py + bh + 2,
                                           4 + px - 2:4 + px + bw + 2]
                     out = filter_block(inb, t, sec_strength, d, dmp, dmp,
-                                       bw, bh)
+                                       bw, bh, coeff_shift)
                     planes[plane][py:py + bh, px:px + bw] = \
-                        np.clip(out, 0, 255).astype(planes[plane].dtype)
+                        np.clip(out, 0,
+                                (1 << bd) - 1).astype(planes[plane].dtype)

@@ -5,8 +5,11 @@ av1_convolve_x_sr_c:156, av1_convolve_y_sr_c:135, copy path), filter
 kernels av1/common/filter.h:111-232, MV clamping
 av1/common/reconinter.h:341 clamp_mv_to_umv_border_sb.
 
-All paths are 8-bit single-reference ("sr") with round_0=3, round_1=11
-(av1/common/convolve.h av1_get_conv_params_no_round).  Reference-frame
+Single-reference ("sr") paths use round_0=3, round_1=11, compound 7
+(av1/common/convolve.h av1_get_conv_params_no_round); for 12-bit round_0
+grows by 2 and round_1 shrinks to keep the 16-bit im buffer in range.
+8/10/12-bit handled via the `bd` parameter (av1_highbd_convolve_2d_sr_c
+convolve.c:735 semantics; identical shifts for 8- and 10-bit).  Reference-frame
 borders are handled by replicate-padding the ref planes (PAD pixels),
 mirroring aom_extend_frame_borders + extend_mc_border.
 
@@ -25,6 +28,21 @@ SUBPEL_BITS = 4          # q4: 1/16-pel within a plane
 SUBPEL_MASK = 15
 ROUND0 = 3
 ROUND1 = 11
+
+
+def conv_rounds(bd: int, is_compound: bool = False):
+    """(round_0, round_1) per av1_get_conv_params_no_round."""
+    r0 = ROUND0
+    r1 = 7 if is_compound else 2 * FILTER_BITS - r0
+    extra = max(0, (bd + FILTER_BITS - r0 + 2) - 16)
+    r0 += extra
+    if not is_compound:
+        r1 -= extra
+    return r0, r1
+
+
+def pix_dtype(bd: int):
+    return np.uint8 if bd == 8 else np.uint16
 AOM_INTERP_EXTEND = 4
 PAD = 160                # replicated ref border (>= 128-wide block + taps)
 
@@ -125,56 +143,65 @@ def _conv_axis(region: np.ndarray, kern: np.ndarray, axis: int) -> np.ndarray:
 
 
 def convolve_sr(region: np.ndarray, subx: int, suby: int,
-                kern_x: np.ndarray, kern_y: np.ndarray) -> np.ndarray:
-    """8-bit single-ref convolution of a (bh+7, bw+7) int32 region whose
-    fullpel anchor is at [3,3]; returns uint8 (bh, bw)."""
+                kern_x: np.ndarray, kern_y: np.ndarray,
+                bd: int = 8) -> np.ndarray:
+    """Single-ref convolution of a (bh+7, bw+7) int32 region whose
+    fullpel anchor is at [3,3]; returns pixels (bh, bw)."""
     bh, bw = region.shape[0] - 7, region.shape[1] - 7
+    maxv = (1 << bd) - 1
+    dtype = pix_dtype(bd)
+    r0, r1 = conv_rounds(bd)
     if subx == 0 and suby == 0:
-        return region[3:3 + bh, 3:3 + bw].astype(np.uint8)
+        return region[3:3 + bh, 3:3 + bw].astype(dtype)
     if suby == 0:  # av1_convolve_x_sr_c
-        res = _round2(_conv_axis(region[3:3 + bh, :], kern_x[subx], 1), ROUND0)
-        return np.clip(_round2(res, FILTER_BITS - ROUND0), 0,
-                       255).astype(np.uint8)
+        res = _round2(_conv_axis(region[3:3 + bh, :], kern_x[subx], 1), r0)
+        return np.clip(_round2(res, FILTER_BITS - r0), 0,
+                       maxv).astype(dtype)
     if subx == 0:  # av1_convolve_y_sr_c
         res = _conv_axis(region[:, 3:3 + bw], kern_y[suby], 0)
-        return np.clip(_round2(res, FILTER_BITS), 0, 255).astype(np.uint8)
+        return np.clip(_round2(res, FILTER_BITS), 0, maxv).astype(dtype)
     # av1_convolve_2d_sr_c
-    im = _round2(_conv_axis(region, kern_x[subx], 1) + (1 << 14), ROUND0)
+    im = _round2(_conv_axis(region, kern_x[subx], 1)
+                 + (1 << (bd + FILTER_BITS - 1)), r0)
     im = im.astype(np.int16).astype(np.int32)
-    sum_ = _conv_axis(im, kern_y[suby], 0) + (1 << (8 + 14 - ROUND0))
-    res = _round2(sum_, ROUND1) - ((1 << 8) + (1 << 7))
-    return np.clip(res, 0, 255).astype(np.uint8)
+    sum_ = _conv_axis(im, kern_y[suby], 0) + (1 << (bd + 14 - r0))
+    res = _round2(sum_, r1) - ((1 << bd) + (1 << (bd - 1)))
+    return np.clip(res, 0, maxv).astype(dtype)
 
 
 def convolve_compound(region: np.ndarray, subx: int, suby: int,
-                      kern_x: np.ndarray, kern_y: np.ndarray) -> np.ndarray:
+                      kern_x: np.ndarray, kern_y: np.ndarray,
+                      bd: int = 8) -> np.ndarray:
     """Compound (CONV_BUF) convolution: round_0=3, round_1=7
     (av1_dist_wtd_convolve_2d_c; the unified 2d path is bit-exact for all
     phases including zero, same as the single-ref case).  Returns int32."""
     bh, bw = region.shape[0] - 7, region.shape[1] - 7
-    im = _round2(_conv_axis(region, kern_x[subx], 1) + (1 << 14), ROUND0)
+    r0, _ = conv_rounds(bd, is_compound=True)
+    im = _round2(_conv_axis(region, kern_x[subx], 1)
+                 + (1 << (bd + FILTER_BITS - 1)), r0)
     im = im.astype(np.int16).astype(np.int32)
-    sum_ = _conv_axis(im, kern_y[suby], 0) + (1 << (8 + 14 - ROUND0))
+    sum_ = _conv_axis(im, kern_y[suby], 0) + (1 << (bd + 14 - r0))
     return _round2(sum_, 7)
 
 
 def compound_average(buf0: np.ndarray, buf1: np.ndarray,
                      use_dist_wtd: bool = False, fwd_offset: int = 8,
-                     bck_offset: int = 8) -> np.ndarray:
+                     bck_offset: int = 8, bd: int = 8) -> np.ndarray:
     """Combine the two CONV buffers (do_average path)."""
     if use_dist_wtd:
         tmp = (buf0 * fwd_offset + buf1 * bck_offset) >> 4
     else:
         tmp = (buf0 + buf1) >> 1
-    offset_bits = 8 + 2 * FILTER_BITS - ROUND0
-    tmp = tmp - ((1 << (offset_bits - 7)) + (1 << (offset_bits - 7 - 1)))
-    return np.clip(_round2(tmp, 2 * FILTER_BITS - ROUND0 - 7), 0,
-                   255).astype(np.uint8)
+    r0, r1 = conv_rounds(bd, is_compound=True)
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    tmp = tmp - ((1 << (offset_bits - r1)) + (1 << (offset_bits - r1 - 1)))
+    return np.clip(_round2(tmp, 2 * FILTER_BITS - r0 - r1), 0,
+                   (1 << bd) - 1).astype(pix_dtype(bd))
 
 
 def compound_conv_bufs(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
                        mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                       filt_x, filt_y, warp_specs=None):
+                       filt_x, filt_y, warp_specs=None, bd=8):
     """CONV-domain prediction buffers for both references.  warp_specs:
     optional per-ref (mat, shear, unpadded_plane) to produce a buffer by
     affine warp (global motion) instead of translation+convolve."""
@@ -187,7 +214,7 @@ def compound_conv_bufs(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
             mat, shear, plane_ref = warp_specs[ref]
             buf = np.empty((bh, bw), np.int32)
             WP.warp_affine(mat, plane_ref, buf, x0, y0, bw, bh, ss_x,
-                           ss_y, *shear, is_compound=True)
+                           ss_y, *shear, is_compound=True, bd=bd)
             bufs.append(buf)
             continue
         row_q4, col_q4 = clamp_mv_to_umv_border(
@@ -201,14 +228,14 @@ def compound_conv_bufs(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
                               PAD + fx - 3:PAD + fx + bw + 4] \
             .astype(np.int32)
         bufs.append(convolve_compound(region, pos_x & SUBPEL_MASK,
-                                      pos_y & SUBPEL_MASK, kx, ky))
+                                      pos_y & SUBPEL_MASK, kx, ky, bd))
     return bufs
 
 
 def predict_inter_compound(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
                            mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
                            filt_x, filt_y, use_dist_wtd=False, fwd_offset=8,
-                           bck_offset=8) -> np.ndarray:
+                           bck_offset=8, bd=8) -> np.ndarray:
     """Two-reference average prediction (COMPOUND_AVERAGE / DISTWTD)."""
     bufs = []
     kx = filter_kernels(filt_x, bw)
@@ -225,9 +252,9 @@ def predict_inter_compound(ref_pads, x0, y0, bw, bh, mvs, ss_x, ss_y,
                               PAD + fx - 3:PAD + fx + bw + 4] \
             .astype(np.int32)
         bufs.append(convolve_compound(region, pos_x & SUBPEL_MASK,
-                                      pos_y & SUBPEL_MASK, kx, ky))
+                                      pos_y & SUBPEL_MASK, kx, ky, bd))
     return compound_average(bufs[0], bufs[1], use_dist_wtd, fwd_offset,
-                            bck_offset)
+                            bck_offset, bd)
 
 
 _WEDGE_MASKS = None
@@ -247,17 +274,19 @@ def wedge_mask(bsize: int, sign: int, idx: int) -> np.ndarray:
 
 
 def diffwtd_mask_d16(buf0: np.ndarray, buf1: np.ndarray,
-                     inverse: bool) -> np.ndarray:
-    """av1_build_compound_diffwtd_mask_d16 (reconinter.c:296), 8-bit."""
-    diff = _round2(np.abs(buf0 - buf1), 4)
+                     inverse: bool, bd: int = 8) -> np.ndarray:
+    """av1_build_compound_diffwtd_mask_d16 (reconinter.c:296)."""
+    r0, r1 = conv_rounds(bd, is_compound=True)
+    diff = _round2(np.abs(buf0 - buf1),
+                   2 * FILTER_BITS - r0 - r1 + (bd - 8))
     m = np.clip(38 + diff // 16, 0, 64).astype(np.uint8)
     return (64 - m).astype(np.uint8) if inverse else m
 
 
 def blend_a64_d16(buf0: np.ndarray, buf1: np.ndarray, mask: np.ndarray,
-                  ss_x: int, ss_y: int) -> np.ndarray:
-    """aom_lowbd_blend_a64_d16_mask (blend_a64_mask.c:36); mask at luma
-    resolution, bufs at plane resolution."""
+                  ss_x: int, ss_y: int, bd: int = 8) -> np.ndarray:
+    """aom_lowbd/highbd_blend_a64_d16_mask (blend_a64_mask.c:36); mask at
+    luma resolution, bufs at plane resolution."""
     if ss_x and ss_y:
         m = _round2(mask[0::2, 0::2].astype(np.int32)
                     + mask[1::2, 0::2] + mask[0::2, 1::2]
@@ -270,10 +299,11 @@ def blend_a64_d16(buf0: np.ndarray, buf1: np.ndarray, mask: np.ndarray,
         m = mask.astype(np.int32)
     m = m[:buf0.shape[0], :buf0.shape[1]]
     res = (m * buf0 + (64 - m) * buf1) >> 6
-    offset_bits = 8 + 2 * FILTER_BITS - ROUND0
-    res = res - ((1 << (offset_bits - 7)) + (1 << (offset_bits - 7 - 1)))
-    return np.clip(_round2(res, 2 * FILTER_BITS - ROUND0 - 7), 0,
-                   255).astype(np.uint8)
+    r0, r1 = conv_rounds(bd, is_compound=True)
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    res = res - ((1 << (offset_bits - r1)) + (1 << (offset_bits - r1 - 1)))
+    return np.clip(_round2(res, 2 * FILTER_BITS - r0 - r1), 0,
+                   (1 << bd) - 1).astype(pix_dtype(bd))
 
 
 def pad_ref_plane(plane: np.ndarray) -> np.ndarray:
@@ -307,10 +337,10 @@ def predict_inter_block(ref_pad: np.ndarray, x0: int, y0: int, bw: int,
                         bh: int, mv_row: int, mv_col: int, ss_x: int,
                         ss_y: int, mb_to_left: int, mb_to_right: int,
                         mb_to_top: int, mb_to_bottom: int,
-                        filt_x: int, filt_y: int) -> np.ndarray:
+                        filt_x: int, filt_y: int, bd: int = 8) -> np.ndarray:
     """Motion-compensate one block. ref_pad is the PAD-extended ref plane;
     (x0, y0) is the block origin in (unpadded) plane pixels; mv in 1/8 luma
-    pel. Returns uint8 (bh, bw)."""
+    pel. Returns pixels (bh, bw)."""
     row_q4, col_q4 = clamp_mv_to_umv_border(
         mv_row, mv_col, bw, bh, ss_x, ss_y, mb_to_left, mb_to_right,
         mb_to_top, mb_to_bottom)
@@ -324,7 +354,7 @@ def predict_inter_block(ref_pad: np.ndarray, x0: int, y0: int, bw: int,
                      PAD + fx - 3:PAD + fx + bw + 4].astype(np.int32)
     kx = filter_kernels(filt_x, bw)
     ky = filter_kernels(filt_y, bh)
-    return convolve_sr(region, subx, suby, kx, ky)
+    return convolve_sr(region, subx, suby, kx, ky, bd)
 
 
 # ---------------------------------------------------------------------------
@@ -375,4 +405,4 @@ def blend_a64_mask_pixel(intra, inter, mask, subw, subh):
     m = m[:bh, :bw]
     out = (m * intra.astype(np.int32)
            + (64 - m) * inter.astype(np.int32) + 32) >> 6
-    return out.astype(np.uint8)
+    return out.astype(inter.dtype)

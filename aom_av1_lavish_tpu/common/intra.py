@@ -1,4 +1,4 @@
-"""AV1 intra prediction — bit-exact host reference (numpy, 8-bit).
+"""AV1 intra prediction — bit-exact host reference (numpy, 8/10/12-bit).
 
 Implements the normative prediction process of AV1 spec §7.11.2 (reference
 behavior: av1/common/reconintra.c:1309 build_intra_predictors,
@@ -93,6 +93,10 @@ def _round2(x, bits):
     return (x + (1 << (bits - 1))) >> bits
 
 
+def pix_dtype(bd: int):
+    return np.uint8 if bd == 8 else np.uint16
+
+
 def intra_edge_filter_strength(bs0: int, bs1: int, delta: int,
                                type_: int) -> int:
     d = abs(delta)
@@ -166,10 +170,11 @@ def filter_intra_edge(p: np.ndarray, off: int, sz: int, strength: int):
     return
 
 
-def upsample_intra_edge(p: np.ndarray, off: int, sz: int):
+def upsample_intra_edge(p: np.ndarray, off: int, sz: int, bd: int = 8):
     """2x upsample in place: p[off-2 .. off+2*sz-2] written
     (reconintra.c:1086).  p holds pixel values; off indexes sample 0."""
     assert sz <= MAX_UPSAMPLE_SZ
+    maxv = (1 << bd) - 1
     inbuf = np.empty(sz + 3, dtype=np.int32)
     inbuf[0] = p[off - 1]
     inbuf[1] = p[off - 1]
@@ -178,13 +183,13 @@ def upsample_intra_edge(p: np.ndarray, off: int, sz: int):
     p[off - 2] = inbuf[0]
     for i in range(sz):
         s = -inbuf[i] + 9 * inbuf[i + 1] + 9 * inbuf[i + 2] - inbuf[i + 3]
-        s = min(max((s + 8) >> 4, 0), 255)
+        s = min(max((s + 8) >> 4, 0), maxv)
         p[off + 2 * i - 1] = s
         p[off + 2 * i] = inbuf[i + 2]
 
 
-def _dr_z1(bw, bh, above, upsample_above, dx):
-    out = np.empty((bh, bw), dtype=np.uint8)
+def _dr_z1(bw, bh, above, upsample_above, dx, dtype=np.uint8):
+    out = np.empty((bh, bw), dtype=dtype)
     max_base_x = (bw + bh - 1) << upsample_above
     frac_bits = 6 - upsample_above
     base_inc = 1 << upsample_above
@@ -208,9 +213,9 @@ def _dr_z1(bw, bh, above, upsample_above, dx):
 
 
 def _dr_z2(bw, bh, above_data, left_data, off, upsample_above, upsample_left,
-           dx, dy):
+           dx, dy, dtype=np.uint8):
     """above_data/left_data with sample 0 at index `off` (may read -2..-1)."""
-    out = np.empty((bh, bw), dtype=np.uint8)
+    out = np.empty((bh, bw), dtype=dtype)
     min_base_x = -(1 << upsample_above)
     frac_bits_x = 6 - upsample_above
     frac_bits_y = 6 - upsample_left
@@ -236,8 +241,8 @@ def _dr_z2(bw, bh, above_data, left_data, off, upsample_above, upsample_left,
     return out
 
 
-def _dr_z3(bw, bh, left, upsample_left, dy):
-    out = np.empty((bh, bw), dtype=np.uint8)
+def _dr_z3(bw, bh, left, upsample_left, dy, dtype=np.uint8):
+    out = np.empty((bh, bw), dtype=dtype)
     max_base_y = (bw + bh - 1) << upsample_left
     frac_bits = 6 - upsample_left
     base_inc = 1 << upsample_left
@@ -258,7 +263,7 @@ def _dr_z3(bw, bh, left, upsample_left, dy):
     return out
 
 
-def _smooth(bw, bh, above, left):
+def _smooth(bw, bh, above, left, dtype=np.uint8):
     below = int(left[bh - 1])
     right = int(above[bw - 1])
     ww = np.array(SMOOTH_WEIGHTS[bw], dtype=np.int32)
@@ -267,26 +272,26 @@ def _smooth(bw, bh, above, left):
     lf = left[:bh].astype(np.int32)
     pred = (wh[:, None] * a[None, :] + (256 - wh)[:, None] * below
             + ww[None, :] * lf[:, None] + (256 - ww)[None, :] * right)
-    return ((pred + 256) >> 9).astype(np.uint8)
+    return ((pred + 256) >> 9).astype(dtype)
 
 
-def _smooth_v(bw, bh, above, left):
+def _smooth_v(bw, bh, above, left, dtype=np.uint8):
     below = int(left[bh - 1])
     wh = np.array(SMOOTH_WEIGHTS[bh], dtype=np.int32)
     a = above[:bw].astype(np.int32)
     pred = wh[:, None] * a[None, :] + (256 - wh)[:, None] * below
-    return ((pred + 128) >> 8).astype(np.uint8)
+    return ((pred + 128) >> 8).astype(dtype)
 
 
-def _smooth_h(bw, bh, above, left):
+def _smooth_h(bw, bh, above, left, dtype=np.uint8):
     right = int(above[bw - 1])
     ww = np.array(SMOOTH_WEIGHTS[bw], dtype=np.int32)
     lf = left[:bh].astype(np.int32)
     pred = ww[None, :] * lf[:, None] + (256 - ww)[None, :] * right
-    return ((pred + 128) >> 8).astype(np.uint8)
+    return ((pred + 128) >> 8).astype(dtype)
 
 
-def _paeth(bw, bh, above, left, top_left):
+def _paeth(bw, bh, above, left, top_left, dtype=np.uint8):
     a = above[:bw].astype(np.int32)[None, :]
     lf = left[:bh].astype(np.int32)[:, None]
     tl = int(top_left)
@@ -296,10 +301,12 @@ def _paeth(bw, bh, above, left, top_left):
     ptl = np.abs(base - tl)
     out = np.where((pl <= pt) & (pl <= ptl), np.broadcast_to(lf, base.shape),
                    np.where(pt <= ptl, np.broadcast_to(a, base.shape), tl))
-    return out.astype(np.uint8)
+    return out.astype(dtype)
 
 
-def _filter_intra(bw, bh, above, left, top_left, mode):
+def _filter_intra(bw, bh, above, left, top_left, mode, bd=8):
+    maxv = (1 << bd) - 1
+    dtype = pix_dtype(bd)
     buf = np.zeros((bh + 1, bw + 1), dtype=np.int32)
     buf[0, 0] = top_left
     buf[0, 1:] = above[:bw]
@@ -314,8 +321,8 @@ def _filter_intra(bw, bh, above, left, top_left, mode):
             for k in range(8):
                 ro, co = k >> 2, k & 3
                 pr = int(np.dot(taps[k][:7], p))
-                buf[r + ro, col + co] = min(max((pr + 8) >> 4, 0), 255)
-    return buf[1:, 1:].astype(np.uint8)
+                buf[r + ro, col + co] = min(max((pr + 8) >> 4, 0), maxv)
+    return buf[1:, 1:].astype(dtype)
 
 
 def build_intra_predictor(
@@ -323,13 +330,15 @@ def build_intra_predictor(
         angle_delta: int, filter_intra_mode: int,
         n_top_px: int, n_topright_px: int, n_left_px: int,
         n_bottomleft_px: int, disable_edge_filter: bool,
-        intra_edge_filter_type: int) -> np.ndarray:
+        intra_edge_filter_type: int, bd: int = 8) -> np.ndarray:
     """Predict one tx block at (y, x) in plane `ref` (recon so far).
 
     n_topright_px / n_bottomleft_px use the reference convention:
     -1 = not needed, 0 = needed but unavailable, >0 = count available.
-    Returns (bh, bw) uint8.
+    Returns (bh, bw) uint8 (uint16 for bd > 8).
     """
+    base = 1 << (bd - 1)
+    dtype = pix_dtype(bd)
     use_filter_intra = filter_intra_mode >= 0
     is_dr = is_directional(mode)
     p_angle = MODE_TO_ANGLE.get(mode, 0) + angle_delta * ANGLE_STEP \
@@ -357,17 +366,17 @@ def build_intra_predictor(
 
     # neighbor buffers; offset 16 leaves room for upsampling writes at -2
     # plus the above-left sample at -1
-    left_data = np.full(160, 129, dtype=np.int32)
-    above_data = np.full(160, 127, dtype=np.int32)
+    left_data = np.full(160, base + 1, dtype=np.int32)
+    above_data = np.full(160, base - 1, dtype=np.int32)
     AB = 16  # index of sample 0
 
     if (not need_above and n_left_px == 0) or \
             (not need_left and n_top_px == 0):
         if need_left:
-            val = int(ref[y - 1, x]) if n_top_px > 0 else 129
+            val = int(ref[y - 1, x]) if n_top_px > 0 else base + 1
         else:
-            val = int(ref[y, x - 1]) if n_left_px > 0 else 127
-        return np.full((bh, bw), val, dtype=np.uint8)
+            val = int(ref[y, x - 1]) if n_left_px > 0 else base - 1
+        return np.full((bh, bw), val, dtype=dtype)
 
     if need_left:
         num_left = bh + (bw if n_bottomleft_px >= 0 else 0)
@@ -397,12 +406,12 @@ def build_intra_predictor(
         elif n_left_px > 0:
             above_data[AB - 1] = ref[y, x - 1]
         else:
-            above_data[AB - 1] = 128
+            above_data[AB - 1] = base
         left_data[AB - 1] = above_data[AB - 1]
 
     if use_filter_intra:
         return _filter_intra(bw, bh, above_data[AB:], left_data[AB:],
-                             above_data[AB - 1], filter_intra_mode)
+                             above_data[AB - 1], filter_intra_mode, bd)
 
     if is_dr:
         upsample_above = upsample_left = 0
@@ -430,28 +439,29 @@ def build_intra_predictor(
                 bw, bh, p_angle - 90, intra_edge_filter_type)
             if need_above and upsample_above:
                 n_px = bw + (bh if need_right else 0)
-                upsample_intra_edge(above_data, AB, n_px)
+                upsample_intra_edge(above_data, AB, n_px, bd)
             upsample_left = use_intra_edge_upsample(
                 bh, bw, p_angle - 180, intra_edge_filter_type)
             if need_left and upsample_left:
                 n_px = bh + (bw if need_bottom else 0)
-                upsample_intra_edge(left_data, AB, n_px)
+                upsample_intra_edge(left_data, AB, n_px, bd)
         dx = get_dx(p_angle)
         dy = get_dy(p_angle)
         above = above_data[AB:]
         left = left_data[AB:]
         if 0 < p_angle < 90:
-            return _dr_z1(bw, bh, above, int(upsample_above), dx)
+            return _dr_z1(bw, bh, above, int(upsample_above), dx, dtype)
         if 90 < p_angle < 180:
             return _dr_z2(bw, bh, above_data, left_data, AB,
-                          int(upsample_above), int(upsample_left), dx, dy)
+                          int(upsample_above), int(upsample_left), dx, dy,
+                          dtype)
         if 180 < p_angle < 270:
-            return _dr_z3(bw, bh, left, int(upsample_left), dy)
+            return _dr_z3(bw, bh, left, int(upsample_left), dy, dtype)
         if p_angle == 90:
-            return np.broadcast_to(above[:bw].astype(np.uint8),
+            return np.broadcast_to(above[:bw].astype(dtype),
                                    (bh, bw)).copy()
         if p_angle == 180:
-            return np.broadcast_to(left[:bh].astype(np.uint8)[:, None],
+            return np.broadcast_to(left[:bh].astype(dtype)[:, None],
                                    (bh, bw)).copy()
 
     above = above_data[AB:]
@@ -466,21 +476,21 @@ def build_intra_predictor(
         elif have_t:
             dc = (int(above[:bw].sum()) + (bw >> 1)) >> bw.bit_length() - 1
         else:
-            dc = 128
-        return np.full((bh, bw), dc, dtype=np.uint8)
+            dc = base
+        return np.full((bh, bw), dc, dtype=dtype)
     if mode == c.V_PRED:
-        return np.broadcast_to(above[:bw].astype(np.uint8), (bh, bw)).copy()
+        return np.broadcast_to(above[:bw].astype(dtype), (bh, bw)).copy()
     if mode == c.H_PRED:
-        return np.broadcast_to(left[:bh].astype(np.uint8)[:, None],
+        return np.broadcast_to(left[:bh].astype(dtype)[:, None],
                                (bh, bw)).copy()
     if mode == c.SMOOTH_PRED:
-        return _smooth(bw, bh, above, left)
+        return _smooth(bw, bh, above, left, dtype)
     if mode == c.SMOOTH_V_PRED:
-        return _smooth_v(bw, bh, above, left)
+        return _smooth_v(bw, bh, above, left, dtype)
     if mode == c.SMOOTH_H_PRED:
-        return _smooth_h(bw, bh, above, left)
+        return _smooth_h(bw, bh, above, left, dtype)
     if mode == c.PAETH_PRED:
-        return _paeth(bw, bh, above, left, above_data[AB - 1])
+        return _paeth(bw, bh, above, left, above_data[AB - 1], dtype)
     raise ValueError(f"mode {mode}")
 
 
@@ -519,12 +529,13 @@ def cfl_subsample_420(luma: np.ndarray) -> np.ndarray:
 
 
 def cfl_predict(dc_pred: np.ndarray, luma_q3: np.ndarray,
-                alpha_q3: int) -> np.ndarray:
-    """dc_pred (H, W) uint8, luma_q3 Q3 with average removed."""
+                alpha_q3: int, bd: int = 8) -> np.ndarray:
+    """dc_pred (H, W) pixels, luma_q3 Q3 with average removed."""
     h, w = dc_pred.shape
     npl = (w * h).bit_length() - 1
     avg = (int(luma_q3.sum()) + (1 << npl >> 1)) >> npl
     ac = luma_q3.astype(np.int32) - avg
     scaled = alpha_q3 * ac
     scaled = np.sign(scaled) * ((np.abs(scaled) + 32) >> 6)
-    return np.clip(dc_pred.astype(np.int32) + scaled, 0, 255).astype(np.uint8)
+    return np.clip(dc_pred.astype(np.int32) + scaled, 0,
+                   (1 << bd) - 1).astype(pix_dtype(bd))

@@ -52,28 +52,31 @@ def pick_filter_level_from_q(qindex: int, frame_is_key: bool,
     return max(0, min(MAX_LOOP_FILTER, guess))
 
 
-def _filter4(p1, p0, q0, q1, mask, thresh):
-    """Vectorized filter4 over int32 arrays; returns new (p1, p0, q0, q1)."""
+def _filter4(p1, p0, q0, q1, mask, thresh, bd=8):
+    """Vectorized filter4 over int32 arrays; returns new (p1, p0, q0, q1).
+    For bd > 8 the signed range widens per signed_char_clamp_high."""
     hev = ((np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh))
-    ps1 = p1 - 128
-    ps0 = p0 - 128
-    qs0 = q0 - 128
-    qs1 = q1 - 128
-    clamp = lambda x: np.clip(x, -128, 127)  # noqa: E731
+    shift = bd - 8
+    mid = 0x80 << shift
+    ps1 = p1 - mid
+    ps0 = p0 - mid
+    qs0 = q0 - mid
+    qs1 = q1 - mid
+    clamp = lambda x: np.clip(x, -mid, mid - 1)  # noqa: E731
     f = clamp(ps1 - qs1) * hev
     f = clamp(f + 3 * (qs0 - ps0)) * mask
     f1 = clamp(f + 4) >> 3
     f2 = clamp(f + 3) >> 3
-    oq0 = clamp(qs0 - f1) + 128
-    op0 = clamp(ps0 + f2) + 128
+    oq0 = clamp(qs0 - f1) + mid
+    op0 = clamp(ps0 + f2) + mid
     f3 = ((f1 + 1) >> 1) * (~hev)
-    oq1 = clamp(qs1 - f3) + 128
-    op1 = clamp(ps1 + f3) + 128
+    oq1 = clamp(qs1 - f3) + mid
+    op1 = clamp(ps1 + f3) + mid
     return op1, op0, oq0, oq1
 
 
 def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
-                        thresh):
+                        thresh, bd=8):
     """Filter the 4-sample edges at (ys, xs) (top-left of each 4-px run).
 
     For vertical edges, samples run down 4 rows at column xs; for
@@ -81,6 +84,11 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
     """
     if len(xs) == 0:
         return
+    shift = bd - 8
+    lim = lim << shift
+    mblim = mblim << shift
+    thresh = thresh << shift
+    flat_thr = 1 << shift
     ntaps = {4: 2, 6: 3, 8: 4, 14: 7}[length]
     offs = np.arange(-ntaps, ntaps)
     lane = np.arange(4)
@@ -107,7 +115,7 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
     if length == 4:
         mask = ~((gt(P[1], P[0]) > lim) | (gt(Qv[1], Qv[0]) > lim)
                  | (gt(P[0], Qv[0]) * 2 + (gt(P[1], Qv[1]) >> 1) > mblim))
-        o = _filter4(P[1], P[0], Qv[0], Qv[1], mask, thresh)
+        o = _filter4(P[1], P[0], Qv[0], Qv[1], mask, thresh, bd)
         out = [o[0], o[1], o[2], o[3]]
         res_p = {1: out[0], 0: out[1]}
         res_q = {0: out[2], 1: out[3]}
@@ -115,15 +123,15 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
         mask = ~((gt(P[2], P[1]) > lim) | (gt(P[1], P[0]) > lim)
                  | (gt(Qv[1], Qv[0]) > lim) | (gt(Qv[2], Qv[1]) > lim)
                  | (gt(P[0], Qv[0]) * 2 + (gt(P[1], Qv[1]) >> 1) > mblim))
-        flat = ~((gt(P[1], P[0]) > 1) | (gt(Qv[1], Qv[0]) > 1)
-                 | (gt(P[2], P[0]) > 1) | (gt(Qv[2], Qv[0]) > 1))
+        flat = ~((gt(P[1], P[0]) > flat_thr) | (gt(Qv[1], Qv[0]) > flat_thr)
+                 | (gt(P[2], P[0]) > flat_thr) | (gt(Qv[2], Qv[0]) > flat_thr))
         fm = flat & mask
         r2 = lambda x: (x + 4) >> 3  # noqa: E731
         n_p1 = r2(P[2] * 3 + P[1] * 2 + P[0] * 2 + Qv[0])
         n_p0 = r2(P[2] + P[1] * 2 + P[0] * 2 + Qv[0] * 2 + Qv[1])
         n_q0 = r2(P[1] + P[0] * 2 + Qv[0] * 2 + Qv[1] * 2 + Qv[2])
         n_q1 = r2(P[0] + Qv[0] * 2 + Qv[1] * 2 + Qv[2] * 3)
-        o = _filter4(P[1], P[0], Qv[0], Qv[1], mask & ~flat, thresh)
+        o = _filter4(P[1], P[0], Qv[0], Qv[1], mask & ~flat, thresh, bd)
         res_p = {1: np.where(fm, n_p1, o[0]), 0: np.where(fm, n_p0, o[1])}
         res_q = {0: np.where(fm, n_q0, o[2]), 1: np.where(fm, n_q1, o[3])}
     else:
@@ -131,9 +139,10 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
                  | (gt(P[1], P[0]) > lim) | (gt(Qv[1], Qv[0]) > lim)
                  | (gt(Qv[2], Qv[1]) > lim) | (gt(Qv[3], Qv[2]) > lim)
                  | (gt(P[0], Qv[0]) * 2 + (gt(P[1], Qv[1]) >> 1) > mblim))
-        flat = ~((gt(P[1], P[0]) > 1) | (gt(Qv[1], Qv[0]) > 1)
-                 | (gt(P[2], P[0]) > 1) | (gt(Qv[2], Qv[0]) > 1)
-                 | (gt(P[3], P[0]) > 1) | (gt(Qv[3], Qv[0]) > 1))
+        flat = ~((gt(P[1], P[0]) > flat_thr) | (gt(Qv[1], Qv[0]) > flat_thr)
+                 | (gt(P[2], P[0]) > flat_thr) | (gt(Qv[2], Qv[0]) > flat_thr)
+                 | (gt(P[3], P[0]) > flat_thr)
+                 | (gt(Qv[3], Qv[0]) > flat_thr))
         r2 = lambda x: (x + 4) >> 3  # noqa: E731
         f8 = {}
         f8["p2"] = r2(P[3] * 3 + 2 * P[2] + P[1] + P[0] + Qv[0])
@@ -142,7 +151,7 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
         f8["q0"] = r2(P[2] + P[1] + P[0] + 2 * Qv[0] + Qv[1] + Qv[2] + Qv[3])
         f8["q1"] = r2(P[1] + P[0] + Qv[0] + 2 * Qv[1] + Qv[2] + 2 * Qv[3])
         f8["q2"] = r2(P[0] + Qv[0] + Qv[1] + 2 * Qv[2] + 3 * Qv[3])
-        o = _filter4(P[1], P[0], Qv[0], Qv[1], mask & ~flat, thresh)
+        o = _filter4(P[1], P[0], Qv[0], Qv[1], mask & ~flat, thresh, bd)
         fm = flat & mask
         res_p = {2: np.where(fm, f8["p2"], P[2]),
                  1: np.where(fm, f8["p1"], o[0]),
@@ -151,9 +160,12 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
                  1: np.where(fm, f8["q1"], o[3]),
                  2: np.where(fm, f8["q2"], Qv[2])}
         if length == 14:
-            flat2 = ~((gt(P[6], P[0]) > 1) | (gt(P[5], P[0]) > 1)
-                      | (gt(P[4], P[0]) > 1) | (gt(Qv[4], Qv[0]) > 1)
-                      | (gt(Qv[5], Qv[0]) > 1) | (gt(Qv[6], Qv[0]) > 1))
+            flat2 = ~((gt(P[6], P[0]) > flat_thr)
+                      | (gt(P[5], P[0]) > flat_thr)
+                      | (gt(P[4], P[0]) > flat_thr)
+                      | (gt(Qv[4], Qv[0]) > flat_thr)
+                      | (gt(Qv[5], Qv[0]) > flat_thr)
+                      | (gt(Qv[6], Qv[0]) > flat_thr))
             fm2 = flat2 & fm
             r4 = lambda x: (x + 8) >> 4  # noqa: E731
             p6, p5, p4, p3, p2, p1, p0 = P[6], P[5], P[4], P[3], P[2], \
@@ -202,7 +214,7 @@ def _apply_edge_filters(plane, xs, ys, horizontal, length, lim, mblim,
         out[:, ntaps - 1 - i, :] = v
     for i, v in res_q.items():
         out[:, ntaps + i, :] = v
-    out = np.clip(out, 0, 255).astype(plane.dtype)
+    out = np.clip(out, 0, (1 << bd) - 1).astype(plane.dtype)
     if not horizontal:
         out = np.swapaxes(out, 1, 2)
     plane[rows, cols] = out
@@ -251,7 +263,7 @@ def build_filter_levels(fh):
 
 def loop_filter_frame(planes, fh, sh, luma_txw4, luma_txh4, bsize_grid,
                       ref_grid, mode_grid, skip_inter_grid, plane_tx_fn,
-                      seg_grid=None):
+                      seg_grid=None, bd=8):
     """Filter recon planes in place.
 
     luma_txw4/txh4: (mi_h, mi_w) luma tx dims per mi in 4x4 units.
@@ -365,7 +377,7 @@ def loop_filter_frame(planes, fh, sh, luma_txw4, luma_txh4, bsize_grid,
                 if not m.any():
                     continue
                 _apply_edge_filters(buf, xs[m], ys[m], horizontal, L,
-                                    lim[m], mblim[m], thr[m])
+                                    lim[m], mblim[m], thr[m], bd)
 
 
 def tx_grid_for_plane(mi_bsize, plane, ss_x, ss_y, lossless,

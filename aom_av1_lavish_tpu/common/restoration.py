@@ -94,29 +94,34 @@ def default_sgrproj():
 # ---------------------------------------------------------------------------
 # Wiener filter (convolve.c:1217-1296)
 
-def wiener_filter(src, y0, x0, w, h, hfilter, vfilter):
-    """av1_wiener_convolve_add_src_c on a region of the padded plane.
+def wiener_filter(src, y0, x0, w, h, hfilter, vfilter, bd=8):
+    """av1_(highbd_)wiener_convolve_add_src_c on a region of the padded
+    plane.
 
     src: int array with valid pixels surrounding rows [y0-6, y0+h+6) etc;
-    output (h, w) uint8.  round_0=3, round_1=11 (8-bit)."""
+    output (h, w) pixels.  round_0=3 (+2 at 12-bit per the 16-bit im
+    range rule), round_1 = 14 - round_0."""
     hf = np.asarray(hfilter, np.int64)
     vf = np.asarray(vfilter, np.int64)
+    r0 = 3 + max(bd + 7 - 3 - 14, 0)
+    r1 = 2 * 7 - r0
     ih = h + 7
     # horizontal pass over rows y0-3 .. y0+h+3, producing temp (ih, w)
     reg = src[y0 - 3:y0 + h + 4, x0 - 3:x0 + w + 4].astype(np.int64)
     temp = np.zeros((ih, w), np.int64)
     for k in range(8):
         temp += reg[:, k:k + w] * hf[k]
-    temp += (reg[:, 3:3 + w] << 7) + (1 << 14)
-    temp = (temp + 4) >> 3
-    np.clip(temp, 0, (1 << 13) - 1, out=temp)
+    temp += (reg[:, 3:3 + w] << 7) + (1 << (bd + 6))
+    temp = (temp + (1 << (r0 - 1))) >> r0
+    np.clip(temp, 0, (1 << (bd + 1 + 7 - r0)) - 1, out=temp)
     # vertical pass
     out = np.zeros((h, w), np.int64)
     for k in range(8):
         out += temp[k:k + h] * vf[k]
-    out += (temp[3:3 + h] << 7) - (1 << 18)
-    out = (out + (1 << 10)) >> 11
-    return np.clip(out, 0, 255).astype(np.uint8)
+    out += (temp[3:3 + h] << 7) - (1 << (bd + 2 * 7 - r0 - 1))
+    out = (out + (1 << (r1 - 1))) >> r1
+    return np.clip(out, 0, (1 << bd) - 1).astype(
+        np.uint8 if bd == 8 else np.uint16)
 
 
 # ---------------------------------------------------------------------------
@@ -139,14 +144,22 @@ def _boxsum(x, r):
     return c2[:, k:] - c2[:, :-k]
 
 
-def _sgr_transform_ab(dgd_ext, r, s):
+def _sgr_transform_ab(dgd_ext, r, s, bd=8):
     """calculate_intermediate_result (restoration.c:674): dgd_ext is the
     (h+6, w+6) int window (rows/cols -3..h+2); returns transformed A, B
-    over the full extended grid."""
+    over the full extended grid.  For bd > 8 the variance terms are
+    pre-rounded (a by 2*(bd-8), b by bd-8) while the B recip keeps the
+    unrounded boxsum (restoration.c:709-745)."""
     n = (2 * r + 1) * (2 * r + 1)
     b = _boxsum(dgd_ext, r)
     a = _boxsum(dgd_ext * dgd_ext, r)
-    p = a * n - b * b
+    if bd > 8:
+        sh = bd - 8
+        a_r = (a + (1 << (2 * sh - 1))) >> (2 * sh)
+        b_r = (b + (1 << (sh - 1))) >> sh
+    else:
+        a_r, b_r = a, b
+    p = a_r * n - b_r * b_r
     np.maximum(p, 0, out=p)
     # the reference computes p*s in uint32: edge-truncated boxsum windows
     # can push p past the Popoviciu bound and wrap (restoration.c:761)
@@ -159,9 +172,9 @@ def _sgr_transform_ab(dgd_ext, r, s):
     return a2, b2
 
 
-def _sgr_flt_fast(dgd_ext, w, h, s):
+def _sgr_flt_fast(dgd_ext, w, h, s, bd=8):
     """selfguided_restoration_fast_internal (r=2, every other row)."""
-    a2, b2 = _sgr_transform_ab(dgd_ext, 2, s)
+    a2, b2 = _sgr_transform_ab(dgd_ext, 2, s, bd)
     # index [i+3, j+3] addresses logical (i, j)
     dgd = dgd_ext[3:3 + h, 3:3 + w]
     flt = np.zeros((h, w), np.int64)
@@ -189,9 +202,9 @@ def _sgr_flt_fast(dgd_ext, w, h, s):
     return flt
 
 
-def _sgr_flt_normal(dgd_ext, w, h, s):
+def _sgr_flt_normal(dgd_ext, w, h, s, bd=8):
     """selfguided_restoration_internal (r=1)."""
-    a2, b2 = _sgr_transform_ab(dgd_ext, 1, s)
+    a2, b2 = _sgr_transform_ab(dgd_ext, 1, s, bd)
     dgd = dgd_ext[3:3 + h, 3:3 + w]
 
     def A(di, dj):
@@ -207,9 +220,9 @@ def _sgr_flt_normal(dgd_ext, w, h, s):
     return (v + (1 << 8)) >> 9
 
 
-def sgr_filter(src, y0, x0, w, h, ep, xqd):
+def sgr_filter(src, y0, x0, w, h, ep, xqd, bd=8):
     """av1_apply_selfguided_restoration_c (restoration.c:912) on a region
-    of the padded plane; output (h, w) uint8."""
+    of the padded plane; output (h, w) pixels."""
     r0, r1, s0, s1 = SGR_PARAMS[ep]
     dgd_ext = src[y0 - 3:y0 + h + 3, x0 - 3:x0 + w + 3].astype(np.int64)
     dat = dgd_ext[3:3 + h, 3:3 + w]
@@ -222,14 +235,15 @@ def sgr_filter(src, y0, x0, w, h, ep, xqd):
     else:
         xq = [xqd[0], (1 << SGRPROJ_PRJ_BITS) - xqd[0] - xqd[1]]
     if r0 > 0:
-        flt0 = _sgr_flt_fast(dgd_ext, w, h, s0)
+        flt0 = _sgr_flt_fast(dgd_ext, w, h, s0, bd)
         v = v + xq[0] * (flt0 - u)
     if r1 > 0:
-        flt1 = _sgr_flt_normal(dgd_ext, w, h, s1)
+        flt1 = _sgr_flt_normal(dgd_ext, w, h, s1, bd)
         v = v + xq[1] * (flt1 - u)
     out = (v + (1 << (SGRPROJ_PRJ_BITS + SGRPROJ_RST_BITS - 1))) \
         >> (SGRPROJ_PRJ_BITS + SGRPROJ_RST_BITS)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    return np.clip(out, 0, (1 << bd) - 1).astype(
+        np.uint8 if bd == 8 else np.uint16)
 
 
 # ---------------------------------------------------------------------------
@@ -303,13 +317,13 @@ PAD = 24
 
 
 def filter_frame_plane(plane, pr: PlaneRestoration, ss_y, bounds,
-                       optimized):
+                       optimized, bd=8):
     """av1_loop_restoration_filter_frame for one plane: returns the
     restored plane.  plane: post-CDEF pixels."""
     h, w = plane.shape
     # working buffer: plane with replicate border (av1_extend_frame uses
     # RESTORATION_BORDER=3; use PAD for safety on wiener column rounding)
-    data = np.empty((h + 2 * PAD, w + 2 * PAD), np.uint8)
+    data = np.empty((h + 2 * PAD, w + 2 * PAD), plane.dtype)
     data[PAD:PAD + h, PAD:PAD + w] = plane
     data[PAD:PAD + h, :PAD] = plane[:, :1]
     data[PAD:PAD + h, PAD + w:] = plane[:, w - 1:]
@@ -338,7 +352,7 @@ def filter_frame_plane(plane, pr: PlaneRestoration, ss_y, bounds,
             uw = remaining_w if remaining_w < ext_size else unit_size
             rtype, info = pr.unit_info[ri * pr.hunits + ci]
             _filter_unit(data, dst, v_start, v_end, x0, x0 + uw, rtype,
-                         info, ss_y, h, bounds, optimized)
+                         info, ss_y, h, bounds, optimized, bd)
             x0 += uw
             ci += 1
         y0 += uh
@@ -347,7 +361,7 @@ def filter_frame_plane(plane, pr: PlaneRestoration, ss_y, bounds,
 
 
 def _filter_unit(data, dst, v_start, v_end, h_start, h_end, rtype, info,
-                 ss_y, plane_h, bounds, optimized):
+                 ss_y, plane_h, bounds, optimized, bd=8):
     """av1_loop_restoration_filter_unit (restoration.c:1024)."""
     if rtype == RESTORE_NONE:
         dst[PAD + v_start:PAD + v_end, PAD + h_start:PAD + h_end] = \
@@ -381,7 +395,7 @@ def _filter_unit(data, dst, v_start, v_end, h_start, h_end, rtype, info,
             while j < unit_w:
                 pw = min(PROC_UNIT_SIZE, (unit_w - j + 15) & ~15)
                 out = wiener_filter(data, PAD + ys, PAD + h_start + j,
-                                    pw, sh, info[0], info[1])
+                                    pw, sh, info[0], info[1], bd)
                 dst[PAD + ys:PAD + ys + sh,
                     PAD + h_start + j:PAD + h_start + j + pw] = out
                 j += PROC_UNIT_SIZE
@@ -390,7 +404,7 @@ def _filter_unit(data, dst, v_start, v_end, h_start, h_end, rtype, info,
             while j < unit_w:
                 pw = min(PROC_UNIT_SIZE, unit_w - j)
                 out = sgr_filter(data, PAD + ys, PAD + h_start + j,
-                                 pw, sh, info[0], info[1])
+                                 pw, sh, info[0], info[1], bd)
                 dst[PAD + ys:PAD + ys + sh,
                     PAD + h_start + j:PAD + h_start + j + pw] = out
                 j += PROC_UNIT_SIZE

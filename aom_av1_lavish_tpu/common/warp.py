@@ -209,18 +209,19 @@ def select_samples(mv_row, mv_col, pts, pts_inref, length, bw, bh):
 
 
 def warp_affine(mat, ref, pred, p_col, p_row, p_width, p_height, ss_x, ss_y,
-                alpha, beta, gamma, delta, is_compound=False):
-    """av1_warp_affine_c, 8-bit path (round_0=3; round_1=11 single-ref /
-    7 compound).  ref: the (unpadded) reference plane; pred: output
-    (p_height, p_width) uint8 array (or int32 CONV_BUF when
+                alpha, beta, gamma, delta, is_compound=False, bd=8):
+    """av1_warp_affine_c / av1_highbd_warp_affine_c (round_0=3 growing
+    with bd per the 16-bit im range rule; round_1=11 single-ref / 7
+    compound).  ref: the (unpadded) reference plane; pred: output
+    (p_height, p_width) pixel array (or int32 CONV_BUF when
     is_compound); p_col/p_row: block position in plane pixels."""
     height, width = ref.shape
     r32 = ref.astype(np.int32)
     filt = warp_filter()
-    reduce_bits_horiz = 3
+    reduce_bits_horiz = 3 + max(bd + 7 - 3 - 14, 0)
     reduce_bits_vert = 7 if is_compound else 2 * 7 - reduce_bits_horiz
-    offset_bits_horiz = 8 + 7 - 1
-    offset_bits_vert = 8 + 2 * 7 - reduce_bits_horiz
+    offset_bits_horiz = bd + 7 - 1
+    offset_bits_vert = bd + 2 * 7 - reduce_bits_horiz
     for i in range(p_row, p_row + p_height, 8):
         for j in range(p_col, p_col + p_width, 8):
             src_x = (j + 4) << ss_x
@@ -269,6 +270,8 @@ def warp_affine(mat, ref, pred, p_col, p_row, p_width, p_height, ss_x, ss_y,
             if is_compound:
                 pred[oy:oy + len(kv), ox:ox + len(lv)] = res
             else:
-                out = np.clip(res - (1 << 7) - (1 << 8), 0, 255)
+                sub = ((1 << (offset_bits_vert - reduce_bits_vert))
+                       + (1 << (offset_bits_vert - reduce_bits_vert - 1)))
+                out = np.clip(res - sub, 0, (1 << bd) - 1)
                 pred[oy:oy + len(kv), ox:ox + len(lv)] = \
-                    out.astype(np.uint8)
+                    out.astype(pred.dtype)

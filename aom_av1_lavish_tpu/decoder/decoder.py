@@ -99,7 +99,8 @@ class FrameDecoder(InterDecoderMixin):
                  refs=None):
         self.sh = sh
         self.fh = fh
-        assert sh.bit_depth == 8, "high bitdepth TBD"
+        assert sh.bit_depth in (8, 10, 12), sh.bit_depth
+        self.bd = sh.bit_depth
         self.mi_cols = fh.mi_cols()
         self.mi_rows = fh.mi_rows()
         self.sb_log2 = sh.sb_size_log2
@@ -140,10 +141,11 @@ class FrameDecoder(InterDecoderMixin):
         h = self.mi_rows * 4
         # +64 margin: large-tx blocks at the frame edge may write recon
         # beyond the mi grid (never read back for visible predictions)
-        self.planes = [np.zeros((h + 64, w + 64), dtype=np.uint8)]
+        pix = np.uint8 if self.bd == 8 else np.uint16
+        self.planes = [np.zeros((h + 64, w + 64), dtype=pix)]
         if self.num_planes > 1:
             cw, ch = w >> self.ss_x, h >> self.ss_y
-            self.planes += [np.zeros((ch + 64, cw + 64), dtype=np.uint8)
+            self.planes += [np.zeros((ch + 64, cw + 64), dtype=pix)
                             for _ in range(2)]
         # mode info grid: one BlockInfo ref per 4x4 unit
         self.mi = np.empty((self.mi_rows, self.mi_cols), dtype=object)
@@ -255,8 +257,10 @@ class FrameDecoder(InterDecoderMixin):
                         (fh.delta_q_u_dc, fh.delta_q_u_ac),
                         (fh.delta_q_v_dc, fh.delta_q_v_ac))[plane]
 
+            row = {8: 0, 10: 1, 12: 2}[self.bd]
+
             def q(tbl, qidx):
-                return int(tbl[0][max(0, min(255, qidx))])
+                return int(tbl[row][max(0, min(255, qidx))])
             v = (q(self._dcq, qindex + dcd), q(self._acq, qindex + acd))
             self._dqv_cache[key] = v
         return v
@@ -626,7 +630,7 @@ class FrameDecoder(InterDecoderMixin):
             view = self.planes[plane][:ph, :pw]
             out = LR.filter_frame_plane(view, pr, ss_y,
                                         self.lr_bounds[plane],
-                                        self.lr_optimized)
+                                        self.lr_optimized, self.bd)
             view[:] = out
 
     # --- partition tree ---------------------------------------------------
@@ -1244,7 +1248,8 @@ class FrameDecoder(InterDecoderMixin):
             self.cfl_buf_h = h
         alpha = intra.cfl_idx_to_alpha(bi.cfl_alpha_idx, bi.cfl_joint_sign,
                                        plane - 1)
-        return intra.cfl_predict(dc_pred, self.cfl_buf[:h, :w], alpha)
+        return intra.cfl_predict(dc_pred, self.cfl_buf[:h, :w], alpha,
+                                 self.bd)
 
     def _recon_txb(self, ts, rd, bi, plane, plane_bsize, tx_size, row0, col0,
                    row_off, col_off, up_avail, left_avail, chroma_up,
@@ -1318,7 +1323,7 @@ class FrameDecoder(InterDecoderMixin):
             n_left_px=min(txhpx, yd + txhpx) if have_left else 0,
             n_bottomleft_px=(min(txhpx, yd) if have_bl > 0 else have_bl),
             disable_edge_filter=not sh.enable_intra_edge_filter,
-            intra_edge_filter_type=edge_type)
+            intra_edge_filter_type=edge_type, bd=self.bd)
 
         if plane and bi.uv_mode == c.UV_CFL_PRED:
             pred = self._cfl_predict(bi, pred, plane)
@@ -1349,7 +1354,7 @@ class FrameDecoder(InterDecoderMixin):
                                               self.fh.reduced_tx_set)
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
-            dqv_dc, dqv_ac)
+            dqv_dc, dqv_ac, self.bd)
         pbw4 = blockd.block_wide(plane_bsize) >> 2
         pbh4 = blockd.block_high(plane_bsize) >> 2
         vis_w4 = pbw4 + (min(mb_to_right, 0) >> (2 + ss_x))
@@ -1363,13 +1368,14 @@ class FrameDecoder(InterDecoderMixin):
                 block = ref[py:py + txhpx, px:px + txwpx].astype(np.int32) \
                     + res
                 ref[py:py + txhpx, px:px + txwpx] = \
-                    np.clip(block, 0, 255).astype(np.uint8)
+                    np.clip(block, 0, (1 << self.bd) - 1).astype(ref.dtype)
             else:
                 from ..common import txfm2d as T2
                 tt = (tx_type if isinstance(tx_type, int)
                       else self._last_tx_type)
                 ref[py:py + txhpx, px:px + txwpx] = T2.inv_txfm2d_add(
-                    dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt)
+                    dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt,
+                    self.bd)
 
 
     def _make_tx_type_reader(self, ts, rd, bi, tx_size):
@@ -1444,7 +1450,8 @@ class FrameDecoder(InterDecoderMixin):
             (self.tx_wide_grid >> 2).astype(np.int64),
             (self.tx_high_grid >> 2).astype(np.int64),
             bsg, ref_grid, mode_grid, skip_inter, plane_tx,
-            seg_grid=self.seg_map if fh.segmentation_enabled else None)
+            seg_grid=self.seg_map if fh.segmentation_enabled else None,
+            bd=self.bd)
 
     def output(self):
         w, h = self.fh.frame_width, self.fh.frame_height

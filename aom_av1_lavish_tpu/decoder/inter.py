@@ -1178,7 +1178,7 @@ class InterDecoderMixin:
             self._last_tx_type = tt
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
-            dqv_dc, dqv_ac)
+            dqv_dc, dqv_ac, self.bd)
         if plane == 0 and eob == 0:
             self.tx_type_map[mi_row + row_off + mm,
                              mi_col + col_off + mm] = c.DCT_DCT
@@ -1193,7 +1193,8 @@ class InterDecoderMixin:
             from ..common import txfm2d as T2
             tt = self._last_tx_type
             ref[py:py + txhpx, px:px + txwpx] = T2.inv_txfm2d_add(
-                dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt)
+                dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt,
+                self.bd)
 
     def _make_inter_tx_type_reader(self, ts, rd, tx_size, cell_row,
                                    cell_col):
@@ -1253,7 +1254,7 @@ class InterDecoderMixin:
             n_left_px=min(b_h, yd + b_h) if left_avail else 0,
             n_bottomleft_px=-1,
             disable_edge_filter=not self.sh.enable_intra_edge_filter,
-            intra_edge_filter_type=edge_type)
+            intra_edge_filter_type=edge_type, bd=self.bd)
         if bi.use_wedge_interintra:
             # INTERINTRA_WEDGE_SIGN == 0 (blockd.h:40)
             mask = IP.wedge_mask(bi.bsize, 0, bi.interintra_wedge_index)
@@ -1342,7 +1343,7 @@ class InterDecoderMixin:
                             self._ref_pad(sref, plane), pre_x + x, pre_y + y,
                             b4_w, b4_h, int(smv[0]), int(smv[1]), ss_x, ss_y,
                             mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                            sfx, sfy)
+                            sfx, sfy, self.bd)
                         dst[pre_y + y:pre_y + y + b4_h,
                             pre_x + x:pre_x + x + b4_w] = pred
                         col += 1
@@ -1373,7 +1374,7 @@ class InterDecoderMixin:
                         bufs = IP.compound_conv_bufs(
                             pads, x0, y0, b_w, b_h, bi.mv, ss_x, ss_y,
                             mb_to_left, mb_to_right, mb_to_top,
-                            mb_to_bottom, fx, fy, warp_specs)
+                            mb_to_bottom, fx, fy, warp_specs, self.bd)
                         if bi.comp_type == 1:
                             mask = IP.wedge_mask(bsize, bi.wedge_sign,
                                                  bi.wedge_index)
@@ -1381,38 +1382,39 @@ class InterDecoderMixin:
                             if plane == 0:
                                 self._diffwtd_mask = IP.diffwtd_mask_d16(
                                     bufs[0], bufs[1],
-                                    bool(bi.mask_type))
+                                    bool(bi.mask_type), self.bd)
                             mask = self._diffwtd_mask
                         pred = IP.blend_a64_d16(bufs[0], bufs[1], mask,
-                                                ss_x, ss_y)
+                                                ss_x, ss_y, self.bd)
                     else:
                         use_dw, fo, bo = self._dist_wtd_weights(bi)
                         if have_warp:
                             bufs = IP.compound_conv_bufs(
                                 pads, x0, y0, b_w, b_h, bi.mv, ss_x,
                                 ss_y, mb_to_left, mb_to_right, mb_to_top,
-                                mb_to_bottom, fx, fy, warp_specs)
+                                mb_to_bottom, fx, fy, warp_specs, self.bd)
                             pred = IP.compound_average(
-                                bufs[0], bufs[1], use_dw, fo, bo)
+                                bufs[0], bufs[1], use_dw, fo, bo, self.bd)
                         else:
                             pred = IP.predict_inter_compound(
                                 pads, x0, y0, b_w, b_h, bi.mv, ss_x,
                                 ss_y, mb_to_left, mb_to_right, mb_to_top,
-                                mb_to_bottom, fx, fy, use_dw, fo, bo)
+                                mb_to_bottom, fx, fy, use_dw, fo, bo,
+                                self.bd)
                 elif (wp0 := self._warp_params(bi, 0, b_w, b_h)) \
                         is not None:
                     from ..common import warp as WP
                     mat, shear = wp0
-                    pred = np.empty((b_h, b_w), np.uint8)
+                    pred = np.empty((b_h, b_w), dst.dtype)
                     WP.warp_affine(mat, self.refs[bi.ref_frame[0]][plane],
                                    pred, x0, y0, b_w, b_h, ss_x, ss_y,
-                                   *shear)
+                                   *shear, bd=self.bd)
                 else:
                     pred = IP.predict_inter_block(
                         self._ref_pad(bi.ref_frame[0], plane), x0, y0, b_w,
                         b_h, bi.mv[0][0], bi.mv[0][1], ss_x, ss_y,
                         mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                        fx, fy)
+                        fx, fy, self.bd)
                 if getattr(bi, "interintra", 0):
                     pred = self._interintra_blend(bi, plane, x0, y0, b_w,
                                                   b_h, pred, ss_x, ss_y)
@@ -1525,13 +1527,14 @@ class InterDecoderMixin:
                         tmp = IP.predict_inter_block(
                             self._ref_pad(nb.ref_frame[0], plane), x0, y0,
                             pw, ph, nb.mv[0][0], nb.mv[0][1], ss_x, ss_y,
-                            mb_l, mb_r, -mi_y, adj_bottom, nfx, nfy)
+                            mb_l, mb_r, -mi_y, adj_bottom, nfx, nfy,
+                            self.bd)
                         bh_b = overlap >> ss_y
                         mask = self._OBMC_MASKS[bh_b][:, None]
                         dstp = self.planes[plane]
                         cur = dstp[y0:y0 + bh_b, x0:x0 + pw].astype(np.int32)
                         nbp = tmp[:bh_b].astype(np.int32)
-                        dstp[y0:y0 + bh_b, x0:x0 + pw] =                             ((mask * cur + (64 - mask) * nbp + 32) >> 6)                             .astype(np.uint8)
+                        dstp[y0:y0 + bh_b, x0:x0 + pw] =                             ((mask * cur + (64 - mask) * nbp + 32) >> 6)                             .astype(dstp.dtype)
                 acol += step
 
         # --- left pass ---
@@ -1569,11 +1572,12 @@ class InterDecoderMixin:
                         tmp = IP.predict_inter_block(
                             self._ref_pad(nb.ref_frame[0], plane), x0, y0,
                             pw, ph, nb.mv[0][0], nb.mv[0][1], ss_x, ss_y,
-                            -mi_x, adj_right, mb_t, mb_b, nfx, nfy)
+                            -mi_x, adj_right, mb_t, mb_b, nfx, nfy,
+                            self.bd)
                         bw_b = overlap >> ss_x
                         mask = self._OBMC_MASKS[bw_b][None, :]
                         dstp = self.planes[plane]
                         cur = dstp[y0:y0 + ph, x0:x0 + bw_b].astype(np.int32)
                         nbp = tmp[:, :bw_b].astype(np.int32)
-                        dstp[y0:y0 + ph, x0:x0 + bw_b] =                             ((mask * cur + (64 - mask) * nbp + 32) >> 6)                             .astype(np.uint8)
+                        dstp[y0:y0 + ph, x0:x0 + bw_b] =                             ((mask * cur + (64 - mask) * nbp + 32) >> 6)                             .astype(dstp.dtype)
                 arow += step

@@ -1,6 +1,7 @@
 """Y4M (YUV4MPEG2) file read/write (reference behavior: common/y4minput.c).
 
-Frames are planar numpy arrays (y, u, v) in uint8 (8-bit) or uint16.
+Frames are planar numpy arrays (y, u, v) in uint8 (8-bit) or uint16
+(10/12-bit, C420p10/C420p12 little-endian sample layout).
 """
 
 from __future__ import annotations
@@ -9,21 +10,27 @@ import numpy as np
 
 
 def write_y4m(path: str, frames, width: int, height: int,
-              fps=(30, 1), subsampling: str = "420") -> None:
-    """frames: iterable of (y, u, v) uint8 arrays."""
+              fps=(30, 1), subsampling: str = "420",
+              bit_depth: int = 8) -> None:
+    """frames: iterable of (y, u, v) planar arrays (uint8 or uint16)."""
     tag = {"420": "420jpeg", "422": "422", "444": "444"}[subsampling]
+    if bit_depth > 8:
+        tag = {"420": "420", "422": "422", "444": "444"}[subsampling] \
+            + f"p{bit_depth}"
+    dtype = "<u2" if bit_depth > 8 else np.uint8
     with open(path, "wb") as f:
         f.write(f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} "
                 f"Ip A0:0 C{tag}\n".encode())
         for y, u, v in frames:
             f.write(b"FRAME\n")
-            f.write(np.ascontiguousarray(y, dtype=np.uint8).tobytes())
-            f.write(np.ascontiguousarray(u, dtype=np.uint8).tobytes())
-            f.write(np.ascontiguousarray(v, dtype=np.uint8).tobytes())
+            f.write(np.ascontiguousarray(y).astype(dtype).tobytes())
+            f.write(np.ascontiguousarray(u).astype(dtype).tobytes())
+            f.write(np.ascontiguousarray(v).astype(dtype).tobytes())
 
 
 def read_y4m(path: str):
-    """Return (frames, width, height, subsampling); frames = list of (y,u,v)."""
+    """Return (frames, width, height, subsampling); frames = list of
+    (y, u, v).  10/12-bit files (C*p10/C*p12) yield uint16 planes."""
     with open(path, "rb") as f:
         header = b""
         while not header.endswith(b"\n"):
@@ -32,21 +39,29 @@ def read_y4m(path: str):
         assert fields[0] == "YUV4MPEG2"
         width = height = None
         sub = "420"
+        bit_depth = 8
         for fd in fields[1:]:
             if fd[0] == "W":
                 width = int(fd[1:])
             elif fd[0] == "H":
                 height = int(fd[1:])
             elif fd[0] == "C":
-                if fd[1:].startswith("420"):
+                cs = fd[1:]
+                if cs.startswith("420"):
                     sub = "420"
-                elif fd[1:].startswith("422"):
+                elif cs.startswith("422"):
                     sub = "422"
-                elif fd[1:].startswith("444"):
+                elif cs.startswith("444"):
                     sub = "444"
+                if cs.endswith("p10"):
+                    bit_depth = 10
+                elif cs.endswith("p12"):
+                    bit_depth = 12
         sx = 2 if sub in ("420", "422") else 1
         sy = 2 if sub == "420" else 1
         cw, ch = (width + sx - 1) // sx, (height + sy - 1) // sy
+        nbytes = 2 if bit_depth > 8 else 1
+        dtype = "<u2" if bit_depth > 8 else np.uint8
         frames = []
         while True:
             line = b""
@@ -57,9 +72,9 @@ def read_y4m(path: str):
             while not line.endswith(b"\n"):
                 line += f.read(1)
             assert line.startswith(b"FRAME")
-            y = np.frombuffer(f.read(width * height), dtype=np.uint8)
-            u = np.frombuffer(f.read(cw * ch), dtype=np.uint8)
-            v = np.frombuffer(f.read(cw * ch), dtype=np.uint8)
+            y = np.frombuffer(f.read(width * height * nbytes), dtype=dtype)
+            u = np.frombuffer(f.read(cw * ch * nbytes), dtype=dtype)
+            v = np.frombuffer(f.read(cw * ch * nbytes), dtype=dtype)
             frames.append((y.reshape(height, width), u.reshape(ch, cw),
                            v.reshape(ch, cw)))
         return frames, width, height, sub

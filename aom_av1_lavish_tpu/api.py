@@ -54,6 +54,7 @@ class EncoderConfig:
     gf_length: int = 8
     use_arf: bool = True
     lossless: bool = False
+    bit_depth: int = 8               # 8 | 10 | 12 (10/12 use uint16 planes)
     # tools
     enable_cdef: bool = True
     deblock: bool = True
@@ -79,6 +80,10 @@ class EncoderConfig:
         rng("gf_length", self.gf_length, 1, 32)
         rng("tile_cols_log2", self.tile_cols_log2, 0, 6)
         rng("tile_rows_log2", self.tile_rows_log2, 0, 6)
+        if self.bit_depth not in (8, 10, 12):
+            raise ValueError(f"bit_depth={self.bit_depth} not in (8,10,12)")
+        if self.lossless and self.bit_depth != 8:
+            raise ValueError("lossless path is 8-bit only for now")
         if self.rc_mode in (MODE_CBR, MODE_VBR) and self.target_bps <= 0:
             raise ValueError("CBR/VBR needs target_bps > 0")
         if self.fps <= 0:
@@ -119,9 +124,9 @@ class Encoder:
             raise ValueError(
                 f"luma shape {y.shape} != configured "
                 f"{(self.cfg.height, self.cfg.width)}")
-        self._frames.append((np.asarray(y, np.uint8),
-                             np.asarray(u, np.uint8),
-                             np.asarray(v, np.uint8)))
+        pix = np.uint8 if self.cfg.bit_depth == 8 else np.uint16
+        self._frames.append((np.asarray(y, pix), np.asarray(u, pix),
+                             np.asarray(v, pix)))
 
     def flush(self) -> list:
         """Encode all queued frames; returns display-ordered payloads."""
@@ -159,7 +164,8 @@ class Encoder:
                 gf_length=cfg.gf_length, kf_interval=cfg.kf_interval,
                 use_arf=cfg.use_arf, use_tpu=cfg.use_tpu,
                 use_native=cfg.use_native, enable_cdef=cfg.enable_cdef,
-                tune=cfg.tune, luma_bias=cfg.luma_bias)
+                tune=cfg.tune, luma_bias=cfg.luma_bias,
+                bit_depth=cfg.bit_depth)
             payloads = genc.encode_sequence(self._frames)
         self._frames = []
         return payloads

@@ -285,8 +285,9 @@ class FrameHeader:
     order_hint: int = 0
     primary_ref_frame: int = PRIMARY_REF_NONE
     refresh_frame_flags: int = 0xFF
-    frame_width: int = 0
+    frame_width: int = 0        # coded (superres-downscaled) width
     frame_height: int = 0
+    upscaled_width: int = 0     # display width (== frame_width w/o superres)
     render_width: int = 0
     render_height: int = 0
     superres_denom: int = SUPERRES_NUM
@@ -686,9 +687,10 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
             if sh.frame_id_numbers_present:
                 r.read_literal(sh.delta_frame_id_length)  # delta_frame_id
         fh.ref_frame_idx = tuple(refs)
-        assert not (not fh.error_resilient_mode and fh.frame_size_override), \
-            "frame_size_with_refs TBD"
-        _parse_frame_size(fh, sh, r)
+        if fh.frame_size_override and not fh.error_resilient_mode:
+            _parse_frame_size_with_refs(fh, sh, r, ref_state)
+        else:
+            _parse_frame_size(fh, sh, r)
         if fh.force_integer_mv:
             fh.allow_high_precision_mv = 0
         else:
@@ -1054,6 +1056,36 @@ def _parse_global_motion(fh: FrameHeader, r: BitReader,
     fh.gm_params = tuple(gm_params)
 
 
+def _parse_frame_size_with_refs(fh: FrameHeader, sh: SequenceHeader,
+                                r, ref_state) -> None:
+    """spec 5.9.7 frame_size_with_refs: found_ref copies the ref's
+    upscaled + render size, then superres_params derives the coded
+    width."""
+    found = False
+    for i in range(7):
+        if r.read_bit():
+            found = True
+            sizes = (ref_state or {}).get("sizes", {}) \
+                .get(fh.ref_frame_idx[i])
+            assert sizes is not None, "ref size unavailable for found_ref"
+            (fh.upscaled_width, fh.frame_height,
+             fh.render_width, fh.render_height) = sizes
+            fh.frame_width = fh.upscaled_width
+            break
+    if not found:
+        _parse_frame_size(fh, sh, r)
+        return
+    # superres_params + compute_image_size
+    fh.superres_denom = SUPERRES_NUM
+    if sh.enable_superres and r.read_bit():
+        fh.superres_denom = r.read_literal(SUPERRES_DENOM_BITS) + \
+            SUPERRES_DENOM_MIN
+    fh.upscaled_width = fh.frame_width
+    if fh.superres_denom != SUPERRES_NUM:
+        fh.frame_width = (fh.upscaled_width * SUPERRES_NUM
+                          + fh.superres_denom // 2) // fh.superres_denom
+
+
 def _parse_frame_size(fh: FrameHeader, sh: SequenceHeader,
                       r: BitReader) -> None:
     if fh.frame_size_override:
@@ -1062,15 +1094,22 @@ def _parse_frame_size(fh: FrameHeader, sh: SequenceHeader,
     else:
         fh.frame_width, fh.frame_height = sh.max_frame_width, \
             sh.max_frame_height
+    # superres_params (spec 5.9.8): the parsed width is UpscaledWidth;
+    # the coded FrameWidth is derived from the denominator
     fh.superres_denom = SUPERRES_NUM
     if sh.enable_superres and r.read_bit():
         fh.superres_denom = r.read_literal(SUPERRES_DENOM_BITS) + \
             SUPERRES_DENOM_MIN
+    fh.upscaled_width = fh.frame_width
+    if fh.superres_denom != SUPERRES_NUM:
+        fh.frame_width = (fh.upscaled_width * SUPERRES_NUM
+                          + fh.superres_denom // 2) // fh.superres_denom
     if r.read_bit():
         fh.render_width = r.read_literal(16) + 1
         fh.render_height = r.read_literal(16) + 1
     else:
-        fh.render_width, fh.render_height = fh.frame_width, fh.frame_height
+        fh.render_width = fh.upscaled_width
+        fh.render_height = fh.frame_height
 
 
 def get_relative_dist(sh: SequenceHeader, a: int, b: int) -> int:

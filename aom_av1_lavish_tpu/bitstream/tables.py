@@ -113,6 +113,7 @@ _SHAPES = {
     "av1_default_eob_multi512_cdfs": (4, c.PLANE_TYPES, 2, 11),
     "av1_default_eob_multi1024_cdfs": (4, c.PLANE_TYPES, 2, 12),
     "dc_quant_qtx": (3, 256),
+    "resize_filter_normative": (64, 8),
     "ac_quant_qtx": (3, 256),
 }
 

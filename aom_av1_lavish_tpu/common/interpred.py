@@ -406,3 +406,114 @@ def blend_a64_mask_pixel(intra, inter, mask, subw, subh):
     out = (m * intra.astype(np.int32)
            + (64 - m) * inter.astype(np.int32) + 32) >> 6
     return out.astype(inter.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Scaled-reference prediction (superres / resized refs)
+# av1/common/convolve.c:395 av1_convolve_2d_scale_c (+ highbd variant),
+# av1/common/scale.c av1_setup_scale_factors_for_frame,
+# av1/decoder/decodeframe.c:546 dec_calc_subpel_params (is_scaled branch).
+
+REF_SCALE_SHIFT = 14
+REF_NO_SCALE = 1 << REF_SCALE_SHIFT
+SCALE_SUBPEL_BITS = 10
+SCALE_SUBPEL_MASK = (1 << SCALE_SUBPEL_BITS) - 1
+SCALE_EXTRA_BITS = SCALE_SUBPEL_BITS - SUBPEL_BITS
+SCALE_EXTRA_OFF = 1 << (SCALE_EXTRA_BITS - 1)
+
+
+def scale_factors(ref_w, ref_h, cur_w, cur_h):
+    """(x_scale_fp, y_scale_fp, x_step_qn, y_step_qn); fp is q14, step is
+    the per-output-pixel q10 source advance."""
+    xfp = ((ref_w << REF_SCALE_SHIFT) + cur_w // 2) // cur_w
+    yfp = ((ref_h << REF_SCALE_SHIFT) + cur_h // 2) // cur_h
+    rnd = 1 << (REF_SCALE_SHIFT - SCALE_SUBPEL_BITS - 1)
+    return (xfp, yfp, (xfp + rnd) >> (REF_SCALE_SHIFT - SCALE_SUBPEL_BITS),
+            (yfp + rnd) >> (REF_SCALE_SHIFT - SCALE_SUBPEL_BITS))
+
+
+def is_scaled(sf) -> bool:
+    return sf[0] != REF_NO_SCALE or sf[1] != REF_NO_SCALE
+
+
+def scaled_pos(val_q4: int, scale_fp: int) -> int:
+    """av1_scaled_x/_y: q4 position -> q10 source position (pre-offset).
+    ROUND_POWER_OF_TWO_SIGNED_64 rounds the magnitude for negatives."""
+    off = (scale_fp - REF_NO_SCALE) * (1 << (SUBPEL_BITS - 1))
+    tval = val_q4 * scale_fp + off
+    sh = REF_SCALE_SHIFT - SCALE_EXTRA_BITS
+    add = 1 << (sh - 1)
+    if tval >= 0:
+        return (tval + add) >> sh
+    return -((-tval + add) >> sh)
+
+
+def _scale_block_pos(x0, y0, mv_row, mv_col, ss_x, ss_y, sf, ref_w, ref_h,
+                     margin=PAD - 16):
+    """dec_calc_subpel_params scaled branch: returns q10 (pos_x, pos_y)
+    of output pixel (0,0) in the ref plane, offset+clamped.  The clamp
+    margin differs from the reference's (288-px border) but all clamped
+    positions land in replicate-extended border, so pixels match."""
+    orig_x = (x0 << SUBPEL_BITS) + mv_col * (1 << (1 - ss_x))
+    orig_y = (y0 << SUBPEL_BITS) + mv_row * (1 << (1 - ss_y))
+    pos_x = scaled_pos(orig_x, sf[0]) + SCALE_EXTRA_OFF
+    pos_y = scaled_pos(orig_y, sf[1]) + SCALE_EXTRA_OFF
+    top = -(margin >> ss_y) << SCALE_SUBPEL_BITS
+    left = -(margin >> ss_x) << SCALE_SUBPEL_BITS
+    bottom = (ref_h + AOM_INTERP_EXTEND) << SCALE_SUBPEL_BITS
+    right = (ref_w + AOM_INTERP_EXTEND) << SCALE_SUBPEL_BITS
+    return (min(max(pos_x, left), right), min(max(pos_y, top), bottom))
+
+
+def convolve_scale(ref_pad, pos_x, pos_y, xs, ys, bw, bh, kern_x, kern_y,
+                   bd=8, is_compound=False):
+    """av1_convolve_2d_scale_c on a PAD-extended ref plane.
+
+    pos_x/pos_y: q10 position of output (0,0) (from _scale_block_pos);
+    xs/ys: q10 steps.  Returns pixels (bh, bw), or the int32 CONV_BUF
+    when is_compound."""
+    r0, r1 = conv_rounds(bd, is_compound)
+    subx = pos_x & SCALE_SUBPEL_MASK
+    suby = pos_y & SCALE_SUBPEL_MASK
+    bx = (pos_x >> SCALE_SUBPEL_BITS) + PAD
+    by = (pos_y >> SCALE_SUBPEL_BITS) + PAD
+    im_h = (((bh - 1) * ys + suby) >> SCALE_SUBPEL_BITS) + 8
+    # horizontal pass: rows by-3 .. by-3+im_h
+    x_qn = subx + xs * np.arange(bw, dtype=np.int64)
+    ix = (x_qn >> SCALE_SUBPEL_BITS).astype(np.int64)
+    xph = ((x_qn & SCALE_SUBPEL_MASK) >> SCALE_EXTRA_BITS).astype(np.int64)
+    rows = ref_pad[by - 3:by - 3 + im_h].astype(np.int32)
+    idx = bx + ix[:, None] + np.arange(8)[None, :] - 3   # (bw, 8)
+    samples = rows[:, idx]                               # (im_h, bw, 8)
+    coef_x = kern_x[xph]                                 # (bw, 8)
+    hsum = (samples * coef_x[None]).sum(-1) \
+        + (1 << (bd + FILTER_BITS - 1))
+    im = _round2(hsum, r0).astype(np.int16).astype(np.int32)  # (im_h, bw)
+    # vertical pass
+    y_qn = suby + ys * np.arange(bh, dtype=np.int64)
+    iy = (y_qn >> SCALE_SUBPEL_BITS).astype(np.int64)
+    yph = ((y_qn & SCALE_SUBPEL_MASK) >> SCALE_EXTRA_BITS).astype(np.int64)
+    ridx = iy[:, None] + np.arange(8)[None, :]           # (bh, 8)
+    vsamp = im[ridx]                                     # (bh, 8, bw)
+    coef_y = kern_y[yph]                                 # (bh, 8)
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    vsum = (vsamp * coef_y[:, :, None]).sum(1) + (1 << offset_bits)
+    res = _round2(vsum, r1)
+    if is_compound:
+        return res
+    bits = 2 * FILTER_BITS - r0 - r1
+    tmp = res - ((1 << (offset_bits - r1)) + (1 << (offset_bits - r1 - 1)))
+    return np.clip(_round2(tmp, bits) if bits > 0 else tmp, 0,
+                   (1 << bd) - 1).astype(pix_dtype(bd))
+
+
+def predict_inter_block_scaled(ref_pad, ref_w, ref_h, x0, y0, bw, bh,
+                               mv_row, mv_col, ss_x, ss_y, sf,
+                               filt_x, filt_y, bd=8, is_compound=False):
+    """Scaled-reference motion compensation for one block."""
+    pos_x, pos_y = _scale_block_pos(x0, y0, mv_row, mv_col, ss_x, ss_y,
+                                    sf, ref_w, ref_h)
+    kx = filter_kernels(filt_x, bw)
+    ky = filter_kernels(filt_y, bh)
+    return convolve_scale(ref_pad, pos_x, pos_y, sf[2], sf[3], bw, bh,
+                          kx, ky, bd, is_compound)

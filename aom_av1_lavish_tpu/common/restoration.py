@@ -263,12 +263,28 @@ class PlaneRestoration:
         self.unit_info = [(RESTORE_NONE, None)] * (self.hunits * self.vunits)
 
 
-def save_boundary_lines(plane, ss_y, after_cdef, bounds):
+def save_boundary_lines(plane, ss_y, after_cdef, bounds, upscale_to=None,
+                        bd=8, upscale_in_w=None):
     """av1_loop_restoration_save_boundary_lines (restoration.c:1563) for
     one plane.  plane: current (deblocked or CDEFed) pixels; bounds:
     dict with 'above'/'below' arrays [n_stripes][CTX_VERT][w+8] (with 4px
-    horizontal extension, RESTORATION_EXTRA_HORZ)."""
+    horizontal extension, RESTORATION_EXTRA_HORZ).  upscale_to: superres
+    target width — pre-CDEF lines are upscaled at save time
+    (save_deblock_boundary_lines)."""
     h, w = plane.shape
+    if upscale_to is not None:
+        from . import resize as RS
+        logical_w = upscale_in_w if upscale_in_w is not None else w
+
+        def _xform(rows):
+            return RS.upscale_normative_rows(rows, upscale_to, bd,
+                                             in_w=logical_w)
+        w_out = upscale_to
+        w = logical_w
+    else:
+        def _xform(rows):
+            return rows
+        w_out = w
     stripe_height = PROC_UNIT_SIZE >> ss_y
     stripe_off = UNIT_OFFSET >> ss_y
     tile_stripe = 0
@@ -283,13 +299,14 @@ def save_boundary_lines(plane, ss_y, after_cdef, bounds):
         use_deblock_below = y1 < h
         if not after_cdef:
             if use_deblock_above:
-                rows = plane[y0 - CTX_VERT:y0]
-                bounds["above"][tile_stripe] = _extend_rows(rows, w)
+                rows = _xform(plane[y0 - CTX_VERT:y0])
+                bounds["above"][tile_stripe] = _extend_rows(rows, w_out)
             if use_deblock_below:
                 rows = plane[y1:y1 + CTX_VERT]
                 if rows.shape[0] == 1:
                     rows = np.repeat(rows, CTX_VERT, axis=0)
-                bounds["below"][tile_stripe] = _extend_rows(rows, w)
+                bounds["below"][tile_stripe] = _extend_rows(_xform(rows),
+                                                            w_out)
         else:
             if not use_deblock_above:
                 rows = np.repeat(plane[y0:y0 + 1], CTX_VERT, axis=0)

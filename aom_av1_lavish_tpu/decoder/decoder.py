@@ -111,6 +111,9 @@ class FrameDecoder(InterDecoderMixin):
         self.ss_x = sh.subsampling_x
         self.ss_y = sh.subsampling_y
         self.lossless = fh.coded_lossless(sh)
+        # superres: coded at fh.frame_width, output at upscaled_width
+        self.superres = (fh.superres_denom != H.SUPERRES_NUM)
+        self.upscaled_width = fh.upscaled_width or fh.frame_width
         self._cdef_tx = [False] * 4
         # loop restoration (decode_restoration_mode, decodeframe.c:1494)
         self.lr = None
@@ -124,7 +127,9 @@ class FrameDecoder(InterDecoderMixin):
             for p in range(self.num_planes):
                 ss_x = self.ss_x if p else 0
                 ss_y = self.ss_y if p else 0
-                pw = (fh.frame_width + ss_x) >> ss_x
+                # LR geometry spans the upscaled frame (restoration.c:
+                # av1_whole_frame_rect uses superres_upscaled_width)
+                pw = (self.upscaled_width + ss_x) >> ss_x
                 ph = (fh.frame_height + ss_y) >> ss_y
                 self.lr.append(LR.PlaneRestoration(
                     fh.lr_type[p], sizes[p], pw, ph))
@@ -136,7 +141,7 @@ class FrameDecoder(InterDecoderMixin):
                                                    or fh.cdef_y_sec[0]))
                             or (fh.cdef_uv_pri and (fh.cdef_uv_pri[0]
                                                     or fh.cdef_uv_sec[0]))))
-            self.lr_optimized = not do_cdef
+            self.lr_optimized = not do_cdef and not self.superres
         w = self.mi_cols * 4
         h = self.mi_rows * 4
         # +64 margin: large-tx blocks at the frame edge may write recon
@@ -602,7 +607,9 @@ class FrameDecoder(InterDecoderMixin):
 
     def save_lr_boundaries(self, after_cdef):
         """av1_loop_restoration_save_boundary_lines; no-op when LR is off
-        or the optimized (no-cdef) path is in use."""
+        or the optimized (no-cdef) path is in use.  Pre-CDEF (deblock)
+        lines from a superres frame are upscaled at save time
+        (restoration.c save_deblock_boundary_lines)."""
         if self.lr is None or self.lr_optimized:
             return
         from ..common import restoration as LR
@@ -611,9 +618,43 @@ class FrameDecoder(InterDecoderMixin):
             ss_y = self.ss_y if plane else 0
             pw = (self.fh.frame_width + ss_x) >> ss_x
             ph = (self.fh.frame_height + ss_y) >> ss_y
+            up_w = None
+            if self.superres and not after_cdef:
+                up_w = (self.upscaled_width + ss_x) >> ss_x
+                # the last tile column reads up to the mi-aligned width
+                # before replicating (resize.c:1307 downscaled_x1)
+                mi_w = (self.mi_cols * 4) >> ss_x
+                view = self.planes[plane][:ph, :mi_w]
+                LR.save_boundary_lines(view, ss_y, after_cdef,
+                                       self.lr_bounds[plane],
+                                       upscale_to=up_w, bd=self.bd,
+                                       upscale_in_w=pw)
+                continue
             view = self.planes[plane][:ph, :pw]
             LR.save_boundary_lines(view, ss_y, after_cdef,
-                                   self.lr_bounds[plane])
+                                   self.lr_bounds[plane], upscale_to=up_w,
+                                   bd=self.bd)
+
+    def apply_superres(self):
+        """superres_post_decode (decodeframe.c:5123): normative
+        horizontal upscale of every plane, after CDEF, before LR."""
+        if not self.superres:
+            return
+        from ..common import resize as RS
+        new_planes = []
+        for plane in range(self.num_planes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            pw = (self.fh.frame_width + ss_x) >> ss_x
+            ph = (self.fh.frame_height + ss_y) >> ss_y
+            out_w = (self.upscaled_width + ss_x) >> ss_x
+            mi_w = (self.mi_cols * 4) >> ss_x
+            up = RS.upscale_normative_rows(
+                self.planes[plane][:ph, :mi_w], out_w, self.bd, in_w=pw)
+            buf = np.zeros((ph + 64, out_w + 64), self.planes[plane].dtype)
+            buf[:ph, :out_w] = up
+            new_planes.append(buf)
+        self.planes = new_planes
 
     def apply_loop_restoration(self):
         if self.lr is None:
@@ -625,7 +666,7 @@ class FrameDecoder(InterDecoderMixin):
                 continue
             ss_y = self.ss_y if plane else 0
             ss_x = self.ss_x if plane else 0
-            pw = (self.fh.frame_width + ss_x) >> ss_x
+            pw = (self.upscaled_width + ss_x) >> ss_x
             ph = (self.fh.frame_height + ss_y) >> ss_y
             view = self.planes[plane][:ph, :pw]
             out = LR.filter_frame_plane(view, pr, ss_y,
@@ -1454,7 +1495,7 @@ class FrameDecoder(InterDecoderMixin):
             bd=self.bd)
 
     def output(self):
-        w, h = self.fh.frame_width, self.fh.frame_height
+        w, h = self.upscaled_width, self.fh.frame_height
         y = self.planes[0][:h, :w]
         if self.num_planes == 1:
             return y, None, None
@@ -1578,6 +1619,7 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
     dec.apply_loop_filter()
     dec.save_lr_boundaries(0)
     dec.apply_cdef()
+    dec.apply_superres()
     dec.save_lr_boundaries(1)
     dec.apply_loop_restoration()
     out = dec.output()
@@ -1614,6 +1656,7 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
         state.setdefault("deltas", {})
         state.setdefault("gm", {})
         state.setdefault("seg", {})
+        state.setdefault("sizes", {})
         seg_store = ((fh.seg_feature_mask, fh.seg_feature_data)
                      if fh.segmentation_enabled
                      else ((0,) * 8, tuple((0,) * 8 for _ in range(8))))
@@ -1623,6 +1666,9 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
                 state["deltas"][slot] = (fh.ref_deltas, fh.mode_deltas)
                 state["gm"][slot] = fh.gm_params
                 state["seg"][slot] = seg_store
+                state["sizes"][slot] = (
+                    dec.upscaled_width, fh.frame_height,
+                    fh.render_width, fh.render_height)
     return out
 
 

@@ -674,7 +674,8 @@ class InterDecoderMixin:
                                                up_avail, left_avail):
             return c.SIMPLE_TRANSLATION
         if (bi.num_proj_ref >= 1 and self.fh.allow_warped_motion
-                and not self.fh.force_integer_mv):
+                and not self.fh.force_integer_mv
+                and not IP.is_scaled(self._ref_sf(bi.ref_frame[0]))):
             return c.WARPED_CAUSAL
         return c.OBMC_CAUSAL
 
@@ -1227,6 +1228,81 @@ class InterDecoderMixin:
             self._ref_pad_cache[key] = pad
         return pad
 
+    def _ref_sf(self, ref_enum):
+        """Scale factors of a reference vs the current coded frame size
+        (av1_setup_scale_factors_for_frame; ref stored at its upscaled
+        size)."""
+        cache = getattr(self, "_ref_sf_cache", None)
+        if cache is None:
+            cache = self._ref_sf_cache = {}
+        sf = cache.get(ref_enum)
+        if sf is None:
+            rh, rw = self.refs[ref_enum][0].shape
+            sf = IP.scale_factors(rw, rh, self.fh.frame_width,
+                                  self.fh.frame_height)
+            cache[ref_enum] = sf
+        return sf
+
+    def _mc_single(self, ref_enum, plane, x0, y0, b_w, b_h, mv, ss_x, ss_y,
+                   mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                   fx, fy):
+        """Single-ref MC dispatching on scaled vs unscaled refs."""
+        sf = self._ref_sf(ref_enum)
+        if IP.is_scaled(sf):
+            rp = self.refs[ref_enum][plane]
+            rh, rw = rp.shape
+            return IP.predict_inter_block_scaled(
+                self._ref_pad(ref_enum, plane), rw, rh, x0, y0, b_w, b_h,
+                int(mv[0]), int(mv[1]), ss_x, ss_y, sf, fx, fy, self.bd)
+        return IP.predict_inter_block(
+            self._ref_pad(ref_enum, plane), x0, y0, b_w, b_h, int(mv[0]),
+            int(mv[1]), ss_x, ss_y, mb_to_left, mb_to_right, mb_to_top,
+            mb_to_bottom, fx, fy, self.bd)
+
+    def _compound_bufs(self, bi, plane, x0, y0, b_w, b_h, ss_x, ss_y,
+                       mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                       fx, fy, warp_specs=None):
+        """CONV-domain buffers for both refs, handling warp / scaled /
+        translated references per ref."""
+        bufs = []
+        kx = IP.filter_kernels(fx, b_w)
+        ky = IP.filter_kernels(fy, b_h)
+        for ref in range(2):
+            if warp_specs is not None and warp_specs[ref] is not None:
+                from ..common import warp as WP
+                mat, shear, plane_ref = warp_specs[ref]
+                buf = np.empty((b_h, b_w), np.int32)
+                WP.warp_affine(mat, plane_ref, buf, x0, y0, b_w, b_h,
+                               ss_x, ss_y, *shear, is_compound=True,
+                               bd=self.bd)
+                bufs.append(buf)
+                continue
+            ref_enum = bi.ref_frame[ref]
+            sf = self._ref_sf(ref_enum)
+            if IP.is_scaled(sf):
+                rp = self.refs[ref_enum][plane]
+                rh, rw = rp.shape
+                bufs.append(IP.predict_inter_block_scaled(
+                    self._ref_pad(ref_enum, plane), rw, rh, x0, y0,
+                    b_w, b_h, int(bi.mv[ref][0]), int(bi.mv[ref][1]),
+                    ss_x, ss_y, sf, fx, fy, self.bd, is_compound=True))
+                continue
+            row_q4, col_q4 = IP.clamp_mv_to_umv_border(
+                int(bi.mv[ref][0]), int(bi.mv[ref][1]), b_w, b_h, ss_x,
+                ss_y, mb_to_left, mb_to_right, mb_to_top, mb_to_bottom)
+            pos_x = (x0 << IP.SUBPEL_BITS) + col_q4
+            pos_y = (y0 << IP.SUBPEL_BITS) + row_q4
+            fxp = pos_x >> IP.SUBPEL_BITS
+            fyp = pos_y >> IP.SUBPEL_BITS
+            P = IP.PAD
+            region = self._ref_pad(ref_enum, plane)[
+                P + fyp - 3:P + fyp + b_h + 4,
+                P + fxp - 3:P + fxp + b_w + 4].astype(np.int32)
+            bufs.append(IP.convolve_compound(
+                region, pos_x & IP.SUBPEL_MASK, pos_y & IP.SUBPEL_MASK,
+                kx, ky, self.bd))
+        return bufs
+
     _II_TO_INTRA = (c.DC_PRED, c.V_PRED, c.H_PRED, c.SMOOTH_PRED)
 
     def _interintra_blend(self, bi, plane, x0, y0, b_w, b_h, inter_pred,
@@ -1339,11 +1415,10 @@ class InterDecoderMixin:
                         # .inc:144)
                         sfy = int(self.interp_grid[rr, cc, 0])
                         sfx = int(self.interp_grid[rr, cc, 1])
-                        pred = IP.predict_inter_block(
-                            self._ref_pad(sref, plane), pre_x + x, pre_y + y,
-                            b4_w, b4_h, int(smv[0]), int(smv[1]), ss_x, ss_y,
-                            mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                            sfx, sfy, self.bd)
+                        pred = self._mc_single(
+                            sref, plane, pre_x + x, pre_y + y, b4_w, b4_h,
+                            smv, ss_x, ss_y, mb_to_left, mb_to_right,
+                            mb_to_top, mb_to_bottom, sfx, sfy)
                         dst[pre_y + y:pre_y + y + b4_h,
                             pre_x + x:pre_x + x + b4_w] = pred
                         col += 1
@@ -1371,10 +1446,10 @@ class InterDecoderMixin:
                                 self.refs[bi.ref_frame[wref]][plane])
                     have_warp = any(w is not None for w in warp_specs)
                     if getattr(bi, "comp_group_idx", 0):
-                        bufs = IP.compound_conv_bufs(
-                            pads, x0, y0, b_w, b_h, bi.mv, ss_x, ss_y,
+                        bufs = self._compound_bufs(
+                            bi, plane, x0, y0, b_w, b_h, ss_x, ss_y,
                             mb_to_left, mb_to_right, mb_to_top,
-                            mb_to_bottom, fx, fy, warp_specs, self.bd)
+                            mb_to_bottom, fx, fy, warp_specs)
                         if bi.comp_type == 1:
                             mask = IP.wedge_mask(bsize, bi.wedge_sign,
                                                  bi.wedge_index)
@@ -1389,18 +1464,19 @@ class InterDecoderMixin:
                     else:
                         use_dw, fo, bo = self._dist_wtd_weights(bi)
                         if have_warp:
-                            bufs = IP.compound_conv_bufs(
-                                pads, x0, y0, b_w, b_h, bi.mv, ss_x,
+                            bufs = self._compound_bufs(
+                                bi, plane, x0, y0, b_w, b_h, ss_x,
                                 ss_y, mb_to_left, mb_to_right, mb_to_top,
-                                mb_to_bottom, fx, fy, warp_specs, self.bd)
+                                mb_to_bottom, fx, fy, warp_specs)
                             pred = IP.compound_average(
                                 bufs[0], bufs[1], use_dw, fo, bo, self.bd)
                         else:
-                            pred = IP.predict_inter_compound(
-                                pads, x0, y0, b_w, b_h, bi.mv, ss_x,
+                            bufs = self._compound_bufs(
+                                bi, plane, x0, y0, b_w, b_h, ss_x,
                                 ss_y, mb_to_left, mb_to_right, mb_to_top,
-                                mb_to_bottom, fx, fy, use_dw, fo, bo,
-                                self.bd)
+                                mb_to_bottom, fx, fy, None)
+                            pred = IP.compound_average(
+                                bufs[0], bufs[1], use_dw, fo, bo, self.bd)
                 elif (wp0 := self._warp_params(bi, 0, b_w, b_h)) \
                         is not None:
                     from ..common import warp as WP
@@ -1410,11 +1486,10 @@ class InterDecoderMixin:
                                    pred, x0, y0, b_w, b_h, ss_x, ss_y,
                                    *shear, bd=self.bd)
                 else:
-                    pred = IP.predict_inter_block(
-                        self._ref_pad(bi.ref_frame[0], plane), x0, y0, b_w,
-                        b_h, bi.mv[0][0], bi.mv[0][1], ss_x, ss_y,
-                        mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                        fx, fy, self.bd)
+                    pred = self._mc_single(
+                        bi.ref_frame[0], plane, x0, y0, b_w, b_h, bi.mv[0],
+                        ss_x, ss_y, mb_to_left, mb_to_right, mb_to_top,
+                        mb_to_bottom, fx, fy)
                 if getattr(bi, "interintra", 0):
                     pred = self._interintra_blend(bi, plane, x0, y0, b_w,
                                                   b_h, pred, ss_x, ss_y)
@@ -1524,11 +1599,10 @@ class InterDecoderMixin:
                         ph = min(max(bh_px >> (ss_y + 1), 4), 64 >> (ss_y + 1))
                         x0 = ((mi_x + rel * 4) >> ss_x)
                         y0 = mi_y >> ss_y
-                        tmp = IP.predict_inter_block(
-                            self._ref_pad(nb.ref_frame[0], plane), x0, y0,
-                            pw, ph, nb.mv[0][0], nb.mv[0][1], ss_x, ss_y,
-                            mb_l, mb_r, -mi_y, adj_bottom, nfx, nfy,
-                            self.bd)
+                        tmp = self._mc_single(
+                            nb.ref_frame[0], plane, x0, y0, pw, ph,
+                            nb.mv[0], ss_x, ss_y, mb_l, mb_r, -mi_y,
+                            adj_bottom, nfx, nfy)
                         bh_b = overlap >> ss_y
                         mask = self._OBMC_MASKS[bh_b][:, None]
                         dstp = self.planes[plane]
@@ -1569,11 +1643,10 @@ class InterDecoderMixin:
                         ph = (op * 4) >> ss_y
                         x0 = mi_x >> ss_x
                         y0 = ((mi_y + rel * 4) >> ss_y)
-                        tmp = IP.predict_inter_block(
-                            self._ref_pad(nb.ref_frame[0], plane), x0, y0,
-                            pw, ph, nb.mv[0][0], nb.mv[0][1], ss_x, ss_y,
-                            -mi_x, adj_right, mb_t, mb_b, nfx, nfy,
-                            self.bd)
+                        tmp = self._mc_single(
+                            nb.ref_frame[0], plane, x0, y0, pw, ph,
+                            nb.mv[0], ss_x, ss_y, -mi_x, adj_right, mb_t,
+                            mb_b, nfx, nfy)
                         bw_b = overlap >> ss_x
                         mask = self._OBMC_MASKS[bw_b][None, :]
                         dstp = self.planes[plane]

@@ -145,15 +145,21 @@ class NativeSink:
 
 def make_sequence_header(width: int, height: int,
                          enable_cdef: int = 0,
-                         enable_restoration: int = 0) -> H.SequenceHeader:
-    """Minimal-tools sequence config for the lossless all-intra path."""
+                         enable_restoration: int = 0,
+                         bit_depth: int = 8) -> H.SequenceHeader:
+    """Minimal-tools sequence config for the lossless all-intra path.
+    10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 12-bit needs
+    profile 2 (spec 5.5.2 color_config)."""
+    assert bit_depth in (8, 10, 12)
     return H.SequenceHeader(
-        profile=0, seq_level_idx=31, max_frame_width=width,
+        profile=0 if bit_depth < 12 else 2, seq_level_idx=31,
+        max_frame_width=width,
         max_frame_height=height, use_128x128_superblock=0,
         enable_filter_intra=0, enable_intra_edge_filter=0,
         enable_order_hint=0, force_screen_content_tools=0,
         force_integer_mv=2, enable_superres=0, enable_cdef=enable_cdef,
-        enable_restoration=enable_restoration, high_bitdepth=0,
+        enable_restoration=enable_restoration,
+        high_bitdepth=1 if bit_depth > 8 else 0,
         mono_chrome=0,
         subsampling_x=1, subsampling_y=1, separate_uv_delta_q=0)
 
@@ -191,6 +197,7 @@ class LosslessEncoder:
         self.sb_size = c.BLOCK_128X128 if sh.use_128x128_superblock \
             else c.BLOCK_64X64
         self.ss_x, self.ss_y = sh.subsampling_x, sh.subsampling_y
+        self.bd = sh.bit_depth
         self.num_planes = 1 if sh.mono_chrome else 3
         # per-4x4 luma mode grid, filled as blocks are coded
         self.mi_skip = np.zeros((self.mi_rows, self.mi_cols), dtype=np.uint8)
@@ -208,7 +215,8 @@ class LosslessEncoder:
         self.recon = []
         for i, p in enumerate(planes[:self.num_planes]):
             ph, pw = (h, w) if i == 0 else (h >> self.ss_y, w >> self.ss_x)
-            buf = np.zeros((ph + self.PAD, pw + self.PAD), dtype=np.uint8)
+            buf = np.zeros((ph + self.PAD, pw + self.PAD),
+                           dtype=np.uint8 if self.bd == 8 else np.uint16)
             sh_, sw_ = p.shape
             buf[:sh_, :sw_] = p
             # edge-replicate padding so padded-area residuals stay small
@@ -589,7 +597,8 @@ class LosslessEncoder:
                         n_topright_px=-1,
                         n_left_px=min(4, yd + 4) if have_left else 0,
                         n_bottomleft_px=-1,
-                        disable_edge_filter=True, intra_edge_filter_type=0)
+                        disable_edge_filter=True, intra_edge_filter_type=0,
+                        bd=self.bd)
                     resid = src[py:py + 4, px:px + 4].astype(np.int32) \
                         - pred.astype(np.int32)
                     coeff = fwht4x4(resid)

@@ -44,11 +44,13 @@ class GopEncoder:
                  block_size: int = c.BLOCK_16X16,
                  enable_cdef: bool = True, tune: str = "psnr",
                  luma_bias: float = 0.0, twopass_stats=None,
-                 enable_tf: bool = True, enable_tpl: bool = True):
+                 enable_tf: bool = True, enable_tpl: bool = True,
+                 bit_depth: int = 8):
         self.tune = tune
         self.luma_bias = luma_bias
         self.sh = make_sequence_header(width, height,
-                                       enable_cdef=int(enable_cdef))
+                                       enable_cdef=int(enable_cdef),
+                                       bit_depth=bit_depth)
         if rc_cfg is None:
             rc_cfg = RateControlConfig(mode=MODE_Q, fixed_qindex=qindex,
                                        width=width, height=height)

@@ -39,7 +39,8 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             show_frame: int = 1,
                             showable_frame: int = 0) -> H.FrameHeader:
     from ..common.loopfilter import pick_filter_level_from_q
-    lvl = pick_filter_level_from_q(qindex, frame_is_key=False) if deblock \
+    lvl = pick_filter_level_from_q(qindex, frame_is_key=False,
+                                   bd=sh.bit_depth) if deblock \
         else 0
     return H.FrameHeader(
         frame_type=c.INTER_FRAME, show_frame=show_frame,
@@ -179,7 +180,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     ref, x0, y0, blockd.block_wide(bsize),
                     blockd.block_high(bsize), mv[0], mv[1], 0, 0,
                     mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                    c.EIGHTTAP_REGULAR, c.EIGHTTAP_REGULAR)
+                    c.EIGHTTAP_REGULAR, c.EIGHTTAP_REGULAR, self.bd)
                 v = int(np.abs(pred[:h, :w].astype(np.int32) - src).sum())
                 if best_cost is None or v < best_cost:
                     best_cost = v
@@ -325,7 +326,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 self._ref_pad(ref, plane), x0, y0, b_w, b_h,
                 mv[0], mv[1], ss_x, ss_y, mb_to_left, mb_to_right,
                 mb_to_top, mb_to_bottom, c.EIGHTTAP_REGULAR,
-                c.EIGHTTAP_REGULAR)
+                c.EIGHTTAP_REGULAR, self.bd)
             d, b, t = self._code_inter_plane_txbs(
                 plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
                 mb_to_right, mb_to_bottom, ss_x, ss_y)
@@ -371,7 +372,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                          c4 * 4:c4 * 4 + c.TX_WIDTH[tx_size]]
                 src = self.src[plane][py:py + p.shape[0], px:px + p.shape[1]]
                 resid = src.astype(np.int32) - p.astype(np.int32)
-                coeff = T2.fwd_txfm2d(resid, tx_size, tx_type)
+                coeff = T2.fwd_txfm2d(resid, tx_size, tx_type, self.bd)
                 qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
                                                     log_scale)
                 if self.trellis and eob:
@@ -379,7 +380,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                         qcoeff, dqcoeff, coeff, scan, pq, log_scale, eob,
                         self._lam(mi_row, mi_col),
                         Q.tx_gain(tx_size, tx_type))
-                recon = (T2.inv_txfm2d_add(dqcoeff, p, tx_size, tx_type)
+                recon = (T2.inv_txfm2d_add(dqcoeff, p, tx_size, tx_type,
+                                           self.bd)
                          if eob else p.copy())
                 dist += float(((src.astype(np.int64)
                                 - recon.astype(np.int64)) ** 2).sum())

@@ -36,7 +36,8 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
     assert 0 < qindex <= 255
     if deblock:
         from ..common.loopfilter import pick_filter_level_from_q
-        lvl = pick_filter_level_from_q(qindex, frame_is_key=True)
+        lvl = pick_filter_level_from_q(qindex, frame_is_key=True,
+                                       bd=sh.bit_depth)
     else:
         lvl = 0
     return H.FrameHeader(
@@ -70,8 +71,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         for (dcd, acd) in ((fh.delta_q_y_dc, 0),
                            (fh.delta_q_u_dc, fh.delta_q_u_ac),
                            (fh.delta_q_v_dc, fh.delta_q_v_ac)):
-            self.pq.append(Q.build_plane_quant(fh.base_q_idx, dcd, acd))
-        qstep = Q.ac_quant_qtx(fh.base_q_idx, 0) / 8.0
+            self.pq.append(Q.build_plane_quant(fh.base_q_idx, dcd, acd,
+                                               bd=sh.bit_depth))
+        qstep = Q.ac_quant_qtx(fh.base_q_idx, 0, sh.bit_depth) / 8.0
         self.lam = 0.12 * qstep * qstep  # lambda in (SSE per bit)
 
     def _lam(self, mi_row, mi_col):
@@ -156,7 +158,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             fh.filter_level_v = lvl
             LF.loop_filter_frame(planes, fh, self.sh, txw4, txh4, bsg,
                                  ref_grid, mode_grid, skip_inter,
-                                 plane_tx)
+                                 plane_tx, bd=self.bd)
             (fh.filter_level, fh.filter_level_u, fh.filter_level_v) = old
 
         from .pickfilters import pick_cdef, pick_filter_level
@@ -178,7 +180,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         if self.sh.enable_cdef:
             pick_cdef(self.src, self.recon, self.mi_rows, self.mi_cols,
                       self.ss_x, self.ss_y, self.num_planes,
-                      self.mi_skip, fh)
+                      self.mi_skip, fh, self.bd)
         if use_lr:
             self._save_lr_boundaries(1)
             self._search_lr()
@@ -244,7 +246,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             used = pick_restoration_plane(
                 self.src[p], self.recon[p], pr, ss_y,
                 self._lr_bounds[p], self._lr_optimized, self.lam,
-                win=win)
+                win=win, bd=self.bd)
             used.discard(LR.RESTORE_NONE)
             if not used:
                 ftype = LR.RESTORE_NONE
@@ -265,7 +267,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             view = self.recon[p][:ph, :pw]
             out = LR.filter_frame_plane(view, pr, self.ss_y if p else 0,
                                         self._lr_bounds[p],
-                                        self._lr_optimized)
+                                        self._lr_optimized, self.bd)
             view[:] = out
 
     def _reemit_tile(self) -> bytes:
@@ -716,7 +718,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 h, w = pred.shape
                 src = self.src[plane][py:py + h, px:px + w]
                 resid = src.astype(np.int32) - pred.astype(np.int32)
-                coeff = T2.fwd_txfm2d(resid, tx_size, tx_type)
+                coeff = T2.fwd_txfm2d(resid, tx_size, tx_type, self.bd)
                 qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
                                                     log_scale)
                 if self.trellis and eob:
@@ -724,7 +726,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                         qcoeff, dqcoeff, coeff, scan, pq, log_scale, eob,
                         self._lam(mi_row, mi_col),
                         Q.tx_gain(tx_size, tx_type))
-                recon = (T2.inv_txfm2d_add(dqcoeff, pred, tx_size, tx_type)
+                recon = (T2.inv_txfm2d_add(dqcoeff, pred, tx_size, tx_type,
+                                           self.bd)
                          if eob else pred)
                 dist += float(((src.astype(np.int64)
                                 - recon.astype(np.int64)) ** 2).sum())
@@ -794,7 +797,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         txbs = []
         for k, plane in enumerate((1, 2)):
             alpha = intra.cfl_idx_to_alpha(idx, joint, plane - 1)
-            pred = intra.cfl_predict(preds[k], q3, alpha)
+            pred = intra.cfl_predict(preds[k], q3, alpha, self.bd)
             d, b, t = self._code_plane(
                 plane, c.UV_CFL_PRED, mi_row, mi_col, bsize, up_avail,
                 left_avail, write_recon=False, pred_override=pred)
@@ -934,17 +937,18 @@ class LossyAllIntraEncoder(LosslessEncoder):
             n_left_px=min(txhpx, yd + txhpx) if have_left else 0,
             n_bottomleft_px=(min(txhpx, yd) if have_bl > 0 else have_bl),
             disable_edge_filter=not self.sh.enable_intra_edge_filter,
-            intra_edge_filter_type=0)
+            intra_edge_filter_type=0, bd=self.bd)
 
 
 def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      qindex: int = 60, fps=(30, 1),
                      block_size: int = c.BLOCK_16X16,
                      enable_cdef: int = 0, enable_restoration: int = 0,
-                     **kw) -> None:
+                     bit_depth: int = 8, **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
-                              enable_restoration=enable_restoration)
+                              enable_restoration=enable_restoration,
+                              bit_depth=bit_depth)
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex)

@@ -35,7 +35,7 @@ def pick_filter_level(src_planes, recon_planes, fh, sh, lf_apply) -> int:
     lf_apply(planes, level): applies deblocking in place at that level
     (the encoder provides a closure over its mi grids)."""
     base = fh.filter_level[0] or LF.pick_filter_level_from_q(
-        fh.base_q_idx, fh.frame_type == 0)
+        fh.base_q_idx, fh.frame_type == 0, bd=sh.bit_depth)
     cands = sorted({0, max(0, base - 8), max(0, base - 4), base,
                     min(63, base + 4), min(63, base + 8)})
     h = fh.mi_rows() * 4
@@ -63,7 +63,7 @@ CDEF_CANDIDATES = ((0, 0), (1, 0), (2, 0), (4, 0), (7, 0),
 
 
 def pick_cdef(src_planes, recon_planes, mi_rows, mi_cols, ss_x, ss_y,
-              num_planes, skip_grid, fh) -> None:
+              num_planes, skip_grid, fh, bd=8) -> None:
     """Frame-level CDEF strength search (cdef_bits=0): applies the best
     candidate to recon in place and sets fh.cdef_*."""
     nvfb = (mi_rows + 15) // 16
@@ -94,7 +94,7 @@ def pick_cdef(src_planes, recon_planes, mi_rows, mi_cols, ss_x, ss_y,
             fh.cdef_uv_sec = (sec,) * 8
             cand_planes = [p.copy() for p in recon_planes]
             CD.cdef_frame(cand_planes, mi_rows, mi_cols, ss_x, ss_y,
-                          num_planes, skip_grid, strength_grid, fh)
+                          num_planes, skip_grid, strength_grid, fh, bd)
             err = frame_sse(cand_planes)
         if best is None or err < best[0]:
             best = (err, pri, sec, cand_planes)

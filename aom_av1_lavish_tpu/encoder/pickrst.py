@@ -223,7 +223,7 @@ def taps_to_filter(taps) -> list:
 # ---------------------------------------------------------------------------
 
 
-def solve_sgr(dgd_ext: np.ndarray, src: np.ndarray, ep: int):
+def solve_sgr(dgd_ext: np.ndarray, src: np.ndarray, ep: int, bd: int = 8):
     """dgd_ext: (h+6, w+6) int64 unit with 3-px border; returns xqd or
     None when the system is degenerate."""
     h, w = src.shape
@@ -233,9 +233,9 @@ def solve_sgr(dgd_ext: np.ndarray, src: np.ndarray, ep: int):
     tgt = (src.astype(np.float64) * (1 << LR.SGRPROJ_RST_BITS)) - u
     fs = []
     if r0 > 0:
-        fs.append((LR._sgr_flt_fast(dgd_ext, w, h, s0) - u) / 128.0)
+        fs.append((LR._sgr_flt_fast(dgd_ext, w, h, s0, bd) - u) / 128.0)
     if r1 > 0:
-        fs.append((LR._sgr_flt_normal(dgd_ext, w, h, s1) - u) / 128.0)
+        fs.append((LR._sgr_flt_normal(dgd_ext, w, h, s1, bd) - u) / 128.0)
     A = np.array([[float((a * b).sum()) for b in fs] for a in fs])
     rhs = np.array([float((a * tgt).sum()) for a in fs])
     try:
@@ -280,14 +280,14 @@ def _wiener_bits(taps, ref, win) -> int:
 
 def pick_restoration_plane(src, recon, pr: LR.PlaneRestoration, ss_y,
                            bounds, optimized, lam, win=LR.WIENER_WIN,
-                           speed_eps=SGR_EPS):
+                           speed_eps=SGR_EPS, bd=8):
     """Fill pr.unit_info with per-unit RD decisions; returns the set of
     rtypes used.  src/recon: plane views (h, w) uint8; win: 7 for luma,
     5 for chroma."""
     h, w = pr.plane_h, pr.plane_w
     src = src[:h, :w].astype(np.int64)
     P = LR.PAD
-    data = np.empty((h + 2 * P, w + 2 * P), np.uint8)
+    data = np.empty((h + 2 * P, w + 2 * P), recon.dtype)
     data[P:P + h, P:P + w] = recon[:h, :w]
     data[P:P + h, :P] = recon[:h, :1]
     data[P:P + h, P + w:] = recon[:h, w - 1:w]
@@ -299,7 +299,7 @@ def pick_restoration_plane(src, recon, pr: LR.PlaneRestoration, ss_y,
     def unit_sse(rect, rtype, info):
         _, v0, v1, x0, x1 = rect
         LR._filter_unit(data, dst, v0, v1, x0, x1, rtype, info, ss_y,
-                        h, bounds, optimized)
+                        h, bounds, optimized, bd)
         d = dst[P + v0:P + v1, P + x0:P + x1].astype(np.int64) \
             - src[v0:v1, x0:x1]
         return float((d * d).sum())
@@ -328,7 +328,7 @@ def pick_restoration_plane(src, recon, pr: LR.PlaneRestoration, ss_y,
         dext = data[P + v0 - 3:P + v1 + 3, P + x0 - 3:P + x1 + 3] \
             .astype(np.int64)
         for ep in speed_eps:
-            xqd = solve_sgr(dext, src[v0:v1, x0:x1], ep)
+            xqd = solve_sgr(dext, src[v0:v1, x0:x1], ep, bd)
             if xqd is None:
                 continue
             sse = unit_sse(rect, LR.RESTORE_SGRPROJ, (ep, xqd))

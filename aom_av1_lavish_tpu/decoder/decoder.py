@@ -63,6 +63,10 @@ class BlockInfo:
     qindex: int = 0
     interintra: int = 0
     interintra_mode: int = 0
+    # palette (screen content)
+    palette_size: tuple = (0, 0)
+    palette_colors: object = None   # [y[], u[], v[]] base colors
+    color_maps: object = None       # {0: luma map, 1: chroma map}
     use_wedge_interintra: int = 0
     interintra_wedge_index: int = 0
 
@@ -114,6 +118,8 @@ class FrameDecoder(InterDecoderMixin):
         # superres: coded at fh.frame_width, output at upscaled_width
         self.superres = (fh.superres_denom != H.SUPERRES_NUM)
         self.upscaled_width = fh.upscaled_width or fh.frame_width
+        if fh.allow_intrabc:
+            raise NotImplementedError("intraBC decode not implemented yet")
         self._cdef_tx = [False] * 4
         # loop restoration (decode_restoration_mode, decodeframe.c:1494)
         self.lr = None
@@ -1042,15 +1048,96 @@ class FrameDecoder(InterDecoderMixin):
                 bi.angle_delta_uv = rd.decode_symbol_adapt(
                     fc.angle_delta_cdf[bi.uv_mode - c.V_PRED],
                     2 * MAX_ANGLE_DELTA + 1) - MAX_ANGLE_DELTA
-        # palette: gated off (allow_screen_content_tools == 0 asserted at
-        # parse); filter intra:
+        if self._allow_palette(bsize):
+            self._read_palette_mode_info(ts, rd, bi, mi_row, mi_col, bsize,
+                                         above_mi, left_mi, is_chroma_ref)
         if self._filter_intra_allowed(bi):
             if rd.decode_symbol_adapt(fc.filter_intra_cdfs[bsize], 2):
                 bi.filter_intra_mode = rd.decode_symbol_adapt(
                     fc.filter_intra_mode_cdf, c.FILTER_INTRA_MODES)
 
+        self._visit_palette(ts, rd, bi, mi_row, mi_col, bsize,
+                            is_chroma_ref)
         self._finish_block(ts, rd, bi, mi_row, mi_col, bsize, partition,
                            up_avail, left_avail)
+
+    def _allow_palette(self, bsize) -> bool:
+        """av1_allow_palette (blockd.h): screen tools + 8x8..64x64."""
+        return (bool(self.fh.allow_screen_content_tools)
+                and blockd.block_wide(bsize) <= 64
+                and blockd.block_high(bsize) <= 64
+                and bsize >= c.BLOCK_8X8)
+
+    def _read_palette_mode_info(self, ts, rd, bi, mi_row, mi_col, bsize,
+                                above_mi, left_mi, is_chroma_ref):
+        """read_palette_mode_info (decodemv.c:569)."""
+        from ..common import palette as PAL
+        fc = ts.fc
+        bd = self.bd
+        bsize_ctx = PAL.palette_bsize_ctx(bsize)
+        # above mi for cache/ctx is gated at 64-px SB rows
+        # (pred_common.c:75); the mode ctx uses the ungated neighbors
+        cache_above = above_mi if (mi_row * 4) % 64 else None
+        sizes = [0, 0]
+        colors = [[], [], []]
+        if bi.y_mode == c.DC_PRED:
+            mctx = PAL.palette_mode_ctx(above_mi, left_mi)
+            if rd.decode_symbol_adapt(
+                    fc.palette_y_mode_cdf[bsize_ctx][mctx], 2):
+                sizes[0] = rd.decode_symbol_adapt(
+                    fc.palette_y_size_cdf[bsize_ctx], c.PALETTE_SIZES) + 2
+                cache = PAL.get_palette_cache(cache_above, left_mi, 0)
+                colors[0] = PAL.read_palette_colors_y(rd, bd, sizes[0],
+                                                      cache)
+        if (self.num_planes > 1 and bi.uv_mode == c.DC_PRED
+                and is_chroma_ref):
+            uv_ctx = int(sizes[0] > 0)
+            if rd.decode_symbol_adapt(fc.palette_uv_mode_cdf[uv_ctx], 2):
+                sizes[1] = rd.decode_symbol_adapt(
+                    fc.palette_uv_size_cdf[bsize_ctx], c.PALETTE_SIZES) + 2
+                cache = PAL.get_palette_cache(cache_above, left_mi, 1)
+                colors[1] = PAL.read_palette_colors_u(rd, bd, sizes[1],
+                                                      cache)
+                colors[2] = PAL.read_palette_colors_v(rd, bd, sizes[1])
+        if sizes[0] or sizes[1]:
+            bi.palette_size = tuple(sizes)
+            bi.palette_colors = colors
+
+    def _visit_palette(self, ts, rd, bi, mi_row, mi_col, bsize,
+                       is_chroma_ref):
+        """av1_visit_palette -> av1_decode_palette_tokens: decode the
+        color-index maps after mode info, before tx sizes."""
+        if bi.palette_colors is None:
+            return
+        from ..common import palette as PAL
+        fc = ts.fc
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        mb_to_right = (self.mi_cols - bw - mi_col) * 4
+        mb_to_bottom = (self.mi_rows - bh - mi_row) * 4
+        maps = {}
+        for plane in range(min(2, self.num_planes)):
+            if plane == 1 and not is_chroma_ref:
+                continue
+            if not bi.palette_size[plane]:
+                continue
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            bwpx = blockd.block_wide(bsize)
+            bhpx = blockd.block_high(bsize)
+            block_rows = bhpx if mb_to_bottom >= 0 \
+                else mb_to_bottom + bhpx
+            block_cols = bwpx if mb_to_right >= 0 \
+                else mb_to_right + bwpx
+            pw = bwpx >> ss_x
+            ph = bhpx >> ss_y
+            rows = block_rows >> ss_y
+            cols = block_cols >> ss_x
+            cdf = (fc.palette_uv_color_index_cdf if plane
+                   else fc.palette_y_color_index_cdf)
+            maps[plane] = PAL.decode_color_map(
+                rd, cdf, bi.palette_size[plane], pw, ph, rows, cols)
+        bi.color_maps = maps
 
     def _finish_block(self, ts, rd, bi, mi_row, mi_col, bsize, partition,
                       up_avail, left_avail):
@@ -1175,6 +1262,7 @@ class FrameDecoder(InterDecoderMixin):
 
     def _filter_intra_allowed(self, bi):
         return (self.sh.enable_filter_intra and bi.y_mode == c.DC_PRED
+                and bi.palette_size[0] == 0
                 and blockd.block_wide(bi.bsize) <= 32
                 and blockd.block_high(bi.bsize) <= 32)
 
@@ -1330,6 +1418,18 @@ class FrameDecoder(InterDecoderMixin):
         if ss_x or ss_y:
             cbsize = _scale_chroma_bsize(bi.bsize, ss_x, ss_y)
 
+        if bi.palette_size[int(plane != 0)]:
+            # av1_predict_intra_block palette branch (reconintra.c:1628):
+            # map color indices through the base colors; residual still adds.
+            cmap = bi.color_maps[int(plane != 0)]
+            cols = np.asarray(bi.palette_colors[plane], dtype=ref.dtype)
+            ref[py:py + txhpx, px:px + txwpx] = \
+                cols[cmap[y:y + txhpx, x:x + txwpx]]
+            self._recon_txb_coeffs(ts, rd, bi, plane, plane_bsize, tx_size,
+                                   px, py, mb_to_right, mb_to_bottom,
+                                   row_off, col_off, txw, txh)
+            return
+
         mode = bi.y_mode if plane == 0 else \
             (c.DC_PRED if bi.uv_mode == c.UV_CFL_PRED else bi.uv_mode)
         angle_delta = bi.angle_delta_y if plane == 0 else bi.angle_delta_uv
@@ -1370,8 +1470,20 @@ class FrameDecoder(InterDecoderMixin):
             pred = self._cfl_predict(bi, pred, plane)
 
         ref[py:py + txhpx, px:px + txwpx] = pred
+        self._recon_txb_coeffs(ts, rd, bi, plane, plane_bsize, tx_size,
+                               px, py, mb_to_right, mb_to_bottom,
+                               row_off, col_off, txw, txh)
 
-        # coefficients
+    def _recon_txb_coeffs(self, ts, rd, bi, plane, plane_bsize, tx_size,
+                          px, py, mb_to_right, mb_to_bottom,
+                          row_off, col_off, txw, txh):
+        """Coeff decode + inverse transform + add for one tx block."""
+        ss_x = self.ss_x if plane else 0
+        ss_y = self.ss_y if plane else 0
+        txwpx = c.TX_WIDTH[tx_size]
+        txhpx = c.TX_HEIGHT[tx_size]
+        ref = self.planes[plane]
+        mi_row, mi_col = bi.mi_row, bi.mi_col
         au = ts.above_entropy[plane]
         lu = ts.left_entropy[plane]
         acol = ((mi_col >> ss_x) if plane else mi_col) + col_off

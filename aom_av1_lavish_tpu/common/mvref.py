@@ -30,6 +30,13 @@ GLOBALMV_CTX_MASK = (1 << (4 - 3)) - 1
 REFMV_OFFSET = 4
 REFMV_CTX_MASK = (1 << (8 - 4)) - 1
 MV_BORDER = 16 << 3
+# mi-grid ref0 sentinel for intraBC blocks: is_inter_block() == true with
+# ref_frame[0] == INTRA_FRAME (blockd.h:372).  Any value > ALTREF works;
+# consumers that mean "is inter" test ref0 > INTRA_FRAME and the candidate
+# scans translate it back to INTRA_FRAME.
+INTRABC_REF = 9
+# av1_find_ref_dv (mvref_common.h:263)
+INTRABC_DELAY_PIXELS = 256
 
 # prediction modes (av1/common/enums.h) - inter portion
 NEARESTMV = 13
@@ -172,7 +179,11 @@ def _add_candidate(cand, ref_frame, stack, weights, counts, weight,
     ref_match_count, newmv_count].  gm = {"mv": (mv0, mv1), "types":
     per-ref wmtype} substitutes global-mv candidates."""
     ref0, ref1, mode, cand_bsize, mv = cand
-    if ref0 <= c.INTRA_FRAME:           # not inter
+    if ref0 == INTRABC_REF:
+        # intrabc neighbor: is_inter_block with ref_frame[0]==INTRA_FRAME,
+        # its mv[0] is the DV (add_ref_mv_candidate via read_intrabc_info)
+        ref0 = c.INTRA_FRAME
+    elif ref0 <= c.INTRA_FRAME:         # not inter
         return
     if isinstance(ref_frame, tuple):
         rf0, rf1 = ref_frame
@@ -614,6 +625,10 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None,
     def process_single(cand):
         nonlocal refmv_count
         ref0, ref1, _, _, mv = cand
+        if ref0 == INTRABC_REF:
+            # intrabc neighbor: ref_frame[0] is INTRA_FRAME, never added by
+            # process_single_ref_mv_candidate (mvref_common.c:449)
+            ref0 = c.INTRA_FRAME
         for which, rr in ((0, ref0), (1, ref1)):
             if rr > c.INTRA_FRAME and refmv_count < MAX_MV_REF_CANDIDATES:
                 this = (int(mv[which][0]), int(mv[which][1]))
@@ -649,6 +664,16 @@ def find_mv_refs(ctx: RefMvContext, ref_frame, sign_bias=None, tmvp=None,
     for i in range(min(MAX_MV_REF_CANDIDATES, refmv_count)):
         mv_ref_list[i] = stack[i]
     return stack, weights, refmv_count, mode_context, mv_ref_list
+
+
+def find_ref_dv(tile_mi_row_start: int, sb_mi: int, mi_row: int):
+    """av1_find_ref_dv (mvref_common.h:266): fallback DV predictor when the
+    ref-MV stack yields nothing; q8 (row, col)."""
+    if mi_row - sb_mi < tile_mi_row_start:
+        full = (0, -4 * sb_mi - INTRABC_DELAY_PIXELS)
+    else:
+        full = (-4 * sb_mi, 0)
+    return (full[0] * 8, full[1] * 8)
 
 
 def _round2s(x: int, n: int) -> int:

@@ -32,6 +32,10 @@ FIMODE_TO_INTRADIR = [c.DC_PRED, c.V_PRED, c.H_PRED, c.D157_PRED, c.DC_PRED]
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 MAX_ANGLE_DELTA = 3
 
+# test-visible counter (conformance tests reset this to prove a stream
+# actually exercised intraBC blocks)
+INTRABC_STATS = {"blocks": 0}
+
 
 @dataclass
 class BlockInfo:
@@ -67,6 +71,7 @@ class BlockInfo:
     palette_size: tuple = (0, 0)
     palette_colors: object = None   # [y[], u[], v[]] base colors
     color_maps: object = None       # {0: luma map, 1: chroma map}
+    is_intrabc: int = 0
     use_wedge_interintra: int = 0
     interintra_wedge_index: int = 0
 
@@ -118,8 +123,6 @@ class FrameDecoder(InterDecoderMixin):
         # superres: coded at fh.frame_width, output at upscaled_width
         self.superres = (fh.superres_denom != H.SUPERRES_NUM)
         self.upscaled_width = fh.upscaled_width or fh.frame_width
-        if fh.allow_intrabc:
-            raise NotImplementedError("intraBC decode not implemented yet")
         self._cdef_tx = [False] * 4
         # loop restoration (decode_restoration_mode, decodeframe.c:1494)
         self.lr = None
@@ -1007,6 +1010,14 @@ class FrameDecoder(InterDecoderMixin):
         self._read_cdef(rd, bi, mi_row, mi_col)
         self._read_delta_q_params(ts, rd, bi, mi_row, mi_col)
 
+        # av1_allow_intrabc: intra frame + allow_intrabc (decodemv.c:809)
+        if self.fh.allow_intrabc:
+            self._read_intrabc_info(ts, rd, bi, mi_row, mi_col, bsize)
+            if bi.is_intrabc:
+                self._finish_block(ts, rd, bi, mi_row, mi_col, bsize,
+                                   partition, up_avail, left_avail)
+                return
+
         # intra_frame_y_mode via kf_y_cdf
         above_mode = above_mi.y_mode if above_mi else c.DC_PRED
         left_mode = left_mi.y_mode if left_mi else c.DC_PRED
@@ -1060,6 +1071,34 @@ class FrameDecoder(InterDecoderMixin):
                             is_chroma_ref)
         self._finish_block(ts, rd, bi, mi_row, mi_col, bsize, partition,
                            up_avail, left_avail)
+
+    def _read_intrabc_info(self, ts, rd, bi, mi_row, mi_col, bsize):
+        """read_intrabc_info (decodemv.c:692): use_intrabc flag, DV ref from
+        the INTRA_FRAME ref-MV stack, DV read with the ndvc contexts."""
+        fc = ts.fc
+        if not rd.decode_symbol_adapt(fc.intrabc_cdf, 2):
+            return
+        INTRABC_STATS["blocks"] += 1
+        bi.is_intrabc = 1
+        bi.is_inter = 1                  # is_inter_block(mbmi) semantics
+        bi.mode = c.DC_PRED
+        bi.uv_mode = c.DC_PRED
+        bi.ref_frame = (MR.INTRABC_REF, -1)
+        bi.interp_filter = (c.BILINEAR, c.BILINEAR)
+        ctx = MR.RefMvContext(
+            self.g, mi_row, mi_col, bsize, self.sb_mi,
+            ts.mi_row_start, ts.mi_row_end, ts.mi_col_start, ts.mi_col_end,
+            bi.partition)
+        _, _, _, _, mv_list = MR.find_mv_refs(ctx, c.INTRA_FRAME)
+        # av1_find_best_ref_mvs(allow_hp=0, is_integer=0)
+        nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
+        near = MR.lower_mv_precision(mv_list[1], 0, 0)
+        dv_ref = near if nearest == (0, 0) else nearest
+        if dv_ref == (0, 0):
+            dv_ref = MR.find_ref_dv(ts.mi_row_start, self.sb_mi, mi_row)
+        dv_ref = ((dv_ref[0] >> 3) * 8, (dv_ref[1] >> 3) * 8)
+        mv = self._read_mv(ts, rd, dv_ref, -1, dv=True)
+        bi.mv = (mv, (0, 0))
 
     def _allow_palette(self, bsize) -> bool:
         """av1_allow_palette (blockd.h): screen tools + 8x8..64x64."""
@@ -1169,7 +1208,7 @@ class FrameDecoder(InterDecoderMixin):
             getattr(bi, "qindex", self.fh.base_q_idx)
         self.delta_lf_grid[mi_row:r1, mi_col:c1] = self.delta_lf
         if self.sh.enable_ref_frame_mvs:
-            if bi.is_inter:
+            if bi.is_inter and not bi.is_intrabc:
                 self._copy_frame_mvs(bi, mi_row, mi_col, c1 - mi_col,
                                      r1 - mi_row)
             # intra blocks leave NONE (grid pre-initialized to -1);

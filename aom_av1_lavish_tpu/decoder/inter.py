@@ -9,8 +9,8 @@ build_inter_predictors.
 
 Current scope: single + compound references (incl. skip-mode, interintra,
 wedge/dist-wtd masked compound), translation, OBMC and warped motion,
-global motion, segmentation.  Not yet: film grain, superres, palette /
-intraBC (asserted at the header parse layer where possible).
+global motion, segmentation, and intraBC (bilinear MC from the current
+frame's in-progress recon).
 """
 
 from __future__ import annotations
@@ -875,24 +875,27 @@ class InterDecoderMixin:
             filter_type_ctx = c.SWITCHABLE_FILTERS
         return d * (c.SWITCHABLE_FILTERS + 1) * 2 + filter_type_ctx
 
-    def _read_mv(self, ts, rd, ref_mv, precision):
-        """read_mv (decodemv.c:885); precision: -1 none, 0 low, 1 high."""
+    def _read_mv(self, ts, rd, ref_mv, precision, dv=False):
+        """read_mv (decodemv.c:885); precision: -1 none, 0 low, 1 high.
+        dv selects the intrabc ndvc context set (decodemv.c:677)."""
         fc = ts.fc
-        joint = rd.decode_symbol_adapt(fc.nmv_joints_cdf, 4)
+        joint = rd.decode_symbol_adapt(
+            fc.ndv_joints_cdf if dv else fc.nmv_joints_cdf, 4)
         dr = dc = 0
         if joint in (2, 3):
             dr = self._read_mv_component(ts, rd, 0, precision >= 0,
-                                         precision > 0)
+                                         precision > 0, dv)
         if joint in (1, 3):
             dc = self._read_mv_component(ts, rd, 1, precision >= 0,
-                                         precision > 0)
+                                         precision > 0, dv)
         return (ref_mv[0] + dr, ref_mv[1] + dc)
 
-    def _read_mv_component(self, ts, rd, comp, use_subpel, usehp):
+    def _read_mv_component(self, ts, rd, comp, use_subpel, usehp, dv=False):
         fc = ts.fc
+        pre = "ndv" if dv else "nmv"
 
         def f(name):
-            return getattr(fc, f"nmv_comp{comp}_{name}")
+            return getattr(fc, f"{pre}_comp{comp}_{name}")
         sign = rd.decode_symbol_adapt(f("sign_cdf"), 2)
         mv_class = rd.decode_symbol_adapt(f("classes_cdf"), 11)
         class0 = mv_class == 0
@@ -1247,6 +1250,10 @@ class InterDecoderMixin:
                    mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
                    fx, fy):
         """Single-ref MC dispatching on scaled vs unscaled refs."""
+        if ref_enum == MR.INTRABC_REF:
+            return self._mc_intrabc(plane, x0, y0, b_w, b_h, mv, ss_x, ss_y,
+                                    mb_to_left, mb_to_right, mb_to_top,
+                                    mb_to_bottom)
         sf = self._ref_sf(ref_enum)
         if IP.is_scaled(sf):
             rp = self.refs[ref_enum][plane]
@@ -1258,6 +1265,27 @@ class InterDecoderMixin:
             self._ref_pad(ref_enum, plane), x0, y0, b_w, b_h, int(mv[0]),
             int(mv[1]), ss_x, ss_y, mb_to_left, mb_to_right, mb_to_top,
             mb_to_bottom, fx, fy, self.bd)
+
+    def _mc_intrabc(self, plane, x0, y0, b_w, b_h, mv, ss_x, ss_y,
+                    mb_to_left, mb_to_right, mb_to_top, mb_to_bottom):
+        """IntraBC prediction: bilinear MC from the in-progress recon of the
+        current frame (reconinter.c av1_setup_pre_planes with cur_buf; DV
+        validity keeps reads inside already-decoded tile area, so a local
+        edge-clamped window substitutes for border extension)."""
+        src = self.planes[plane]
+        row_q4, col_q4 = IP.clamp_mv_to_umv_border(
+            int(mv[0]), int(mv[1]), b_w, b_h, ss_x, ss_y, mb_to_left,
+            mb_to_right, mb_to_top, mb_to_bottom)
+        pos_x = (x0 << IP.SUBPEL_BITS) + col_q4
+        pos_y = (y0 << IP.SUBPEL_BITS) + row_q4
+        fx = pos_x >> IP.SUBPEL_BITS
+        fy = pos_y >> IP.SUBPEL_BITS
+        rows = np.clip(np.arange(fy - 3, fy + b_h + 4), 0, src.shape[0] - 1)
+        cols = np.clip(np.arange(fx - 3, fx + b_w + 4), 0, src.shape[1] - 1)
+        region = src[np.ix_(rows, cols)].astype(np.int32)
+        kern = IP.filter_kernels(c.BILINEAR, b_w)
+        return IP.convolve_sr(region, pos_x & IP.SUBPEL_MASK,
+                              pos_y & IP.SUBPEL_MASK, kern, kern, self.bd)
 
     def _compound_bufs(self, bi, plane, x0, y0, b_w, b_h, ss_x, ss_y,
                        mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
@@ -1344,7 +1372,8 @@ class InterDecoderMixin:
         """av1_init_warp_params + av1_allow_warp (reconinter.c:33):
         returns (mat, shear) for this ref or None.  Local (WARPED_CAUSAL)
         params win over global motion."""
-        if b_w < 8 or b_h < 8 or self.fh.force_integer_mv:
+        if (b_w < 8 or b_h < 8 or self.fh.force_integer_mv
+                or bi.is_intrabc):
             return None
         if (ref_idx == 0 and bi.motion_mode == c.WARPED_CAUSAL
                 and getattr(bi, "wm", None) is not None):

@@ -221,6 +221,130 @@ def color_index_context(color_map, r, c_, n, color_order):
     return _CTX_HASH_LOOKUP[h]
 
 
+# ---------------------------------------------------------------------------
+# Encoder side (av1/encoder/palette.c, bitstream.c:683-804)
+
+def write_uniform(sink, n: int, v: int) -> None:
+    """write_uniform (bitstream.c): inverse of read_uniform, via raw bits."""
+    l_ = n.bit_length()
+    m = (1 << l_) - n
+
+    def lit(val, bits):
+        for k in range(bits - 1, -1, -1):
+            sink.bit((val >> k) & 1)
+
+    if v < m:
+        lit(v, l_ - 1)
+    else:
+        lit((v + m) >> 1, l_ - 1)
+        sink.bit((v + m) & 1)
+
+
+def index_color_cache(cache, colors):
+    """av1_index_color_cache (palette.c:78): per-cache-entry found flags
+    plus the out-of-cache colors (in palette order)."""
+    if not cache:
+        return [], list(colors)
+    found = [0] * len(cache)
+    in_cache = [0] * len(colors)
+    n_in = 0
+    for i, cv in enumerate(cache):
+        if n_in >= len(colors):
+            break
+        for j, v in enumerate(colors):
+            if v == cv and not in_cache[j]:
+                in_cache[j] = 1
+                found[i] = 1
+                n_in += 1
+                break
+    out = [v for j, v in enumerate(colors) if not in_cache[j]]
+    return found, out
+
+
+def delta_encode_colors(sink, colors, bd: int, min_val: int) -> None:
+    """delta_encode_palette_colors (bitstream.c:650)."""
+    def lit(val, bits):
+        for k in range(bits - 1, -1, -1):
+            sink.bit((val >> k) & 1)
+
+    if not colors:
+        return
+    lit(colors[0], bd)
+    if len(colors) == 1:
+        return
+    deltas = [colors[i] - colors[i - 1] for i in range(1, len(colors))]
+    min_bits = bd - 3
+    bits = max(ceil_log2(max(deltas) + 1 - min_val), min_bits)
+    rng = (1 << bd) - colors[0] - min_val
+    lit(bits - min_bits, 2)
+    for d in deltas:
+        lit(d - min_val, bits)
+        rng -= d
+        bits = min(bits, ceil_log2(rng))
+
+
+def write_palette_colors_y(sink, colors, bd: int, cache) -> None:
+    """write_palette_colors_y (bitstream.c:683)."""
+    found, out = index_color_cache(cache, colors)
+    n_in = 0
+    for f in found:
+        if n_in >= len(colors):
+            break
+        sink.bit(f)
+        n_in += f
+    delta_encode_colors(sink, out, bd, 1)
+
+
+def encode_color_map(sink, cdf_name, n: int, cmap, rows: int,
+                     cols: int) -> None:
+    """pack_map_tokens (bitstream.c:350): wavefront order, order-token
+    symbols against palette_*_color_index_cdf[n-2][ctx]."""
+    write_uniform(sink, n, int(cmap[0, 0]))
+    order = [0] * PALETTE_MAX_SIZE
+    for i in range(1, rows + cols - 1):
+        for j in range(min(i, cols - 1), max(0, i - rows + 1) - 1, -1):
+            ctx = color_index_context(cmap, i - j, j, n, order)
+            tok = order.index(int(cmap[i - j, j]))
+            sink.symbol(tok, n, cdf_name, n - PALETTE_MIN_SIZE, ctx)
+
+
+def map_rate_estimate(cmap, rows: int, cols: int, n: int) -> float:
+    """Cheap map-bits estimate for RD: per-symbol entropy of the index
+    histogram plus the first write_uniform symbol."""
+    vals = cmap[:rows, :cols].ravel()
+    hist = np.bincount(vals, minlength=n).astype(np.float64)
+    p = hist / max(1, hist.sum())
+    ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+    return n.bit_length() + max(ent, 0.35) * (rows * cols - 1)
+
+
+def palette_candidates(block, max_size: int = PALETTE_MAX_SIZE):
+    """Candidate palettes for one plane block (av1_rd_pick_palette_intra_sby
+    analog): the exact color set when small enough, else k-means (Lloyd)
+    at a few sizes seeded by quantiles."""
+    vals, counts = np.unique(block, return_counts=True)
+    if len(vals) < 2:
+        return []
+    if len(vals) <= max_size:
+        return [vals.astype(np.int32)]
+    out = []
+    flat = block.astype(np.float64).ravel()
+    for k in (max_size, max_size - 2, 4):
+        if k < 2:
+            continue
+        cents = np.quantile(flat, (np.arange(k) + 0.5) / k)
+        for _ in range(6):  # Lloyd iterations
+            idx = np.argmin(np.abs(flat[:, None] - cents[None, :]), axis=1)
+            for ci in range(k):
+                sel = flat[idx == ci]
+                if len(sel):
+                    cents[ci] = sel.mean()
+        pal = np.unique(np.round(cents).astype(np.int32))
+        if len(pal) >= 2:
+            out.append(pal)
+    return out
+
+
 # test-visible counter of decoded color maps (conformance tests reset
 # this to prove palette blocks were actually exercised by a stream)
 STATS = {"maps": 0}

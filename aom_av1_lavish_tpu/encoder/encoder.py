@@ -146,17 +146,20 @@ class NativeSink:
 def make_sequence_header(width: int, height: int,
                          enable_cdef: int = 0,
                          enable_restoration: int = 0,
-                         bit_depth: int = 8) -> H.SequenceHeader:
+                         bit_depth: int = 8,
+                         screen: bool = False) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
     10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 12-bit needs
-    profile 2 (spec 5.5.2 color_config)."""
+    profile 2 (spec 5.5.2 color_config).  screen=True selects
+    per-frame screen-content tools (palette)."""
     assert bit_depth in (8, 10, 12)
     return H.SequenceHeader(
         profile=0 if bit_depth < 12 else 2, seq_level_idx=31,
         max_frame_width=width,
         max_frame_height=height, use_128x128_superblock=0,
         enable_filter_intra=0, enable_intra_edge_filter=0,
-        enable_order_hint=0, force_screen_content_tools=0,
+        enable_order_hint=0,
+        force_screen_content_tools=2 if screen else 0,
         force_integer_mv=2, enable_superres=0, enable_cdef=enable_cdef,
         enable_restoration=enable_restoration,
         high_bitdepth=1 if bit_depth > 8 else 0,

@@ -21,6 +21,7 @@ from ..bitstream import headers as H
 from ..bitstream import tables
 from ..bitstream.tables import FrameContext
 from ..common import blockd, coeffs as CF, intra, quant as Q
+from ..common import palette as PAL
 from ..common import txfm2d as T2
 from ..common import txtype as TT
 from .encoder import (INTRA_MODE_CONTEXT, LosslessEncoder,
@@ -32,7 +33,8 @@ ALL_Y_MODES = tuple(range(c.INTRA_MODES))
 
 
 def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
-                            deblock: bool = True) -> H.FrameHeader:
+                            deblock: bool = True,
+                            screen: bool = False) -> H.FrameHeader:
     assert 0 < qindex <= 255
     if deblock:
         from ..common.loopfilter import pick_filter_level_from_q
@@ -40,6 +42,9 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                                        bd=sh.bit_depth)
     else:
         lvl = 0
+    if screen:
+        assert sh.force_screen_content_tools == 2, \
+            "screen frames need make_sequence_header(screen=True)"
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
         disable_cdf_update=0, disable_frame_end_update_cdf=1,
@@ -47,6 +52,8 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
         base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
+        allow_screen_content_tools=int(screen),
+        force_integer_mv=int(screen),
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
 
 
@@ -67,6 +74,10 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self.tune = tune
         self.luma_bias = luma_bias
         self.lam_map = None
+        # screen content: palette mode (av1_rd_pick_palette_intra_sby)
+        self.screen = bool(getattr(fh, "allow_screen_content_tools", 0))
+        self.pal_size_y = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.pal_colors_y = {}   # (mi_r, mi_c) -> tuple of luma colors
         self.pq = []
         for (dcd, acd) in ((fh.delta_q_y_dc, 0),
                            (fh.delta_q_u_dc, fh.delta_q_u_ac),
@@ -589,6 +600,13 @@ class LossyAllIntraEncoder(LosslessEncoder):
             if best is None or cost < best[0]:
                 best = (cost, mode, txbs)
         y_cost, y_mode, y_txbs = best
+        pal_y = None
+        if self.screen and self._allow_palette_enc(bsize):
+            r = self._try_palette_y(mi_row, mi_col, bsize, up_avail,
+                                    left_avail)
+            if r is not None and r[0] < y_cost:
+                y_cost, pal_y, y_txbs = r
+                y_mode = c.DC_PRED
         # angle-delta refinement for the winning directional mode
         # (intra_mode_search.c angle_estimation analog: deltas only on
         # the best base angle, not the full mode x delta product)
@@ -637,8 +655,81 @@ class LossyAllIntraEncoder(LosslessEncoder):
                                  [t for t in uv_txbs if t["plane"] == plane])
         return y_cost + uv_cost, dict(
             mi_row=mi_row, mi_col=mi_col, bsize=bsize, y_mode=y_mode,
-            y_angle=y_angle, uv_mode=uv_mode, cfl=cfl,
+            y_angle=y_angle, uv_mode=uv_mode, cfl=cfl, pal_y=pal_y,
             txbs=y_txbs + uv_txbs, is_chroma_ref=is_chroma_ref)
+
+    # --- palette (screen content) --------------------------------------
+
+    def _allow_palette_enc(self, bsize):
+        """av1_allow_palette: 8x8..64x64."""
+        return (bsize >= c.BLOCK_8X8
+                and blockd.block_wide(bsize) <= 64
+                and blockd.block_high(bsize) <= 64)
+
+    def _pal_neighbor(self, mi_row, mi_col):
+        """Neighbor luma palette view for ctx/cache (pred_common.c:73)."""
+        if mi_row < 0 or mi_col < 0:
+            return None
+        colors = self.pal_colors_y.get((mi_row, mi_col))
+        if not colors:
+            return None
+
+        class _Nb:
+            palette_size = (len(colors), 0)
+            palette_colors = [list(colors), [], []]
+        return _Nb
+
+    def _pal_cache(self, mi_row, mi_col):
+        """av1_get_palette_cache for luma: above gated at 64px SB rows."""
+        above = self._pal_neighbor(mi_row - 1, mi_col) \
+            if (mi_row * 4) % 64 else None
+        left = self._pal_neighbor(mi_row, mi_col - 1)
+        return PAL.get_palette_cache(above, left, 0)
+
+    def _try_palette_y(self, mi_row, mi_col, bsize, up_avail, left_avail):
+        """av1_rd_pick_palette_intra_sby analog: candidate palettes by
+        exact-colors / k-means, nearest-color index map, residual coded
+        like any intra block.  Returns (cost, pal_plan, txbs) or None."""
+        pbw = blockd.block_wide(bsize)
+        pbh = blockd.block_high(bsize)
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        mb_to_right = (self.mi_cols - bw - mi_col) * 4
+        mb_to_bottom = (self.mi_rows - bh - mi_row) * 4
+        cols_px = pbw + min(mb_to_right, 0)
+        rows_px = pbh + min(mb_to_bottom, 0)
+        py, px = mi_row * 4, mi_col * 4
+        src = self.src[0][py:py + rows_px, px:px + cols_px]
+        cache = self._pal_cache(mi_row, mi_col)
+        lam = self._lam(mi_row, mi_col)
+        best = None
+        for pal in PAL.palette_candidates(src):
+            n = len(pal)
+            cmap = np.zeros((pbh, pbw), np.uint8)
+            cmap[:rows_px, :cols_px] = np.argmin(
+                np.abs(src[:, :, None].astype(np.int32)
+                       - pal[None, None, :]), axis=2).astype(np.uint8)
+            # edge replication (decode_color_map tail)
+            if cols_px < pbw:
+                cmap[:rows_px, cols_px:] = cmap[:rows_px,
+                                                cols_px - 1:cols_px]
+            if rows_px < pbh:
+                cmap[rows_px:, :] = cmap[rows_px - 1:rows_px, :]
+            pred_full = np.asarray(pal, np.int32)[cmap] \
+                .astype(self.recon[0].dtype)
+            dist, rbits, txbs = self._code_plane(
+                0, c.DC_PRED, mi_row, mi_col, bsize, up_avail, left_avail,
+                write_recon=False, pred_full=pred_full)
+            found, out = PAL.index_color_cache(cache, list(pal))
+            hdr_bits = (4.0 + len(found) + 2.0
+                        + len(out) * (self.bd - 1.0))
+            map_bits = PAL.map_rate_estimate(cmap, rows_px, cols_px, n)
+            cost = dist + lam * (rbits + hdr_bits + map_bits)
+            if best is None or cost < best[0]:
+                best = (cost, dict(colors=[int(v) for v in pal],
+                                   cmap=cmap, rows=rows_px, cols=cols_px),
+                        txbs)
+        return best
 
     def _cfl_allowed_enc(self, bsize):
         return (blockd.block_wide(bsize) <= 32
@@ -652,7 +743,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def _code_plane(self, plane, mode, mi_row, mi_col, bsize, up_avail,
                     left_avail, write_recon, pred_override=None,
-                    angle_delta=0):
+                    angle_delta=0, pred_full=None):
         """Predict/transform/quantize all txbs of one plane for `mode`.
 
         Returns (dist, bits, txb list).  Does not touch self.recon unless
@@ -704,13 +795,18 @@ class LossyAllIntraEncoder(LosslessEncoder):
         for r4 in range(0, max(vis_h >> 2, 1), txh4):
             for c4 in range(0, max(vis_w >> 2, 1), txw4):
                 pred_mode = mode if mode != c.UV_CFL_PRED else c.DC_PRED
-                pred = self._predict(plane, pred_mode, mi_row, mi_col,
-                                     bsize, tx_size, r4, c4,
-                                     chroma_up if (plane and ss_y)
-                                     else up_avail,
-                                     chroma_left if (plane and ss_x)
-                                     else left_avail,
-                                     angle_delta=angle_delta)
+                if pred_full is not None:
+                    # whole-block prediction (palette): slice this txb
+                    pred = pred_full[r4 * 4:r4 * 4 + c.TX_HEIGHT[tx_size],
+                                     c4 * 4:c4 * 4 + c.TX_WIDTH[tx_size]]
+                else:
+                    pred = self._predict(plane, pred_mode, mi_row, mi_col,
+                                         bsize, tx_size, r4, c4,
+                                         chroma_up if (plane and ss_y)
+                                         else up_avail,
+                                         chroma_left if (plane and ss_x)
+                                         else left_avail,
+                                         angle_delta=angle_delta)
                 if pred_override is not None:
                     pred = pred_override
                 py = row0 + r4 * 4
@@ -856,11 +952,47 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 self.sink.symbol(MAX_ANGLE_DELTA, 2 * MAX_ANGLE_DELTA + 1,
                                  "angle_delta_cdf", uv_mode - c.V_PRED)
 
+        # palette mode info (bitstream.c:766 write_palette_mode_info) +
+        # color map tokens (read back by decoder._visit_palette)
+        pal_y = bplan.get("pal_y")
+        if self.screen and self._allow_palette_enc(bsize):
+            if y_mode == c.DC_PRED:
+                bsize_ctx = PAL.palette_bsize_ctx(bsize)
+                mctx = (int(self.pal_size_y[mi_row - 1, mi_col] > 0)
+                        if up_avail else 0) + \
+                       (int(self.pal_size_y[mi_row, mi_col - 1] > 0)
+                        if left_avail else 0)
+                self.sink.symbol(int(pal_y is not None), 2,
+                                 "palette_y_mode_cdf", bsize_ctx, mctx)
+                if pal_y is not None:
+                    n = len(pal_y["colors"])
+                    self.sink.symbol(n - 2, c.PALETTE_SIZES,
+                                     "palette_y_size_cdf", bsize_ctx)
+                    PAL.write_palette_colors_y(
+                        self.sink, pal_y["colors"], self.bd,
+                        self._pal_cache(mi_row, mi_col))
+            if bplan["is_chroma_ref"] and uv_mode == c.DC_PRED:
+                self.sink.symbol(0, 2, "palette_uv_mode_cdf",
+                                 int(pal_y is not None))
+        if pal_y is not None:
+            PAL.encode_color_map(
+                self.sink, "palette_y_color_index_cdf",
+                len(pal_y["colors"]), pal_y["cmap"], pal_y["rows"],
+                pal_y["cols"])
+
         rmax = min(mi_row + bh, self.mi_rows)
         cmax = min(mi_col + bw, self.mi_cols)
         self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
         self.mi_mode[mi_row:rmax, mi_col:cmax] = y_mode
         self.mi_bsize[mi_row:rmax, mi_col:cmax] = bsize
+        if self.screen:
+            self.pal_size_y[mi_row:rmax, mi_col:cmax] = \
+                len(pal_y["colors"]) if pal_y is not None else 0
+            if pal_y is not None:
+                colors = tuple(pal_y["colors"])
+                for r in range(mi_row, rmax):
+                    for cc in range(mi_col, cmax):
+                        self.pal_colors_y[(r, cc)] = colors
 
         for t in txbs:
             plane = t["plane"]
@@ -944,14 +1076,15 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      qindex: int = 60, fps=(30, 1),
                      block_size: int = c.BLOCK_16X16,
                      enable_cdef: int = 0, enable_restoration: int = 0,
-                     bit_depth: int = 8, **kw) -> None:
+                     bit_depth: int = 8, screen: bool = False,
+                     **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
-                              bit_depth=bit_depth)
+                              bit_depth=bit_depth, screen=screen)
     payloads = []
     for i, f in enumerate(frames):
-        fh = make_lossy_frame_header(sh, qindex)
+        fh = make_lossy_frame_header(sh, qindex, screen=screen)
         enc = LossyAllIntraEncoder(sh, fh, block_size=block_size, **kw)
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -86,3 +86,35 @@ def test_palette_inter(tmp_path):
     frames = _screen_frames(w, h, 5, seed=9)
     ivf = _encode_screen(tmp_path, frames, w, h, ["--kf-max-dist=9999"])
     _assert_matches_aomdec(tmp_path, ivf)
+
+
+def test_palette_encode(tmp_path):
+    """Our screen-content encoder emits palette blocks; streams decode in
+    stock aomdec and match our own decoder exactly."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+
+    w, h = 128, 96
+    frames = _screen_frames(w, h, 1, seed=5)
+    ivf = str(tmp_path / "ours.ivf")
+    encode_lossy_ivf(ivf, frames, w, h, qindex=40, screen=True)
+
+    # stock aomdec accepts the stream
+    out = str(tmp_path / "dec.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+
+    # our decoder agrees bit-exactly and saw palette blocks
+    PAL.STATS["maps"] = 0
+    ours = decode_ivf(ivf)
+    assert len(ours) == len(ref) == 1
+    for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")
+    assert PAL.STATS["maps"] > 0, "encoder never chose palette mode"
+
+    # quality sanity on palette-friendly content
+    y = ours[0][0].astype(np.float64)
+    sy = frames[0][0].astype(np.float64)
+    mse = ((y - sy) ** 2).mean()
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+    assert psnr > 30, psnr

@@ -1694,10 +1694,15 @@ def _partition_ctx_lookup(subsize):
 def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
                       state: dict | None = None):
     """Decode one temporal unit; returns (frames, sh).  `state` carries the
-    reference frame slots across calls (ref_frame_map semantics)."""
+    reference frame slots across calls (ref_frame_map semantics).
+
+    Handles both OBU_FRAME (header + tile group in one OBU) and separate
+    OBU_FRAME_HEADER + N x OBU_TILE_GROUP layouts (decodeframe.c:5379
+    av1_decode_frame_headers_and_setup + obu.c read_one_tile_group)."""
     if state is None:
         state = {"slots": [None] * 8}
     frames = []
+    session = None
     for obu_type, payload in H.split_obus(data):
         if obu_type == c.OBU_SEQUENCE_HEADER:
             sh = H.parse_sequence_header(payload)
@@ -1710,17 +1715,25 @@ def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
                 frames.append(_grain_output(slot["planes"],
                                             slot.get("grain"), sh))
                 continue
-            assert obu_type == c.OBU_FRAME, "separate frame header OBUs TBD"
-            # tile group: byte-aligned after header
-            pos = (endbit + 7) >> 3
-            out = _decode_tile_group(payload[pos:], sh, fh, state)
-            if fh.show_frame:
-                frames.append(_grain_output(out, fh.film_grain, sh))
-        elif obu_type in (c.OBU_TEMPORAL_DELIMITER, c.OBU_METADATA,
-                          c.OBU_PADDING):
-            continue
+            session = _FrameSession(sh, fh, state)
+            if obu_type == c.OBU_FRAME:
+                # tile group: byte-aligned after the header
+                session.feed(payload[(endbit + 7) >> 3:])
+                out = session.finish()
+                session = None
+                if fh.show_frame:
+                    frames.append(_grain_output(out, fh.film_grain, sh))
         elif obu_type == c.OBU_TILE_GROUP:
-            raise NotImplementedError("separate tile group OBUs")
+            assert session is not None, "tile group without frame header"
+            if session.feed(payload):
+                out = session.finish()
+                fh = session.fh
+                session = None
+                if fh.show_frame:
+                    frames.append(_grain_output(out, fh.film_grain, sh))
+        elif obu_type in (c.OBU_TEMPORAL_DELIMITER, c.OBU_METADATA,
+                          c.OBU_PADDING, c.OBU_REDUNDANT_FRAME_HEADER):
+            continue
     return frames, sh
 
 
@@ -1735,45 +1748,75 @@ def _grain_output(planes, params, sh):
         mc_identity=(sh.matrix_coefficients == 0))
 
 
-def _decode_tile_group(data: bytes, sh, fh, state=None):
-    refs = state["slots"] if state is not None else None
-    dec = FrameDecoder(sh, fh, refs=refs)
-    n_tiles = (1 << fh.tile_cols_log2) * (1 << fh.tile_rows_log2)
-    pos = 0
-    if n_tiles > 1:
-        # tile_start_and_end_present_flag == 0 expected (full group)
-        # handled by the caller byte-aligned reader; we parse inline:
-        first = data[pos]
-        assert (first & 0x80) == 0 or True
-        # tile_start_and_end_present_flag is a single bit + byte align
-        assert data[pos] >> 7 == 0, "partial tile groups unsupported"
-        pos += 1
-    idx = 0
-    tile_states = []
-    for trow in range(1 << fh.tile_rows_log2):
-        for tcol in range(1 << fh.tile_cols_log2):
-            last = idx == n_tiles - 1
-            if not last:
+class _FrameSession:
+    """One frame's decode across 1..N tile-group OBUs (spec 5.11.1
+    tile_group_obu; obu.c:decode_tile_group_obu)."""
+
+    def __init__(self, sh, fh, state):
+        self.sh, self.fh, self.state = sh, fh, state
+        refs = state["slots"] if state is not None else None
+        self.dec = FrameDecoder(sh, fh, refs=refs)
+        self.n_tiles = (1 << fh.tile_cols_log2) * (1 << fh.tile_rows_log2)
+        self.next_tile = 0
+        self.tile_states = []
+
+    def feed(self, data: bytes) -> bool:
+        """Decode one tile-group OBU payload; True when the frame's last
+        tile has been decoded."""
+        from ..bitstream.bits import BitReader
+        fh = self.fh
+        r = BitReader(data)
+        start_end_present = 0
+        if self.n_tiles > 1:
+            start_end_present = r.read_bit()
+        if self.n_tiles == 1 or not start_end_present:
+            tg_start, tg_end = 0, self.n_tiles - 1
+        else:
+            bits = fh.tile_cols_log2 + fh.tile_rows_log2
+            tg_start = r.read_literal(bits)
+            tg_end = r.read_literal(bits)
+        assert tg_start == self.next_tile, "tile groups out of order"
+        pos = (r.bit_offset + 7) >> 3   # byte_alignment()
+        for tn in range(tg_start, tg_end + 1):
+            trow, tcol = divmod(tn, 1 << fh.tile_cols_log2)
+            if tn == tg_end:
+                tile_data = data[pos:]
+            else:
                 size = int.from_bytes(
                     data[pos:pos + fh.tile_size_bytes], "little") + 1
                 pos += fh.tile_size_bytes
                 tile_data = data[pos:pos + size]
                 pos += size
-            else:
-                tile_data = data[pos:]
-            dec.decode_tile_data(tile_data, trow, tcol)
-            tile_states.append(dec._last_ts)
-            idx += 1
-    # backward context update uses context_update_tile_id's tile context
-    dec._last_ts = tile_states[min(fh.context_update_tile_id,
-                                   n_tiles - 1)]
-    dec.apply_loop_filter()
-    dec.save_lr_boundaries(0)
-    dec.apply_cdef()
-    dec.apply_superres()
-    dec.save_lr_boundaries(1)
-    dec.apply_loop_restoration()
-    out = dec.output()
+            self.dec.decode_tile_data(tile_data, trow, tcol)
+            self.tile_states.append(self.dec._last_ts)
+        self.next_tile = tg_end + 1
+        return self.next_tile == self.n_tiles
+
+    def finish(self):
+        assert self.next_tile == self.n_tiles, "frame missing tiles"
+        dec, fh = self.dec, self.fh
+        # backward context update uses context_update_tile_id's context
+        dec._last_ts = self.tile_states[min(fh.context_update_tile_id,
+                                            self.n_tiles - 1)]
+        dec.apply_loop_filter()
+        dec.save_lr_boundaries(0)
+        dec.apply_cdef()
+        dec.apply_superres()
+        dec.save_lr_boundaries(1)
+        dec.apply_loop_restoration()
+        out = dec.output()
+        _update_ref_state(self.state, fh, dec, out)
+        return out
+
+
+def _decode_tile_group(data: bytes, sh, fh, state=None):
+    """Single-call decode of a frame whose tiles are all in `data`."""
+    s = _FrameSession(sh, fh, state)
+    s.feed(data)
+    return s.finish()
+
+
+def _update_ref_state(state, fh, dec, out):
     if state is not None and fh.refresh_frame_flags:
         # stored frame context: the post-decode state of the context
         # update tile with backward refresh, else the frame's initial one
@@ -1820,7 +1863,6 @@ def _decode_tile_group(data: bytes, sh, fh, state=None):
                 state["sizes"][slot] = (
                     dec.upscaled_width, fh.frame_height,
                     fh.render_width, fh.render_height)
-    return out
 
 
 def decode_ivf(path: str, max_frames: int | None = None):

@@ -88,3 +88,29 @@ def test_lossless_decode_odd_sizes(tmp_path, dims):
 def test_lossless_decode_slow_speeds(tmp_path, speed):
     """Slower speeds use richer partitions and intra modes."""
     _roundtrip(tmp_path, "blocks", 176, 144, speed)
+
+
+def test_separate_tile_group_obus(tmp_path):
+    """Frame header + multiple tile-group OBUs (obu.c read_one_tile_group;
+    spec 5.11.1 tg_start/tg_end syntax)."""
+    w, h = 256, 192
+    src = str(tmp_path / "src.y4m")
+    ivf = str(tmp_path / "out.ivf")
+    frame = _content("blocks", w, h, seed=4)
+    write_y4m(src, [frame, frame], w, h)
+    subprocess.run(
+        [AOMENC, "--enable-chroma-deltaq=0", "--aq-mode=0", "--lossless=1",
+         "--cpu-used=6", "--threads=1", "--tile-columns=1", "--tile-rows=1",
+         "--num-tile-groups=3", "-o", ivf, src],
+        check=True, capture_output=True)
+    # prove the stream really carries separate tile group OBUs
+    from aom_av1_lavish_tpu.bitstream import headers as H
+    from aom_av1_lavish_tpu.bitstream import constants as c
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+    payload = next(iter(read_ivf(ivf)))[0]
+    types = [t for t, _ in H.split_obus(payload)]
+    assert types.count(c.OBU_TILE_GROUP) >= 2, types
+    out = decode_ivf(ivf, max_frames=1)
+    np.testing.assert_array_equal(out[0][0], frame[0])
+    np.testing.assert_array_equal(out[0][1], frame[1])
+    np.testing.assert_array_equal(out[0][2], frame[2])

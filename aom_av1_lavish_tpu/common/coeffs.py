@@ -274,10 +274,12 @@ def write_golomb(wr, level: int) -> None:
 
 def read_coeffs_txb(rd, fc, plane: int, tx_size: int, tx_type: int,
                     skip_ctx: int, dc_sign_ctx: int,
-                    dqv_dc: int, dqv_ac: int, bd: int = 8):
+                    dqv_dc: int, dqv_ac: int, bd: int = 8, iqm_fn=None):
     """Decode one transform block's coefficients.
 
     Returns (eob, cul_level, dqcoeff flat int32 array of adjusted tx size).
+    iqm_fn: optional tx_type -> flat inverse quant matrix (or None),
+    applied per-position as in decodetxb.c get_dqv (AOM_QM_BITS=5).
     """
     adj = adjusted_tx_size(tx_size)
     width = c.TX_WIDTH[adj]
@@ -296,6 +298,7 @@ def read_coeffs_txb(rd, fc, plane: int, tx_size: int, tx_type: int,
 
     if callable(tx_type):  # luma: tx_type symbol follows the skip flag
         tx_type = tx_type()
+    iqm = iqm_fn(tx_type) if iqm_fn is not None else None
     tx_class = TX_TYPE_TO_CLASS[tx_type]
     scan = tables.scan(adj, tx_type)
     eob_ms = eob_multi_size(tx_size)
@@ -374,6 +377,8 @@ def read_coeffs_txb(rd, fc, plane: int, tx_size: int, tx_type: int,
         level &= 0xFFFFF
         cul_level += level
         dqv = dqv_dc if pos == 0 else dqv_ac
+        if iqm is not None:
+            dqv = (int(iqm[pos]) * dqv + 16) >> 5
         dq = (level * dqv) & 0xFFFFFF
         dq >>= shift
         if sign:

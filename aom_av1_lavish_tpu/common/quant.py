@@ -180,20 +180,24 @@ def optimize_txb(qcoeff: np.ndarray, dqcoeff: np.ndarray,
 
 
 def quantize_b(coeff_flat: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
-               log_scale: int):
-    """Returns (qcoeff, dqcoeff, eob).  coeff_flat is col-major flat."""
+               log_scale: int, qm=None, iqm=None):
+    """Returns (qcoeff, dqcoeff, eob).  coeff_flat is col-major flat.
+    qm/iqm: optional flat weight / inverse-weight matrices (AOM_QM_BITS
+    fixed point, quantize_b_helper_c qm_ptr/iqm_ptr semantics)."""
     n = len(scan)
     qcoeff = np.zeros_like(coeff_flat)
     dqcoeff = np.zeros_like(coeff_flat)
     zbins = [(pq.zbin[0] + (1 << log_scale >> 1)) >> log_scale,
              (pq.zbin[1] + (1 << log_scale >> 1)) >> log_scale] \
         if log_scale else list(pq.zbin)
+    QMB = 5  # AOM_QM_BITS
     # pre-scan: trailing sub-zbin coeffs are skippable
     non_zero_count = n
     for si in range(n - 1, -1, -1):
         rc = int(scan[si])
-        v = int(coeff_flat[rc])
-        if -zbins[rc != 0] < v < zbins[rc != 0]:
+        wt = int(qm[rc]) if qm is not None else (1 << QMB)
+        v = int(coeff_flat[rc]) * wt
+        if -(zbins[rc != 0] << QMB) < v < (zbins[rc != 0] << QMB):
             non_zero_count -= 1
         else:
             break
@@ -202,16 +206,55 @@ def quantize_b(coeff_flat: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
         rc = int(scan[si])
         v = int(coeff_flat[rc])
         abs_v = abs(v)
-        if abs_v >= zbins[rc != 0]:
+        wt = int(qm[rc]) if qm is not None else (1 << QMB)
+        if abs_v * wt >= (zbins[rc != 0] << QMB):
             rnd = (pq.round[rc != 0] + (1 << log_scale >> 1)) >> log_scale \
                 if log_scale else pq.round[rc != 0]
-            tmp = min(max(abs_v + rnd, -32768), 32767)
+            tmp = min(max(abs_v + rnd, -32768), 32767) * wt
             tmp32 = ((((tmp * pq.quant[rc != 0]) >> 16) + tmp)
-                     * pq.quant_shift[rc != 0]) >> (16 - log_scale)
+                     * pq.quant_shift[rc != 0]) >> (16 - log_scale + QMB)
             q = tmp32 if v >= 0 else -tmp32
             qcoeff[rc] = q
-            dq = (tmp32 * pq.dequant[rc != 0]) >> log_scale
+            iwt = int(iqm[rc]) if iqm is not None else (1 << QMB)
+            deq = (pq.dequant[rc != 0] * iwt + (1 << (QMB - 1))) >> QMB
+            dq = (tmp32 * deq) >> log_scale
             dqcoeff[rc] = dq if v >= 0 else -dq
             if tmp32:
                 eob = si
     return qcoeff, dqcoeff, eob + 1
+
+
+# --- quantizer matrices (av1/common/quant_common.c wt/iwt_matrix_ref) -----
+
+_QM_DATA = None
+
+
+def _qm_data():
+    global _QM_DATA
+    if _QM_DATA is None:
+        import os
+        _QM_DATA = np.load(os.path.join(
+            os.path.dirname(__file__), "..", "..", "data",
+            "qm_tables.npz"))
+    return _QM_DATA
+
+
+@lru_cache(maxsize=None)
+def _qm_adjusted(tx_size: int) -> int:
+    from . import coeffs as CF
+    return CF.adjusted_tx_size(tx_size)
+
+
+@lru_cache(maxsize=None)
+def iqm_table(level: int, plane_class: int, tx_size: int) -> np.ndarray:
+    """Inverse (dequant-side) weight matrix, flat over the adjusted tx
+    block (av1_iqmatrix).  level 0..14; 15 means flat (caller skips)."""
+    t = _qm_adjusted(tx_size)
+    return _qm_data()[f"iqm_{level}_{plane_class}_{t}"]
+
+
+@lru_cache(maxsize=None)
+def qm_table(level: int, plane_class: int, tx_size: int) -> np.ndarray:
+    """Forward (quant-side) weight matrix (av1_qmatrix)."""
+    t = _qm_adjusted(tx_size)
+    return _qm_data()[f"qm_{level}_{plane_class}_{t}"]

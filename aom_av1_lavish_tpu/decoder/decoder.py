@@ -1361,6 +1361,30 @@ class FrameDecoder(InterDecoderMixin):
             if plane == 0 and self._store_cfl_required(bi, is_chroma_ref):
                 self._cfl_store_block(bi)
 
+    def _iqm_fn(self, plane, tx_size, bi):
+        """av1_get_iqmatrix: per-position dequant weights, or None.  Flat
+        for lossless segments, 1D/identity tx types, and level 15
+        (quant_common.c:252)."""
+        fh = self.fh
+        if not fh.using_qmatrix:
+            return None
+        level = (fh.qm_y, fh.qm_u, fh.qm_v)[plane]
+        if level == 15:
+            return None
+        # xd->lossless[seg]: seg qindex 0 + all plane dc/ac deltas 0
+        if (getattr(bi, "qindex", fh.base_q_idx) == 0
+                and not (fh.delta_q_y_dc or fh.delta_q_u_dc
+                         or fh.delta_q_u_ac or fh.delta_q_v_dc
+                         or fh.delta_q_v_ac)):
+            return None
+        from ..common import quant as QT
+
+        def fn(tx_type):
+            if tx_type >= c.IDTX:   # is_2d_transform only
+                return None
+            return QT.iqm_table(level, int(plane > 0), tx_size)
+        return fn
+
     def _plane_tx_size(self, plane, plane_bsize):
         """TX_MODE_LARGEST: largest rect tx; chroma capped at 32x32."""
         tx = blockd.max_tx_size_rect(plane_bsize)
@@ -1546,7 +1570,8 @@ class FrameDecoder(InterDecoderMixin):
                                               self.fh.reduced_tx_set)
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
-            dqv_dc, dqv_ac, self.bd)
+            dqv_dc, dqv_ac, self.bd,
+            iqm_fn=self._iqm_fn(plane, tx_size, bi))
         pbw4 = blockd.block_wide(plane_bsize) >> 2
         pbh4 = blockd.block_high(plane_bsize) >> 2
         vis_w4 = pbw4 + (min(mb_to_right, 0) >> (2 + ss_x))

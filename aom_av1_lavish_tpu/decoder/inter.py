@@ -1182,7 +1182,8 @@ class InterDecoderMixin:
             self._last_tx_type = tt
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
-            dqv_dc, dqv_ac, self.bd)
+            dqv_dc, dqv_ac, self.bd,
+            iqm_fn=self._iqm_fn(plane, tx_size, bi))
         if plane == 0 and eob == 0:
             self.tx_type_map[mi_row + row_off + mm,
                              mi_col + col_off + mm] = c.DCT_DCT

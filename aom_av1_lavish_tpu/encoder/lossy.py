@@ -34,7 +34,8 @@ ALL_Y_MODES = tuple(range(c.INTRA_MODES))
 
 def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                             deblock: bool = True,
-                            screen: bool = False) -> H.FrameHeader:
+                            screen: bool = False,
+                            qm=None) -> H.FrameHeader:
     assert 0 < qindex <= 255
     if deblock:
         from ..common.loopfilter import pick_filter_level_from_q
@@ -45,6 +46,8 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
     if screen:
         assert sh.force_screen_content_tools == 2, \
             "screen frames need make_sequence_header(screen=True)"
+    if qm is not None and not sh.separate_uv_delta_q:
+        assert qm[1] == qm[2], "qm_v == qm_u unless separate_uv_delta_q"
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
         disable_cdf_update=0, disable_frame_end_update_cdf=1,
@@ -54,6 +57,9 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
         base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
         allow_screen_content_tools=int(screen),
         force_integer_mv=int(screen),
+        using_qmatrix=int(qm is not None),
+        qm_y=qm[0] if qm else 0, qm_u=qm[1] if qm else 0,
+        qm_v=qm[2] if qm else 0,
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
 
 
@@ -789,6 +795,13 @@ class LossyAllIntraEncoder(LosslessEncoder):
         adj = CF.adjusted_tx_size(tx_size)
         scan = tables.scan(adj, tx_type)
         log_scale = CF._tx_scale(tx_size)
+        qm_w = qm_iw = None
+        if (self.fh.using_qmatrix and tx_type < c.IDTX
+                and self.fh.base_q_idx > 0):
+            level = (self.fh.qm_y, self.fh.qm_u, self.fh.qm_v)[plane]
+            if level < 15:
+                qm_w = Q.qm_table(level, int(plane > 0), tx_size)
+                qm_iw = Q.iqm_table(level, int(plane > 0), tx_size)
         dist = 0.0
         bits = 0.0
         txbs = []
@@ -816,8 +829,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 resid = src.astype(np.int32) - pred.astype(np.int32)
                 coeff = T2.fwd_txfm2d(resid, tx_size, tx_type, self.bd)
                 qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
-                                                    log_scale)
-                if self.trellis and eob:
+                                                    log_scale, qm=qm_w,
+                                                    iqm=qm_iw)
+                if self.trellis and eob and qm_w is None:
                     qcoeff, dqcoeff, eob = Q.optimize_txb(
                         qcoeff, dqcoeff, coeff, scan, pq, log_scale, eob,
                         self._lam(mi_row, mi_col),
@@ -1077,14 +1091,14 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      block_size: int = c.BLOCK_16X16,
                      enable_cdef: int = 0, enable_restoration: int = 0,
                      bit_depth: int = 8, screen: bool = False,
-                     **kw) -> None:
+                     qm=None, **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen)
     payloads = []
     for i, f in enumerate(frames):
-        fh = make_lossy_frame_header(sh, qindex, screen=screen)
+        fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm)
         enc = LossyAllIntraEncoder(sh, fh, block_size=block_size, **kw)
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -35,7 +35,7 @@ ALL_Y_MODES = tuple(range(c.INTRA_MODES))
 def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                             deblock: bool = True,
                             screen: bool = False,
-                            qm=None) -> H.FrameHeader:
+                            qm=None, aq: bool = False) -> H.FrameHeader:
     assert 0 < qindex <= 255
     if deblock:
         from ..common.loopfilter import pick_filter_level_from_q
@@ -48,6 +48,8 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
             "screen frames need make_sequence_header(screen=True)"
     if qm is not None and not sh.separate_uv_delta_q:
         assert qm[1] == qm[2], "qm_v == qm_u unless separate_uv_delta_q"
+    if aq:
+        assert qindex > 1, "delta-q needs a non-lossless base q"
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
         disable_cdf_update=0, disable_frame_end_update_cdf=1,
@@ -60,6 +62,7 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
         using_qmatrix=int(qm is not None),
         qm_y=qm[0] if qm else 0, qm_u=qm[1] if qm else 0,
         qm_v=qm[2] if qm else 0,
+        delta_q_present=int(aq), delta_q_res_log2=2 if aq else 0,
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
 
 
@@ -84,6 +87,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self.screen = bool(getattr(fh, "allow_screen_content_tools", 0))
         self.pal_size_y = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         self.pal_colors_y = {}   # (mi_r, mi_c) -> tuple of luma colors
+        # variance AQ (aq_variance.c / DELTA_Q_PERCEPTUAL analog)
+        self.sb_qmap = None
+        self._emit_cur_q = fh.base_q_idx
         self.pq = []
         for (dcd, acd) in ((fh.delta_q_y_dc, 0),
                            (fh.delta_q_u_dc, fh.delta_q_u_ac),
@@ -95,12 +101,17 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def _lam(self, mi_row, mi_col):
         """Per-block lambda: global rdmult scaled by the psy tune map
-        (av1_set_ssim_rdmult analog)."""
+        (av1_set_ssim_rdmult analog) and the AQ delta-q of the SB."""
+        lam = self.lam
+        if self.sb_qmap is not None:
+            qstep = Q.ac_quant_qtx(self._block_qindex(mi_row, mi_col), 0,
+                                   self.sh.bit_depth) / 8.0
+            lam = 0.12 * qstep * qstep
         if self.lam_map is None:
-            return self.lam
+            return lam
         m = self.lam_map
-        return self.lam * m[min(mi_row >> 2, m.shape[0] - 1),
-                            min(mi_col >> 2, m.shape[1] - 1)]
+        return lam * m[min(mi_row >> 2, m.shape[0] - 1),
+                       min(mi_col >> 2, m.shape[1] - 1)]
 
     #: subclasses that cannot replay their emit pass (e.g. inter, which
     #: builds MV-ref state during emit) set this False until supported
@@ -116,7 +127,54 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self._sb_plans = []
         self._lr = None
         self._setup_tune_map(planes)
+        self._setup_aq(planes)
+        self._emit_cur_q = self.fh.base_q_idx
         return super().encode_frame(planes, use_jax=False)
+
+    def _setup_aq(self, planes) -> None:
+        """Per-SB qindex map for delta-q (variance AQ: quantize flat SBs
+        finer; av1 DELTA_Q_PERCEPTUAL / aq_variance.c analog).  Targets sit
+        on the delta_q_res grid relative to base so the sequentially-coded
+        deltas realize them exactly."""
+        fh = self.fh
+        if not fh.delta_q_present:
+            self.sb_qmap = None
+            return
+        step = 1 << fh.delta_q_res_log2
+        base = fh.base_q_idx
+        sb_px = self.sb_mi * 4
+        y = np.asarray(planes[0], np.float64)
+        h, w = y.shape
+        n_r = (self.mi_rows + self.sb_mi - 1) // self.sb_mi
+        n_c = (self.mi_cols + self.sb_mi - 1) // self.sb_mi
+        logv = np.zeros((n_r, n_c))
+        for r in range(n_r):
+            for cc in range(n_c):
+                blk = y[r * sb_px:(r + 1) * sb_px,
+                        cc * sb_px:(cc + 1) * sb_px]
+                logv[r, cc] = np.log2(blk.var() + 1.0)
+        off = 6.0 * (logv - logv.mean())
+        k = np.round(off / step).astype(np.int64)
+        k_min = -((base - 1) // step)
+        k_max = (255 - base) // step
+        self.sb_qmap = base + np.clip(k, k_min, k_max) * step
+
+    def _block_qindex(self, mi_row, mi_col) -> int:
+        if self.sb_qmap is None:
+            return self.fh.base_q_idx
+        return int(self.sb_qmap[mi_row // self.sb_mi,
+                                mi_col // self.sb_mi])
+
+    def _pq_at(self, plane, mi_row, mi_col):
+        if self.sb_qmap is None:
+            return self.pq[plane]
+        q = self._block_qindex(mi_row, mi_col)
+        fh = self.fh
+        deltas = ((fh.delta_q_y_dc, 0),
+                  (fh.delta_q_u_dc, fh.delta_q_u_ac),
+                  (fh.delta_q_v_dc, fh.delta_q_v_ac))[plane]
+        return Q.build_plane_quant(q, deltas[0], deltas[1],
+                                   bd=self.sh.bit_depth)
 
     def _post_tile(self, tile_data: bytes) -> bytes:
         self._filter_recon()
@@ -301,6 +359,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
                               for _ in range(self.num_planes)]
         self.left_entropy = [np.zeros(self.mi_rows + 32, dtype=np.uint8)
                              for _ in range(self.num_planes)]
+        self._emit_cur_q = self.fh.base_q_idx
         # av1_reset_loop_restoration: per-tile coeff prediction refs
         self._lr_wiener_ref = [{"v": LR.default_wiener(),
                                 "h": LR.default_wiener()}
@@ -664,6 +723,21 @@ class LossyAllIntraEncoder(LosslessEncoder):
             y_angle=y_angle, uv_mode=uv_mode, cfl=cfl, pal_y=pal_y,
             txbs=y_txbs + uv_txbs, is_chroma_ref=is_chroma_ref)
 
+    def _write_delta_q(self, d):
+        """write_delta_qindex (bitstream.c): symbol + exp-golomb tail +
+        sign, mirror of decoder._read_delta_q_params.read_delta."""
+        abs_v = abs(d)
+        self.sink.symbol(min(abs_v, 3), 4, "delta_q_cdf")
+        if abs_v >= 3:
+            rem_bits = (abs_v - 1).bit_length() - 1
+            thr = (1 << rem_bits) + 1
+            for k in range(2, -1, -1):
+                self.sink.bit(((rem_bits - 1) >> k) & 1)
+            for k in range(rem_bits - 1, -1, -1):
+                self.sink.bit(((abs_v - thr) >> k) & 1)
+        if abs_v:
+            self.sink.bit(int(d < 0))
+
     # --- palette (screen content) --------------------------------------
 
     def _allow_palette_enc(self, bsize):
@@ -791,7 +865,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         else:
             tx_type = TT.chroma_intra_tx_type(mode, tx_size, reduced)
             tx_type_sym = None
-        pq = self.pq[plane]
+        pq = self._pq_at(plane, mi_row, mi_col)
         adj = CF.adjusted_tx_size(tx_size)
         scan = tables.scan(adj, tx_type)
         log_scale = CF._tx_scale(tx_size)
@@ -935,6 +1009,15 @@ class LossyAllIntraEncoder(LosslessEncoder):
         skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
                    (int(self.mi_skip[left_mi]) if left_mi else 0)
         self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
+        # delta-q (read_delta_q_params order: after skip+cdef, before mode)
+        if self.fh.delta_q_present:
+            sbm = self.sb_mi
+            first = (mi_row & (sbm - 1)) == 0 and (mi_col & (sbm - 1)) == 0
+            if first and (bsize != self.sb_size or not skip):
+                tgt = self._block_qindex(mi_row, mi_col)
+                d = (tgt - self._emit_cur_q) >> self.fh.delta_q_res_log2
+                self._write_delta_q(d)
+                self._emit_cur_q = tgt
         above_mode = int(self.mi_mode[above_mi]) if above_mi else c.DC_PRED
         left_mode = int(self.mi_mode[left_mi]) if left_mi else c.DC_PRED
         self.sink.symbol(y_mode, c.INTRA_MODES, "kf_y_cdf",
@@ -1091,14 +1174,15 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      block_size: int = c.BLOCK_16X16,
                      enable_cdef: int = 0, enable_restoration: int = 0,
                      bit_depth: int = 8, screen: bool = False,
-                     qm=None, **kw) -> None:
+                     qm=None, aq: bool = False, **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen)
     payloads = []
     for i, f in enumerate(frames):
-        fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm)
+        fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm,
+                                     aq=aq)
         enc = LossyAllIntraEncoder(sh, fh, block_size=block_size, **kw)
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -162,3 +162,37 @@ def test_rect_partitions_and_angle_delta_conformance(tmp_path):
     ref = read_y4m(out)[0][0]
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_variance_aq_delta_q(tmp_path):
+    """Variance AQ writes per-SB delta-q; stream decodes identically in
+    stock aomdec and our decoder (write_delta_qindex mirror)."""
+    w, h = 192, 128
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # left half flat gradient (low variance), right half textured
+    y = (xx * 255 // w).astype(np.uint8)
+    y[:, w // 2:] = rng.integers(0, 256, (h, w // 2)).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 136, np.uint8)
+    frames = [(y, u, v)]
+    ivf = str(tmp_path / "aq.ivf")
+    encode_lossy_ivf(ivf, frames, w, h, qindex=80, aq=True)
+
+    # the AQ map must actually vary for this content
+    from aom_av1_lavish_tpu.encoder.lossy import (LossyAllIntraEncoder,
+                                                  make_lossy_frame_header,
+                                                  make_sequence_header)
+    sh = make_sequence_header(w, h)
+    enc = LossyAllIntraEncoder(sh, make_lossy_frame_header(sh, 80, aq=True))
+    enc._setup_aq(frames[0])
+    assert len(np.unique(enc.sb_qmap)) >= 2, enc.sb_qmap
+
+    out = str(tmp_path / "aq.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")

@@ -1130,8 +1130,11 @@ class InterDecoderMixin:
                 units = [(r, cc, tx) for (r, cc, tx) in bi.inter_leaves
                          if r < max_rows4 and cc < max_cols4]
             else:
-                tx = self._plane_tx_size(plane, plane_bsize) if plane \
-                    else bi.tx_size
+                if self.lossless:
+                    tx = c.TX_4X4
+                else:
+                    tx = self._plane_tx_size(plane, plane_bsize) if plane \
+                        else bi.tx_size
                 tw4 = c.TX_WIDTH[tx] >> 2
                 th4 = c.TX_HEIGHT[tx] >> 2
                 units = [(r, cc, tx)
@@ -1165,7 +1168,10 @@ class InterDecoderMixin:
         dqv_dc, dqv_ac = self._dqv(plane, getattr(bi, "qindex",
                                                   self.fh.base_q_idx))
         mm = 32
-        if plane == 0:
+        if self.lossless:
+            tx_type = c.DCT_DCT   # lossless: WHT, coded as DCT_DCT class
+            self._last_tx_type = c.DCT_DCT
+        elif plane == 0:
             tx_type = self._make_inter_tx_type_reader(
                 ts, rd, tx_size, mi_row + row_off, mi_col + col_off)
         else:
@@ -1195,11 +1201,19 @@ class InterDecoderMixin:
                              vis_w4, vis_h4, col_off, row_off,
                              mb_to_right < 0, mb_to_bottom < 0)
         if eob:
-            from ..common import txfm2d as T2
-            tt = self._last_tx_type
-            ref[py:py + txhpx, px:px + txwpx] = T2.inv_txfm2d_add(
-                dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt,
-                self.bd)
+            if self.lossless:
+                from ..common.txfm import iwht4x4
+                res = iwht4x4(dqcoeff.reshape(4, 4))
+                block = ref[py:py + txhpx, px:px + txwpx] \
+                    .astype(np.int32) + res
+                ref[py:py + txhpx, px:px + txwpx] = np.clip(
+                    block, 0, (1 << self.bd) - 1).astype(ref.dtype)
+            else:
+                from ..common import txfm2d as T2
+                tt = self._last_tx_type
+                ref[py:py + txhpx, px:px + txwpx] = T2.inv_txfm2d_add(
+                    dqcoeff, ref[py:py + txhpx, px:px + txwpx], tx_size, tt,
+                    self.bd)
 
     def _make_inter_tx_type_reader(self, ts, rd, tx_size, cell_row,
                                    cell_col):

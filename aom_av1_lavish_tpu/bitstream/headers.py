@@ -529,9 +529,107 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
         assert not sh.enable_warped_motion or fh.error_resilient_mode
     w.write_bit(fh.reduced_tx_set)
     if not fh.is_intra:
-        for _ in range(7):
-            w.write_bit(0)  # global motion: identity per ref
+        _write_global_motion(fh, w)
     # film grain: seq flag off
+
+
+def _recenter_nonneg(ref: int, v: int) -> int:
+    if v > 2 * ref:
+        return v
+    if v >= ref:
+        return (v - ref) << 1
+    return ((ref - v) << 1) - 1
+
+
+def _recenter_finite_nonneg(n: int, ref: int, v: int) -> int:
+    if 2 * ref <= n:
+        return _recenter_nonneg(ref, v)
+    return _recenter_nonneg(n - 1 - ref, n - 1 - v)
+
+
+def _write_primitive_quniform(w: BitWriter, n: int, v: int) -> None:
+    if n <= 1:
+        return
+    lbits = n.bit_length()
+    m = (1 << lbits) - n
+    if v < m:
+        w.write_literal(v, lbits - 1)
+    else:
+        w.write_literal(m + ((v - m) >> 1), lbits - 1)
+        w.write_bit((v - m) & 1)
+
+
+def _write_primitive_subexpfin(w: BitWriter, n: int, k: int,
+                               v: int) -> None:
+    i = 0
+    mk = 0
+    while True:
+        b = k + i - 1 if i else k
+        a = 1 << b
+        if n <= mk + 3 * a:
+            _write_primitive_quniform(w, n - mk, v - mk)
+            return
+        t = int(v >= mk + a)
+        w.write_bit(t)
+        if not t:
+            w.write_literal(v - mk, b)
+            return
+        i += 1
+        mk += a
+
+
+def _write_signed_primitive_refsubexpfin(w: BitWriter, n: int, k: int,
+                                         ref: int, v: int) -> None:
+    """aom_wb_write_signed_primitive_refsubexpfin
+    (bitwriter_buffer.c:133)."""
+    ref += n - 1
+    v += n - 1
+    scaled_n = (n << 1) - 1
+    _write_primitive_subexpfin(w, scaled_n, k,
+                               _recenter_finite_nonneg(scaled_n, ref, v))
+
+
+def _write_global_motion(fh: FrameHeader, w: BitWriter) -> None:
+    """write_global_motion_params (bitstream.c): mirror of
+    _parse_global_motion; refs are identity (error-resilient frames have
+    no primary-ref prediction)."""
+    assert fh.primary_ref_frame == PRIMARY_REF_NONE or all(
+        p[0] == c.IDENTITY for p in fh.gm_params), \
+        "gm write vs primary-ref prediction unimplemented"
+    for ref in range(7):
+        wmtype, mat, _inv = fh.gm_params[ref]
+        ref_mat = _GM_IDENTITY_MAT
+        w.write_bit(wmtype != c.IDENTITY)
+        if wmtype == c.IDENTITY:
+            continue
+        w.write_bit(wmtype == c.ROTZOOM)
+        if wmtype != c.ROTZOOM:
+            w.write_bit(wmtype == c.TRANSLATION)
+        if wmtype >= c.ROTZOOM:
+            _write_signed_primitive_refsubexpfin(
+                w, GM_ALPHA_MAX + 1, 3, (ref_mat[2] >> 1) - (1 << 15),
+                (mat[2] >> 1) - (1 << 15))
+            _write_signed_primitive_refsubexpfin(
+                w, GM_ALPHA_MAX + 1, 3, ref_mat[3] >> 1, mat[3] >> 1)
+        if wmtype >= c.AFFINE:
+            _write_signed_primitive_refsubexpfin(
+                w, GM_ALPHA_MAX + 1, 3, ref_mat[4] >> 1, mat[4] >> 1)
+            _write_signed_primitive_refsubexpfin(
+                w, GM_ALPHA_MAX + 1, 3, (ref_mat[5] >> 1) - (1 << 15),
+                (mat[5] >> 1) - (1 << 15))
+        hp = fh.allow_high_precision_mv
+        if wmtype == c.TRANSLATION:
+            trans_bits = 9 - (not hp)
+            trans_prec_diff = 13 + (not hp)
+        else:
+            trans_bits = 12
+            trans_prec_diff = 10
+        _write_signed_primitive_refsubexpfin(
+            w, (1 << trans_bits) + 1, 3, ref_mat[0] >> trans_prec_diff,
+            mat[0] >> trans_prec_diff)
+        _write_signed_primitive_refsubexpfin(
+            w, (1 << trans_bits) + 1, 3, ref_mat[1] >> trans_prec_diff,
+            mat[1] >> trans_prec_diff)
 
 
 def _write_frame_size(fh: FrameHeader, sh: SequenceHeader,

@@ -37,11 +37,16 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             refresh_frame_flags: int = 0x01,
                             ref_frame_idx=(0,) * 7,
                             show_frame: int = 1,
-                            showable_frame: int = 0) -> H.FrameHeader:
+                            showable_frame: int = 0,
+                            gm_params=None) -> H.FrameHeader:
     from ..common.loopfilter import pick_filter_level_from_q
     lvl = pick_filter_level_from_q(qindex, frame_is_key=False,
                                    bd=sh.bit_depth) if deblock \
         else 0
+    extra = {}
+    if gm_params is not None:
+        extra = dict(gm_type=tuple(p[0] for p in gm_params),
+                     gm_params=tuple(gm_params))
     return H.FrameHeader(
         frame_type=c.INTER_FRAME, show_frame=show_frame,
         showable_frame=showable_frame, error_resilient_mode=1,
@@ -55,7 +60,8 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         allow_high_precision_mv=0, is_filter_switchable=0,
         interpolation_filter=c.EIGHTTAP_REGULAR,
         is_motion_mode_switchable=0, reference_mode=c.SINGLE_REFERENCE,
-        filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
+        filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl,
+        **extra)
 
 
 # single_ref decision-tree coding: ref enum -> [(cdf_col, ctx_fn, bit)]
@@ -111,6 +117,37 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self._ref_pad_cache = {}
         # av1_get_mvpred cost weights (rough): bits per mv step
         self.mv_bit_cost = 1.0
+        # global motion per ref enum (decoder.FrameDecoder.gm layout)
+        from ..common import warp as WP
+        self.gm = [(c.IDENTITY, [0, 0, 65536, 0, 0, 65536], 0, None)]
+        for wmtype, mat, invalid in fh.gm_params:
+            shear = None
+            if wmtype > c.TRANSLATION and not invalid:
+                ok, a, b, gmm, d = WP.get_shear_params(list(mat))
+                shear = (a, b, gmm, d) if ok else None
+                if not ok:
+                    invalid = 1
+            self.gm.append((wmtype, list(mat), invalid, shear))
+        self._gm_types = [e[0] for e in self.gm]
+
+    # --- global motion ------------------------------------------------------
+
+    def _gm_mv(self, ref, bsize, mi_row, mi_col):
+        return MR.gm_get_motion_vector(
+            self.gm[ref], self.fh.allow_high_precision_mv,
+            blockd.block_wide(bsize), blockd.block_high(bsize),
+            mi_col, mi_row, self.fh.force_integer_mv)
+
+    def _gm_would_warp(self, ref, bsize) -> bool:
+        """Mirror of decoder._warp_params' global branch for luma."""
+        e = self.gm[ref]
+        return (e[0] > c.TRANSLATION and not e[2] and e[3] is not None
+                and blockd.block_wide(bsize) >= 8
+                and blockd.block_high(bsize) >= 8
+                and not self.fh.force_integer_mv)
+
+    def _gm_info(self, gm_mv):
+        return {"mv": (gm_mv, (0, 0)), "types": self._gm_types}
 
     # --- reference access -------------------------------------------------
 
@@ -204,40 +241,42 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
         best = None
         for ref in self.ref_list:
+            gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
             stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-                ctx, ref)
+                ctx, ref, gm=self._gm_info(gm_mv))
             nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
             near = MR.lower_mv_precision(mv_list[1], 0, 0)
 
             searched = self._motion_search(mi_row, mi_col, bsize, nearest,
                                            ref)
-            cands = [(MR.NEWMV, searched)]
+            gw = self._gm_would_warp(ref, bsize)
+            cands = [(MR.NEWMV, searched, False)]
             if searched != nearest:
-                cands.append((MR.NEARESTMV, nearest))
+                cands.append((MR.NEARESTMV, nearest, False))
             if near != nearest and near != searched:
-                cands.append((MR.NEARMV, near))
-            if (0, 0) not in (searched, nearest, near):
-                cands.append((MR.GLOBALMV, (0, 0)))
+                cands.append((MR.NEARMV, near, False))
+            if gw or gm_mv not in (searched, nearest, near):
+                cands.append((MR.GLOBALMV, gm_mv, gw))
             # NEWMV with mv equal to nearest is wasteful: demote
             if searched == nearest:
-                cands[0] = (MR.NEARESTMV, nearest)
+                cands[0] = (MR.NEARESTMV, nearest, False)
             seen = set()
             uniq = []
-            for mode, mv in cands:
-                if (mode, mv) in seen:
+            for mode, mv, w_ in cands:
+                if (mode, mv, w_) in seen:
                     continue
-                seen.add((mode, mv))
-                uniq.append((mode, mv))
+                seen.add((mode, mv, w_))
+                uniq.append((mode, mv, w_))
 
-            for mode, mv in uniq:
+            for mode, mv, w_ in uniq:
                 dist, bits, txbs = self._code_inter_planes(
-                    mi_row, mi_col, bsize, mv, ref)
+                    mi_row, mi_col, bsize, mv, ref, gm_warp=w_)
                 bits += self._est_inter_mode_bits(mode, mv, nearest,
                                                   mode_ctx)
                 bits += 1.5 * (len(self.ref_list) > 1)  # ref signaling
                 cost = dist + self._lam(mi_row, mi_col) * bits
                 if best is None or cost < best[0]:
-                    best = (cost, mode, mv, txbs, ref)
+                    best = (cost, mode, mv, txbs, ref, w_)
 
         # intra fallback (DC)
         intra_best = None
@@ -254,7 +293,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             and self.num_planes > 1
 
         if best[0] <= intra_best[0]:
-            cost, mode, mv, txbs, ref = best
+            cost, mode, mv, txbs, ref, gm_warp = best
             self._apply_txbs(0, [t for t in txbs if t["plane"] == 0])
             for plane in (1, 2):
                 self._apply_txbs(plane,
@@ -262,6 +301,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             return cost, dict(
                 mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=1,
                 mode=mode, mv=mv, ref=ref, ref_mv_idx=0, txbs=txbs,
+                gm_warp=gm_warp,
                 is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
                 uv_mode=c.DC_PRED, cfl=None)
         # intra path (chroma DC)
@@ -293,8 +333,10 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         return bits
 
     def _code_inter_planes(self, mi_row, mi_col, bsize, mv,
-                           ref=c.LAST_FRAME):
-        """Motion-compensate + transform-code all planes for one MV."""
+                           ref=c.LAST_FRAME, gm_warp=False):
+        """Motion-compensate + transform-code all planes for one MV.
+        gm_warp: GLOBALMV with a non-translation model — warp planes
+        whose dims are >= 8 (decoder _warp_params global branch)."""
         bw4 = blockd.mi_size_wide(bsize)
         bh4 = blockd.mi_size_high(bsize)
         mi_x, mi_y = mi_col * 4, mi_row * 4
@@ -322,11 +364,21 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             b_h = max(bh_px >> ss_y, 4) if plane else bh_px
             x0 = (mi_x + 4 * col_start) >> ss_x
             y0 = (mi_y + 4 * row_start) >> ss_y
-            pred = IP.predict_inter_block(
-                self._ref_pad(ref, plane), x0, y0, b_w, b_h,
-                mv[0], mv[1], ss_x, ss_y, mb_to_left, mb_to_right,
-                mb_to_top, mb_to_bottom, c.EIGHTTAP_REGULAR,
-                c.EIGHTTAP_REGULAR, self.bd)
+            if gm_warp and b_w >= 8 and b_h >= 8:
+                from ..common import warp as WP
+                e = self.gm[ref]
+                slot = self.fh.ref_frame_idx[ref - 1]
+                pred = np.empty((b_h, b_w),
+                                self.refs[slot][plane].dtype)
+                WP.warp_affine(e[1], self.refs[slot][plane], pred,
+                               x0, y0, b_w, b_h, ss_x, ss_y, *e[3],
+                               bd=self.bd)
+            else:
+                pred = IP.predict_inter_block(
+                    self._ref_pad(ref, plane), x0, y0, b_w, b_h,
+                    mv[0], mv[1], ss_x, ss_y, mb_to_left, mb_to_right,
+                    mb_to_top, mb_to_bottom, c.EIGHTTAP_REGULAR,
+                    c.EIGHTTAP_REGULAR, self.bd)
             d, b, t = self._code_inter_plane_txbs(
                 plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
                 mb_to_right, mb_to_bottom, ss_x, ss_y)
@@ -522,15 +574,20 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             self.sink.symbol(bit, 2, "single_ref_cdf", rctx, col)
 
         ctx = self._refmv_context(mi_row, mi_col, bsize)
+        gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, ref)
+            ctx, ref, gm=self._gm_info(gm_mv))
         nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
         near = MR.lower_mv_precision(mv_list[1], 0, 0)
-        if mv == nearest:
+        if bplan.get("gm_warp"):
+            # trial predicted with the global warp: only GLOBALMV decodes
+            # with warp, so the mode choice is forced
+            mode = MR.GLOBALMV
+        elif mv == nearest:
             mode = MR.NEARESTMV
         elif mv == near:
             mode = MR.NEARMV
-        elif mv == (0, 0):
+        elif mv == gm_mv and not self._gm_would_warp(ref, bsize):
             mode = MR.GLOBALMV
         else:
             mode = MR.NEWMV
@@ -607,12 +664,13 @@ class LowDelayEncoder:
     """Key frame + P-frames, conformant single-ref low-delay encoding."""
 
     def __init__(self, width, height, qindex=60, use_native=None,
-                 block_size=c.BLOCK_16X16, deblock=True, **kw):
+                 block_size=c.BLOCK_16X16, deblock=True, gm=False, **kw):
         self.sh = make_sequence_header(width, height)
         self.qindex = qindex
         self.use_native = use_native
         self.block_size = block_size
         self.deblock = deblock
+        self.gm = gm
         self.kw = kw
         self.slots = [None] * 8
         self.frame_idx = 0
@@ -625,8 +683,17 @@ class LowDelayEncoder:
                 self.sh, fh, use_native=self.use_native,
                 block_size=self.block_size, **self.kw)
         else:
+            gm_params = None
+            if self.gm and self.slots[0] is not None:
+                from .global_motion import estimate_global_motion
+                est = estimate_global_motion(planes[0],
+                                             self.slots[0][0])
+                gm_params = (est,) + ((c.IDENTITY,
+                                       (0, 0, 65536, 0, 0, 65536),
+                                       0),) * 6
             fh = make_inter_frame_header(self.sh, self.qindex,
-                                         deblock=self.deblock)
+                                         deblock=self.deblock,
+                                         gm_params=gm_params)
             enc = InterFrameEncoder(
                 self.sh, fh, self.slots, use_native=self.use_native,
                 block_size=self.block_size)

@@ -530,7 +530,62 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
     w.write_bit(fh.reduced_tx_set)
     if not fh.is_intra:
         _write_global_motion(fh, w)
-    # film grain: seq flag off
+    if sh.film_grain_params_present and (fh.show_frame
+                                         or fh.showable_frame):
+        _write_film_grain(fh, sh, w)
+
+
+def _write_film_grain(fh: FrameHeader, sh: SequenceHeader,
+                      w: BitWriter) -> None:
+    """av1_write_film_grain_params (bitstream.c): mirror of
+    _parse_film_grain; always writes full params (update_parameters=1)."""
+    p = fh.film_grain
+    w.write_bit(1 if (p is not None and p.apply_grain) else 0)
+    if p is None or not p.apply_grain:
+        return
+    w.write_literal(p.random_seed, 16)
+    if fh.frame_type == c.INTER_FRAME:
+        w.write_bit(1)  # update_parameters
+    w.write_literal(p.num_y_points, 4)
+    for (v, s) in p.scaling_points_y:
+        w.write_literal(v, 8)
+        w.write_literal(s, 8)
+    if not sh.mono_chrome:
+        w.write_bit(p.chroma_scaling_from_luma)
+    if not (sh.mono_chrome or p.chroma_scaling_from_luma
+            or (sh.subsampling_x and sh.subsampling_y
+                and p.num_y_points == 0)):
+        w.write_literal(p.num_cb_points, 4)
+        for (v, s) in p.scaling_points_cb:
+            w.write_literal(v, 8)
+            w.write_literal(s, 8)
+        w.write_literal(p.num_cr_points, 4)
+        for (v, s) in p.scaling_points_cr:
+            w.write_literal(v, 8)
+            w.write_literal(s, 8)
+    w.write_literal(p.scaling_shift - 8, 2)
+    w.write_literal(p.ar_coeff_lag, 2)
+    if p.num_y_points:
+        for v in p.ar_coeffs_y:
+            w.write_literal(v + 128, 8)
+    if p.num_cb_points or p.chroma_scaling_from_luma:
+        for v in p.ar_coeffs_cb:
+            w.write_literal(v + 128, 8)
+    if p.num_cr_points or p.chroma_scaling_from_luma:
+        for v in p.ar_coeffs_cr:
+            w.write_literal(v + 128, 8)
+    w.write_literal(p.ar_coeff_shift - 6, 2)
+    w.write_literal(p.grain_scale_shift, 2)
+    if p.num_cb_points:
+        w.write_literal(p.cb_mult, 8)
+        w.write_literal(p.cb_luma_mult, 8)
+        w.write_literal(p.cb_offset, 9)
+    if p.num_cr_points:
+        w.write_literal(p.cr_mult, 8)
+        w.write_literal(p.cr_luma_mult, 8)
+        w.write_literal(p.cr_offset, 9)
+    w.write_bit(p.overlap_flag)
+    w.write_bit(p.clip_to_restricted_range)
 
 
 def _recenter_nonneg(ref: int, v: int) -> int:

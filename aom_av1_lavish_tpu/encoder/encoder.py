@@ -147,7 +147,8 @@ def make_sequence_header(width: int, height: int,
                          enable_cdef: int = 0,
                          enable_restoration: int = 0,
                          bit_depth: int = 8,
-                         screen: bool = False) -> H.SequenceHeader:
+                         screen: bool = False,
+                         film_grain: bool = False) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
     10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 12-bit needs
     profile 2 (spec 5.5.2 color_config).  screen=True selects
@@ -163,7 +164,7 @@ def make_sequence_header(width: int, height: int,
         force_integer_mv=2, enable_superres=0, enable_cdef=enable_cdef,
         enable_restoration=enable_restoration,
         high_bitdepth=1 if bit_depth > 8 else 0,
-        mono_chrome=0,
+        mono_chrome=0, film_grain_params_present=int(film_grain),
         subsampling_x=1, subsampling_y=1, separate_uv_delta_q=0)
 
 

@@ -1174,15 +1174,28 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      block_size: int = c.BLOCK_16X16,
                      enable_cdef: int = 0, enable_restoration: int = 0,
                      bit_depth: int = 8, screen: bool = False,
-                     qm=None, aq: bool = False, **kw) -> None:
+                     qm=None, aq: bool = False, grain: bool = False,
+                     **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
-                              bit_depth=bit_depth, screen=screen)
+                              bit_depth=bit_depth, screen=screen,
+                              film_grain=grain)
+    grain_params = None
+    if grain:
+        from ..dsp.noise_model import fit_grain_params
+        grain_params = fit_grain_params(np.asarray(frames[0][0]),
+                                        bit_depth=bit_depth)
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm,
                                      aq=aq)
+        if grain_params is not None:
+            from dataclasses import replace
+            fh.film_grain = replace(
+                grain_params,
+                random_seed=(grain_params.random_seed
+                             + 3248 * i) & 0xFFFF)
         enc = LossyAllIntraEncoder(sh, fh, block_size=block_size, **kw)
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

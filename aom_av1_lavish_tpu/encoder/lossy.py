@@ -73,13 +73,14 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
-                 luma_bias=0.0, trellis=True, rect_parts=True):
+                 luma_bias=0.0, trellis=True, rect_parts=True, speed=0):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
         self.enable_cfl = enable_cfl
         self.trellis = trellis
         self.rect_parts = rect_parts
+        self.speed = speed   # >=1: ML partition pruning (models/)
         self.tune = tune
         self.luma_bias = luma_bias
         self.lam_map = None
@@ -529,6 +530,30 @@ class LossyAllIntraEncoder(LosslessEncoder):
             return cost + self._lam(mi_row, mi_col) * 2, ("NONE", mi_row, mi_col, bsize,
                                          [bplan])
 
+        # ML partition pruning (models/partition_prune, speed feature:
+        # av1_simple_motion_search_prune analog)
+        skip_split = skip_none = False
+        if self.speed >= 1 and bsize >= c.BLOCK_16X16:
+            from ..models.partition_prune import (block_features,
+                                                  prob_split)
+            p = prob_split(block_features(
+                self.src[0], mi_col * 4, mi_row * 4,
+                blockd.block_wide(bsize), self.fh.base_q_idx))
+            skip_split = p < 0.10
+            skip_none = p > 0.93
+
+        if skip_none:
+            sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+            kids = []
+            cost_split = self._lam(mi_row, mi_col) * 8
+            for (r, cc) in ((mi_row, mi_col), (mi_row, mi_col + hbs),
+                            (mi_row + hbs, mi_col),
+                            (mi_row + hbs, mi_col + hbs)):
+                k_cost, k_plan = self._search(r, cc, sub)
+                cost_split += k_cost
+                kids.append(k_plan)
+            return cost_split, ("SPLIT", mi_row, mi_col, bsize, kids)
+
         # trial NONE with snapshot
         snap = self._save_region(mi_row, mi_col, bsize)
         cost_none, bplan = self._trial_block(mi_row, mi_col, bsize)
@@ -559,6 +584,10 @@ class LossyAllIntraEncoder(LosslessEncoder):
                     best = (cost, (kind, mi_row, mi_col, bsize, plans),
                             self._save_region(mi_row, mi_col, bsize))
                 self._restore_region(mi_row, mi_col, bsize, snap)
+
+        if skip_split:
+            self._restore_region(mi_row, mi_col, bsize, best[2])
+            return best[0], best[1]
 
         # trial SPLIT (children keep their recon)
         sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)

@@ -204,6 +204,14 @@ def cdef_frame(planes, mi_rows, mi_cols, ss_x, ss_y, num_planes,
                             4 + fbc * 64 + 8 * bx:4 + fbc * 64 + 8 * bx + 8]
                 for (by, bx) in blocks])
             dirs, variances = find_dir_blocks(y8, coeff_shift)
+            if num_planes > 1 and ss_x != ss_y:
+                # 4:2:2 / 4:4:0 chroma: directions remap to the
+                # subsampled geometry (cdef_block.c:361 conv422/conv440)
+                conv = (np.array([7, 0, 2, 4, 5, 6, 6, 6]) if ss_x
+                        else np.array([1, 2, 2, 2, 3, 4, 6, 0]))
+                chroma_dirs = conv[dirs]
+            else:
+                chroma_dirs = dirs
             for plane in range(num_planes):
                 sx = ss_x if plane else 0
                 sy = ss_y if plane else 0
@@ -226,7 +234,8 @@ def cdef_frame(planes, mi_rows, mi_cols, ss_x, ss_y, num_planes,
                         t = pri_strength
                     if t == 0 and sec_strength == 0:
                         continue
-                    d = int(dirs[bi]) if pri_strength else 0
+                    d = int((dirs if plane == 0 else chroma_dirs)[bi]) \
+                        if pri_strength else 0
                     inb = pristine[plane][4 + py - 2:4 + py + bh + 2,
                                           4 + px - 2:4 + px + bw + 2]
                     out = filter_block(inb, t, sec_strength, d, dmp, dmp,

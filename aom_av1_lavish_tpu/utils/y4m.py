@@ -53,6 +53,8 @@ def read_y4m(path: str):
                     sub = "422"
                 elif cs.startswith("444"):
                     sub = "444"
+                elif cs.startswith("mono"):
+                    sub = "mono"
                 if cs.endswith("p10"):
                     bit_depth = 10
                 elif cs.endswith("p12"):
@@ -60,6 +62,8 @@ def read_y4m(path: str):
         sx = 2 if sub in ("420", "422") else 1
         sy = 2 if sub == "420" else 1
         cw, ch = (width + sx - 1) // sx, (height + sy - 1) // sy
+        if sub == "mono":
+            cw = ch = 0
         nbytes = 2 if bit_depth > 8 else 1
         dtype = "<u2" if bit_depth > 8 else np.uint8
         frames = []
@@ -73,6 +77,9 @@ def read_y4m(path: str):
                 line += f.read(1)
             assert line.startswith(b"FRAME")
             y = np.frombuffer(f.read(width * height * nbytes), dtype=dtype)
+            if sub == "mono":
+                frames.append((y.reshape(height, width), None, None))
+                continue
             u = np.frombuffer(f.read(cw * ch * nbytes), dtype=dtype)
             v = np.frombuffer(f.read(cw * ch * nbytes), dtype=dtype)
             frames.append((y.reshape(height, width), u.reshape(ch, cw),

@@ -65,14 +65,28 @@ class EncoderConfig:
     # platform
     use_tpu: bool = False            # batched device encode paths
     use_native: bool | None = None   # native C entropy coder
+    #: target level (AV1 Annex A); -1 = auto-pick, 31 = max-parameters.
+    #: Enforced at validate() (av1/encoder/level.c analog).
+    level: int = -1
 
     def validate(self) -> None:
-        """RANGE_CHECK analog (av1_cx_iface.c:805)."""
+        """RANGE_CHECK analog (av1_cx_iface.c:805) + level enforcement
+        (encoder/levels.py)."""
         def rng(name, v, lo, hi):
             if not (lo <= v <= hi):
                 raise ValueError(f"{name}={v} out of range [{lo},{hi}]")
         rng("width", self.width, 4, 65536)
         rng("height", self.height, 4, 65536)
+        from .encoder.levels import check_level, pick_level
+        if self.level == -1:
+            self.level = pick_level(self.width, self.height, self.fps,
+                                    float(self.target_bps))
+        else:
+            bad = check_level(self.level, self.width, self.height,
+                              self.fps, float(self.target_bps))
+            if bad:
+                raise ValueError(
+                    f"stream exceeds level {self.level}: " + "; ".join(bad))
         rng("qindex", self.qindex, 0, 255)
         rng("best_q", self.best_q, 0, 255)
         rng("worst_q", self.worst_q, self.best_q, 255)

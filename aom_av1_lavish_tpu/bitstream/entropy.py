@@ -273,6 +273,23 @@ class RangeDecoder:
     def decode_bit(self) -> int:
         return self.decode_bool_q15((0x7FFFFF - (128 << 15) + 128) >> 8)
 
+    def tell(self) -> int:
+        """od_ec_dec_tell: whole bits consumed so far."""
+        return self.pos * 8 - self.cnt + self.tell_offs
+
+    def tell_frac(self) -> int:
+        """od_ec_dec_tell_frac: bits consumed in 1/8-bit units
+        (entcode.c od_ec_tell_frac, OD_BITRES=3)."""
+        nbits = self.tell() << 3
+        rng = self.rng
+        lv = 0
+        for _ in range(3):
+            rng = (rng * rng) >> 15
+            b = rng >> 16
+            lv = (lv << 1) | b
+            rng >>= b
+        return nbits - lv
+
     def decode_literal(self, bits: int) -> int:
         out = 0
         for b in range(bits - 1, -1, -1):

@@ -124,6 +124,9 @@ class FrameDecoder(InterDecoderMixin):
         self.superres = (fh.superres_denom != H.SUPERRES_NUM)
         self.upscaled_width = fh.upscaled_width or fh.frame_width
         self._cdef_tx = [False] * 4
+        #: optional symbol accounting sink (inspect.py): category -> 1/8
+        #: bit units (accounting.c analog)
+        self.acct = None
         # loop restoration (decode_restoration_mode, decodeframe.c:1494)
         self.lr = None
         if any(fh.lr_type[:self.num_planes]):
@@ -1568,10 +1571,14 @@ class FrameDecoder(InterDecoderMixin):
             from ..common import txtype as TT
             tx_type = TT.chroma_intra_tx_type(bi.uv_mode, tx_size,
                                               self.fh.reduced_tx_set)
+        t0 = rd.tell_frac() if self.acct is not None else 0
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
             dqv_dc, dqv_ac, self.bd,
             iqm_fn=self._iqm_fn(plane, tx_size, bi))
+        if self.acct is not None:
+            key = "coeffs_y" if plane == 0 else "coeffs_uv"
+            self.acct[key] = self.acct.get(key, 0) + rd.tell_frac() - t0
         pbw4 = blockd.block_wide(plane_bsize) >> 2
         pbh4 = blockd.block_high(plane_bsize) >> 2
         vis_w4 = pbw4 + (min(mb_to_right, 0) >> (2 + ss_x))
@@ -1781,6 +1788,8 @@ class _FrameSession:
         self.sh, self.fh, self.state = sh, fh, state
         refs = state["slots"] if state is not None else None
         self.dec = FrameDecoder(sh, fh, refs=refs)
+        if state is not None and state.get("inspect_hook"):
+            self.dec.acct = {}
         self.n_tiles = (1 << fh.tile_cols_log2) * (1 << fh.tile_rows_log2)
         self.next_tile = 0
         self.tile_states = []
@@ -1831,6 +1840,8 @@ class _FrameSession:
         dec.apply_loop_restoration()
         out = dec.output()
         _update_ref_state(self.state, fh, dec, out)
+        if self.state is not None and self.state.get("inspect_hook"):
+            self.state["inspect_hook"](dec, fh, out)
         return out
 
 

@@ -1186,10 +1186,14 @@ class InterDecoderMixin:
                 tt = c.DCT_DCT
             tx_type = tt
             self._last_tx_type = tt
+        t0 = rd.tell_frac() if self.acct is not None else 0
         eob, cul_level, dqcoeff = CF.read_coeffs_txb(
             rd, ts.fc, plane, tx_size, tx_type, skip_ctx, dc_sign_ctx,
             dqv_dc, dqv_ac, self.bd,
             iqm_fn=self._iqm_fn(plane, tx_size, bi))
+        if self.acct is not None:
+            key = "coeffs_y" if plane == 0 else "coeffs_uv"
+            self.acct[key] = self.acct.get(key, 0) + rd.tell_frac() - t0
         if plane == 0 and eob == 0:
             self.tx_type_map[mi_row + row_off + mm,
                              mi_col + col_off + mm] = c.DCT_DCT

@@ -160,3 +160,31 @@ def test_tune_maps():
     assert lb[:2].mean() < lb[2:].mean()
     assert combined_rdmult_map(y, "psnr", 16, 0.0) is None
     assert combined_rdmult_map(y, "ssim", 16, 0.5).shape == (4, 4)
+
+
+def test_level_enforcement():
+    """Level picking + limits (av1/encoder/level.c analog)."""
+    from aom_av1_lavish_tpu.api import EncoderConfig
+    from aom_av1_lavish_tpu.encoder.levels import check_level, pick_level
+
+    # auto-pick: 480p30 fits level 3.0 or lower
+    cfg = EncoderConfig(width=854, height=480, fps=30.0)
+    cfg.validate()
+    assert cfg.level <= 5
+
+    # 1080p60 needs >= 4.1 (display rate)
+    assert pick_level(1920, 1080, 60.0) >= 9
+    # 4K60 needs >= 5.1 (display rate 497.7M <= 534.8M)
+    assert pick_level(3840, 2160, 60.0) >= 13
+
+    # explicit too-small level rejected
+    cfg = EncoderConfig(width=3840, height=2160, fps=60.0, level=0)
+    try:
+        cfg.validate()
+        assert False, "expected level violation"
+    except ValueError as e:
+        assert "exceeds level" in str(e)
+
+    # bitrate cap enforced
+    assert check_level(8, 1920, 1080, 30.0, bitrate_bps=50e6)
+    assert not check_level(8, 1920, 1080, 30.0, bitrate_bps=10e6)

@@ -128,9 +128,34 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self._sb_plans = []
         self._lr = None
         self._setup_tune_map(planes)
+        if self.tune in ("butteraugli", "vmaf"):
+            self._setup_perceptual_tune(planes)
         self._setup_aq(planes)
         self._emit_cur_q = self.fh.base_q_idx
         return super().encode_frame(planes, use_jax=False)
+
+    def _setup_perceptual_tune(self, planes) -> None:
+        """tune=butteraugli/vmaf: trial-encode the frame, measure the
+        perceptual-vs-MSE damage ratio per block on the recon, and fold
+        it into the lambda map (tune_butteraugli.c:26
+        av1_set_mb_butteraugli_rdmult_scaling flow)."""
+        from ..dsp.butteraugli import perceptual_rdmult_map
+        trial = LossyAllIntraEncoder(
+            self.sh, self.fh, use_native=self.use_native,
+            block_size=self.min_bsize, mode_set=(c.DC_PRED, c.SMOOTH_PRED),
+            enable_cfl=False, tune="psnr", trellis=False,
+            rect_parts=False, speed=1)
+        trial.encode_frame(planes)
+        h, w = np.asarray(planes[0]).shape
+        m = perceptual_rdmult_map(np.asarray(planes[0]),
+                                  trial.recon[0][:h, :w], self.tune, 16)
+        if self.lam_map is None:
+            self.lam_map = m
+        else:
+            hh = min(self.lam_map.shape[0], m.shape[0])
+            ww = min(self.lam_map.shape[1], m.shape[1])
+            self.lam_map = self.lam_map.copy()
+            self.lam_map[:hh, :ww] *= m[:hh, :ww]
 
     def _setup_aq(self, planes) -> None:
         """Per-SB qindex map for delta-q (variance AQ: quantize flat SBs

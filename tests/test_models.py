@@ -86,3 +86,38 @@ def test_speed1_faster_and_conformant(tmp_path):
         return 10 * np.log10(255 ** 2 / mse)
 
     assert psnr(p1) > psnr(p0) - 0.6, (psnr(p0), psnr(p1))
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC),
+                    reason="aomdec oracle not built")
+def test_perceptual_tunes(tmp_path):
+    """tune=butteraugli/vmaf: trial-encode rdmult scaling improves the
+    perceptual metric at comparable rate (tune_butteraugli.c flow)."""
+    from aom_av1_lavish_tpu.dsp.butteraugli import butteraugli_score
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+
+    rng = np.random.default_rng(8)
+    w, h = 192, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (110 + 60 * np.sin(xx / 19.0)).astype(np.uint8)     # smooth
+    y[:, w // 2:] = rng.integers(0, 256, (h, w // 2))       # textured
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    frames = [(y, u, u.copy())]
+
+    scores = {}
+    sizes = {}
+    for tune in ("psnr", "butteraugli", "vmaf"):
+        path = str(tmp_path / f"{tune}.ivf")
+        encode_lossy_ivf(path, frames, w, h, qindex=120, tune=tune)
+        out = str(tmp_path / f"{tune}.y4m")
+        subprocess.run([AOMDEC, "-o", out, path], check=True,
+                       capture_output=True)
+        rec = read_y4m(out)[0][0][0]
+        scores[tune] = butteraugli_score(y, rec)
+        sizes[tune] = os.path.getsize(path)
+
+    # perceptual tunes shift bits toward visible areas
+    assert scores["butteraugli"] < scores["psnr"], scores
+    # and stay in a sane rate envelope
+    assert sizes["butteraugli"] < 2.0 * sizes["psnr"]
+    assert sizes["vmaf"] < 2.0 * sizes["psnr"]

@@ -1,0 +1,69 @@
+"""RTC path: variance-based partitioning + non-RD pickmode
+(var_based_part.c / nonrd_pickmode.c analogs)."""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from aom_av1_lavish_tpu.decoder import decode_ivf
+from aom_av1_lavish_tpu.encoder.inter import encode_lowdelay_ivf
+from aom_av1_lavish_tpu.encoder.nonrd import encode_realtime_ivf
+from aom_av1_lavish_tpu.utils.y4m import read_y4m
+
+AOMDEC = os.path.join(os.path.dirname(__file__), "..", ".oracle", "build",
+                      "aomdec")
+
+
+def _clip(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    big = np.kron(rng.integers(20, 235, (64, 80)).astype(np.uint8),
+                  np.ones((8, 8), np.uint8))
+    frames = []
+    for i in range(n):
+        y = big[2 * i:2 * i + h, 3 * i:3 * i + w].copy()
+        # a moving textured square forces splits in its SBs
+        y[40:72, 40 + 4 * i:72 + 4 * i] = rng.integers(0, 256, (32, 32))
+        u = np.full((h // 2, w // 2), 118, np.uint8)
+        frames.append((y, u, u.copy()))
+    return frames
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC),
+                    reason="aomdec oracle not built")
+def test_realtime_conformance_and_speed(tmp_path):
+    w, h = 192, 144
+    frames = _clip(w, h, 4)
+    rt = str(tmp_path / "rt.ivf")
+    ld = str(tmp_path / "ld.ivf")
+
+    t0 = time.perf_counter()
+    encode_realtime_ivf(rt, frames, w, h, qindex=90)
+    t_rt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    encode_lowdelay_ivf(ld, frames, w, h, qindex=90)
+    t_ld = time.perf_counter() - t0
+
+    # conformance vs stock aomdec
+    out = str(tmp_path / "rt.y4m")
+    subprocess.run([AOMDEC, "-o", out, rt], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    ours = decode_ivf(rt)
+    assert len(ours) == len(ref) == len(frames)
+    for i, (o, r) in enumerate(zip(ours, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=f"frame {i} plane {pi}")
+
+    # non-RD must be much faster than the RD low-delay path
+    assert t_rt < 0.7 * t_ld, (t_rt, t_ld)
+
+    # quality floor on P frames
+    y = ours[-1][0].astype(np.float64)
+    sy = frames[-1][0].astype(np.float64)
+    mse = ((y - sy) ** 2).mean()
+    psnr = 10 * np.log10(255 ** 2 / mse)
+    assert psnr > 26, psnr

@@ -1360,9 +1360,15 @@ def _parse_quantization_params(fh: FrameHeader, sh: SequenceHeader,
 # ---------------------------------------------------------------------------
 
 
-def wrap_obu(obu_type: int, payload: bytes) -> bytes:
-    """OBU header (has_size_field=1, no extension) + leb128 size + payload."""
+def wrap_obu(obu_type: int, payload: bytes, temporal_id: int = 0,
+             spatial_id: int = 0) -> bytes:
+    """OBU header (has_size_field=1) + leb128 size + payload.  A nonzero
+    temporal/spatial id adds the extension byte (spec 5.3.3)."""
     hdr = ((obu_type & 0xF) << 3) | 0x02  # has_size_field
+    if temporal_id or spatial_id:
+        hdr |= 0x04                       # obu_extension_flag
+        ext = ((temporal_id & 7) << 5) | ((spatial_id & 3) << 3)
+        return bytes([hdr, ext]) + leb128_encode(len(payload)) + payload
     return bytes([hdr]) + leb128_encode(len(payload)) + payload
 
 
@@ -1385,6 +1391,12 @@ def show_existing_frame_obu(map_idx: int) -> bytes:
 
 def split_obus(data: bytes):
     """Yield (obu_type, payload) for each OBU in a temporal unit."""
+    for obu_type, payload, _tid, _sid in split_obus_ext(data):
+        yield obu_type, payload
+
+
+def split_obus_ext(data: bytes):
+    """Yield (obu_type, payload, temporal_id, spatial_id) per OBU."""
     pos = 0
     while pos < len(data):
         hdr = data[pos]
@@ -1393,9 +1405,12 @@ def split_obus(data: bytes):
         has_ext = (hdr >> 2) & 1
         has_size = (hdr >> 1) & 1
         pos += 1
+        tid = sid = 0
         if has_ext:
+            tid = data[pos] >> 5
+            sid = (data[pos] >> 3) & 3
             pos += 1
         assert has_size, "size-field-less OBU unsupported"
         size, pos = leb128_decode(data, pos)
-        yield obu_type, data[pos:pos + size]
+        yield obu_type, data[pos:pos + size], tid, sid
         pos += size

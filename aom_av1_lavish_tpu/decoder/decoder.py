@@ -1735,7 +1735,13 @@ def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
         state = {"slots": [None] * 8}
     frames = []
     session = None
-    for obu_type, payload in H.split_obus(data):
+    # operating-point layer filter (obu.c:172 drop semantics): frames
+    # with a temporal id above state["max_tid"] are not decoded
+    max_tid = state.get("max_tid")
+    for obu_type, payload, tid, _sid in H.split_obus_ext(data):
+        if max_tid is not None and tid > max_tid and obu_type in (
+                c.OBU_FRAME, c.OBU_FRAME_HEADER, c.OBU_TILE_GROUP):
+            continue
         if obu_type == c.OBU_SEQUENCE_HEADER:
             sh = H.parse_sequence_header(payload)
         elif obu_type in (c.OBU_FRAME, c.OBU_FRAME_HEADER):
@@ -1901,11 +1907,16 @@ def _update_ref_state(state, fh, dec, out):
                     fh.render_width, fh.render_height)
 
 
-def decode_ivf(path: str, max_frames: int | None = None):
-    """Decode frames of an IVF file; returns list of (y, u, v)."""
+def decode_ivf(path: str, max_frames: int | None = None,
+               max_temporal_layer: int | None = None):
+    """Decode frames of an IVF file; returns list of (y, u, v).
+    max_temporal_layer: decode only OBUs with temporal_id <= N
+    (SVC operating-point selection)."""
     from ..bitstream.ivf import read_ivf
     sh = None
     state = {"slots": [None] * 8}
+    if max_temporal_layer is not None:
+        state["max_tid"] = max_temporal_layer
     out = []
     for payload, _pts in read_ivf(path):
         frames, sh = decode_frame_obus(payload, sh, state)

@@ -1,0 +1,73 @@
+"""Temporal SVC (svc_layercontext.c analog): layered encode, OBU
+extension temporal ids, base-layer-only decode."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from aom_av1_lavish_tpu.bitstream import headers as H
+from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+from aom_av1_lavish_tpu.decoder import decode_ivf
+from aom_av1_lavish_tpu.encoder.svc import (encode_svc_ivf,
+                                            temporal_layer_of)
+from aom_av1_lavish_tpu.utils.y4m import read_y4m
+
+AOMDEC = os.path.join(os.path.dirname(__file__), "..", ".oracle", "build",
+                      "aomdec")
+
+
+def test_dyadic_pattern():
+    assert [temporal_layer_of(i, 2) for i in range(6)] == \
+        [0, 1, 0, 1, 0, 1]
+    assert [temporal_layer_of(i, 3) for i in range(8)] == \
+        [0, 2, 1, 2, 0, 2, 1, 2]
+
+
+def _clip(w, h, n, seed=2):
+    rng = np.random.default_rng(seed)
+    big = np.kron(rng.integers(20, 235, (64, 80)).astype(np.uint8),
+                  np.ones((8, 8), np.uint8))
+    out = []
+    for i in range(n):
+        y = big[2 * i:2 * i + h, 3 * i:3 * i + w].copy()
+        u = np.full((h // 2, w // 2), 118, np.uint8)
+        out.append((y, u, u.copy()))
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC),
+                    reason="aomdec oracle not built")
+def test_svc_two_layers(tmp_path):
+    w, h = 128, 96
+    frames = _clip(w, h, 6)
+    ivf = str(tmp_path / "svc.ivf")
+    encode_svc_ivf(ivf, frames, w, h, temporal_layers=2, qindex=90)
+
+    # OBU extension headers carry the temporal ids
+    tids = []
+    for payload, _ in read_ivf(ivf):
+        ftids = [tid for t, _p, tid, _s in H.split_obus_ext(payload)
+                 if t in (6, 3, 4)]
+        tids.append(max(ftids))
+    assert tids == [0, 1, 0, 1, 0, 1], tids
+
+    # full decode: all frames, conformant vs stock aomdec
+    out = str(tmp_path / "d.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    full = decode_ivf(ivf)
+    assert len(full) == len(ref) == 6
+    for i, (o, r) in enumerate(zip(full, ref)):
+        for pi, (a, b) in enumerate(zip(o, r)):
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=f"frame {i} plane {pi}")
+
+    # base-layer-only decode reproduces the tid-0 frames exactly
+    base = decode_ivf(ivf, max_temporal_layer=0)
+    assert len(base) == 3
+    for bi, fi in zip(range(3), (0, 2, 4)):
+        for a, b in zip(base[bi], full[fi]):
+            np.testing.assert_array_equal(a, b)

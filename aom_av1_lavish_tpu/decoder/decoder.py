@@ -1816,6 +1816,7 @@ class _FrameSession:
             tg_start = r.read_literal(bits)
             tg_end = r.read_literal(bits)
         assert tg_start == self.next_tile, "tile groups out of order"
+        from ..utils.profiler import profile
         pos = (r.bit_offset + 7) >> 3   # byte_alignment()
         for tn in range(tg_start, tg_end + 1):
             trow, tcol = divmod(tn, 1 << fh.tile_cols_log2)
@@ -1827,7 +1828,8 @@ class _FrameSession:
                 pos += fh.tile_size_bytes
                 tile_data = data[pos:pos + size]
                 pos += size
-            self.dec.decode_tile_data(tile_data, trow, tcol)
+            with profile("decode/tile"):
+                self.dec.decode_tile_data(tile_data, trow, tcol)
             self.tile_states.append(self.dec._last_ts)
         self.next_tile = tg_end + 1
         return self.next_tile == self.n_tiles
@@ -1838,12 +1840,14 @@ class _FrameSession:
         # backward context update uses context_update_tile_id's context
         dec._last_ts = self.tile_states[min(fh.context_update_tile_id,
                                             self.n_tiles - 1)]
-        dec.apply_loop_filter()
-        dec.save_lr_boundaries(0)
-        dec.apply_cdef()
-        dec.apply_superres()
-        dec.save_lr_boundaries(1)
-        dec.apply_loop_restoration()
+        from ..utils.profiler import profile
+        with profile("decode/filters"):
+            dec.apply_loop_filter()
+            dec.save_lr_boundaries(0)
+            dec.apply_cdef()
+            dec.apply_superres()
+            dec.save_lr_boundaries(1)
+            dec.apply_loop_restoration()
         out = dec.output()
         _update_ref_state(self.state, fh, dec, out)
         if self.state is not None and self.state.get("inspect_hook"):

@@ -256,12 +256,15 @@ class LosslessEncoder:
         else:
             self.analysis = None
 
-        tile_data = self._encode_tile()
+        from ..utils.profiler import profile
+        with profile("encode/tile_walk"):
+            tile_data = self._encode_tile()
 
         # in-loop filter search (picklpf/pickcdef/pickrst analog) MUST
         # run between tile encode and header serialization: it mutates
         # fh and filters recon, and the header must carry what recon got
-        tile_data = self._post_tile(tile_data)
+        with profile("encode/filter_search"):
+            tile_data = self._post_tile(tile_data)
 
         # assemble: TD + sequence header + frame OBU
         out = bytearray()

@@ -73,7 +73,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
-                 luma_bias=0.0, trellis=True, rect_parts=True, speed=0):
+                 luma_bias=0.0, trellis=True, rect_parts=True, speed=0,
+                 saliency=0.0):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
@@ -81,6 +82,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self.trellis = trellis
         self.rect_parts = rect_parts
         self.speed = speed   # >=1: ML partition pruning (models/)
+        self.saliency = saliency  # saliency-map rdmult strength
         self.tune = tune
         self.luma_bias = luma_bias
         self.lam_map = None
@@ -214,10 +216,29 @@ class LossyAllIntraEncoder(LosslessEncoder):
     #: (TPL dependency map, av1_tpl_rdmult_setup analog)
     ext_rdmult_map = None
 
+    #: external partition model (aom_ext_part_funcs analog,
+    #: av1/encoder/external_partition.c): callable(mi_row, mi_col, bsize,
+    #: features dict) -> "NONE" | "SPLIT" | "HORZ" | "VERT" | None.
+    #: None falls back to the built-in RD search for that node.
+    ext_partition = None
+
+    def _ext_partition_decision(self, mi_row, mi_col, bsize):
+        if self.ext_partition is None:
+            return None
+        feats = dict(
+            qindex=self._block_qindex(mi_row, mi_col),
+            block_size_px=blockd.block_wide(bsize),
+            source_var=float(self.src[0][
+                mi_row * 4:mi_row * 4 + blockd.block_high(bsize),
+                mi_col * 4:mi_col * 4 + blockd.block_wide(bsize)]
+                .astype(np.float64).var()))
+        return self.ext_partition(mi_row, mi_col, bsize, feats)
+
     def _setup_tune_map(self, planes) -> None:
         from .tune import combined_rdmult_map
         self.lam_map = combined_rdmult_map(
-            np.asarray(planes[0]), self.tune, 16, self.luma_bias)
+            np.asarray(planes[0]), self.tune, 16, self.luma_bias,
+            saliency=self.saliency)
         if self.ext_rdmult_map is not None:
             m = np.asarray(self.ext_rdmult_map, np.float64)
             if self.lam_map is None:
@@ -555,10 +576,31 @@ class LossyAllIntraEncoder(LosslessEncoder):
             return cost + self._lam(mi_row, mi_col) * 2, ("NONE", mi_row, mi_col, bsize,
                                          [bplan])
 
+        # external partition model decision (external_partition.c)
+        ext = self._ext_partition_decision(mi_row, mi_col, bsize)
+        if ext == "NONE":
+            cost, bplan = self._trial_block(mi_row, mi_col, bsize)
+            return cost + self._lam(mi_row, mi_col) * 2, \
+                ("NONE", mi_row, mi_col, bsize, [bplan])
+        if ext in ("HORZ", "VERT"):
+            part = c.PARTITION_HORZ if ext == "HORZ" else c.PARTITION_VERT
+            sub = blockd.partition_subsize(bsize, part)
+            offs = ((mi_row, mi_col),
+                    (mi_row + hbs, mi_col) if ext == "HORZ"
+                    else (mi_row, mi_col + hbs))
+            cost = self._lam(mi_row, mi_col) * 4
+            plans = []
+            for (r, cc) in offs:
+                k_cost, k_bplan = self._trial_block(r, cc, sub)
+                cost += k_cost
+                plans.append(k_bplan)
+            return cost, (ext, mi_row, mi_col, bsize, plans)
+
         # ML partition pruning (models/partition_prune, speed feature:
         # av1_simple_motion_search_prune analog)
-        skip_split = skip_none = False
-        if self.speed >= 1 and bsize >= c.BLOCK_16X16:
+        skip_split = False
+        skip_none = ext == "SPLIT"
+        if self.speed >= 1 and bsize >= c.BLOCK_16X16 and ext is None:
             from ..models.partition_prune import (block_features,
                                                   prob_split)
             p = prob_split(block_features(

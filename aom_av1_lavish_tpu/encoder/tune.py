@@ -61,11 +61,43 @@ def luma_bias_map(src_y, block: int = 16, strength: float = 1.0,
     return mult / mult.mean()
 
 
+def saliency_map(src_y, block: int = 16) -> np.ndarray:
+    """Spectral-residual saliency (Hou & Zhang 2007), the classic model
+    behind av1/encoder/saliency_map.c's CNN: suppress the average log
+    spectrum, keep the residual, and the inverse transform's energy
+    marks the visually salient regions.  Returns per-block weights."""
+    x = src_y.astype(np.float64)
+    spec = np.fft.fft2(x)
+    logamp = np.log(np.abs(spec) + 1e-9)
+    # 3x3 mean of the log spectrum
+    k = np.ones((3, 3)) / 9.0
+    pad = np.pad(logamp, 1, mode="wrap")
+    avg = sum(pad[i:i + logamp.shape[0], j:j + logamp.shape[1]] * k[i, j]
+              for i in range(3) for j in range(3))
+    resid = logamp - avg
+    sal = np.abs(np.fft.ifft2(np.exp(resid + 1j * np.angle(spec)))) ** 2
+    # smooth + per-block mean
+    sal = sum(np.roll(np.roll(sal, i, 0), j, 1)
+              for i in (-1, 0, 1) for j in (-1, 0, 1)) / 9.0
+    return _block_reduce(sal, block, np.mean)
+
+
+def saliency_rdmult_map(src_y, block: int = 16,
+                        strength: float = 0.5) -> np.ndarray:
+    """Salient blocks get a lower lambda (av1_set_saliency_map +
+    av1_setup_sm_rdmult analog), normalized rate-neutral."""
+    sal = saliency_map(src_y, block)
+    n = sal / (sal.mean() + 1e-12)
+    mult = 1.0 / (1.0 + strength * np.tanh(n - 1.0))
+    return mult / mult.mean()
+
+
 def combined_rdmult_map(src_y, tune: str = "psnr", block: int = 16,
-                        luma_bias: float = 0.0):
+                        luma_bias: float = 0.0,
+                        saliency: float = 0.0):
     """Build the per-block lambda map for a tune setting, or None for
     plain PSNR tuning with no luma bias."""
-    if tune == "psnr" and luma_bias == 0.0:
+    if tune == "psnr" and luma_bias == 0.0 and saliency == 0.0:
         return None
     m = np.ones(((src_y.shape[0] // block) or 1,
                  (src_y.shape[1] // block) or 1))
@@ -73,4 +105,9 @@ def combined_rdmult_map(src_y, tune: str = "psnr", block: int = 16,
         m = m * ssim_rdmult_map(src_y, block)
     if luma_bias > 0.0:
         m = m * luma_bias_map(src_y, block, strength=luma_bias)
+    if saliency > 0.0:
+        s = saliency_rdmult_map(src_y, block, strength=saliency)
+        hh = min(m.shape[0], s.shape[0])
+        ww = min(m.shape[1], s.shape[1])
+        m[:hh, :ww] *= s[:hh, :ww]
     return m

@@ -926,10 +926,13 @@ def parse_frame_header(data: bytes, sh: SequenceHeader,
                              else c.RESTORE_NONE)
         fh.lr_type = tuple(types + [0] * (3 - len(types)))
         if any(types):
-            assert not sh.use_128x128_superblock, "sb128 LR units TBD"
-            shift = r.read_bit()
-            if shift:
-                shift += r.read_bit()
+            if sh.use_128x128_superblock:
+                # spec 5.9.20: unit >= 128, one shift bit
+                shift = r.read_bit() + 1
+            else:
+                shift = r.read_bit()
+                if shift:
+                    shift += r.read_bit()
             fh.lr_unit_shift = shift
             if sh.subsampling_x and sh.subsampling_y and any(types[1:]):
                 fh.lr_uv_shift = r.read_bit()

@@ -1325,44 +1325,56 @@ class FrameDecoder(InterDecoderMixin):
             chroma_up = (mi_row - 1) > ts.mi_row_start
 
         nplanes = self.num_planes if is_chroma_ref else 1
-        for plane in range(nplanes):
-            ss_x = self.ss_x if plane else 0
-            ss_y = self.ss_y if plane else 0
-            if plane:
-                plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y)
-            else:
-                plane_bsize = bsize
-            pbw = blockd.block_wide(plane_bsize)
-            pbh = blockd.block_high(plane_bsize)
-            # plane-space block origin (mi rounded down for sub-8x8 chroma)
-            row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
-                else mi_row * 4
-            col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
-                else mi_col * 4
-            if self.lossless:
-                tx_size = c.TX_4X4
-            elif plane == 0:
-                tx_size = bi.tx_size
-            else:
-                tx_size = self._plane_tx_size(plane, plane_bsize)
-            txw4 = c.TX_WIDTH[tx_size] >> 2
-            txh4 = c.TX_HEIGHT[tx_size] >> 2
-            # visible extent in 4x4 units (max_block_wide: blocks may cross
-            # the frame edge; only in-bounds tx blocks are coded)
-            mb_to_right = (self.mi_cols - bw - mi_col) * 4
-            mb_to_bottom = (self.mi_rows - bh - mi_row) * 4
-            vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
-            vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
-            max_cols4 = max(vis_w >> 2, 1)
-            max_rows4 = max(vis_h >> 2, 1)
-            for tr4 in range(0, max_rows4, txh4):
-                for tc4 in range(0, max_cols4, txw4):
-                    self._recon_txb(ts, rd, bi, plane, plane_bsize, tx_size,
-                                    row0, col0, tr4, tc4,
-                                    up_avail, left_avail,
-                                    chroma_up, chroma_left)
-            if plane == 0 and self._store_cfl_required(bi, is_chroma_ref):
-                self._cfl_store_block(bi)
+        # residual order (spec 5.11.34): blocks wider/taller than 64 are
+        # coded in 64x64 chunks with the planes interleaved per chunk
+        w_chunks = max(1, blockd.block_wide(bsize) >> 6)
+        h_chunks = max(1, blockd.block_high(bsize) >> 6)
+        for cy in range(h_chunks):
+          for cx in range(w_chunks):
+            for plane in range(nplanes):
+                ss_x = self.ss_x if plane else 0
+                ss_y = self.ss_y if plane else 0
+                if plane:
+                    plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y)
+                else:
+                    plane_bsize = bsize
+                pbw = blockd.block_wide(plane_bsize)
+                pbh = blockd.block_high(plane_bsize)
+                # plane-space origin (mi rounded down for sub-8x8 chroma)
+                row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
+                    else mi_row * 4
+                col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
+                    else mi_col * 4
+                if self.lossless:
+                    tx_size = c.TX_4X4
+                elif plane == 0:
+                    tx_size = bi.tx_size
+                else:
+                    tx_size = self._plane_tx_size(plane, plane_bsize)
+                txw4 = c.TX_WIDTH[tx_size] >> 2
+                txh4 = c.TX_HEIGHT[tx_size] >> 2
+                # visible extent in 4x4 units (max_block_wide: blocks may
+                # cross the frame edge; only in-bounds tx blocks coded)
+                mb_to_right = (self.mi_cols - bw - mi_col) * 4
+                mb_to_bottom = (self.mi_rows - bh - mi_row) * 4
+                vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
+                vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
+                max_cols4 = max(vis_w >> 2, 1)
+                max_rows4 = max(vis_h >> 2, 1)
+                # chunk bounds in plane 4x4 units
+                cu_r0 = (cy * 64 >> ss_y) >> 2
+                cu_c0 = (cx * 64 >> ss_x) >> 2
+                cu_r1 = min(((cy + 1) * 64 >> ss_y) >> 2, max_rows4)
+                cu_c1 = min(((cx + 1) * 64 >> ss_x) >> 2, max_cols4)
+                for tr4 in range(cu_r0, cu_r1, txh4):
+                    for tc4 in range(cu_c0, cu_c1, txw4):
+                        self._recon_txb(ts, rd, bi, plane, plane_bsize,
+                                        tx_size, row0, col0, tr4, tc4,
+                                        up_avail, left_avail,
+                                        chroma_up, chroma_left)
+                if plane == 0 and cy == 0 and cx == 0 \
+                        and self._store_cfl_required(bi, is_chroma_ref):
+                    self._cfl_store_block(bi)
 
     def _iqm_fn(self, plane, tx_size, bi):
         """av1_get_iqmatrix: per-position dequant weights, or None.  Flat

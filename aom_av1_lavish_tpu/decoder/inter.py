@@ -1109,44 +1109,54 @@ class InterDecoderMixin:
                     lrow:lrow + (blockd.block_high(pb) >> 2)] = 0
             return
 
-        for plane in range(nplanes):
-            ss_x = self.ss_x if plane else 0
-            ss_y = self.ss_y if plane else 0
-            if plane:
-                plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y)
-            else:
-                plane_bsize = bsize
-            row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
-                else mi_row * 4
-            col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
-                else mi_col * 4
-            pbw = blockd.block_wide(plane_bsize)
-            pbh = blockd.block_high(plane_bsize)
-            vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
-            vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
-            max_cols4 = max(vis_w >> 2, 1)
-            max_rows4 = max(vis_h >> 2, 1)
-            if plane == 0 and bi.inter_leaves is not None:
-                units = [(r, cc, tx) for (r, cc, tx) in bi.inter_leaves
-                         if r < max_rows4 and cc < max_cols4]
-            else:
-                if self.lossless:
-                    tx = c.TX_4X4
+        # residual order (spec 5.11.34): blocks wider/taller than 64 are
+        # coded in 64x64 chunks with the planes interleaved per chunk
+        w_chunks = max(1, blockd.block_wide(bsize) >> 6)
+        h_chunks = max(1, blockd.block_high(bsize) >> 6)
+        for cy in range(h_chunks):
+          for cx in range(w_chunks):
+            for plane in range(nplanes):
+                ss_x = self.ss_x if plane else 0
+                ss_y = self.ss_y if plane else 0
+                if plane:
+                    plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y)
                 else:
-                    tx = self._plane_tx_size(plane, plane_bsize) if plane \
-                        else bi.tx_size
-                tw4 = c.TX_WIDTH[tx] >> 2
-                th4 = c.TX_HEIGHT[tx] >> 2
-                units = [(r, cc, tx)
-                         for r in range(0, max_rows4, th4)
-                         for cc in range(0, max_cols4, tw4)]
-            for (tr4, tc4, tx) in units:
-                self._recon_inter_txb(ts, rd, bi, plane, plane_bsize, tx,
-                                      row0, col0, tr4, tc4, mb_to_right,
-                                      mb_to_bottom, ss_x, ss_y,
-                                      mi_row, mi_col)
-            if plane == 0 and store_cfl:
-                self._cfl_store_block(bi)
+                    plane_bsize = bsize
+                row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
+                    else mi_row * 4
+                col0 = ((mi_col - (mi_col & ss_x)) * 4) >> ss_x if plane \
+                    else mi_col * 4
+                pbw = blockd.block_wide(plane_bsize)
+                pbh = blockd.block_high(plane_bsize)
+                vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
+                vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
+                max_cols4 = max(vis_w >> 2, 1)
+                max_rows4 = max(vis_h >> 2, 1)
+                cu_r0 = (cy * 64 >> ss_y) >> 2
+                cu_c0 = (cx * 64 >> ss_x) >> 2
+                cu_r1 = min(((cy + 1) * 64 >> ss_y) >> 2, max_rows4)
+                cu_c1 = min(((cx + 1) * 64 >> ss_x) >> 2, max_cols4)
+                if plane == 0 and bi.inter_leaves is not None:
+                    units = [(r, cc, tx) for (r, cc, tx) in bi.inter_leaves
+                             if cu_r0 <= r < cu_r1 and cu_c0 <= cc < cu_c1]
+                else:
+                    if self.lossless:
+                        tx = c.TX_4X4
+                    else:
+                        tx = self._plane_tx_size(plane, plane_bsize) \
+                            if plane else bi.tx_size
+                    tw4 = c.TX_WIDTH[tx] >> 2
+                    th4 = c.TX_HEIGHT[tx] >> 2
+                    units = [(r, cc, tx)
+                             for r in range(cu_r0, cu_r1, th4)
+                             for cc in range(cu_c0, cu_c1, tw4)]
+                for (tr4, tc4, tx) in units:
+                    self._recon_inter_txb(ts, rd, bi, plane, plane_bsize,
+                                          tx, row0, col0, tr4, tc4,
+                                          mb_to_right, mb_to_bottom,
+                                          ss_x, ss_y, mi_row, mi_col)
+                if plane == 0 and cy == 0 and cx == 0 and store_cfl:
+                    self._cfl_store_block(bi)
 
     def _recon_inter_txb(self, ts, rd, bi, plane, plane_bsize, tx_size,
                          row0, col0, row_off, col_off, mb_to_right,

@@ -45,7 +45,7 @@ class GopEncoder:
                  enable_cdef: bool = True, tune: str = "psnr",
                  luma_bias: float = 0.0, twopass_stats=None,
                  enable_tf: bool = True, enable_tpl: bool = True,
-                 bit_depth: int = 8):
+                 bit_depth: int = 8, q_offsets=None):
         self.tune = tune
         self.luma_bias = luma_bias
         self.sh = make_sequence_header(width, height,
@@ -66,6 +66,7 @@ class GopEncoder:
         self.last_slot = 0
         self.arf_slot = 1
         self.twopass_stats = twopass_stats
+        self.q_offsets = q_offsets
         self.enable_tf = enable_tf
         self.enable_tpl = enable_tpl
         self._targets = None             # per-display-frame bit budgets
@@ -145,6 +146,15 @@ class GopEncoder:
             i += L
         return kinds
 
+    def _q(self, kind: str, display_idx: int) -> int:
+        """RC q plus the optional per-frame third-pass offset."""
+        q = self.rc.pick_q(kind, self._target(display_idx))
+        if self.q_offsets is not None and display_idx < len(self.q_offsets):
+            q = max(self.rc.cfg.best_q,
+                    min(self.rc.cfg.worst_q,
+                        q + int(self.q_offsets[display_idx])))
+        return q
+
     def _target(self, display_idx: int):
         if self._targets is None:
             return None
@@ -163,7 +173,7 @@ class GopEncoder:
         i = 0
         while i < n:
             if i % self.kf_interval == 0:
-                q = self.rc.pick_q("key", self._target(i))
+                q = self._q("key", i)
                 p = self._encode_key(frames[i], q)
                 self.rc.postencode("key", q, len(p) * 8)
                 self.last_slot, self.arf_slot = 0, 1
@@ -177,7 +187,7 @@ class GopEncoder:
                 payloads.extend(self._encode_gf_group(frames[i:i + L], i))
             else:
                 for j in range(L):
-                    q = self.rc.pick_q("inter", self._target(i + j))
+                    q = self._q("inter", i + j)
                     obu = self._encode_inter(
                         frames[i + j], q, (c.LAST_FRAME,),
                         self.last_slot, show=True)
@@ -190,7 +200,7 @@ class GopEncoder:
     def _encode_gf_group(self, group, base_idx: int = 0) -> list:
         """ARF-first coding of one GF group; returns display-order TUs."""
         L = len(group)
-        q_arf = self.rc.pick_q("arf", self._target(base_idx + L - 1))
+        q_arf = self._q("arf", base_idx + L - 1)
 
         # TPL dependency pass (av1_tpl_setup_stats analog): deepen the
         # ARF q boost by how much the group references it, and build
@@ -214,7 +224,7 @@ class GopEncoder:
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
         tus = []
         for j in range(L - 1):
-            q = self.rc.pick_q("inter", self._target(base_idx + j))
+            q = self._q("inter", base_idx + j)
             obu = self._encode_inter(
                 group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
                 self.last_slot, show=True, rdmult_map=tpl_maps[j])

@@ -79,3 +79,42 @@ def test_twopass_allocation_and_encode():
         assert ps2 + 1e-6 >= ps1 - 2.0, (ps1, ps2, bits1, bits2)
         rate2 = bits2 * 30.0 / N
         assert 0.4 * target < rate2 < 2.0 * target, rate2
+
+
+def test_third_pass(tmp_path):
+    """thirdpass.c analog: pass-2 bitstream analysis drives per-frame q
+    offsets; the final stream decodes in stock aomdec."""
+    import os
+    import subprocess
+
+    from aom_av1_lavish_tpu.decoder import decode_ivf
+    from aom_av1_lavish_tpu.encoder.thirdpass import (encode_threepass_ivf,
+                                                      third_pass_analyze)
+
+    AOMDEC = os.path.join(os.path.dirname(__file__), "..", ".oracle",
+                          "build", "aomdec")
+    rng = np.random.default_rng(3)
+    w, h = 128, 96
+    big = np.kron(rng.integers(20, 235, (40, 48)).astype(np.uint8),
+                  np.ones((8, 8), np.uint8))
+    frames = []
+    for i in range(6):
+        y = big[2 * i:2 * i + h, 3 * i:3 * i + w].copy()
+        if i == 3:   # hard scene cut: pass 3 should spot intra-heavy frame
+            y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 118, np.uint8)
+        frames.append((y, u, u.copy()))
+
+    out = str(tmp_path / "p3.ivf")
+    encode_threepass_ivf(out, frames, w, h, qindex=90, kf_interval=100,
+                         gf_length=4, enable_cdef=False)
+    dec = decode_ivf(out)
+    assert len(dec) == len(frames)
+    stats = third_pass_analyze(out)
+    assert len(stats) >= len(frames)          # hidden ARFs add entries
+    assert any(s["intra_ratio"] > 0.5 and s["frame_type"] != 0
+               for s in stats)                # the cut was detected
+    if os.path.exists(AOMDEC):
+        y4m = str(tmp_path / "p3.y4m")
+        subprocess.run([AOMDEC, "-o", y4m, out], check=True,
+                       capture_output=True)

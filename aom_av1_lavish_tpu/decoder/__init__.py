@@ -1,1 +1,2 @@
-from .decoder import decode_ivf, decode_frame_obus  # noqa: F401
+from .decoder import (CorruptFrameError, decode_frame_obus,  # noqa: F401
+                      decode_ivf)

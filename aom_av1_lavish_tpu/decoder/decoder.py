@@ -27,6 +27,13 @@ from ..common import mvref as MR
 from .inter import InterDecoderMixin
 
 PARTITION_PLOFFSET = 4
+class CorruptFrameError(Exception):
+    """AOM_CODEC_CORRUPT_FRAME analog: the bitstream violates the spec
+    or ends early.  Raised by decode entry points instead of leaking
+    low-level assertion/index failures (aom_internal_error semantics,
+    reference test/invalid_file_test.cc contract)."""
+
+
 # filter-intra mode -> equivalent directional mode (entropymode.c)
 FIMODE_TO_INTRADIR = [c.DC_PRED, c.V_PRED, c.H_PRED, c.D157_PRED, c.DC_PRED]
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
@@ -476,6 +483,12 @@ class FrameDecoder(InterDecoderMixin):
             ts.left_txfm[:] = 64
             for mi_col in range(ts.mi_col_start, ts.mi_col_end, self.sb_mi):
                 self._decode_partition(ts, rd, mi_row, mi_col, self.sb_size)
+        # aom_reader_has_error: consuming more bits than the tile holds
+        # means the stream was truncated/corrupt (od_ec zero-fills)
+        if rd.tell() > len(data) * 8:
+            raise CorruptFrameError(
+                f"tile over-read: {rd.tell()} bits from "
+                f"{len(data) * 8}-bit tile")
 
     # --- loop restoration symbols ----------------------------------------
 
@@ -1737,6 +1750,22 @@ def _partition_ctx_lookup(subsize):
 
 def decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
                       state: dict | None = None):
+    """Decode one temporal unit; returns (frames, sh).  `state` carries
+    the reference frame slots across calls (ref_frame_map semantics).
+    Malformed input raises CorruptFrameError (invalid_file_test.cc
+    contract) rather than leaking internal failures."""
+    try:
+        return _decode_frame_obus(data, sh, state)
+    except CorruptFrameError:
+        raise
+    except (AssertionError, IndexError, ValueError, KeyError,
+            NotImplementedError, ZeroDivisionError) as e:
+        raise CorruptFrameError(
+            f"corrupt or unsupported bitstream: {e!r}") from e
+
+
+def _decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
+                       state: dict | None = None):
     """Decode one temporal unit; returns (frames, sh).  `state` carries the
     reference frame slots across calls (ref_frame_map semantics).
 
@@ -1834,10 +1863,14 @@ class _FrameSession:
             trow, tcol = divmod(tn, 1 << fh.tile_cols_log2)
             if tn == tg_end:
                 tile_data = data[pos:]
+                if not tile_data:
+                    raise CorruptFrameError("empty tile payload")
             else:
                 size = int.from_bytes(
                     data[pos:pos + fh.tile_size_bytes], "little") + 1
                 pos += fh.tile_size_bytes
+                if pos + size > len(data):
+                    raise CorruptFrameError("tile size exceeds payload")
                 tile_data = data[pos:pos + size]
                 pos += size
             with profile("decode/tile"):

@@ -35,8 +35,12 @@ ALL_Y_MODES = tuple(range(c.INTRA_MODES))
 def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                             deblock: bool = True,
                             screen: bool = False,
-                            qm=None, aq: bool = False) -> H.FrameHeader:
+                            qm=None, aq: bool = False,
+                            intrabc: bool = False) -> H.FrameHeader:
     assert 0 < qindex <= 255
+    if intrabc:
+        assert screen, "intrabc requires screen content tools"
+        deblock = False   # allow_intrabc disables in-loop filters (spec)
     if deblock:
         from ..common.loopfilter import pick_filter_level_from_q
         lvl = pick_filter_level_from_q(qindex, frame_is_key=True,
@@ -59,6 +63,7 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
         base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
         allow_screen_content_tools=int(screen),
         force_integer_mv=int(screen),
+        allow_intrabc=int(intrabc),
         using_qmatrix=int(qm is not None),
         qm_y=qm[0] if qm else 0, qm_u=qm[1] if qm else 0,
         qm_v=qm[2] if qm else 0,
@@ -93,6 +98,12 @@ class LossyAllIntraEncoder(LosslessEncoder):
         # variance AQ (aq_variance.c / DELTA_Q_PERCEPTUAL analog)
         self.sb_qmap = None
         self._emit_cur_q = fh.base_q_idx
+        # intraBC (hash-MV search; encoder/intrabc.py)
+        self.intrabc = bool(getattr(fh, "allow_intrabc", 0))
+        self._ibc_index = None
+        if self.intrabc:
+            from ..common import mvref as MRR
+            self.g = MRR.MiGrids(self.mi_rows, self.mi_cols)
         self.pq = []
         for (dcd, acd) in ((fh.delta_q_y_dc, 0),
                            (fh.delta_q_u_dc, fh.delta_q_u_ac),
@@ -205,6 +216,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
                                    bd=self.sh.bit_depth)
 
     def _post_tile(self, tile_data: bytes) -> bytes:
+        if self.intrabc:
+            # allow_intrabc disables all in-loop filters (spec 5.9.11)
+            return tile_data
         self._filter_recon()
         if self._lr is not None and any(self.fh.lr_type):
             # LR unit symbols are interleaved per superblock inside the
@@ -768,6 +782,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             if r is not None and r[0] < y_cost:
                 y_cost, pal_y, y_txbs = r
                 y_mode = c.DC_PRED
+
         # angle-delta refinement for the winning directional mode
         # (intra_mode_search.c angle_estimation analog: deltas only on
         # the best base angle, not the full mode x delta product)
@@ -814,10 +829,114 @@ class LossyAllIntraEncoder(LosslessEncoder):
             for plane in (1, 2):
                 self._apply_txbs(plane,
                                  [t for t in uv_txbs if t["plane"] == plane])
+        # intraBC candidate replaces the whole block (luma + chroma)
+        if self.intrabc:
+            r = self._try_intrabc(mi_row, mi_col, bsize)
+            if r is not None and r[0] < y_cost + uv_cost:
+                cost, dv, txbs = r
+                for plane in range(self.num_planes):
+                    self._apply_txbs(plane, [t for t in txbs
+                                             if t["plane"] == plane])
+                return cost, dict(
+                    mi_row=mi_row, mi_col=mi_col, bsize=bsize,
+                    y_mode=c.DC_PRED, y_angle=0, uv_mode=c.DC_PRED,
+                    cfl=None, pal_y=None, intrabc_dv=dv, txbs=txbs,
+                    is_chroma_ref=is_chroma_ref)
+
         return y_cost + uv_cost, dict(
             mi_row=mi_row, mi_col=mi_col, bsize=bsize, y_mode=y_mode,
             y_angle=y_angle, uv_mode=uv_mode, cfl=cfl, pal_y=pal_y,
             txbs=y_txbs + uv_txbs, is_chroma_ref=is_chroma_ref)
+
+    def _emit_intrabc(self, bplan, dv, mi_row, mi_col, bsize, partition,
+                      skip):
+        """Write the DV (decoder._read_intrabc_info mirror: INTRA_FRAME
+        ref-MV stack + ndvc contexts) and the inter-style residual."""
+        from ..common import mvref as MR
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        ctx = MR.RefMvContext(self.g, mi_row, mi_col, bsize, self.sb_mi,
+                              0, self.mi_rows, 0, self.mi_cols, partition)
+        _, _, _, _, mv_list = MR.find_mv_refs(ctx, c.INTRA_FRAME)
+        nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
+        near = MR.lower_mv_precision(mv_list[1], 0, 0)
+        dv_ref = near if nearest == (0, 0) else nearest
+        if dv_ref == (0, 0):
+            dv_ref = MR.find_ref_dv(0, self.sb_mi, mi_row)
+        dv_ref = ((dv_ref[0] >> 3) * 8, (dv_ref[1] >> 3) * 8)
+        self._write_dv(dv, dv_ref)
+
+        # bookkeeping: intrabc blocks are inter-like in the MI grids
+        rmax = min(mi_row + bh, self.mi_rows)
+        cmax = min(mi_col + bw, self.mi_cols)
+        self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
+        self.mi_mode[mi_row:rmax, mi_col:cmax] = c.DC_PRED
+        self.mi_bsize[mi_row:rmax, mi_col:cmax] = bsize
+        self.pal_size_y[mi_row:rmax, mi_col:cmax] = 0
+        self.g.fill_block(mi_row, mi_col, bh, bw, MR.INTRABC_REF, -1,
+                          c.DC_PRED, bsize, partition, dv, (0, 0))
+
+        # residual: inter skip semantics (reset contexts wholesale)
+        if skip:
+            for plane in range(self.num_planes
+                               if bplan["is_chroma_ref"] else 1):
+                ss_x = self.ss_x if plane else 0
+                ss_y = self.ss_y if plane else 0
+                pb = blockd.plane_block_size(bsize, ss_x, ss_y) if plane \
+                    else bsize
+                acol = (mi_col >> ss_x) if plane else mi_col
+                lrow = (mi_row >> ss_y) if plane else mi_row
+                self.above_entropy[plane][
+                    acol:acol + (blockd.block_wide(pb) >> 2)] = 0
+                self.left_entropy[plane][
+                    lrow:lrow + (blockd.block_high(pb) >> 2)] = 0
+            return
+        for t in bplan["txbs"]:
+            plane = t["plane"]
+            au = self.above_entropy[plane]
+            lu = self.left_entropy[plane]
+            acol, lrow = t["acol"], t["lrow"]
+            txw = c.TX_WIDTH[t["tx_size"]] >> 2
+            txh = c.TX_HEIGHT[t["tx_size"]] >> 2
+            skip_ctx2, dc_sign_ctx = CF.txb_ctx(
+                t["plane_bsize"], t["tx_size"], plane,
+                au[acol:acol + txw], lu[lrow:lrow + txh])
+            cul = self.sink.txb(t["qcoeff"], plane, skip_ctx2,
+                                dc_sign_ctx, tx_size=t["tx_size"],
+                                tx_type=t["tx_type"],
+                                tx_type_sym=t["tx_type_sym"])
+            CF.set_entropy_spans(
+                au, lu, acol, lrow, txw, txh, cul,
+                t.get("vis_w4", txw), t.get("vis_h4", txh),
+                t.get("loc_c4", 0), t.get("loc_r4", 0),
+                t.get("cross_r", False), t.get("cross_b", False))
+
+    def _write_dv(self, dv, dv_ref):
+        """Mirror of decoder._read_mv(dv=True) with MV_SUBPEL_NONE: no
+        fp/hp symbols (assign_dv, decodemv.c:677)."""
+        dr = dv[0] - dv_ref[0]
+        dc = dv[1] - dv_ref[1]
+        joint = (1 if dc else 0) | (2 if dr else 0)
+        self.sink.symbol(joint, 4, "ndv_joints_cdf")
+        for d, comp in ((dr, 0), (dc, 1)):
+            if not d:
+                continue
+            pre = f"ndv_comp{comp}_"
+            sign = 1 if d < 0 else 0
+            z = abs(d) - 1
+            from .inter import _mv_class
+            cls, offset = _mv_class(z)
+            self.sink.symbol(sign, 2, pre + "sign_cdf")
+            self.sink.symbol(cls, 11, pre + "classes_cdf")
+            intd = offset >> 3
+            assert (offset & 7) == 7, "DV deltas are full-pel (fr=3 hp=1)"
+            if cls == 0:
+                self.sink.symbol(intd, 2, pre + "class0_cdf")
+            else:
+                for i in range(cls):
+                    self.sink.symbol((intd >> i) & 1, 2,
+                                     pre + "bits_cdf", i)
+            # MV_SUBPEL_NONE: fr/hp not coded
 
     def _write_delta_q(self, d):
         """write_delta_qindex (bitstream.c): symbol + exp-golomb tail +
@@ -917,9 +1036,78 @@ class LossyAllIntraEncoder(LosslessEncoder):
                               t["px"]:t["px"] + t["recon"].shape[1]] = \
                 t["recon"]
 
+    # --- intraBC --------------------------------------------------------
+
+    def _try_intrabc(self, mi_row, mi_col, bsize):
+        """Hash-search a DV and RD-code the whole block from the current
+        recon (av1 intrabc encode path; encoder/intrabc.py)."""
+        from . import intrabc as IBC
+        if bsize < c.BLOCK_8X8:
+            return None
+        bw = blockd.block_wide(bsize)
+        bh = blockd.block_high(bsize)
+        y0, x0 = mi_row * 4, mi_col * 4
+        if y0 + bh > self.mi_rows * 4 or x0 + bw > self.mi_cols * 4:
+            return None
+        src = self.src[0]
+        if self._ibc_index is None:
+            self._ibc_index = IBC.build_hash_index(
+                src[:self.mi_rows * 4, :self.mi_cols * 4])
+        s = min(bw, bh, 64)
+        blk = src[y0:y0 + bh, x0:x0 + bw]
+        sb_log2 = self.sb_mi.bit_length() - 1
+        best = None
+        for (cy, cx) in IBC.hash_candidates(self._ibc_index, src, y0, x0,
+                                            s):
+            if not np.array_equal(src[cy:cy + bh, cx:cx + bw], blk):
+                continue
+            dv = ((cy - y0) * 8, (cx - x0) * 8)
+            if not IBC.dv_valid(dv[0], dv[1], mi_row, mi_col, bw, bh,
+                                self.mi_rows, self.mi_cols, sb_log2):
+                continue
+            cost, txbs = self._code_intrabc(mi_row, mi_col, bsize, dv)
+            if best is None or cost < best[0]:
+                best = (cost, dv, txbs)
+            break   # first valid hash match is an exact copy
+        return best
+
+    def _code_intrabc(self, mi_row, mi_col, bsize, dv):
+        """Residual-code all planes against the DV prediction."""
+        from . import intrabc as IBC
+        bw4 = blockd.mi_size_wide(bsize)
+        bh4 = blockd.mi_size_high(bsize)
+        mi_x, mi_y = mi_col * 4, mi_row * 4
+        mb_to_left = -mi_x
+        mb_to_right = (self.mi_cols - bw4 - mi_col) * 4
+        mb_to_top = -mi_y
+        mb_to_bottom = (self.mi_rows - bh4 - mi_row) * 4
+        dist = 0.0
+        bits = 14.0 + (np.log2(abs(dv[0]) / 8 + 1)
+                       + np.log2(abs(dv[1]) / 8 + 1)) * 2.0
+        txbs = []
+        for plane in range(self.num_planes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            b_w = blockd.block_wide(bsize) >> ss_x
+            b_h = blockd.block_high(bsize) >> ss_y
+            x0 = mi_x >> ss_x
+            y0 = mi_y >> ss_y
+            pred = IBC.predict_intrabc(
+                self.recon, plane, x0, y0, b_w, b_h, dv, ss_x, ss_y,
+                mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                self.bd).astype(self.recon[plane].dtype)
+            d, b, t = self._code_plane(
+                plane, c.DC_PRED, mi_row, mi_col, bsize,
+                mi_row > 0, mi_col > 0, write_recon=False,
+                pred_full=pred, inter_tx=True)
+            dist += d
+            bits += b
+            txbs += t
+        return dist + self._lam(mi_row, mi_col) * bits, txbs
+
     def _code_plane(self, plane, mode, mi_row, mi_col, bsize, up_avail,
                     left_avail, write_recon, pred_override=None,
-                    angle_delta=0, pred_full=None):
+                    angle_delta=0, pred_full=None, inter_tx=False):
         """Predict/transform/quantize all txbs of one plane for `mode`.
 
         Returns (dist, bits, txb list).  Does not touch self.recon unless
@@ -948,7 +1136,19 @@ class LossyAllIntraEncoder(LosslessEncoder):
         vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
         vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
         reduced = bool(self.fh.reduced_tx_set)
-        if plane == 0:
+        if inter_tx:
+            # intrabc blocks use the inter tx-type syntax (is_inter_block)
+            tx_type = c.DCT_DCT
+            tx_type_sym = None
+            if plane == 0:
+                st = TT.ext_tx_set_type(tx_size, True, reduced)
+                if TT.NUM_EXT_TX_SET[st] > 1:
+                    eset = TT.inter_ext_tx_idx(st)
+                    sqr = c.TX_SIZE_SQR[tx_size]
+                    tx_type_sym = (("inter_ext_tx_cdf", eset, sqr),
+                                   TT.EXT_TX_IND[st][tx_type],
+                                   TT.NUM_EXT_TX_SET[st])
+        elif plane == 0:
             st = TT.ext_tx_set_type(tx_size, False, reduced)
             tx_type = c.DCT_DCT
             tx_type_sym = None
@@ -1114,6 +1314,18 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 d = (tgt - self._emit_cur_q) >> self.fh.delta_q_res_log2
                 self._write_delta_q(d)
                 self._emit_cur_q = tgt
+        if self.intrabc:
+            dv = bplan.get("intrabc_dv")
+            self.sink.symbol(int(dv is not None), 2, "intrabc_cdf")
+            if dv is not None:
+                self._emit_intrabc(bplan, dv, mi_row, mi_col, bsize,
+                                   partition, skip)
+                return
+            # non-intrabc blocks still land in the MI grids for the
+            # decoder-mirrored DV-prediction scans
+            self.g.fill_block(mi_row, mi_col, bh, bw, c.INTRA_FRAME, -1,
+                              bplan["y_mode"], bsize, partition,
+                              (0, 0), (0, 0))
         above_mode = int(self.mi_mode[above_mi]) if above_mi else c.DC_PRED
         left_mode = int(self.mi_mode[left_mi]) if left_mi else c.DC_PRED
         self.sink.symbol(y_mode, c.INTRA_MODES, "kf_y_cdf",
@@ -1271,7 +1483,7 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      enable_cdef: int = 0, enable_restoration: int = 0,
                      bit_depth: int = 8, screen: bool = False,
                      qm=None, aq: bool = False, grain: bool = False,
-                     **kw) -> None:
+                     intrabc: bool = False, **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
@@ -1285,7 +1497,7 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm,
-                                     aq=aq)
+                                     aq=aq, intrabc=intrabc)
         if grain_params is not None:
             from dataclasses import replace
             fh.film_grain = replace(

@@ -64,3 +64,32 @@ def test_intrabc_allintra(tmp_path):
             np.testing.assert_array_equal(a, b,
                                           err_msg=f"frame {i} plane {pi}")
     assert DEC.INTRABC_STATS["blocks"] > 0, "stream never used intraBC"
+
+
+def test_intrabc_encode(tmp_path):
+    """Our intraBC encoder (hash-DV search): streams decode in stock
+    aomdec and match our decoder; intraBC blocks actually used."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+
+    w, h = 192, 128
+    frames = _repeating_frames(w, h, 1, seed=13)
+    ivf = str(tmp_path / "ours.ivf")
+    encode_lossy_ivf(ivf, frames, w, h, qindex=40, screen=True,
+                     intrabc=True)
+    out = str(tmp_path / "dec.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    DEC.INTRABC_STATS["blocks"] = 0
+    ours = decode_ivf(ivf)
+    assert len(ours) == len(ref) == 1
+    for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")
+    assert DEC.INTRABC_STATS["blocks"] > 0, "encoder never chose intraBC"
+
+    # quality sanity on copy-friendly content
+    y = ours[0][0].astype(np.float64)
+    sy = frames[0][0].astype(np.float64)
+    mse = ((y - sy) ** 2).mean()
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+    assert psnr > 30, psnr

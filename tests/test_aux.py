@@ -95,3 +95,35 @@ def test_profiler(tmp_path):
     assert t.get("decode/filters", 0) >= 0
     assert "encode/tile_walk" in profiler.report()
     profiler.reset()
+
+
+def test_frame_parallel_decode(tmp_path):
+    """Keyframe-segment frame-parallel decode == serial decode."""
+    from aom_av1_lavish_tpu.decoder.parallel import (decode_ivf_parallel,
+                                                     split_segments)
+    from aom_av1_lavish_tpu.encoder.gop import GopEncoder
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf, write_ivf
+
+    w, h = 96, 64
+    rng = np.random.default_rng(2)
+    frames = []
+    for i in range(6):
+        y = np.kron(rng.integers(0, 255, (h // 16, w // 16)),
+                    np.ones((16, 16))).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((y, u, u.copy()))
+    enc = GopEncoder(w, h, qindex=80, kf_interval=2, gf_length=2,
+                     use_arf=False, enable_cdef=False)
+    payloads = enc.encode_sequence(frames)
+    ivf = str(tmp_path / "g.ivf")
+    write_ivf(ivf, [(p, i) for i, p in enumerate(payloads)], w, h, 30, 1)
+
+    tus = [p for p, _ in read_ivf(ivf)]
+    assert len(split_segments(tus)) == 3     # kf every 2 frames
+
+    serial = decode_ivf(ivf)
+    par = decode_ivf_parallel(ivf, workers=3)
+    assert len(par) == len(serial) == 6
+    for a, b in zip(par, serial):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

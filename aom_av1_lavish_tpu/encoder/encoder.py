@@ -148,14 +148,25 @@ def make_sequence_header(width: int, height: int,
                          enable_restoration: int = 0,
                          bit_depth: int = 8,
                          screen: bool = False,
-                         film_grain: bool = False) -> H.SequenceHeader:
+                         film_grain: bool = False,
+                         subsampling: str = "420") -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
-    10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 12-bit needs
-    profile 2 (spec 5.5.2 color_config).  screen=True selects
-    per-frame screen-content tools (palette)."""
+    10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 4:4:4 needs
+    profile 1 and 4:2:2 / 12-bit need profile 2 (spec 5.5.2
+    color_config).  screen=True selects per-frame screen-content
+    tools (palette)."""
     assert bit_depth in (8, 10, 12)
+    assert subsampling in ("420", "422", "444")
+    ss_x = 1 if subsampling in ("420", "422") else 0
+    ss_y = 1 if subsampling == "420" else 0
+    if subsampling == "422" or bit_depth == 12:
+        profile = 2
+    elif subsampling == "444":
+        profile = 1
+    else:
+        profile = 0
     return H.SequenceHeader(
-        profile=0 if bit_depth < 12 else 2, seq_level_idx=31,
+        profile=profile, seq_level_idx=31,
         max_frame_width=width,
         max_frame_height=height, use_128x128_superblock=0,
         enable_filter_intra=0, enable_intra_edge_filter=0,
@@ -164,8 +175,9 @@ def make_sequence_header(width: int, height: int,
         force_integer_mv=2, enable_superres=0, enable_cdef=enable_cdef,
         enable_restoration=enable_restoration,
         high_bitdepth=1 if bit_depth > 8 else 0,
+        twelve_bit=int(bit_depth == 12),
         mono_chrome=0, film_grain_params_present=int(film_grain),
-        subsampling_x=1, subsampling_y=1, separate_uv_delta_q=0)
+        subsampling_x=ss_x, subsampling_y=ss_y, separate_uv_delta_q=0)
 
 
 def make_lossless_frame_header(sh: H.SequenceHeader,

@@ -548,6 +548,15 @@ class LossyAllIntraEncoder(LosslessEncoder):
         n = blockd.mi_size_wide(bsize)
         return (mi_row + n <= self.mi_rows) and (mi_col + n <= self.mi_cols)
 
+    def _subsize_valid(self, sub) -> bool:
+        """av1_ss_size_lookup validity: 4:2:2 has no tall-rect chroma
+        blocks (common_data.c:17), 4:4:0 no wide rects."""
+        if self.ss_x and not self.ss_y:
+            return blockd.block_wide(sub) >= blockd.block_high(sub)
+        if self.ss_y and not self.ss_x:
+            return blockd.block_high(sub) >= blockd.block_wide(sub)
+        return True
+
     def _search(self, mi_row, mi_col, bsize):
         """Return (cost, plan).  Leaves recon holding the chosen branch."""
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
@@ -563,15 +572,15 @@ class LossyAllIntraEncoder(LosslessEncoder):
             # when the half fits, else SPLIT (mirrors the lossless chooser)
             fits_rows = mi_row + bw <= self.mi_rows
             fits_cols = mi_col + bw <= self.mi_cols
-            if bsize > c.BLOCK_8X8 and not has_rows and fits_cols:
-                cost, bplan = self._trial_block(
-                    mi_row, mi_col,
-                    blockd.partition_subsize(bsize, c.PARTITION_HORZ))
+            sub_h = blockd.partition_subsize(bsize, c.PARTITION_HORZ)
+            sub_v = blockd.partition_subsize(bsize, c.PARTITION_VERT)
+            if (bsize > c.BLOCK_8X8 and not has_rows and fits_cols
+                    and self._subsize_valid(sub_h)):
+                cost, bplan = self._trial_block(mi_row, mi_col, sub_h)
                 return cost, ("HORZ", mi_row, mi_col, bsize, [bplan])
-            if bsize > c.BLOCK_8X8 and not has_cols and fits_rows:
-                cost, bplan = self._trial_block(
-                    mi_row, mi_col,
-                    blockd.partition_subsize(bsize, c.PARTITION_VERT))
+            if (bsize > c.BLOCK_8X8 and not has_cols and fits_rows
+                    and self._subsize_valid(sub_v)):
+                cost, bplan = self._trial_block(mi_row, mi_col, sub_v)
                 return cost, ("VERT", mi_row, mi_col, bsize, [bplan])
             # split
             sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
@@ -650,6 +659,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                                (c.PARTITION_VERT, "VERT")):
                 sub = blockd.partition_subsize(bsize, part)
                 if blockd.mi_size_wide(sub) < 2 and self.ss_x:
+                    continue
+                if not self._subsize_valid(sub):
                     continue
                 offs = ((mi_row, mi_col),
                         (mi_row + hbs, mi_col)
@@ -1235,8 +1246,13 @@ class LossyAllIntraEncoder(LosslessEncoder):
         w = blockd.block_wide(bsize)
         h = blockd.block_high(bsize)
         luma = self.recon[0][py:py + h, px:px + w]
-        q3 = intra.cfl_subsample_420(luma) if (ss_x and ss_y) \
-            else luma.astype(np.int32) << 3
+        if ss_x and ss_y:
+            q3 = intra.cfl_subsample_420(luma)
+        elif ss_x:      # 4:2:2 (cfl_luma_subsampling_422)
+            l32 = luma.astype(np.int32)
+            q3 = (l32[:, 0::2] + l32[:, 1::2]) << 2
+        else:
+            q3 = luma.astype(np.int32) << 3
         npl = q3.size.bit_length() - 1
         avg = (int(q3.sum()) + (1 << npl >> 1)) >> npl
         ac = q3.astype(np.int64) - avg
@@ -1483,12 +1499,13 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      enable_cdef: int = 0, enable_restoration: int = 0,
                      bit_depth: int = 8, screen: bool = False,
                      qm=None, aq: bool = False, grain: bool = False,
-                     intrabc: bool = False, **kw) -> None:
+                     intrabc: bool = False, subsampling: str = "420",
+                     **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen,
-                              film_grain=grain)
+                              film_grain=grain, subsampling=subsampling)
     grain_params = None
     if grain:
         from ..dsp.noise_model import fit_grain_params

@@ -90,15 +90,15 @@ class RealtimeEncoder(InterFrameEncoder):
             has_cols = mi_col + hbs < self.mi_cols
             fits_rows = mi_row + bw <= self.mi_rows
             fits_cols = mi_col + bw <= self.mi_cols
-            if bsize > c.BLOCK_8X8 and not has_rows and fits_cols:
-                cost, bplan = self._trial_block(
-                    mi_row, mi_col,
-                    blockd.partition_subsize(bsize, c.PARTITION_HORZ))
+            sub_h = blockd.partition_subsize(bsize, c.PARTITION_HORZ)
+            sub_v = blockd.partition_subsize(bsize, c.PARTITION_VERT)
+            if (bsize > c.BLOCK_8X8 and not has_rows and fits_cols
+                    and self._subsize_valid(sub_h)):
+                cost, bplan = self._trial_block(mi_row, mi_col, sub_h)
                 return cost, ("HORZ", mi_row, mi_col, bsize, [bplan])
-            if bsize > c.BLOCK_8X8 and not has_cols and fits_rows:
-                cost, bplan = self._trial_block(
-                    mi_row, mi_col,
-                    blockd.partition_subsize(bsize, c.PARTITION_VERT))
+            if (bsize > c.BLOCK_8X8 and not has_cols and fits_rows
+                    and self._subsize_valid(sub_v)):
+                cost, bplan = self._trial_block(mi_row, mi_col, sub_v)
                 return cost, ("VERT", mi_row, mi_col, bsize, [bplan])
             return self._split_plan(mi_row, mi_col, bsize)
         if (bsize > c.BLOCK_16X16

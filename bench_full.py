@@ -131,6 +131,35 @@ def main():
                             value=round(v, 3), unit="frames/s",
                             vs_baseline=round(v / ref, 3) if ref else None))
 
+        # 4. RTC non-RD path (var partition + non-RD pickmode)
+        from aom_av1_lavish_tpu.encoder.nonrd import encode_realtime_ivf
+        out4 = os.path.join(td, "rt.ivf")
+        dt = timed(encode_realtime_ivf, out4, frames, W, H, 90)
+        ref = aomenc_fps(frames, td, ["--cpu-used=9", "--end-usage=q",
+                                      "--cq-level=50", "--lag-in-frames=0",
+                                      "--usage=1"])
+        v = N / dt
+        results.append(dict(metric="rtc_nonrd_352x288",
+                            value=round(v, 3), unit="frames/s",
+                            vs_baseline=round(v / ref, 3) if ref else None))
+
+        # 5. decode throughput on the lossless stream
+        from aom_av1_lavish_tpu.decoder import decode_ivf
+        dt = timed(decode_ivf, out)
+        aomdec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".oracle", "build", "aomdec")
+        refv = None
+        if os.path.exists(aomdec):
+            t0 = time.perf_counter()
+            subprocess.run([aomdec, "-o", os.path.join(td, "d.y4m"), out],
+                           check=True, capture_output=True)
+            refv = N / (time.perf_counter() - t0)
+        v = N / dt
+        results.append(dict(metric="decode_lossless_352x288",
+                            value=round(v, 3), unit="frames/s",
+                            vs_baseline=round(v / refv, 3) if refv
+                            else None))
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -98,3 +98,47 @@ def test_monochrome(tmp_path):
     assert len(ours) == len(ref) == 3
     for i, (o, r) in enumerate(zip(ours, ref)):
         np.testing.assert_array_equal(o[0], r[0], err_msg=f"frame {i}")
+
+
+def test_444_encode(tmp_path):
+    """Our encoder at 4:4:4 (profile 1): conformant vs stock aomdec."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+    w, h = 96, 64
+    rng = np.random.default_rng(4)
+    y = np.kron(rng.integers(0, 255, (h // 16, w // 16)),
+                np.ones((16, 16))).astype(np.uint8)
+    u = np.kron(rng.integers(60, 200, (h // 8, w // 8)),
+                np.ones((8, 8))).astype(np.uint8)
+    frames = [(y, u, (255 - u))]
+    ivf = str(tmp_path / "e444.ivf")
+    encode_lossy_ivf(ivf, frames, w, h, qindex=60, subsampling="444")
+    out = str(tmp_path / "d.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    assert ours[0][1].shape == (h, w)
+    for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")
+
+
+def test_422_encode(tmp_path):
+    """Our encoder at 4:2:2 (profile 2): conformant vs stock aomdec."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+    w, h = 96, 64
+    rng = np.random.default_rng(5)
+    y = np.kron(rng.integers(0, 255, (h // 16, w // 16)),
+                np.ones((16, 16))).astype(np.uint8)
+    u = np.kron(rng.integers(60, 200, (h // 8, w // 16)),
+                np.ones((8, 8))).astype(np.uint8)
+    frames = [(y, u, (255 - u))]
+    ivf = str(tmp_path / "e422.ivf")
+    encode_lossy_ivf(ivf, frames, w, h, qindex=60, subsampling="422")
+    out = str(tmp_path / "d.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    assert ours[0][1].shape == (h, w // 2)
+    for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")

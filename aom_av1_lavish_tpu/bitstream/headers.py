@@ -515,9 +515,14 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
                 w.write_bit(0)
                 w.write_bit(t == c.RESTORE_SWITCHABLE)
         if uses_lr:
-            w.write_bit(fh.lr_unit_shift >= 1)
-            if fh.lr_unit_shift >= 1:
-                w.write_bit(fh.lr_unit_shift >= 2)
+            if sh.use_128x128_superblock:
+                # spec 5.9.20: unit >= 128, one shift bit
+                assert fh.lr_unit_shift >= 1
+                w.write_bit(fh.lr_unit_shift - 1)
+            else:
+                w.write_bit(fh.lr_unit_shift >= 1)
+                if fh.lr_unit_shift >= 1:
+                    w.write_bit(fh.lr_unit_shift >= 2)
             if sh.subsampling_x and sh.subsampling_y and uses_chroma_lr:
                 w.write_bit(fh.lr_uv_shift)
     # read_tx_mode

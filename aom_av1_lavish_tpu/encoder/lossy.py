@@ -567,6 +567,21 @@ class LossyAllIntraEncoder(LosslessEncoder):
         has_cols = mi_col + hbs < self.mi_cols
         fits = self._fits(mi_row, mi_col, bsize)
 
+        if bsize > c.BLOCK_64X64:
+            # encoder policy under 128 superblocks: always split to 64,
+            # so no coding block needs the 64x64-chunk residual
+            # interleave (spec 5.11.34) on the emit side
+            sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+            kids = []
+            cost = self._lam(mi_row, mi_col) * 8
+            for (r, cc) in ((mi_row, mi_col), (mi_row, mi_col + hbs),
+                            (mi_row + hbs, mi_col),
+                            (mi_row + hbs, mi_col + hbs)):
+                k_cost, k_plan = self._search(r, cc, sub)
+                cost += k_cost
+                kids.append(k_plan)
+            return cost, ("SPLIT", mi_row, mi_col, bsize, kids)
+
         if not fits:
             # frame-edge structure (no RD choice): prefer HORZ/VERT slab
             # when the half fits, else SPLIT (mirrors the lossless chooser)
@@ -1500,12 +1515,13 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      bit_depth: int = 8, screen: bool = False,
                      qm=None, aq: bool = False, grain: bool = False,
                      intrabc: bool = False, subsampling: str = "420",
-                     **kw) -> None:
+                     sb128: bool = False, **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen,
-                              film_grain=grain, subsampling=subsampling)
+                              film_grain=grain, subsampling=subsampling,
+                              sb128=sb128)
     grain_params = None
     if grain:
         from ..dsp.noise_model import fit_grain_params

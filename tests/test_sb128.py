@@ -76,3 +76,28 @@ def test_sb128_restoration(tmp_path):
     """sb128 LR unit-size shift syntax (spec 5.9.20)."""
     _check(tmp_path, ["--cpu-used=3", "--enable-restoration=1",
                       "--kf-max-dist=9999"])
+
+
+def test_sb128_encode(tmp_path):
+    """Our encoder with 128x128 superblocks (always-split policy):
+    conformant vs stock aomdec, including restoration."""
+    from aom_av1_lavish_tpu.bitstream import headers as H
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+
+    w, h = 192, 160   # partial 128-SBs on both axes
+    frames = _frames(w, h, 1, seed=7)
+    ivf = str(tmp_path / "e128.ivf")
+    encode_lossy_ivf(ivf, frames, w, h, qindex=60, sb128=True,
+                     enable_restoration=1)
+    payload = next(iter(read_ivf(ivf)))[0]
+    for t, p in H.split_obus(payload):
+        if t == 1:
+            assert H.parse_sequence_header(p).use_128x128_superblock == 1
+    out = str(tmp_path / "d.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")

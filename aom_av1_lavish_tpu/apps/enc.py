@@ -37,14 +37,41 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-rows", type=int, default=0,
                    help="log2 tile rows")
     p.add_argument("--enable-cdef", type=int, default=1)
-    p.add_argument("--tune", choices=("psnr", "ssim"), default="psnr")
+    p.add_argument("--tune",
+                   choices=("psnr", "ssim", "butteraugli", "vmaf"),
+                   default="psnr")
     p.add_argument("--luma-bias", type=float, default=0.0,
                    help="lavish dark-region rdmult bias strength")
     p.add_argument("--tpu", action="store_true",
                    help="use the batched device encode paths")
     p.add_argument("--fps", default=None, help="override fps as N/D")
     p.add_argument("--quiet", "-q", action="store_true")
+    # special encode modes (bypass the GOP driver)
+    p.add_argument("--usage", choices=("good", "realtime"),
+                   default="good")
+    p.add_argument("--tune-content", choices=("default", "screen"),
+                   default="default")
+    p.add_argument("--enable-intrabc", type=int, default=0)
+    p.add_argument("--passes", type=int, choices=(1, 2, 3), default=1)
+    p.add_argument("--svc-temporal-layers", type=int, default=1)
+    p.add_argument("--enable-qm", type=int, default=0)
+    p.add_argument("--qm-level", type=int, default=7)
+    p.add_argument("--aq-mode", type=int, default=0,
+                   help="1 = variance delta-q AQ")
+    p.add_argument("--film-grain", type=int, default=0,
+                   help="estimate + signal film grain")
     return p
+
+
+def _report(args, frames, fps, t0) -> int:
+    import os
+    dt = time.perf_counter() - t0
+    if not args.quiet:
+        total = os.path.getsize(args.output)
+        kbps = total * 8 * (fps[0] / fps[1]) / max(len(frames), 1) / 1000
+        print(f"{len(frames)} frames, {total} bytes ({kbps:.1f} kbit/s), "
+              f"{len(frames) / dt:.2f} fps", file=sys.stderr)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -55,15 +82,59 @@ def main(argv=None) -> int:
     from ..utils.y4m import read_y4m
 
     frames, width, height, sub = read_y4m(args.input)
-    if sub != "420":
-        print(f"only 4:2:0 input supported (got {sub})", file=sys.stderr)
-        return 1
     if args.limit:
         frames = frames[:args.limit]
     fps = (30, 1)
     if args.fps:
         n, d = args.fps.split("/")
         fps = (int(n), int(d))
+
+    # special modes route to their dedicated drivers
+    if args.usage == "realtime":
+        from ..encoder.nonrd import encode_realtime_ivf
+        t0 = time.perf_counter()
+        encode_realtime_ivf(args.output, frames, width, height,
+                            qindex=args.cq_level, fps=fps)
+        return _report(args, frames, fps, t0)
+    if args.tune_content == "screen":
+        from ..encoder.lossy import encode_lossy_ivf
+        t0 = time.perf_counter()
+        encode_lossy_ivf(args.output, frames, width, height,
+                         qindex=args.cq_level, fps=fps, screen=True,
+                         intrabc=bool(args.enable_intrabc))
+        return _report(args, frames, fps, t0)
+    if args.svc_temporal_layers > 1:
+        from ..encoder.svc import encode_svc_ivf
+        t0 = time.perf_counter()
+        encode_svc_ivf(args.output, frames, width, height,
+                       temporal_layers=args.svc_temporal_layers,
+                       qindex=args.cq_level, fps=fps)
+        return _report(args, frames, fps, t0)
+    if sub != "420" or args.enable_qm or args.aq_mode or args.film_grain:
+        from ..encoder.lossy import encode_lossy_ivf
+        t0 = time.perf_counter()
+        encode_lossy_ivf(
+            args.output, frames, width, height, qindex=args.cq_level,
+            fps=fps, subsampling=sub, aq=bool(args.aq_mode),
+            grain=bool(args.film_grain),
+            qm=((args.qm_level,) * 3 if args.enable_qm else None))
+        return _report(args, frames, fps, t0)
+    if args.passes == 2:
+        from ..encoder.gop import encode_twopass_ivf
+        t0 = time.perf_counter()
+        encode_twopass_ivf(args.output, frames, width, height, fps=fps,
+                           qindex=args.cq_level,
+                           kf_interval=args.kf_max_dist,
+                           gf_length=args.gf_length)
+        return _report(args, frames, fps, t0)
+    if args.passes == 3:
+        from ..encoder.thirdpass import encode_threepass_ivf
+        t0 = time.perf_counter()
+        encode_threepass_ivf(args.output, frames, width, height, fps=fps,
+                             qindex=args.cq_level,
+                             kf_interval=args.kf_max_dist,
+                             gf_length=args.gf_length)
+        return _report(args, frames, fps, t0)
     mode = MODE_Q
     if args.end_usage == "cbr" or (args.end_usage is None
                                    and args.target_bitrate):

@@ -188,3 +188,35 @@ def test_level_enforcement():
     # bitrate cap enforced
     assert check_level(8, 1920, 1080, 30.0, bitrate_bps=50e6)
     assert not check_level(8, 1920, 1080, 30.0, bitrate_bps=10e6)
+
+
+def test_cli_special_modes(tmp_path):
+    """CLI routes for realtime / screen / SVC / QM / multi-pass modes."""
+    import numpy as np
+    from aom_av1_lavish_tpu.apps.enc import main as enc_main
+    from aom_av1_lavish_tpu.apps.dec import main as dec_main
+    from aom_av1_lavish_tpu.utils.y4m import write_y4m
+
+    rng = np.random.default_rng(0)
+    w, h = 96, 64
+    frames = []
+    for i in range(3):
+        y = np.kron(rng.integers(0, 255, (h // 16, w // 16)),
+                    np.ones((16, 16))).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((y, u, u.copy()))
+    src = str(tmp_path / "s.y4m")
+    write_y4m(src, frames, w, h)
+
+    for name, extra in (
+            ("rt", ["--usage", "realtime"]),
+            ("scr", ["--tune-content", "screen"]),
+            ("svc", ["--svc-temporal-layers", "2"]),
+            ("qm", ["--enable-qm", "1"]),
+            ("aq", ["--aq-mode", "1"])):
+        out = str(tmp_path / f"{name}.ivf")
+        rc = enc_main([src, "-o", out, "--cq-level", "90", "-q"] + extra)
+        assert rc == 0 and os.path.getsize(out) > 0, name
+        y4m = str(tmp_path / f"{name}.y4m")
+        assert dec_main([out, "-o", y4m, "-q"] if False else
+                        [out, "-o", y4m]) == 0

@@ -96,8 +96,6 @@ class EncoderConfig:
         rng("tile_rows_log2", self.tile_rows_log2, 0, 6)
         if self.bit_depth not in (8, 10, 12):
             raise ValueError(f"bit_depth={self.bit_depth} not in (8,10,12)")
-        if self.lossless and self.bit_depth != 8:
-            raise ValueError("lossless path is 8-bit only for now")
         if self.rc_mode in (MODE_CBR, MODE_VBR) and self.target_bps <= 0:
             raise ValueError("CBR/VBR needs target_bps > 0")
         if self.fps <= 0:
@@ -150,7 +148,8 @@ class Encoder:
                                           make_lossless_frame_header,
                                           make_sequence_header)
             from .ops.lossless import analyze_frames_for_encoder
-            sh = make_sequence_header(cfg.width, cfg.height)
+            sh = make_sequence_header(cfg.width, cfg.height,
+                                      bit_depth=cfg.bit_depth)
             encs = []
             srcs = []
             for f in self._frames:
@@ -160,9 +159,13 @@ class Encoder:
                 e = LosslessEncoder(sh, fh, use_native=cfg.use_native)
                 srcs.append(e.pad_planes(f))
                 encs.append(e)
-            if cfg.tile_cols_log2 or cfg.tile_rows_log2:
-                payloads = [e.encode_frame(f) for e, f in
-                            zip(encs, self._frames)]
+            if (cfg.tile_cols_log2 or cfg.tile_rows_log2
+                    or cfg.bit_depth > 8):
+                # the batched device analyze is 8-bit single-tile; tiles
+                # and high bitdepth use the host walk
+                payloads = [e.encode_frame(f,
+                                           use_jax=cfg.bit_depth == 8)
+                            for e, f in zip(encs, self._frames)]
             else:
                 analyses = analyze_frames_for_encoder(srcs)
                 payloads = [e.encode_frame(f, analysis=a) for e, f, a in

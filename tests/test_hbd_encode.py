@@ -66,3 +66,41 @@ def test_10bit_gop_encode_conformant(tmp_path):
         mse = ((frames[i][0].astype(float) - ry.astype(float)) ** 2).mean()
         psnr += 10 * np.log10(1023 ** 2 / max(mse, 1e-9))
     assert psnr / n > 26.0
+
+
+@pytest.mark.parametrize("bd", [10, 12])
+def test_hbd_lossless(tmp_path, bd):
+    """10/12-bit lossless: bit-exact through our decoder AND aomdec."""
+    from aom_av1_lavish_tpu.api import Decoder, Encoder, EncoderConfig
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+
+    rng = np.random.default_rng(bd)
+    w, h = 96, 64
+    mx = 1 << bd
+    frames = [(rng.integers(0, mx, (h, w), dtype=np.uint16),
+               rng.integers(0, mx, (h // 2, w // 2), dtype=np.uint16),
+               rng.integers(0, mx, (h // 2, w // 2), dtype=np.uint16))
+              for _ in range(2)]
+    cfg = EncoderConfig(width=w, height=h, lossless=True, bit_depth=bd)
+    enc = Encoder(cfg)
+    for f in frames:
+        enc.encode(f)
+    pkts = enc.flush()
+    dec = Decoder()
+    out = []
+    for p in pkts:
+        out.extend(dec.decode(p))
+    for o, f in zip(out, frames):
+        for a, b in zip(o, f):
+            np.testing.assert_array_equal(a, b)
+    if os.path.exists(AOMDEC):
+        ivf = str(tmp_path / "l.ivf")
+        write_ivf(ivf, [(p, i) for i, p in enumerate(pkts)], w, h, 30, 1)
+        raw = str(tmp_path / "l.raw")
+        subprocess.run([AOMDEC, "--rawvideo", "-o", raw, ivf],
+                       check=True, capture_output=True)
+        data = np.fromfile(raw, "<u2")
+        fsz = w * h + 2 * (w // 2) * (h // 2)
+        for i, f in enumerate(frames):
+            ys = data[i * fsz:i * fsz + w * h].reshape(h, w)
+            np.testing.assert_array_equal(ys, f[0])

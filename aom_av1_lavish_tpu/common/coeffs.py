@@ -22,6 +22,18 @@ TX_CLASS_2D = 0
 TX_CLASS_HORIZ = 1
 TX_CLASS_VERT = 2
 
+# native C coeff-parse fast path (runtime/coeff_dec.c); Python below stays
+# the byte-exact reference (AVL_NO_NATIVE=1 forces it)
+import os as _os
+_native_tail = None
+if not _os.environ.get("AVL_NO_NATIVE"):
+    try:
+        from ..runtime import native_coeff_tail as _native_tail
+        from ..runtime import get_lib as _get_lib
+        _get_lib()
+    except Exception:
+        _native_tail = None
+
 TX_TYPE_TO_CLASS = [TX_CLASS_2D] * 10 + [
     TX_CLASS_VERT, TX_CLASS_HORIZ, TX_CLASS_VERT, TX_CLASS_HORIZ,
     TX_CLASS_VERT, TX_CLASS_HORIZ]
@@ -302,6 +314,24 @@ def read_coeffs_txb(rd, fc, plane: int, tx_size: int, tx_type: int,
     tx_class = TX_TYPE_TO_CLASS[tx_type]
     scan = tables.scan(adj, tx_type)
     eob_ms = eob_multi_size(tx_size)
+
+    if _native_tail is not None:
+        # C fast path (runtime/coeff_dec.c), byte-exact with the code
+        # below incl. in-place CDF adaptation
+        eob_cdf = getattr(fc, f"eob_flag_cdf{16 << eob_ms}")
+        dqcoeff = np.zeros(width * height, dtype=np.int32)
+        eob, cul, _dc = _native_tail(
+            rd, scan, tx_class, height.bit_length() - 1, width, height,
+            c.TX_WIDTH[tx_size], c.TX_HEIGHT[tx_size],
+            eob_cdf[plane_type][0 if tx_class == TX_CLASS_2D else 1],
+            eob_ms + 5,
+            fc.eob_extra_cdf[txs_ctx][plane_type],
+            fc.coeff_base_eob_cdf[txs_ctx][plane_type],
+            fc.coeff_base_cdf[txs_ctx][plane_type],
+            fc.coeff_br_cdf[min(txs_ctx, c.TX_32X32)][plane_type],
+            fc.dc_sign_cdf[plane_type][dc_sign_ctx],
+            dqv_dc, dqv_ac, shift, bd, iqm, dqcoeff)
+        return eob, cul, dqcoeff
     eob_multi_ctx = 0 if tx_class == TX_CLASS_2D else 1
     eob_cdf = getattr(fc, f"eob_flag_cdf{16 << eob_ms}")
     eob_pt = rd.decode_symbol_adapt(

@@ -19,6 +19,14 @@ _BUILD = os.path.join(_DIR, "_build")
 _lib = None
 
 
+class AvlDec(ctypes.Structure):
+    """Mirror of the C avl_dec range-decoder state (coeff_dec.c)."""
+    _fields_ = [("data", ctypes.POINTER(ctypes.c_uint8)),
+                ("pos", ctypes.c_int32), ("end", ctypes.c_int32),
+                ("dif", ctypes.c_uint32), ("rng", ctypes.c_uint32),
+                ("cnt", ctypes.c_int32), ("tell_offs", ctypes.c_int32)]
+
+
 def get_lib():
     """Compile (if needed) and load the native entropy library."""
     global _lib
@@ -26,7 +34,8 @@ def get_lib():
         return _lib
     # unity build: lossless_tile.c #includes entropy_enc.c
     src = os.path.join(_DIR, "lossless_tile.c")
-    deps = [src, os.path.join(_DIR, "entropy_enc.c")]
+    deps = [src, os.path.join(_DIR, "entropy_enc.c"),
+            os.path.join(_DIR, "coeff_dec.c")]
     so = os.path.join(_BUILD, "libavl_runtime.so")
     if (not os.path.exists(so)
             or os.path.getmtime(so) < max(os.path.getmtime(d)
@@ -34,9 +43,19 @@ def get_lib():
         os.makedirs(_BUILD, exist_ok=True)
         subprocess.run(
             ["gcc", "-O3", "-march=native", "-shared", "-fPIC", "-o", so,
-             src],
+             src, os.path.join(_DIR, "coeff_dec.c")],
             check=True, capture_output=True)
     lib = ctypes.CDLL(so)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.avl_read_coeffs_txb.restype = ctypes.c_int
+    lib.avl_read_coeffs_txb.argtypes = [
+        ctypes.POINTER(AvlDec), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        u16p, ctypes.c_int, u16p, u16p, u16p, u16p, u16p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.avl_encode_tile.restype = ctypes.c_int
     lib.avl_encode_tile.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -256,3 +275,37 @@ def encode_lossless_tile(fc, analysis, mi_rows: int, mi_cols: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     assert 0 < n <= cap
     return bytes(out[:n])
+
+
+def native_coeff_tail(rd, scan, tx_class, bhl, width, height, raw_w,
+                      raw_h, eob_cdf, eob_syms, eob_extra, base_eob,
+                      base, br, dc_sign, dqv_dc, dqv_ac, shift, bd,
+                      iqm, dqcoeff):
+    """Run the post-all_zero coeff parse in C, synchronizing the Python
+    RangeDecoder state both ways.  Returns (eob, cul_level, dc_val)."""
+    lib = get_lib()
+    buf = getattr(rd, "_cbuf", None)
+    if buf is None:
+        buf = ctypes.cast(ctypes.c_char_p(rd.data),
+                          ctypes.POINTER(ctypes.c_uint8))
+        rd._cbuf = buf
+    st = AvlDec(buf, rd.pos, rd.end, rd.dif, rd.rng, rd.cnt,
+                rd.tell_offs)
+    info = (ctypes.c_int32 * 2)()
+
+    def p16(a):
+        return ctypes.cast(a.ctypes.data, ctypes.POINTER(ctypes.c_uint16))
+
+    eob = lib.avl_read_coeffs_txb(
+        ctypes.byref(st),
+        ctypes.cast(scan.ctypes.data, ctypes.POINTER(ctypes.c_int16)),
+        tx_class, bhl, width, height, raw_w, raw_h,
+        p16(eob_cdf), eob_syms, p16(eob_extra), p16(base_eob), p16(base),
+        p16(br), p16(dc_sign), dqv_dc, dqv_ac, shift, bd,
+        ctypes.cast(iqm.ctypes.data, ctypes.POINTER(ctypes.c_uint8))
+        if iqm is not None else None,
+        ctypes.cast(dqcoeff.ctypes.data, ctypes.POINTER(ctypes.c_int32)),
+        info)
+    rd.pos, rd.dif, rd.rng = st.pos, st.dif, st.rng
+    rd.cnt, rd.tell_offs = st.cnt, st.tell_offs
+    return eob, int(info[0]), int(info[1])

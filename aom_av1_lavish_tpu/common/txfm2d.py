@@ -16,6 +16,18 @@ import numpy as np
 from ..bitstream import constants as c
 from . import txfm1d as T1
 
+# native inverse-transform fast path (runtime/txfm_inv.c); the Python
+# engine below stays the byte-exact reference (AVL_NO_NATIVE=1 forces it)
+import os as _os
+_native_inv = None
+if not _os.environ.get("AVL_NO_NATIVE"):
+    try:
+        from ..runtime import get_lib as _get_lib
+        from ..runtime import native_inv_txfm2d_add as _native_inv
+        _get_lib()
+    except Exception:
+        _native_inv = None
+
 # per-tx-size fwd shifts (av1_fwd_txfm2d.c:314) keyed by TX_*; [s0, s1, s2]
 FWD_SHIFT = {
     c.TX_4X4: (2, 0, 0), c.TX_8X8: (2, -1, 0), c.TX_16X16: (2, -2, 0),
@@ -130,6 +142,26 @@ def inv_txfm2d_add(coeff_flat: np.ndarray, recon_block: np.ndarray,
     opt_range_row = 16 if bd == 8 else (18 if bd == 10 else 20)
     opt_range_col = 16 if bd == 8 else (16 if bd == 10 else 18)
     aw, ah = min(w, 32), min(h, 32)
+
+    if _native_inv is not None:
+        from ..runtime import txfm_table
+
+        def kc(tx1d, n):
+            if tx1d == 3:
+                return 3, None
+            if tx1d in (1, 2) and n == 4:
+                return 2, None
+            return 0, txfm_table("adst" if tx1d in (1, 2) else "dct", n)
+        kr, rt = kc(hk, w)
+        kcol, ct = kc(vk, h)
+        pred = np.ascontiguousarray(recon_block)
+        cf = coeff_flat if (coeff_flat.dtype == np.int32
+                            and coeff_flat.flags["C_CONTIGUOUS"]) \
+            else np.ascontiguousarray(coeff_flat, dtype=np.int32)
+        return _native_inv(cf, pred, w, h, aw, ah, kr, kcol, rt, ct,
+                           int(_flip(hk)), int(_flip(vk)),
+                           int(abs(rect) == 1), -s0, -s1,
+                           opt_range_row, opt_range_col, bd)
     if (aw, ah) != (w, h):
         # 64-dim transforms carry only 32 visible coeffs per axis
         # (av1_inv_txfm2d.c mod_input remap)

@@ -35,7 +35,8 @@ def get_lib():
     # unity build: lossless_tile.c #includes entropy_enc.c
     src = os.path.join(_DIR, "lossless_tile.c")
     deps = [src, os.path.join(_DIR, "entropy_enc.c"),
-            os.path.join(_DIR, "coeff_dec.c")]
+            os.path.join(_DIR, "coeff_dec.c"),
+            os.path.join(_DIR, "txfm_inv.c")]
     so = os.path.join(_BUILD, "libavl_runtime.so")
     if (not os.path.exists(so)
             or os.path.getmtime(so) < max(os.path.getmtime(d)
@@ -43,7 +44,8 @@ def get_lib():
         os.makedirs(_BUILD, exist_ok=True)
         subprocess.run(
             ["gcc", "-O3", "-march=native", "-shared", "-fPIC", "-o", so,
-             src, os.path.join(_DIR, "coeff_dec.c")],
+             src, os.path.join(_DIR, "coeff_dec.c"),
+             os.path.join(_DIR, "txfm_inv.c")],
             check=True, capture_output=True)
     lib = ctypes.CDLL(so)
     u16p = ctypes.POINTER(ctypes.c_uint16)
@@ -56,6 +58,15 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.avl_inv_txfm2d_add.restype = ctypes.c_int
+    lib.avl_inv_txfm2d_add.argtypes = [
+        i32p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.avl_encode_tile.restype = ctypes.c_int
     lib.avl_encode_tile.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -309,3 +320,48 @@ def native_coeff_tail(rd, scan, tx_class, bhl, width, height, raw_w,
     rd.pos, rd.dif, rd.rng = st.pos, st.dif, st.rng
     rd.cnt, rd.tell_offs = st.cnt, st.tell_offs
     return eob, int(info[0]), int(info[1])
+
+
+# --- native inverse transform (txfm_inv.c) ---------------------------------
+
+_TXFM_TABLES = {}
+
+
+def txfm_table(kind: str, n: int) -> np.ndarray:
+    """Flattened 1-D inverse op table [n_stages, counts..., ops(5 each)]
+    shared with the Python engine (common/txfm1d.py)."""
+    key = (kind, n)
+    t = _TXFM_TABLES.get(key)
+    if t is None:
+        from ..common import txfm1d as T1
+        stages = (T1.idct_stages(n, T1.INV_COS_BIT) if kind == "dct"
+                  else T1.iadst_stages(n, T1.INV_COS_BIT))
+        flat = [len(stages)] + [len(s) for s in stages]
+        for s in stages:
+            for op in s:
+                flat.extend(op)
+        t = np.asarray(flat, dtype=np.int32)
+        _TXFM_TABLES[key] = t
+    return t
+
+
+def native_inv_txfm2d_add(coeff, pred, w, h, aw, ah, kind_row, kind_col,
+                          row_tbl, col_tbl, flip_lr, flip_ud, rect1,
+                          sh0, sh1, range_row, range_col, bd):
+    """pred: contiguous (h, w) uint8/uint16, modified in place."""
+    lib = get_lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def tp(a):
+        return ctypes.cast(a.ctypes.data, i32p) if a is not None else None
+
+    is8 = pred.dtype == np.uint8
+    lib.avl_inv_txfm2d_add(
+        ctypes.cast(coeff.ctypes.data, i32p),
+        ctypes.cast(pred.ctypes.data, ctypes.POINTER(ctypes.c_uint8))
+        if is8 else None,
+        None if is8 else ctypes.cast(pred.ctypes.data,
+                                     ctypes.POINTER(ctypes.c_uint16)),
+        w, h, aw, ah, kind_row, kind_col, tp(row_tbl), tp(col_tbl),
+        flip_lr, flip_ud, rect1, sh0, sh1, range_row, range_col, bd)
+    return pred

@@ -15,6 +15,18 @@ import numpy as np
 
 from ..bitstream import tables
 
+# native quantizer fast path (runtime/txfm_inv.c avl_quantize_b);
+# the Python below stays the reference (AVL_NO_NATIVE=1 forces it)
+import os as _os
+_native_quant = None
+if not _os.environ.get("AVL_NO_NATIVE"):
+    try:
+        from ..runtime import get_lib as _get_lib
+        from ..runtime import native_quantize_b as _native_quant
+        _get_lib()
+    except Exception:
+        _native_quant = None
+
 
 def dc_quant_qtx(qindex: int, delta: int, bd: int = 8) -> int:
     q = max(0, min(255, qindex + delta))
@@ -184,6 +196,9 @@ def quantize_b(coeff_flat: np.ndarray, scan: np.ndarray, pq: PlaneQuant,
     """Returns (qcoeff, dqcoeff, eob).  coeff_flat is col-major flat.
     qm/iqm: optional flat weight / inverse-weight matrices (AOM_QM_BITS
     fixed point, quantize_b_helper_c qm_ptr/iqm_ptr semantics)."""
+    if _native_quant is not None and coeff_flat.dtype == np.int32 \
+            and coeff_flat.flags["C_CONTIGUOUS"]:
+        return _native_quant(coeff_flat, scan, pq, log_scale, qm, iqm)
     n = len(scan)
     qcoeff = np.zeros_like(coeff_flat)
     dqcoeff = np.zeros_like(coeff_flat)

@@ -99,6 +99,26 @@ def fwd_txfm2d(resid: np.ndarray, tx_size: int, tx_type: int,
     cb_row = _FWD_COS_BIT_ROW[txw_idx][txh_idx]
     s0, s1, s2 = FWD_SHIFT[tx_size]
     vk, hk = VTX[tx_type], HTX[tx_type]
+
+    if _native_inv is not None:
+        from ..runtime import fwd_txfm_table, native_fwd_txfm2d
+
+        def kc(tx1d, n, cb):
+            if tx1d == 3:
+                return 3, None
+            if tx1d in (1, 2) and n == 4:
+                return 4, None
+            return 0, fwd_txfm_table("adst" if tx1d in (1, 2) else "dct",
+                                     n, cb)
+        kcol, ct = kc(vk, h, cb_col)
+        krow, rt = kc(hk, w, cb_row)
+        r32 = resid if (resid.dtype == np.int32
+                        and resid.flags["C_CONTIGUOUS"]) \
+            else np.ascontiguousarray(resid, dtype=np.int32)
+        return native_fwd_txfm2d(
+            r32, w, h, min(w, 32), min(h, 32), kcol, krow, ct, rt,
+            cb_col, cb_row, int(_flip(vk)), int(_flip(hk)),
+            s0, -s1, -s2, int(abs(_rect_log_ratio(w, h)) == 1))
     x = resid.astype(np.int64)
     if _flip(vk):  # ud_flip
         x = x[::-1, :]

@@ -67,6 +67,20 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, i32p, i32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.avl_fwd_txfm2d.restype = ctypes.c_int
+    lib.avl_fwd_txfm2d.argtypes = [
+        i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.avl_quantize_b.restype = ctypes.c_int
+    lib.avl_quantize_b.argtypes = [
+        i32p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        i32p, i32p]
     lib.avl_encode_tile.restype = ctypes.c_int
     lib.avl_encode_tile.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -365,3 +379,59 @@ def native_inv_txfm2d_add(coeff, pred, w, h, aw, ah, kind_row, kind_col,
         w, h, aw, ah, kind_row, kind_col, tp(row_tbl), tp(col_tbl),
         flip_lr, flip_ud, rect1, sh0, sh1, range_row, range_col, bd)
     return pred
+
+
+def fwd_txfm_table(kind: str, n: int, cos_bit: int = 13) -> np.ndarray:
+    """Flattened forward op table (txfm1d.fdct/fadst_stages); the
+    butterfly weights bake in cos_bit, so it keys the cache."""
+    key = ("fwd-" + kind, n, cos_bit)
+    t = _TXFM_TABLES.get(key)
+    if t is None:
+        from ..common import txfm1d as T1
+        stages = (T1.fdct_stages(n, cos_bit) if kind == "dct"
+                  else T1.fadst_stages(n, cos_bit))
+        flat = [len(stages)] + [len(s) for s in stages]
+        for s in stages:
+            for op in s:
+                flat.extend(op)
+        t = np.asarray(flat, dtype=np.int32)
+        _TXFM_TABLES[key] = t
+    return t
+
+
+def native_fwd_txfm2d(resid, w, h, aw, ah, kind_col, kind_row, col_tbl,
+                      row_tbl, cb_col, cb_row, flip_ud, flip_lr,
+                      s0, s1, s2, rect1):
+    lib = get_lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out = np.empty(aw * ah, dtype=np.int32)
+
+    def tp(a):
+        return ctypes.cast(a.ctypes.data, i32p) if a is not None else None
+
+    lib.avl_fwd_txfm2d(
+        ctypes.cast(resid.ctypes.data, i32p),
+        ctypes.cast(out.ctypes.data, i32p), w, h, aw, ah, kind_col,
+        kind_row, tp(col_tbl), tp(row_tbl), cb_col, cb_row, flip_ud,
+        flip_lr, s0, s1, s2, rect1)
+    return out
+
+
+def native_quantize_b(coeff, scan, pq, log_scale, qm, iqm):
+    lib = get_lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = len(scan)
+    qcoeff = np.empty(n, dtype=np.int32)
+    dqcoeff = np.empty(n, dtype=np.int32)
+    eob = lib.avl_quantize_b(
+        ctypes.cast(coeff.ctypes.data, i32p),
+        ctypes.cast(scan.ctypes.data, ctypes.POINTER(ctypes.c_int16)), n,
+        pq.zbin[0], pq.zbin[1], pq.round[0], pq.round[1],
+        pq.quant[0], pq.quant[1], pq.quant_shift[0], pq.quant_shift[1],
+        pq.dequant[0], pq.dequant[1], log_scale,
+        ctypes.cast(qm.ctypes.data, u8p) if qm is not None else None,
+        ctypes.cast(iqm.ctypes.data, u8p) if iqm is not None else None,
+        ctypes.cast(qcoeff.ctypes.data, i32p),
+        ctypes.cast(dqcoeff.ctypes.data, i32p))
+    return qcoeff, dqcoeff, eob

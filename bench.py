@@ -63,7 +63,29 @@ def bench_aomenc(frames, tmpdir):
     return len(frames) / dt
 
 
+def _ensure_backend(probe_timeout: int = 120) -> None:
+    """Fall back to the CPU backend when the TPU tunnel is unavailable
+    (jax.devices() can hang indefinitely on a dead tunnel, which would
+    turn a bench run into a timeout)."""
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return
+    code = "import jax; jax.devices()"
+    try:
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=probe_timeout, capture_output=True)
+    except Exception:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        print("warning: TPU backend unavailable, benching on CPU",
+              file=sys.stderr)
+
+
 def main():
+    _ensure_backend()
     frames = make_frames()
     with tempfile.TemporaryDirectory() as tmpdir:
         ours = bench_ours(frames, tmpdir)

@@ -65,6 +65,8 @@ def aomenc_fps(frames, tmpdir, args, w=W, h=H):
 
 def main():
     import tempfile
+    from bench import _ensure_backend
+    _ensure_backend()
     results = []
     frames = make_frames()
     with tempfile.TemporaryDirectory() as td:

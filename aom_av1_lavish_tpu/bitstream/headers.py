@@ -461,8 +461,7 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
         w.write_bit(fh.disable_frame_end_update_cdf)
     _write_tile_info(fh, sh, w)
     _write_quantization_params(fh, sh, w)
-    w.write_bit(fh.segmentation_enabled)
-    assert not fh.segmentation_enabled, "segmentation write TBD"
+    _write_segmentation(fh, w)
     # delta_q_params
     if fh.base_q_idx > 0:
         w.write_bit(fh.delta_q_present)
@@ -1047,6 +1046,33 @@ def _parse_film_grain(fh: FrameHeader, sh: SequenceHeader, r: BitReader,
 SEG_FEATURE_SIGNED = (1, 1, 1, 1, 1, 0, 0, 0)
 SEG_FEATURE_MAX = (255, 63, 63, 63, 63, 7, 0, 0)
 SEG_FEATURE_BITS = (8, 6, 6, 6, 6, 3, 0, 0)
+
+
+def _write_segmentation(fh: FrameHeader, w: BitWriter) -> None:
+    """Mirror of _parse_segmentation (encoder write_segmentation,
+    bitstream.c).  Primary-ref-less frames imply update_map/update_data."""
+    w.write_bit(fh.segmentation_enabled)
+    if not fh.segmentation_enabled:
+        return
+    if fh.primary_ref_frame != PRIMARY_REF_NONE:
+        w.write_bit(fh.seg_update_map)
+        if fh.seg_update_map:
+            w.write_bit(fh.seg_temporal_update)
+        w.write_bit(fh.seg_update_data)
+    if fh.primary_ref_frame == PRIMARY_REF_NONE or fh.seg_update_data:
+        for i in range(8):
+            for j in range(8):
+                active = bool(fh.seg_feature_mask[i] & (1 << j))
+                w.write_bit(active)
+                if not active:
+                    continue
+                bits = SEG_FEATURE_BITS[j]
+                val = fh.seg_feature_data[i][j]
+                if SEG_FEATURE_SIGNED[j]:
+                    w.write_literal(val & ((1 << (bits + 1)) - 1),
+                                    bits + 1)
+                else:
+                    w.write_literal(val, bits)
 
 
 def _parse_segmentation(fh: FrameHeader, r: BitReader,

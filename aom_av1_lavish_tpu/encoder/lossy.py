@@ -32,11 +32,29 @@ MAX_ANGLE_DELTA = 3
 ALL_Y_MODES = tuple(range(c.INTRA_MODES))
 
 
+def _neg_interleave(x: int, ref: int, mx: int) -> int:
+    """av1_neg_interleave (encodemv-side inverse of
+    decoder._neg_deinterleave)."""
+    diff = x - ref
+    if not ref:
+        return x
+    if ref >= mx - 1:
+        return -x + mx - 1
+    if 2 * ref < mx:
+        if abs(diff) <= ref:
+            return (diff << 1) - 1 if diff > 0 else (-diff) << 1
+        return x
+    if abs(diff) <= mx - ref - 1:
+        return (diff << 1) - 1 if diff > 0 else (-diff) << 1
+    return (mx - x) - 1
+
+
 def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                             deblock: bool = True,
                             screen: bool = False,
                             qm=None, aq: bool = False,
-                            intrabc: bool = False) -> H.FrameHeader:
+                            intrabc: bool = False,
+                            seg=None) -> H.FrameHeader:
     assert 0 < qindex <= 255
     if intrabc:
         assert screen, "intrabc requires screen content tools"
@@ -54,6 +72,23 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
         assert qm[1] == qm[2], "qm_v == qm_u unless separate_uv_delta_q"
     if aq:
         assert qindex > 1, "delta-q needs a non-lossless base q"
+    seg_kw = {}
+    if seg is not None:
+        assert not aq, "segment AQ and delta-q AQ are exclusive here"
+        assert 2 <= len(seg) <= 8
+        mask = []
+        data = []
+        for d in seg:
+            assert 0 < qindex + d <= 255, (qindex, d)
+            mask.append(1)            # SEG_LVL_ALT_Q active
+            data.append((int(d),) + (0,) * 7)
+        mask += [0] * (8 - len(seg))
+        data += [(0,) * 8] * (8 - len(seg))
+        seg_kw = dict(segmentation_enabled=1, seg_update_map=1,
+                      seg_update_data=1, seg_temporal_update=0,
+                      seg_feature_mask=tuple(mask),
+                      seg_feature_data=tuple(data),
+                      seg_preskip=0, seg_last_active=len(seg) - 1)
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
         disable_cdf_update=0, disable_frame_end_update_cdf=1,
@@ -68,7 +103,8 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
         qm_y=qm[0] if qm else 0, qm_u=qm[1] if qm else 0,
         qm_v=qm[2] if qm else 0,
         delta_q_present=int(aq), delta_q_res_log2=2 if aq else 0,
-        filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl)
+        filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl,
+        **seg_kw)
 
 
 class LossyAllIntraEncoder(LosslessEncoder):
@@ -98,6 +134,10 @@ class LossyAllIntraEncoder(LosslessEncoder):
         # variance AQ (aq_variance.c / DELTA_Q_PERCEPTUAL analog)
         self.sb_qmap = None
         self._emit_cur_q = fh.base_q_idx
+        # segmentation (segment-based AQ: SEG_LVL_ALT_Q per segment)
+        self.seg_on = bool(getattr(fh, "segmentation_enabled", 0))
+        self.seg_plan = None      # planned per-mi segment ids
+        self.seg_emit_map = None  # decoder-mirrored ids (skip => pred)
         # intraBC (hash-MV search; encoder/intrabc.py)
         self.intrabc = bool(getattr(fh, "allow_intrabc", 0))
         self._ibc_index = None
@@ -117,7 +157,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         """Per-block lambda: global rdmult scaled by the psy tune map
         (av1_set_ssim_rdmult analog) and the AQ delta-q of the SB."""
         lam = self.lam
-        if self.sb_qmap is not None:
+        if self.sb_qmap is not None or self.seg_plan is not None:
             qstep = Q.ac_quant_qtx(self._block_qindex(mi_row, mi_col), 0,
                                    self.sh.bit_depth) / 8.0
             lam = 0.12 * qstep * qstep
@@ -144,8 +184,31 @@ class LossyAllIntraEncoder(LosslessEncoder):
         if self.tune in ("butteraugli", "vmaf"):
             self._setup_perceptual_tune(planes)
         self._setup_aq(planes)
+        if self.seg_on:
+            self._setup_segmentation(planes)
         self._emit_cur_q = self.fh.base_q_idx
         return super().encode_frame(planes, use_jax=False)
+
+    def _setup_segmentation(self, planes) -> None:
+        """Assign mi cells to segments by 16x16 activity quantiles
+        (av1 aq_cyclicrefresh/variance segment maps analog): bucket k
+        maps to segment k, whose SEG_LVL_ALT_Q the caller chose."""
+        n_seg = self.fh.seg_last_active + 1
+        y = np.asarray(planes[0], np.float64)
+        b = 16
+        hb = max(y.shape[0] // b, 1)
+        wb = max(y.shape[1] // b, 1)
+        v = y[:hb * b, :wb * b].reshape(hb, b, wb, b)
+        var = v.var(axis=(1, 3))
+        qs = np.quantile(var, [(k + 1) / n_seg for k in range(n_seg - 1)])
+        bucket = np.digitize(var, qs)
+        self.seg_plan = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        for r in range(self.mi_rows):
+            for cc in range(self.mi_cols):
+                self.seg_plan[r, cc] = bucket[min(r // 4, hb - 1),
+                                              min(cc // 4, wb - 1)]
+        self.seg_emit_map = np.zeros((self.mi_rows, self.mi_cols),
+                                     np.uint8)
 
     def _setup_perceptual_tune(self, planes) -> None:
         """tune=butteraugli/vmaf: trial-encode the frame, measure the
@@ -199,13 +262,17 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self.sb_qmap = base + np.clip(k, k_min, k_max) * step
 
     def _block_qindex(self, mi_row, mi_col) -> int:
+        if self.seg_plan is not None:
+            seg = int(self.seg_plan[mi_row, mi_col])
+            d = self.fh.seg_feature_data[seg][0]
+            return max(0, min(255, self.fh.base_q_idx + d))
         if self.sb_qmap is None:
             return self.fh.base_q_idx
         return int(self.sb_qmap[mi_row // self.sb_mi,
                                 mi_col // self.sb_mi])
 
     def _pq_at(self, plane, mi_row, mi_col):
-        if self.sb_qmap is None:
+        if self.sb_qmap is None and self.seg_plan is None:
             return self.pq[plane]
         q = self._block_qindex(mi_row, mi_col)
         fh = self.fh
@@ -964,6 +1031,41 @@ class LossyAllIntraEncoder(LosslessEncoder):
                                      pre + "bits_cdf", i)
             # MV_SUBPEL_NONE: fr/hp not coded
 
+    def _emit_segment_id(self, mi_row, mi_col, bsize, skip):
+        """write_segment_id mirror of decoder._read_segment_id (spatial
+        pred + neg_interleave; skip blocks inherit the prediction)."""
+        m = self.seg_emit_map
+        up = mi_row > 0
+        left = mi_col > 0
+        prev_ul = int(m[mi_row - 1, mi_col - 1]) if (up and left) else -1
+        prev_u = int(m[mi_row - 1, mi_col]) if up else -1
+        prev_l = int(m[mi_row, mi_col - 1]) if left else -1
+        if prev_ul < 0:
+            cdf_index = 0
+        elif prev_ul == prev_u and prev_ul == prev_l:
+            cdf_index = 2
+        elif prev_ul == prev_u or prev_ul == prev_l or prev_u == prev_l:
+            cdf_index = 1
+        else:
+            cdf_index = 0
+        if prev_u < 0:
+            pred = 0 if prev_l < 0 else prev_l
+        elif prev_l < 0:
+            pred = prev_u
+        else:
+            pred = prev_u if prev_ul == prev_u else prev_l
+        if skip:
+            seg = pred   # decoder adopts the prediction, uncoded
+        else:
+            seg = int(self.seg_plan[mi_row, mi_col])
+            mx = self.fh.seg_last_active + 1
+            coded = _neg_interleave(seg, pred, mx)
+            self.sink.symbol(coded, c.MAX_SEGMENTS,
+                             "seg_spatial_pred_cdf", cdf_index)
+        h4 = min(blockd.mi_size_high(bsize), self.mi_rows - mi_row)
+        w4 = min(blockd.mi_size_wide(bsize), self.mi_cols - mi_col)
+        m[mi_row:mi_row + h4, mi_col:mi_col + w4] = seg
+
     def _write_delta_q(self, d):
         """write_delta_qindex (bitstream.c): symbol + exp-golomb tail +
         sign, mirror of decoder._read_delta_q_params.read_delta."""
@@ -1336,6 +1438,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
         skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
                    (int(self.mi_skip[left_mi]) if left_mi else 0)
         self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
+        if self.seg_on:
+            self._emit_segment_id(mi_row, mi_col, bsize, int(skip))
         # delta-q (read_delta_q_params order: after skip+cdef, before mode)
         if self.fh.delta_q_present:
             sbm = self.sb_mi
@@ -1515,7 +1619,7 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      bit_depth: int = 8, screen: bool = False,
                      qm=None, aq: bool = False, grain: bool = False,
                      intrabc: bool = False, subsampling: str = "420",
-                     sb128: bool = False, **kw) -> None:
+                     sb128: bool = False, seg=None, **kw) -> None:
     from ..bitstream.ivf import write_ivf
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
@@ -1530,7 +1634,7 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm,
-                                     aq=aq, intrabc=intrabc)
+                                     aq=aq, intrabc=intrabc, seg=seg)
         if grain_params is not None:
             from dataclasses import replace
             fh.film_grain = replace(

@@ -74,10 +74,10 @@ def main():
         from aom_av1_lavish_tpu.encoder import encode_lossless_ivf
         out = os.path.join(td, "l.ivf")
         dt = timed(encode_lossless_ivf, out, frames, W, H)
-        ref = aomenc_fps(frames, td, ["--lossless=1", "--cpu-used=6",
-                                      "--kf-max-dist=1", "--kf-min-dist=1",
-                                      "--aq-mode=0",
-                                      "--enable-chroma-deltaq=0"])
+        ref = aomenc_fps(frames, td, ["--enable-chroma-deltaq=0",
+                                      "--aq-mode=0", "--lossless=1",
+                                      "--cpu-used=6", "--kf-max-dist=1",
+                                      "--kf-min-dist=1"])
         v = N / dt
         results.append(dict(metric="lossless_allintra_352x288", value=round(v, 3),
                             unit="frames/s",

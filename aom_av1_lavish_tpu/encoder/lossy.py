@@ -115,7 +115,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
                  luma_bias=0.0, trellis=True, rect_parts=True, speed=0,
-                 saliency=0.0):
+                 saliency=0.0, tx_search=None):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
@@ -123,6 +123,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self.trellis = trellis
         self.rect_parts = rect_parts
         self.speed = speed   # >=1: ML partition pruning (models/)
+        # tx-type RD search on the winning mode (tx_search.c analog);
+        # defaults on at speed 0, off at higher speeds
+        self.tx_search = (speed == 0) if tx_search is None else tx_search
         self.saliency = saliency  # saliency-map rdmult strength
         self.tune = tune
         self.luma_bias = luma_bias
@@ -889,6 +892,15 @@ class LossyAllIntraEncoder(LosslessEncoder):
                     bits + 4.0 + 1.0 + 0.9 * abs(delta))
                 if cost < y_cost:
                     y_cost, y_angle, y_txbs = cost, delta, txbs
+        # tx-type RD search on the survivor only (tx_search.c is also
+        # gated on the winning mode, not run inside the mode loop)
+        if self.tx_search and pal_y is None:
+            dist, bits, txbs = self._code_plane(
+                0, y_mode, mi_row, mi_col, bsize, up_avail, left_avail,
+                write_recon=False, angle_delta=y_angle, tx_search=True)
+            cost = dist + self._lam(mi_row, mi_col) * (bits + 4.0)
+            if cost < y_cost:
+                y_cost, y_txbs = cost, txbs
         # write luma recon for the chosen mode (chroma CfL needs it)
         self._apply_txbs(0, y_txbs)
 
@@ -1142,7 +1154,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 .astype(self.recon[0].dtype)
             dist, rbits, txbs = self._code_plane(
                 0, c.DC_PRED, mi_row, mi_col, bsize, up_avail, left_avail,
-                write_recon=False, pred_full=pred_full)
+                write_recon=False, pred_full=pred_full,
+                tx_search=self.tx_search)
             found, out = PAL.index_color_cache(cache, list(pal))
             hdr_bits = (4.0 + len(found) + 2.0
                         + len(out) * (self.bd - 1.0))
@@ -1227,7 +1240,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
             d, b, t = self._code_plane(
                 plane, c.DC_PRED, mi_row, mi_col, bsize,
                 mi_row > 0, mi_col > 0, write_recon=False,
-                pred_full=pred, inter_tx=True)
+                pred_full=pred, inter_tx=True,
+                tx_search=self.tx_search and plane == 0)
             dist += d
             bits += b
             txbs += t
@@ -1235,7 +1249,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def _code_plane(self, plane, mode, mi_row, mi_col, bsize, up_avail,
                     left_avail, write_recon, pred_override=None,
-                    angle_delta=0, pred_full=None, inter_tx=False):
+                    angle_delta=0, pred_full=None, inter_tx=False,
+                    tx_search=False):
         """Predict/transform/quantize all txbs of one plane for `mode`.
 
         Returns (dist, bits, txb list).  Does not touch self.recon unless
@@ -1264,42 +1279,45 @@ class LossyAllIntraEncoder(LosslessEncoder):
         vis_w = pbw + (min(mb_to_right, 0) >> ss_x)
         vis_h = pbh + (min(mb_to_bottom, 0) >> ss_y)
         reduced = bool(self.fh.reduced_tx_set)
-        if inter_tx:
-            # intrabc blocks use the inter tx-type syntax (is_inter_block)
-            tx_type = c.DCT_DCT
-            tx_type_sym = None
-            if plane == 0:
-                st = TT.ext_tx_set_type(tx_size, True, reduced)
-                if TT.NUM_EXT_TX_SET[st] > 1:
-                    eset = TT.inter_ext_tx_idx(st)
-                    sqr = c.TX_SIZE_SQR[tx_size]
-                    tx_type_sym = (("inter_ext_tx_cdf", eset, sqr),
-                                   TT.EXT_TX_IND[st][tx_type],
-                                   TT.NUM_EXT_TX_SET[st])
-        elif plane == 0:
-            st = TT.ext_tx_set_type(tx_size, False, reduced)
-            tx_type = c.DCT_DCT
-            tx_type_sym = None
-            if TT.NUM_EXT_TX_SET[st] > 1:
-                eset = TT.intra_ext_tx_idx(st)
-                sqr = c.TX_SIZE_SQR[tx_size]
-                sym = TT.EXT_TX_IND[st][tx_type]
-                tx_type_sym = (("intra_ext_tx_cdf", eset, sqr, mode),
-                               sym, TT.NUM_EXT_TX_SET[st])
+        st = TT.ext_tx_set_type(tx_size, inter_tx, reduced)
+
+        def _sym_for(tt):
+            """Signalling tuple for the emit path (None = derived)."""
+            if plane != 0 or TT.NUM_EXT_TX_SET[st] <= 1:
+                return None
+            if inter_tx:
+                return (("inter_ext_tx_cdf", TT.inter_ext_tx_idx(st),
+                         c.TX_SIZE_SQR[tx_size]),
+                        TT.EXT_TX_IND[st][tt], TT.NUM_EXT_TX_SET[st])
+            return (("intra_ext_tx_cdf", TT.intra_ext_tx_idx(st),
+                     c.TX_SIZE_SQR[tx_size], mode),
+                    TT.EXT_TX_IND[st][tt], TT.NUM_EXT_TX_SET[st])
+
+        if plane == 0:
+            cand_types = [c.DCT_DCT]
+            if tx_search and TT.NUM_EXT_TX_SET[st] > 1:
+                # tx_search.c get_tx_mask analog: derived type + the
+                # DTT4 combos; IDTX for screen/inter content
+                used = TT.EXT_TX_USED[st]
+                want = [c.ADST_ADST, c.ADST_DCT, c.DCT_ADST]
+                if not inter_tx and mode < len(TT.INTRA_MODE_TO_TX_TYPE):
+                    want.insert(0, TT.INTRA_MODE_TO_TX_TYPE[mode])
+                if inter_tx or self.screen:
+                    want.append(c.IDTX)
+                for tt in want:
+                    if used[tt] and tt not in cand_types:
+                        cand_types.append(tt)
         else:
-            tx_type = TT.chroma_intra_tx_type(mode, tx_size, reduced)
-            tx_type_sym = None
+            cand_types = [TT.chroma_intra_tx_type(mode, tx_size, reduced)]
         pq = self._pq_at(plane, mi_row, mi_col)
         adj = CF.adjusted_tx_size(tx_size)
-        scan = tables.scan(adj, tx_type)
         log_scale = CF._tx_scale(tx_size)
-        qm_w = qm_iw = None
-        if (self.fh.using_qmatrix and tx_type < c.IDTX
-                and self.fh.base_q_idx > 0):
+        qm_pair = None
+        if self.fh.using_qmatrix and self.fh.base_q_idx > 0:
             level = (self.fh.qm_y, self.fh.qm_u, self.fh.qm_v)[plane]
             if level < 15:
-                qm_w = Q.qm_table(level, int(plane > 0), tx_size)
-                qm_iw = Q.iqm_table(level, int(plane > 0), tx_size)
+                qm_pair = (Q.qm_table(level, int(plane > 0), tx_size),
+                           Q.iqm_table(level, int(plane > 0), tx_size))
         dist = 0.0
         bits = 0.0
         txbs = []
@@ -1325,21 +1343,37 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 h, w = pred.shape
                 src = self.src[plane][py:py + h, px:px + w]
                 resid = src.astype(np.int32) - pred.astype(np.int32)
-                coeff = T2.fwd_txfm2d(resid, tx_size, tx_type, self.bd)
-                qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
-                                                    log_scale, qm=qm_w,
-                                                    iqm=qm_iw)
-                if self.trellis and eob and qm_w is None:
-                    qcoeff, dqcoeff, eob = Q.optimize_txb(
-                        qcoeff, dqcoeff, coeff, scan, pq, log_scale, eob,
-                        self._lam(mi_row, mi_col),
-                        Q.tx_gain(tx_size, tx_type))
-                recon = (T2.inv_txfm2d_add(dqcoeff, pred, tx_size, tx_type,
-                                           self.bd)
-                         if eob else pred)
-                dist += float(((src.astype(np.int64)
+                best = None
+                for tt in cand_types:
+                    scan = tables.scan(adj, tt)
+                    qm_w, qm_iw = (qm_pair if (qm_pair is not None
+                                               and tt < c.IDTX)
+                                   else (None, None))
+                    coeff = T2.fwd_txfm2d(resid, tx_size, tt, self.bd)
+                    qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
+                                                        log_scale, qm=qm_w,
+                                                        iqm=qm_iw)
+                    if self.trellis and eob and qm_w is None:
+                        qcoeff, dqcoeff, eob = Q.optimize_txb(
+                            qcoeff, dqcoeff, coeff, scan, pq, log_scale,
+                            eob, self._lam(mi_row, mi_col),
+                            Q.tx_gain(tx_size, tt))
+                    recon = (T2.inv_txfm2d_add(dqcoeff, pred, tx_size, tt,
+                                               self.bd)
+                             if eob else pred)
+                    d = float(((src.astype(np.int64)
                                 - recon.astype(np.int64)) ** 2).sum())
-                bits += self._est_txb_bits(qcoeff, eob)
+                    b = self._est_txb_bits(qcoeff, eob)
+                    if len(cand_types) > 1:
+                        # approx signalling cost under the default CDFs
+                        b += 1.5 if tt == c.DCT_DCT else 3.0
+                    cost = d + self._lam(mi_row, mi_col) * b
+                    if best is None or cost < best[0]:
+                        best = (cost, tt, qcoeff, eob, recon, d, b)
+                _, tx_type, qcoeff, eob, recon, d, b = best
+                tx_type_sym = _sym_for(tx_type)
+                dist += d
+                bits += b
                 txbs.append(dict(
                     plane=plane, tx_size=tx_size, tx_type=tx_type,
                     tx_type_sym=tx_type_sym, qcoeff=qcoeff, eob=eob,

@@ -225,3 +225,27 @@ def test_segmentation_encode(tmp_path):
     info = inspect_ivf(ivf)[0]
     assert len(np.unique(info.seg_grid)) >= 2
     assert len(np.unique(info.qindex_grid)) >= 2
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_tx_type_search_conformance(tmp_path):
+    """tx-type RD search must emit non-DCT types that stock aomdec
+    accepts bit-exactly, and must not cost bits vs DCT-only."""
+    w, h = 176, 144
+    yy, xx = np.mgrid[0:h, 0:w]
+    y0 = (100 + 80 * np.sin((xx + yy) / 19.0)
+          + 40 * ((xx - yy) % 71 < 30)).clip(0, 255).astype(np.uint8)
+    frame = (y0, np.full((h // 2, w // 2), 120, np.uint8),
+             np.full((h // 2, w // 2), 130, np.uint8))
+    off = str(tmp_path / "off.ivf")
+    on = str(tmp_path / "on.ivf")
+    encode_lossy_ivf(off, [frame], w, h, qindex=120, tx_search=False)
+    encode_lossy_ivf(on, [frame], w, h, qindex=120, tx_search=True)
+    assert os.path.getsize(on) < os.path.getsize(off)
+    out = str(tmp_path / "dec.y4m")
+    subprocess.run([AOMDEC, "-o", out, on], check=True,
+                   capture_output=True)
+    ours = decode_ivf(on)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)

@@ -46,6 +46,8 @@ def _open_input(path: str, annexb: bool):
 
 
 def main(argv=None) -> int:
+    from ..utils.backend import ensure_backend
+    ensure_backend()
     args = build_parser().parse_args(argv)
     from ..api import Decoder
     from ..utils.y4m import write_y4m

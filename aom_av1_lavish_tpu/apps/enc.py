@@ -75,6 +75,8 @@ def _report(args, frames, fps, t0) -> int:
 
 
 def main(argv=None) -> int:
+    from ..utils.backend import ensure_backend
+    ensure_backend()
     args = build_parser().parse_args(argv)
     from ..api import Encoder, EncoderConfig
     from ..bitstream.ivf import write_ivf

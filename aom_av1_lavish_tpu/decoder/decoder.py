@@ -1439,6 +1439,15 @@ class FrameDecoder(InterDecoderMixin):
         sub_y = (bi.mi_row & 1) and h == 4
         px_r = bi.mi_row * 4
         px_c = bi.mi_col * 4
+        # clip to the visible area aligned up to the luma tx dims
+        # (cfl.c max_intra_block_width/height); the beyond-edge part is
+        # replicated by cfl_pad at predict time, not read from recon
+        txw = c.TX_WIDTH[bi.tx_size] if bi.tx_size >= 0 else w
+        txh = c.TX_HEIGHT[bi.tx_size] if bi.tx_size >= 0 else h
+        vis_w = min(w, max((self.mi_cols - bi.mi_col) * 4, 4))
+        vis_h = min(h, max((self.mi_rows - bi.mi_row) * 4, 4))
+        w = min(w, -(-vis_w // txw) * txw)
+        h = min(h, -(-vis_h // txh) * txh)
         luma = self.planes[0][px_r:px_r + h, px_c:px_c + w]
         if self.ss_x and self.ss_y:
             q3 = intra.cfl_subsample_420(luma)

@@ -370,10 +370,14 @@ class LosslessEncoder:
                               for _ in range(self.num_planes)]
         self.left_entropy = [np.zeros(self.mi_rows + 32, dtype=np.uint8)
                              for _ in range(self.num_planes)]
+        # tx-size context spans (only read under TX_MODE_SELECT)
+        self.above_txfm = np.full(self.mi_cols + 32, 64, dtype=np.uint8)
+        self.left_txfm = np.full(self.mi_rows + 32, 64, dtype=np.uint8)
         for mi_row in range(0, self.mi_rows, self.sb_mi):
             self.left_partition[:] = 0
             for le in self.left_entropy:
                 le[:] = 0
+            self.left_txfm[:] = 64
             for mi_col in range(0, self.mi_cols, self.sb_mi):
                 self._encode_partition(mi_row, mi_col, self.sb_size)
         return self.sink.finish()

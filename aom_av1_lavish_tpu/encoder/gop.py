@@ -160,6 +160,56 @@ class GopEncoder:
             return None
         return float(self._targets[display_idx])
 
+    def _recode(self, kind: str, display_idx: int, q: int, encode_fn):
+        """encode_with_recode_loop (encoder.c:2779): re-encode while the
+        frame size misses its target beyond the tolerance, walking q
+        with the observed bits/qstep ratio.  Ref-slot writes are
+        idempotent (each attempt overwrites the same slot), so only the
+        final attempt's recon survives."""
+        rc = self.rc
+        target = self._target(display_idx)
+        # ALLOW_RECODE_KFARFGF (speed_features.h): only key/ARF frames
+        # re-encode; P frames ride the feedback loop instead
+        if kind == "inter":
+            return encode_fn(q), q
+        if target is None and rc.cfg.mode not in (0, 1):  # VBR/CBR only
+            return encode_fn(q), q
+        if target is None:
+            target = rc.frame_target(kind)
+        q_low, q_high = rc.cfg.best_q, rc.cfg.worst_q
+        over = under = False
+        p = encode_fn(q)
+        best = (abs(len(p) * 8 - target), p, q)
+        for _ in range(rc.cfg.max_recodes):
+            bits = len(p) * 8
+            if not rc.need_recode(bits, target):
+                break
+            if bits > target:
+                q_low = min(q + 1, q_high)
+                over = True
+            else:
+                q_high = max(q - 1, q_low)
+                under = True
+            if q_low > q_high:
+                break
+            if over and under:
+                # bracketed: bisect (the 1/qstep model overshoots on
+                # steep rate curves and would oscillate)
+                nq = (q_low + q_high) // 2
+            else:
+                nq = rc.regulate_q(q, bits, target, q_low, q_high)
+            if nq == q:
+                break
+            q = nq
+            p = encode_fn(q)
+            if abs(len(p) * 8 - target) < best[0]:
+                best = (abs(len(p) * 8 - target), p, q)
+        if best[1] is not p:
+            # the ref slot holds the LAST attempt's recon; re-encode at
+            # the winning q so payload and reference state agree
+            best = (best[0], encode_fn(best[2]), best[2])
+        return best[1], best[2]
+
     def encode_sequence(self, frames) -> list:
         """Encode all frames; returns one payload per display frame."""
         n = len(frames)
@@ -174,7 +224,9 @@ class GopEncoder:
         while i < n:
             if i % self.kf_interval == 0:
                 q = self._q("key", i)
-                p = self._encode_key(frames[i], q)
+                p, q = self._recode("key", i, q,
+                                    lambda qq: self._encode_key(frames[i],
+                                                                qq))
                 self.rc.postencode("key", q, len(p) * 8)
                 self.last_slot, self.arf_slot = 0, 1
                 payloads.append(p)
@@ -188,9 +240,11 @@ class GopEncoder:
             else:
                 for j in range(L):
                     q = self._q("inter", i + j)
-                    obu = self._encode_inter(
-                        frames[i + j], q, (c.LAST_FRAME,),
-                        self.last_slot, show=True)
+                    obu, q = self._recode(
+                        "inter", i + j, q,
+                        lambda qq, f=frames[i + j]: self._encode_inter(
+                            f, qq, (c.LAST_FRAME,), self.last_slot,
+                            show=True))
                     tu = H.temporal_delimiter() + obu
                     self.rc.postencode("inter", q, len(tu) * 8)
                     payloads.append(tu)
@@ -218,16 +272,20 @@ class GopEncoder:
             from .temporal_filter import temporal_filter
             arf_src = temporal_filter(group, L - 1, q_arf)
 
-        arf_obu = self._encode_inter(arf_src, q_arf, (c.LAST_FRAME,),
-                                     self.arf_slot, show=False,
-                                     rdmult_map=tpl_maps[L - 1])
+        arf_obu, q_arf = self._recode(
+            "arf", base_idx + L - 1, q_arf,
+            lambda qq: self._encode_inter(arf_src, qq, (c.LAST_FRAME,),
+                                          self.arf_slot, show=False,
+                                          rdmult_map=tpl_maps[L - 1]))
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
         tus = []
         for j in range(L - 1):
             q = self._q("inter", base_idx + j)
-            obu = self._encode_inter(
-                group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
-                self.last_slot, show=True, rdmult_map=tpl_maps[j])
+            obu, q = self._recode(
+                "inter", base_idx + j, q,
+                lambda qq, f=group[j], m=tpl_maps[j]: self._encode_inter(
+                    f, qq, (c.LAST_FRAME, c.ALTREF_FRAME),
+                    self.last_slot, show=True, rdmult_map=m))
             tu = H.temporal_delimiter() + (arf_obu if j == 0 else b"") + obu
             # charge only this frame's bits (the ARF's were already
             # accounted at its own postencode)

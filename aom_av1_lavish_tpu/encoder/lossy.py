@@ -54,8 +54,10 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                             screen: bool = False,
                             qm=None, aq: bool = False,
                             intrabc: bool = False,
-                            seg=None) -> H.FrameHeader:
+                            seg=None, tx_select: bool = False) -> H.FrameHeader:
     assert 0 < qindex <= 255
+    assert not (tx_select and intrabc), \
+        "intrabc blocks use the inter vartx tx-size syntax (TBD)"
     if intrabc:
         assert screen, "intrabc requires screen content tools"
         deblock = False   # allow_intrabc disables in-loop filters (spec)
@@ -95,7 +97,9 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
         frame_size_override=0,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
-        base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
+        base_q_idx=qindex,
+        tx_mode=c.TX_MODE_SELECT if tx_select else c.TX_MODE_LARGEST,
+        reduced_tx_set=0,
         allow_screen_content_tools=int(screen),
         force_integer_mv=int(screen),
         allow_intrabc=int(intrabc),
@@ -126,6 +130,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         # tx-type RD search on the winning mode (tx_search.c analog);
         # defaults on at speed 0, off at higher speeds
         self.tx_search = (speed == 0) if tx_search is None else tx_search
+        # TX_MODE_SELECT: per-block tx depth coding + RD search
+        # (av1_pick_uniform_tx_size_type_yrd analog, intra-only here)
+        self.tx_select = fh.tx_mode == c.TX_MODE_SELECT
         self.saliency = saliency  # saliency-map rdmult strength
         self.tune = tune
         self.luma_bias = luma_bias
@@ -183,6 +190,12 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self.analysis = None
         self._sb_plans = []
         self._lr = None
+        if self.tx_select:
+            # per-mi luma tx dims for the deblock edge rules
+            self.txw4_grid = np.zeros((self.mi_rows, self.mi_cols),
+                                      np.int64)
+            self.txh4_grid = np.zeros((self.mi_rows, self.mi_cols),
+                                      np.int64)
         self._setup_tune_map(planes)
         if self.tune in ("butteraugli", "vmaf"):
             self._setup_perceptual_tune(planes)
@@ -349,12 +362,17 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
         bsg = self.mi_bsize.astype(np.int32)
         mh, mw = bsg.shape
-        txw4 = np.zeros((mh, mw), np.int64)
-        txh4 = np.zeros((mh, mw), np.int64)
-        for b in np.unique(bsg):
-            tx = self._plane_tx(0, int(b))
-            txw4[bsg == b] = c.TX_WIDTH[tx] >> 2
-            txh4[bsg == b] = c.TX_HEIGHT[tx] >> 2
+        if self.tx_select:
+            # per-block selected tx dims recorded during the emit pass
+            txw4 = self.txw4_grid
+            txh4 = self.txh4_grid
+        else:
+            txw4 = np.zeros((mh, mw), np.int64)
+            txh4 = np.zeros((mh, mw), np.int64)
+            for b in np.unique(bsg):
+                tx = self._plane_tx(0, int(b))
+                txw4[bsg == b] = c.TX_WIDTH[tx] >> 2
+                txh4[bsg == b] = c.TX_HEIGHT[tx] >> 2
         ref_grid, mode_grid, skip_inter = self._lf_grids(mh, mw)
 
         def lf_apply(planes, lvl):
@@ -490,6 +508,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
                               for _ in range(self.num_planes)]
         self.left_entropy = [np.zeros(self.mi_rows + 32, dtype=np.uint8)
                              for _ in range(self.num_planes)]
+        # tx-size context spans (decoder TileState above_txfm/left_txfm)
+        self.above_txfm = np.full(self.mi_cols + 32, 64, dtype=np.uint8)
+        self.left_txfm = np.full(self.mi_rows + 32, 64, dtype=np.uint8)
         self._emit_cur_q = self.fh.base_q_idx
         # av1_reset_loop_restoration: per-tile coeff prediction refs
         self._lr_wiener_ref = [{"v": LR.default_wiener(),
@@ -502,6 +523,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
             self.left_partition[:] = 0
             for le in self.left_entropy:
                 le[:] = 0
+            self.left_txfm[:] = 64
             for mi_col in range(0, self.mi_cols, self.sb_mi):
                 self._write_lr_units(mi_row, mi_col)
                 self._emit(next(it))
@@ -901,6 +923,20 @@ class LossyAllIntraEncoder(LosslessEncoder):
             cost = dist + self._lam(mi_row, mi_col) * (bits + 4.0)
             if cost < y_cost:
                 y_cost, y_txbs = cost, txbs
+        # tx-size depth search under TX_MODE_SELECT
+        # (av1_pick_uniform_tx_size_type_yrd: uniform depth per block)
+        if self.tx_select and pal_y is None and bsize > c.BLOCK_4X4:
+            from ..decoder.inter import _MAX_DEPTH, depth_to_tx_size
+            for depth in range(1, min(_MAX_DEPTH[bsize], 2) + 1):
+                dist, bits, txbs = self._code_plane(
+                    0, y_mode, mi_row, mi_col, bsize, up_avail,
+                    left_avail, write_recon=False, angle_delta=y_angle,
+                    tx_search=self.tx_search,
+                    tx_size_override=depth_to_tx_size(depth, bsize))
+                cost = dist + self._lam(mi_row, mi_col) * (
+                    bits + 4.0 + 2.0 * depth)
+                if cost < y_cost:
+                    y_cost, y_txbs = cost, txbs
         # write luma recon for the chosen mode (chroma CfL needs it)
         self._apply_txbs(0, y_txbs)
 
@@ -927,7 +963,10 @@ class LossyAllIntraEncoder(LosslessEncoder):
             best_uv = (cost_dc, c.DC_PRED, None, txbs_dc)
             if self.enable_cfl and self._cfl_allowed_enc(bsize):
                 r = self._try_cfl(mi_row, mi_col, bsize, up_avail,
-                                  left_avail)
+                                  left_avail,
+                                  luma_tx=next((t["tx_size"]
+                                                for t in y_txbs
+                                                if t["plane"] == 0), None))
                 if r is not None and r[0] < best_uv[0]:
                     best_uv = r
             uv_cost, uv_mode, cfl, uv_txbs = best_uv
@@ -1250,7 +1289,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
     def _code_plane(self, plane, mode, mi_row, mi_col, bsize, up_avail,
                     left_avail, write_recon, pred_override=None,
                     angle_delta=0, pred_full=None, inter_tx=False,
-                    tx_search=False):
+                    tx_search=False, tx_size_override=None):
         """Predict/transform/quantize all txbs of one plane for `mode`.
 
         Returns (dist, bits, txb list).  Does not touch self.recon unless
@@ -1267,7 +1306,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
             if plane else bsize
         pbw = blockd.block_wide(plane_bsize)
         pbh = blockd.block_high(plane_bsize)
-        tx_size = self._plane_tx(plane, bsize)
+        tx_size = self._plane_tx(plane, bsize) if tx_size_override is None \
+            else tx_size_override
         txw4 = c.TX_WIDTH[tx_size] >> 2
         txh4 = c.TX_HEIGHT[tx_size] >> 2
         row0 = ((mi_row - (mi_row & ss_y)) * 4) >> ss_y if plane \
@@ -1321,6 +1361,14 @@ class LossyAllIntraEncoder(LosslessEncoder):
         dist = 0.0
         bits = 0.0
         txbs = []
+        # multi-txb blocks: interior txbs predict from earlier txbs'
+        # recon, so stage it in self.recon and restore afterwards
+        n_txbs = len(range(0, max(vis_h >> 2, 1), txh4)) \
+            * len(range(0, max(vis_w >> 2, 1), txw4))
+        stage = n_txbs > 1 and pred_override is None and pred_full is None
+        snap = (self.recon[plane][row0:row0 + pbh,
+                                  col0:col0 + pbw].copy()
+                if stage and not write_recon else None)
         for r4 in range(0, max(vis_h >> 2, 1), txh4):
             for c4 in range(0, max(vis_w >> 2, 1), txw4):
                 pred_mode = mode if mode != c.UV_CFL_PRED else c.DC_PRED
@@ -1382,13 +1430,16 @@ class LossyAllIntraEncoder(LosslessEncoder):
                     loc_c4=c4, loc_r4=r4,
                     vis_w4=max(vis_w >> 2, 1), vis_h4=max(vis_h >> 2, 1),
                     cross_r=mb_to_right < 0, cross_b=mb_to_bottom < 0))
-                if write_recon:
+                if write_recon or stage:
                     self.recon[plane][py:py + h, px:px + w] = recon
+        if snap is not None:
+            self.recon[plane][row0:row0 + pbh, col0:col0 + pbw] = snap
         return dist, bits, txbs
 
     # --- CfL ----------------------------------------------------------
 
-    def _try_cfl(self, mi_row, mi_col, bsize, up_avail, left_avail):
+    def _try_cfl(self, mi_row, mi_col, bsize, up_avail, left_avail,
+                 luma_tx=None):
         """LS-fit CfL alphas; returns (cost, UV_CFL_PRED, (sign,idx), txbs)
         or None."""
         ss_x, ss_y = self.ss_x, self.ss_y
@@ -1396,7 +1447,15 @@ class LossyAllIntraEncoder(LosslessEncoder):
         py = ((mi_row - (mi_row & ss_y)) * 4)
         w = blockd.block_wide(bsize)
         h = blockd.block_high(bsize)
-        luma = self.recon[0][py:py + h, px:px + w]
+        # cfl_store_block clips to the visible area aligned up to the
+        # luma tx dims; the rest is pad-replicated (decoder mirror)
+        txw = c.TX_WIDTH[luma_tx] if luma_tx is not None else w
+        txh = c.TX_HEIGHT[luma_tx] if luma_tx is not None else h
+        vis_w = min(w, max((self.mi_cols - mi_col) * 4, 4))
+        vis_h = min(h, max((self.mi_rows - mi_row) * 4, 4))
+        sw = min(w, -(-vis_w // txw) * txw)
+        sh_ = min(h, -(-vis_h // txh) * txh)
+        luma = self.recon[0][py:py + sh_, px:px + sw]
         if ss_x and ss_y:
             q3 = intra.cfl_subsample_420(luma)
         elif ss_x:      # 4:2:2 (cfl_luma_subsampling_422)
@@ -1404,6 +1463,13 @@ class LossyAllIntraEncoder(LosslessEncoder):
             q3 = (l32[:, 0::2] + l32[:, 1::2]) << 2
         else:
             q3 = luma.astype(np.int32) << 3
+        if q3.shape != (h >> ss_y, w >> ss_x):
+            full = np.empty((h >> ss_y, w >> ss_x), np.int32)
+            qh, qw = q3.shape
+            full[:qh, :qw] = q3
+            full[:qh, qw:] = q3[:, qw - 1:qw]
+            full[qh:, :] = full[qh - 1:qh, :]
+            q3 = full
         npl = q3.size.bit_length() - 1
         avg = (int(q3.sum()) + (1 << npl >> 1)) >> npl
         ac = q3.astype(np.int64) - avg
@@ -1568,6 +1634,30 @@ class LossyAllIntraEncoder(LosslessEncoder):
                     for cc in range(mi_col, cmax):
                         self.pal_colors_y[(r, cc)] = colors
 
+        # block tx size (decoder _read_block_tx_size mirror: intra under
+        # TX_MODE_SELECT codes a uniform depth symbol, skip included)
+        if self.tx_select:
+            tx_size = next(t["tx_size"] for t in txbs if t["plane"] == 0)
+            if bsize > c.BLOCK_4X4:
+                from ..decoder.inter import (_MAX_DEPTH, _TX_SIZE_CAT,
+                                             SUB_TX_SIZE_MAP)
+                depth = 0
+                t_ = blockd.max_tx_size_rect(bsize)
+                while t_ != tx_size:
+                    t_ = SUB_TX_SIZE_MAP[t_]
+                    depth += 1
+                    assert depth <= _MAX_DEPTH[bsize], (bsize, tx_size)
+                ctx = self._tx_size_ctx_enc(mi_row, mi_col, bsize)
+                self.sink.symbol(depth, _MAX_DEPTH[bsize] + 1,
+                                 "tx_size_cdf", _TX_SIZE_CAT[bsize], ctx)
+            # _set_txfm_ctxs mirror (intra skip keeps real tx dims)
+            self.above_txfm[mi_col:mi_col + bw] = c.TX_WIDTH[tx_size]
+            self.left_txfm[mi_row:mi_row + bh] = c.TX_HEIGHT[tx_size]
+            self.txw4_grid[mi_row:rmax, mi_col:cmax] = \
+                c.TX_WIDTH[tx_size] >> 2
+            self.txh4_grid[mi_row:rmax, mi_col:cmax] = \
+                c.TX_HEIGHT[tx_size] >> 2
+
         for t in txbs:
             plane = t["plane"]
             au = self.above_entropy[plane]
@@ -1590,6 +1680,23 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 t.get("vis_w4", txw), t.get("vis_h4", txh),
                 t.get("loc_c4", 0), t.get("loc_r4", 0),
                 t.get("cross_r", False), t.get("cross_b", False))
+
+    def _tx_size_ctx_enc(self, mi_row, mi_col, bsize):
+        """get_tx_size_context mirror (decoder/inter.py _tx_size_ctx).
+        Key-frame-only simplification: no inter neighbours, so the
+        above/left txfm spans alone decide."""
+        max_tx = blockd.max_tx_size_rect(bsize)
+        up = mi_row > 0
+        left = mi_col > 0
+        above = int(self.above_txfm[mi_col]) >= c.TX_WIDTH[max_tx]
+        lft = int(self.left_txfm[mi_row]) >= c.TX_HEIGHT[max_tx]
+        if up and left:
+            return int(above) + int(lft)
+        if up:
+            return int(above)
+        if left:
+            return int(lft)
+        return 0
 
     # predictor identical to before, kept for reuse
     def _predict(self, plane, mode, mi_row, mi_col, bsize, tx_size,
@@ -1653,8 +1760,13 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      bit_depth: int = 8, screen: bool = False,
                      qm=None, aq: bool = False, grain: bool = False,
                      intrabc: bool = False, subsampling: str = "420",
-                     sb128: bool = False, seg=None, **kw) -> None:
+                     sb128: bool = False, seg=None,
+                     tx_select=None, **kw) -> None:
     from ..bitstream.ivf import write_ivf
+    if tx_select is None:
+        # TX_MODE_SELECT is a clear RD win (intra vartx syntax is only
+        # unimplemented for intrabc blocks)
+        tx_select = not intrabc
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen,
@@ -1668,7 +1780,8 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm,
-                                     aq=aq, intrabc=intrabc, seg=seg)
+                                     aq=aq, intrabc=intrabc, seg=seg,
+                                     tx_select=tx_select)
         if grain_params is not None:
             from dataclasses import replace
             fh.film_grain = replace(

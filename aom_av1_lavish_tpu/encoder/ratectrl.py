@@ -62,6 +62,11 @@ class RateControlConfig:
     max_frame_pct: int = 800
     # fixed q for MODE_Q
     fixed_qindex: int = 60
+    # recode loop (encode_with_recode_loop): re-encode a frame whose
+    # size lands outside +-recode_tolerance% of its target
+    recode: bool = True
+    recode_tolerance: int = 25
+    max_recodes: int = 3
 
 
 @dataclass
@@ -171,6 +176,39 @@ class RateControl:
             # ARF rides below the inter operating point (GF boost)
             q = max(c.best_q, min(q, self.last_q_inter) - 12)
         return min(max(q, c.best_q), c.worst_q)
+
+    # --- recode loop (encoder.c encode_with_recode_loop) ----------------
+
+    def frame_size_bounds(self, target: float):
+        """av1_rc_compute_frame_size_bounds: +-recode_tolerance% slack
+        around the frame target."""
+        if target is None or target <= 0:
+            return 0.0, float("inf")
+        slack = self.cfg.recode_tolerance / 100.0 * target
+        return max(target - slack, 0.0), target + slack
+
+    def regulate_q(self, q: int, actual_bits: float, target: float,
+                   q_low: int, q_high: int) -> int:
+        """recode_loop_update_q analog: rescale the quantizer step by
+        the observed overshoot ratio (bits ~ 1/qstep), clamped to the
+        loop's [q_low, q_high] window."""
+        ratio = actual_bits / max(target, 1.0)
+        want = qstep_of(q) * ratio
+        lo, hi = q_low, q_high
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if qstep_of(mid) < want:
+                lo = mid + 1
+            else:
+                hi = mid
+        return min(max(lo, q_low), q_high)
+
+    def need_recode(self, actual_bits: float, target) -> bool:
+        if target is None or self.cfg.mode == MODE_Q \
+                or not self.cfg.recode:
+            return False
+        lo, hi = self.frame_size_bounds(target)
+        return actual_bits > hi or actual_bits < lo
 
     # --- postencode (av1_rc_postencode_update) -------------------------
 

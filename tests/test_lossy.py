@@ -239,13 +239,38 @@ def test_tx_type_search_conformance(tmp_path):
              np.full((h // 2, w // 2), 130, np.uint8))
     off = str(tmp_path / "off.ivf")
     on = str(tmp_path / "on.ivf")
-    encode_lossy_ivf(off, [frame], w, h, qindex=120, tx_search=False)
-    encode_lossy_ivf(on, [frame], w, h, qindex=120, tx_search=True)
+    encode_lossy_ivf(off, [frame], w, h, qindex=120, tx_search=False,
+                     tx_select=False)
+    encode_lossy_ivf(on, [frame], w, h, qindex=120, tx_search=True,
+                     tx_select=False)
     assert os.path.getsize(on) < os.path.getsize(off)
     out = str(tmp_path / "dec.y4m")
     subprocess.run([AOMDEC, "-o", out, on], check=True,
                    capture_output=True)
     ours = decode_ivf(on)[0]
+    ref = read_y4m(out)[0][0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+@pytest.mark.parametrize("dims", [(176, 144), (100, 76)])
+def test_tx_size_select_conformance(tmp_path, dims):
+    """TX_MODE_SELECT (per-block uniform tx depth) must beat
+    TX_MODE_LARGEST in rate at equal q and decode bit-exactly in stock
+    aomdec (incl. edge-crossing blocks: CfL stores the visible luma
+    aligned to the tx dims, cfl.c max_intra_block_width)."""
+    w, h = dims
+    frame = _content(w, h, seed=9)
+    lg = str(tmp_path / "lg.ivf")
+    sel = str(tmp_path / "sel.ivf")
+    encode_lossy_ivf(lg, [frame], w, h, qindex=120, tx_select=False)
+    encode_lossy_ivf(sel, [frame], w, h, qindex=120, tx_select=True)
+    assert os.path.getsize(sel) < os.path.getsize(lg)
+    out = str(tmp_path / "dec.y4m")
+    subprocess.run([AOMDEC, "-o", out, sel], check=True,
+                   capture_output=True)
+    ours = decode_ivf(sel)[0]
     ref = read_y4m(out)[0][0]
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)

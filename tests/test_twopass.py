@@ -118,3 +118,34 @@ def test_third_pass(tmp_path):
         y4m = str(tmp_path / "p3.y4m")
         subprocess.run([AOMDEC, "-o", y4m, out], check=True,
                        capture_output=True)
+
+
+def test_recode_loop_tightens_frame_sizes(tmp_path):
+    """encode_with_recode_loop analog (ALLOW_RECODE_KFARFGF): an
+    overshooting key frame must be re-encoded toward its CBR target;
+    the stream stays self-decodable."""
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+    from aom_av1_lavish_tpu.decoder import decode_ivf
+    from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf
+    from aom_av1_lavish_tpu.encoder.ratectrl import (MODE_CBR,
+                                                     RateControlConfig)
+    w, h = 176, 144
+    frames = _clip(4, w, h, seed=7)
+    target = 120_000  # tight: the key frame will overshoot
+
+    def key_size(path, recode):
+        cfg = RateControlConfig(target_bps=target, fps=30.0,
+                                mode=MODE_CBR, recode=recode)
+        encode_gop_ivf(path, frames, w, h, rc_cfg=cfg, gf_length=3,
+                       enable_cdef=False, enable_tf=False,
+                       enable_tpl=False)
+        return len(next(iter(read_ivf(path)))[0])
+
+    p1 = str(tmp_path / "rec.ivf")
+    k_on = key_size(p1, True)
+    k_off = key_size(str(tmp_path / "norec.ivf"), False)
+    from aom_av1_lavish_tpu.encoder.ratectrl import RateControl
+    tgt = RateControl(RateControlConfig(target_bps=target, fps=30.0,
+                                        mode=MODE_CBR)).frame_target("key")
+    assert abs(k_on * 8 - tgt) <= abs(k_off * 8 - tgt)
+    assert len(decode_ivf(p1)) >= 4

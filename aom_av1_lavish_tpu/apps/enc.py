@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="1 = variance delta-q AQ")
     p.add_argument("--film-grain", type=int, default=0,
                    help="estimate + signal film grain")
+    p.add_argument("--superres-denom", type=int, default=8,
+                   help="9..16: encode at w*8/denom, signal upscale")
     return p
 
 
@@ -111,6 +113,13 @@ def main(argv=None) -> int:
         encode_svc_ivf(args.output, frames, width, height,
                        temporal_layers=args.svc_temporal_layers,
                        qindex=args.cq_level, fps=fps)
+        return _report(args, frames, fps, t0)
+    if args.superres_denom != 8:
+        from ..encoder.lossy import encode_superres_ivf
+        t0 = time.perf_counter()
+        encode_superres_ivf(args.output, frames, width, height,
+                            qindex=args.cq_level, fps=fps,
+                            denom=args.superres_denom)
         return _report(args, frames, fps, t0)
     if sub != "420" or args.enable_qm or args.aq_mode or args.film_grain:
         from ..encoder.lossy import encode_lossy_ivf

@@ -95,3 +95,25 @@ def superres_upscale_plane(plane: np.ndarray, out_w: int,
                            bd: int = 8) -> np.ndarray:
     """Upscale a whole plane horizontally (superres_post_decode analog)."""
     return upscale_normative_rows(plane, out_w, bd)
+
+
+def downscale_plane_horz(plane: np.ndarray, out_w: int) -> np.ndarray:
+    """Encoder-side horizontal downscale to the superres coded width.
+
+    Non-normative (reference analog: av1_resize_plane's interpolating
+    filters in superres_scale.c av1_superres_post_encode's inverse
+    direction); any decent lowpass works for conformance since only the
+    coded samples ship.  Bilinear in q14."""
+    h, in_w = plane.shape
+    if out_w == in_w:
+        return plane.copy()
+    step = (in_w << 14) // out_w
+    x = (np.arange(out_w, dtype=np.int64) * step + step // 2 - (1 << 13))
+    x = np.clip(x, 0, (in_w - 1) << 14)
+    xi = x >> 14
+    frac = x & ((1 << 14) - 1)
+    xi1 = np.minimum(xi + 1, in_w - 1)
+    p = plane.astype(np.int64)
+    out = (p[:, xi] * ((1 << 14) - frac) + p[:, xi1] * frac
+           + (1 << 13)) >> 14
+    return out.astype(plane.dtype)

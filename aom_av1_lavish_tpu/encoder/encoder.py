@@ -150,7 +150,8 @@ def make_sequence_header(width: int, height: int,
                          screen: bool = False,
                          film_grain: bool = False,
                          subsampling: str = "420",
-                         sb128: bool = False) -> H.SequenceHeader:
+                         sb128: bool = False,
+                         superres: bool = False) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
     10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 4:4:4 needs
     profile 1 and 4:2:2 / 12-bit need profile 2 (spec 5.5.2
@@ -173,7 +174,8 @@ def make_sequence_header(width: int, height: int,
         enable_filter_intra=0, enable_intra_edge_filter=0,
         enable_order_hint=0,
         force_screen_content_tools=2 if screen else 0,
-        force_integer_mv=2, enable_superres=0, enable_cdef=enable_cdef,
+        force_integer_mv=2, enable_superres=int(superres),
+        enable_cdef=enable_cdef,
         enable_restoration=enable_restoration,
         high_bitdepth=1 if bit_depth > 8 else 0,
         twelve_bit=int(bit_depth == 12),

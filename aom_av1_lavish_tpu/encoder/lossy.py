@@ -1791,3 +1791,38 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
         enc = LossyAllIntraEncoder(sh, fh, block_size=block_size, **kw)
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])
+
+
+def encode_superres_ivf(path: str, frames, width: int, height: int,
+                        qindex: int = 60, denom: int = 12, fps=(30, 1),
+                        enable_cdef: int = 0, **kw) -> None:
+    """Superres all-intra encode: code each frame at width*8/denom and
+    signal the normative horizontal upscale (av1_superres_post_encode,
+    superres_scale.c:399; scale decision analog of av1_superres_scale).
+
+    Deblock + CDEF run at the coded size (decoder order: filters ->
+    upscale -> LR); loop restoration is post-upscale and not wired on
+    the encode side, so it stays off here."""
+    from ..bitstream.ivf import write_ivf
+    from ..common.resize import downscale_plane_horz, downscaled_size
+    assert H.SUPERRES_DENOM_MIN <= denom \
+        <= H.SUPERRES_DENOM_MIN + (1 << H.SUPERRES_DENOM_BITS) - 1
+    sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
+                              superres=True)
+    coded_w = downscaled_size(width, denom)
+    ss_x = sh.subsampling_x
+    payloads = []
+    for i, f in enumerate(frames):
+        fh = make_lossy_frame_header(sh, qindex)
+        fh.superres_denom = denom
+        fh.upscaled_width = width
+        fh.frame_width = coded_w
+        fh.render_width = width
+        enc = LossyAllIntraEncoder(sh, fh, **kw)
+        down = tuple(
+            downscale_plane_horz(np.asarray(p),
+                                 (coded_w + (ss_x if pi else 0))
+                                 >> (ss_x if pi else 0))
+            for pi, p in enumerate(f))
+        payloads.append((enc.encode_frame(down), i))
+    write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from aom_av1_lavish_tpu.decoder import decode_ivf
+from aom_av1_lavish_tpu.utils.y4m import read_y4m
 
 ORACLE = os.path.join(os.path.dirname(__file__), "..", ".oracle", "build")
 AOMENC = os.path.join(ORACLE, "aomenc")
@@ -96,3 +97,32 @@ def test_superres_random_mode(tmp_path):
          "--cq-level=36", "--passes=1", "--lag-in-frames=0",
          "--superres-mode=2"], check=True, capture_output=True)
     _check(tmp_path, ivf, n)
+
+
+@pytest.mark.parametrize("denom", [9, 12, 16])
+def test_superres_encode_conformance(tmp_path, denom):
+    """encode_superres_ivf: coded at w*8/denom, upscale signaled;
+    stock aomdec and our decoder agree pixel-exactly
+    (av1_superres_post_encode analog, superres_scale.c:399)."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_superres_ivf
+    w, h = 176, 144
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx // 4 + yy // 4) * 8 % 256
+         + rng.integers(-10, 11, (h, w))).clip(0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = rng.integers(100, 160, (h // 2, w // 2)).astype(np.uint8)
+    ivf = str(tmp_path / "s.ivf")
+    out = str(tmp_path / "d.y4m")
+    encode_superres_ivf(ivf, [(y, u, v)], w, h, qindex=60, denom=denom)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0][0]
+    ours = decode_ivf(ivf)[0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+    assert _mse(ours[0], y) < 220  # quality sanity through down/up cycle
+
+
+def _mse(a, b):
+    return float(np.mean((a.astype(float) - b.astype(float)) ** 2))

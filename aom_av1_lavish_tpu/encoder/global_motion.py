@@ -100,15 +100,24 @@ def _irls_affine(pts, mvs, weights, iters: int = 5):
     return (1.0 + px[0], px[1], py[0], 1.0 + py[1], px[2], py[2])
 
 
-def estimate_global_motion(src_y, ref_y, allow_hp: int = 0):
+def estimate_global_motion(src_y, ref_y, allow_hp: int = 0,
+                           method: str = "blocks"):
     """Estimate one ref's global motion; returns (wmtype, mat, invalid)
     in frame-header format, or the identity entry when no reliable model
-    exists."""
+    exists.  method "blocks" uses the SAD block field; "disflow" uses
+    dense pyramidal flow correspondences (GLOBAL_MOTION_METHOD_DISFLOW,
+    aom_dsp/flow_estimation/disflow.c)."""
     from ..common import warp as WP
     src = np.asarray(src_y)
     ref = np.asarray(ref_y)
-    pts, mvs, gain = _block_motion_field(src, ref)
-    moving = np.hypot(mvs[:, 0], mvs[:, 1]) > 0.5
+    if method == "disflow":
+        from ..dsp.flow import flow_correspondences
+        pts, mvs = flow_correspondences(ref, src)
+        gain = np.ones(len(pts))
+        moving = np.hypot(mvs[:, 0], mvs[:, 1]) > 0.25
+    else:
+        pts, mvs, gain = _block_motion_field(src, ref)
+        moving = np.hypot(mvs[:, 0], mvs[:, 1]) > 0.5
     if len(pts) < 8 or moving.mean() < 0.3:
         return _IDENTITY
     weights = np.maximum(gain, 1e-3)

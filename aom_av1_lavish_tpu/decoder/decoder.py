@@ -461,7 +461,54 @@ class FrameDecoder(InterDecoderMixin):
         end = min((tc + 1) * size_sb, sbs)
         return start * self.sb_mi, min(end * self.sb_mi, self.mi_cols)
 
+    def _native_lossless_ok(self) -> bool:
+        """Gate for the native C lossless tile decoder
+        (runtime/lossless_dec.c): 8-bit 4:2:0/mono coded-lossless key
+        frame with none of the optional tools that add symbols."""
+        import os as _os
+        if _os.environ.get("AVL_NO_NATIVE"):
+            return False
+        fh, sh = self.fh, self.sh
+        return (self.lossless
+                and fh.frame_type == c.KEY_FRAME
+                and fh.base_q_idx == 0
+                and self.bd == 8
+                and (sh.mono_chrome or (self.ss_x and self.ss_y))
+                and not fh.allow_screen_content_tools
+                and not fh.allow_intrabc
+                and not fh.segmentation_enabled
+                and not fh.delta_q_present
+                and not sh.enable_filter_intra
+                and fh.disable_frame_end_update_cdf
+                and fh.superres_denom == H.SUPERRES_NUM
+                and fh.tile_cols_log2 == 0 and fh.tile_rows_log2 == 0
+                and self.acct is None
+                and not (getattr(self, "state", None) or {}).get(
+                    "inspect_hook"))
+
     def decode_tile_data(self, data: bytes, tile_row: int, tile_col: int):
+        if self._native_lossless_ok():
+            try:
+                from ..runtime import decode_lossless_tile, \
+                    native_available
+                ok = native_available()
+            except Exception:
+                ok = False
+            if ok:
+                bits = decode_lossless_tile(
+                    self.fc0, data, self.planes,
+                    self.fh.frame_width, self.fh.frame_height,
+                    self.mi_rows, self.mi_cols, self.num_planes,
+                    self.sb_mi)
+                if bits is not None:
+                    # _last_ts is only consumed for backward cdf update,
+                    # which the gate excludes (frame-end update disabled)
+                    self._last_ts = None
+                    if bits > len(data) * 8:
+                        raise CorruptFrameError(
+                            f"tile over-read: {bits} bits from "
+                            f"{len(data) * 8}-bit tile")
+                    return
         ts = TileState(self, tile_row, tile_col)
         rd = RangeDecoder(data)
         rd.allow_update_cdf = not self.fh.disable_cdf_update
@@ -1844,6 +1891,7 @@ class _FrameSession:
         self.sh, self.fh, self.state = sh, fh, state
         refs = state["slots"] if state is not None else None
         self.dec = FrameDecoder(sh, fh, refs=refs)
+        self.dec.state = state
         if state is not None and state.get("inspect_hook"):
             self.dec.acct = {}
         self.n_tiles = (1 << fh.tile_cols_log2) * (1 << fh.tile_rows_log2)

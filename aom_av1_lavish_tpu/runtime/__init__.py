@@ -36,6 +36,7 @@ def get_lib():
     src = os.path.join(_DIR, "lossless_tile.c")
     deps = [src, os.path.join(_DIR, "entropy_enc.c"),
             os.path.join(_DIR, "coeff_dec.c"),
+            os.path.join(_DIR, "lossless_dec.c"),
             os.path.join(_DIR, "txfm_inv.c")]
     so = os.path.join(_BUILD, "libavl_runtime.so")
     if (not os.path.exists(so)
@@ -45,6 +46,7 @@ def get_lib():
         subprocess.run(
             ["gcc", "-O3", "-march=native", "-shared", "-fPIC", "-o", so,
              src, os.path.join(_DIR, "coeff_dec.c"),
+             os.path.join(_DIR, "lossless_dec.c"),
              os.path.join(_DIR, "txfm_inv.c")],
             check=True, capture_output=True)
     lib = ctypes.CDLL(so)
@@ -95,6 +97,14 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.avl_decode_lossless_tile.restype = ctypes.c_int
+    lib.avl_decode_lossless_tile.argtypes = [
+        u8p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16), u8p, u8p, u8p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -435,3 +445,54 @@ def native_quantize_b(coeff, scan, pq, log_scale, qm, iqm):
         ctypes.cast(qcoeff.ctypes.data, i32p),
         ctypes.cast(dqcoeff.ctypes.data, i32p))
     return qcoeff, dqcoeff, eob
+
+
+def decode_lossless_tile(fc, data: bytes, planes, vis_wy: int, vis_hy: int,
+                         mi_rows: int, mi_cols: int, num_planes: int,
+                         sb_mi: int):
+    """Full-native lossless tile decode (avl_decode_lossless_tile).
+
+    planes: padded uint8 (h+pad, w+pad) arrays written in place at
+    origin (0, 0).  Returns bits consumed, or None when the stream
+    shape is outside the fast path (caller re-decodes in Python)."""
+    lib = get_lib()
+    arena_obj = FcArena(fc)
+    a = arena_obj.offset
+
+    def cdfset(pt):
+        return [a("txb_skip_cdf", 0, 0),
+                a("eob_flag_cdf16", pt, 0),
+                a("eob_extra_cdf", 0, pt, 0),
+                a("coeff_base_eob_cdf", 0, pt, 0),
+                a("coeff_base_cdf", 0, pt, 0),
+                a("coeff_br_cdf", 0, pt, 0),
+                a("dc_sign_cdf", pt, 0), 0]
+
+    part_base, part_shape = arena_obj.offsets["partition_cdf"]
+    offs = np.asarray(
+        [part_base, part_shape[-1], a("skip_txfm_cdfs", 0),
+         a("kf_y_cdf", 0, 0), a("uv_mode_cdf", 0, 0),
+         a("uv_mode_cdf", 1, 0)], dtype=np.int32)
+    cdfsets = np.asarray([cdfset(0), cdfset(1)], dtype=np.int32)
+    from ..bitstream import tables
+    scan4 = np.ascontiguousarray(tables.scan(0, 0), dtype=np.int16)
+    arena = arena_obj.arena.copy()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ps = []
+    for i in range(3):
+        pl = planes[min(i, len(planes) - 1)]
+        if pl.dtype != np.uint8 or pl.strides[1] != 1:
+            return None
+        ps.append(pl)
+    n = lib.avl_decode_lossless_tile(
+        buf.ctypes.data_as(u8p), len(data),
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        offs.ctypes.data_as(i32p), cdfsets.ctypes.data_as(i32p),
+        scan4.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ps[0].ctypes.data_as(u8p), ps[1].ctypes.data_as(u8p),
+        ps[2].ctypes.data_as(u8p),
+        ps[0].strides[0], ps[1].strides[0],
+        vis_wy, vis_hy, mi_rows, mi_cols, num_planes, sb_mi)
+    return None if n < 0 else int(n)

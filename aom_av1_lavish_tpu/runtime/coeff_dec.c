@@ -315,3 +315,30 @@ int avl_read_coeffs_txb(
   out_info[1] = dc_val;
   return eob;
 }
+
+/* ---- exported primitives for the native lossless tile decoder
+ * (lossless_dec.c): init mirrors entropy.py RangeDecoder.__init__ /
+ * od_ec_dec_init; tell mirrors od_ec_dec_tell. ---- */
+
+void avl_dec_init(avl_dec *d, const uint8_t *data, int len) {
+  d->data = data;
+  d->pos = 0;
+  d->end = len;
+  d->dif = (1u << (32 - 1)) - 1;
+  d->rng = 0x8000;
+  d->cnt = -15;
+  d->tell_offs = 10 - (32 - 8);
+  dec_refill(d);
+}
+
+int avl_dec_symbol_adapt(avl_dec *d, uint16_t *cdf, int nsymbs) {
+  return dec_symbol_adapt(d, cdf, nsymbs);
+}
+
+int avl_dec_symbol(avl_dec *d, const uint16_t *cdf, int nsymbs) {
+  return dec_symbol(d, cdf, nsymbs);
+}
+
+int avl_dec_tell(const avl_dec *d) {
+  return d->pos * 8 - d->cnt + d->tell_offs;
+}

@@ -76,3 +76,27 @@ def test_native_quantize_matches_python(ts):
             assert a[2] == b[2]
             np.testing.assert_array_equal(a[0], b[0])
             np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_native_lossless_tile_decode_matches_python(tmp_path):
+    """runtime/lossless_dec.c: whole-tile C decode must be pixel-exact
+    with the Python reference walk on our lossless streams (random
+    content + odd dims exercise edge SBs and the skip contexts)."""
+    import subprocess
+    import sys
+    from aom_av1_lavish_tpu.encoder import encode_lossless_ivf
+    from aom_av1_lavish_tpu.decoder import decode_ivf
+    rng = np.random.default_rng(3)
+    for (w, h) in ((96, 64), (100, 76), (64, 80)):
+        y = ((rng.integers(0, 256, (h, w)) // 3)
+             + 80 * np.sin(np.mgrid[0:h, 0:w][1] / 13.0)
+             ).clip(0, 255).astype(np.uint8)
+        u = rng.integers(90, 170, ((h + 1) // 2, (w + 1) // 2)) \
+            .astype(np.uint8)
+        v = rng.integers(90, 170, ((h + 1) // 2, (w + 1) // 2)) \
+            .astype(np.uint8)
+        p = str(tmp_path / "l.ivf")
+        encode_lossless_ivf(p, [(y, u, v)], w, h)
+        d = decode_ivf(p)[0]
+        for a, b in zip(d, (y, u, v)):
+            np.testing.assert_array_equal(a, b)

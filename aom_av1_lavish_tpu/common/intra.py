@@ -189,78 +189,61 @@ def upsample_intra_edge(p: np.ndarray, off: int, sz: int, bd: int = 8):
 
 
 def _dr_z1(bw, bh, above, upsample_above, dx, dtype=np.uint8):
-    out = np.empty((bh, bw), dtype=dtype)
+    """Zone-1 directional predictor, vectorized over the whole block
+    (dr_prediction_z1, reconintra.c)."""
     max_base_x = (bw + bh - 1) << upsample_above
     frac_bits = 6 - upsample_above
     base_inc = 1 << upsample_above
-    x = dx
     above = above.astype(np.int32)
-    for r in range(bh):
-        base = x >> frac_bits
-        shift = ((x << upsample_above) & 0x3F) >> 1
-        if base >= max_base_x:
-            out[r:, :] = above[max_base_x]
-            return out
-        for col in range(bw):
-            if base < max_base_x:
-                v = above[base] * (32 - shift) + above[base + 1] * shift
-                out[r, col] = (v + 16) >> 5
-            else:
-                out[r, col] = above[max_base_x]
-            base += base_inc
-        x += dx
-    return out
+    x = (np.arange(1, bh + 1, dtype=np.int64) * dx)[:, None]   # (bh, 1)
+    base = (x >> frac_bits) + np.arange(bw, dtype=np.int64)[None, :] \
+        * base_inc
+    shift = ((x << upsample_above) & 0x3F) >> 1
+    idx = np.minimum(base, max_base_x)
+    v = (above[idx] * (32 - shift) + above[idx + 1] * shift + 16) >> 5
+    out = np.where(base < max_base_x, v, above[max_base_x])
+    return out.astype(dtype)
 
 
 def _dr_z2(bw, bh, above_data, left_data, off, upsample_above, upsample_left,
            dx, dy, dtype=np.uint8):
     """above_data/left_data with sample 0 at index `off` (may read -2..-1)."""
-    out = np.empty((bh, bw), dtype=dtype)
     min_base_x = -(1 << upsample_above)
     frac_bits_x = 6 - upsample_above
     frac_bits_y = 6 - upsample_left
     above = above_data.astype(np.int64)
     left = left_data.astype(np.int64)
-    for r in range(bh):
-        for col in range(bw):
-            y = r + 1
-            x = (col << 6) - y * dx
-            base_x = x >> frac_bits_x
-            if base_x >= min_base_x:
-                shift = ((x * (1 << upsample_above)) & 0x3F) >> 1
-                v = above[off + base_x] * (32 - shift) + \
-                    above[off + base_x + 1] * shift
-            else:
-                x2 = col + 1
-                y2 = (r << 6) - x2 * dy
-                base_y = y2 >> frac_bits_y
-                shift = ((y2 * (1 << upsample_left)) & 0x3F) >> 1
-                v = left[off + base_y] * (32 - shift) + \
-                    left[off + base_y + 1] * shift
-            out[r, col] = (v + 16) >> 5
-    return out
+    rr = np.arange(bh, dtype=np.int64)[:, None]
+    cc = np.arange(bw, dtype=np.int64)[None, :]
+    x = (cc << 6) - (rr + 1) * dx
+    base_x = x >> frac_bits_x
+    use_above = base_x >= min_base_x
+    bx = np.clip(base_x, min_base_x, above.size - off - 2)
+    sx = ((x * (1 << upsample_above)) & 0x3F) >> 1
+    va = above[off + bx] * (32 - sx) + above[off + bx + 1] * sx
+    y2 = (rr << 6) - (cc + 1) * dy
+    base_y = y2 >> frac_bits_y
+    by = np.clip(base_y, -off, left.size - off - 2)
+    sy = ((y2 * (1 << upsample_left)) & 0x3F) >> 1
+    vl = left[off + by] * (32 - sy) + left[off + by + 1] * sy
+    v = np.where(use_above, va, vl)
+    return (((v + 16) >> 5).astype(dtype))
 
 
 def _dr_z3(bw, bh, left, upsample_left, dy, dtype=np.uint8):
-    out = np.empty((bh, bw), dtype=dtype)
+    """Zone-3 directional predictor, vectorized (dr_prediction_z3)."""
     max_base_y = (bw + bh - 1) << upsample_left
     frac_bits = 6 - upsample_left
     base_inc = 1 << upsample_left
     left = left.astype(np.int32)
-    y = dy
-    for col in range(bw):
-        base = y >> frac_bits
-        shift = ((y << upsample_left) & 0x3F) >> 1
-        for r in range(bh):
-            if base < max_base_y:
-                v = left[base] * (32 - shift) + left[base + 1] * shift
-                out[r, col] = (v + 16) >> 5
-            else:
-                out[r:, col] = left[max_base_y]
-                break
-            base += base_inc
-        y += dy
-    return out
+    y = (np.arange(1, bw + 1, dtype=np.int64) * dy)[None, :]   # (1, bw)
+    base = (y >> frac_bits) + np.arange(bh, dtype=np.int64)[:, None] \
+        * base_inc
+    shift = ((y << upsample_left) & 0x3F) >> 1
+    idx = np.minimum(base, max_base_y)
+    v = (left[idx] * (32 - shift) + left[idx + 1] * shift + 16) >> 5
+    out = np.where(base < max_base_y, v, left[max_base_y])
+    return out.astype(dtype)
 
 
 def _smooth(bw, bh, above, left, dtype=np.uint8):

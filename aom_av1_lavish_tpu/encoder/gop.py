@@ -45,7 +45,8 @@ class GopEncoder:
                  enable_cdef: bool = True, tune: str = "psnr",
                  luma_bias: float = 0.0, twopass_stats=None,
                  enable_tf: bool = True, enable_tpl: bool = True,
-                 bit_depth: int = 8, q_offsets=None):
+                 bit_depth: int = 8, q_offsets=None,
+                 interp_search: bool = False):
         self.tune = tune
         self.luma_bias = luma_bias
         self.sh = make_sequence_header(width, height,
@@ -69,6 +70,7 @@ class GopEncoder:
         self.q_offsets = q_offsets
         self.enable_tf = enable_tf
         self.enable_tpl = enable_tpl
+        self.interp_search = interp_search
         self._targets = None             # per-display-frame bit budgets
         self._tpl_maps = None            # per-group rdmult scale maps
 
@@ -97,10 +99,16 @@ class GopEncoder:
         ref_frame_idx[c.LAST_FRAME - 1] = self.last_slot
         ref_frame_idx[c.ALTREF_FRAME - 1] = self.arf_slot
         ref_frame_idx[c.GOLDEN_FRAME - 1] = self.last_slot
+        filt = c.EIGHTTAP_REGULAR
+        if self.interp_search and self.slots[self.last_slot] is not None:
+            from .inter import pick_interp_filter
+            filt = pick_interp_filter(planes[0],
+                                      self.slots[self.last_slot][0],
+                                      bd=self.sh.bit_depth)
         fh = make_inter_frame_header(
             self.sh, qindex, refresh_frame_flags=1 << refresh_slot,
             ref_frame_idx=ref_frame_idx, show_frame=int(show),
-            showable_frame=int(not show))
+            showable_frame=int(not show), interp_filter=filt)
         if self.use_tpu:
             from .tpu_inter import TpuInterFrameEncoder
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,

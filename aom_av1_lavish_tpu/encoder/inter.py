@@ -38,7 +38,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             ref_frame_idx=(0,) * 7,
                             show_frame: int = 1,
                             showable_frame: int = 0,
-                            gm_params=None) -> H.FrameHeader:
+                            gm_params=None,
+                            interp_filter: int = c.EIGHTTAP_REGULAR
+                            ) -> H.FrameHeader:
     from ..common.loopfilter import pick_filter_level_from_q
     lvl = pick_filter_level_from_q(qindex, frame_is_key=False,
                                    bd=sh.bit_depth) if deblock \
@@ -58,7 +60,7 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         refresh_frame_flags=refresh_frame_flags,
         ref_frame_idx=tuple(ref_frame_idx),
         allow_high_precision_mv=0, is_filter_switchable=0,
-        interpolation_filter=c.EIGHTTAP_REGULAR,
+        interpolation_filter=interp_filter,
         is_motion_mode_switchable=0, reference_mode=c.SINGLE_REFERENCE,
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl,
         **extra)
@@ -105,12 +107,18 @@ class InterFrameEncoder(LossyAllIntraEncoder):
     def __init__(self, sh, fh, refs, use_native=None,
                  block_size=c.BLOCK_16X16, mode_set=(c.DC_PRED,),
                  enable_cfl=False, search_range=16,
-                 ref_list=(c.LAST_FRAME,), tune="psnr", luma_bias=0.0):
+                 ref_list=(c.LAST_FRAME,), tune="psnr", luma_bias=0.0,
+                 trellis=True):
         super().__init__(sh, fh, use_native=use_native,
                          block_size=block_size, mode_set=mode_set,
                          enable_cfl=enable_cfl, tune=tune,
-                         luma_bias=luma_bias)
+                         luma_bias=luma_bias, trellis=trellis)
         self.refs = refs                # slot -> (y, u, v) visible planes
+        # frame-level interpolation filter (is_filter_switchable=0):
+        # av1_pick_interp_filter analog picks it per frame
+        self.interp_filter = fh.interpolation_filter \
+            if fh.interpolation_filter != c.SWITCHABLE \
+            else c.EIGHTTAP_REGULAR
         self.ref_list = tuple(ref_list)  # ref enums searched per block
         self.search_range = search_range
         self.g = MR.MiGrids(self.mi_rows, self.mi_cols)
@@ -217,7 +225,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     ref, x0, y0, blockd.block_wide(bsize),
                     blockd.block_high(bsize), mv[0], mv[1], 0, 0,
                     mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                    c.EIGHTTAP_REGULAR, c.EIGHTTAP_REGULAR, self.bd)
+                    self.interp_filter, self.interp_filter, self.bd)
                 v = int(np.abs(pred[:h, :w].astype(np.int32) - src).sum())
                 if best_cost is None or v < best_cost:
                     best_cost = v
@@ -377,8 +385,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 pred = IP.predict_inter_block(
                     self._ref_pad(ref, plane), x0, y0, b_w, b_h,
                     mv[0], mv[1], ss_x, ss_y, mb_to_left, mb_to_right,
-                    mb_to_top, mb_to_bottom, c.EIGHTTAP_REGULAR,
-                    c.EIGHTTAP_REGULAR, self.bd)
+                    mb_to_top, mb_to_bottom, self.interp_filter,
+                    self.interp_filter, self.bd)
             d, b, t = self._code_inter_plane_txbs(
                 plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
                 mb_to_right, mb_to_bottom, ss_x, ss_y)
@@ -719,3 +727,42 @@ def encode_lowdelay_ivf(path: str, frames, width: int, height: int,
     for i, f in enumerate(frames):
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])
+
+
+def pick_interp_filter(src_y, ref_y, bd: int = 8) -> int:
+    """Frame-level interpolation-filter decision
+    (av1_pick_interp_filter / interp_search.c at frame granularity:
+    with is_filter_switchable=0 one filter serves the whole frame).
+
+    Samples a grid of 16x16 blocks, finds their full-pel MVs, then
+    scores each filter on the half-pel-refined prediction SSE.
+    """
+    from ..common import interpred as IP
+    from .global_motion import _block_motion_field
+    src = np.asarray(src_y)
+    ref = np.asarray(ref_y)
+    pts, mvs, _ = _block_motion_field(src, ref, blk=16, rad=8, step=2)
+    if len(pts) == 0:
+        return c.EIGHTTAP_REGULAR
+    # limit the sample for speed
+    idx = np.linspace(0, len(pts) - 1, min(24, len(pts))).astype(int)
+    h, w = src.shape
+    sse = [0.0, 0.0, 0.0]
+    refp = IP.pad_ref_plane(np.ascontiguousarray(ref))
+    for i in idx:
+        x0, y0 = int(pts[i][0]), int(pts[i][1])
+        dy, dx = int(mvs[i][1]), int(mvs[i][0])
+        blk = src[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+        for f in (c.EIGHTTAP_REGULAR, c.EIGHTTAP_SMOOTH, c.MULTITAP_SHARP):
+            best = None
+            for sub_y in (0, 4):
+                for sub_x in (0, 4):
+                    mv = ((dy * 8) + sub_y, (dx * 8) + sub_x)
+                    pred = IP.predict_inter_block(
+                        refp, x0, y0, 16, 16, mv[0], mv[1], 0, 0,
+                        -x0, w - 16 - x0, -y0, h - 16 - y0, f, f, bd)
+                    v = float(((pred.astype(np.int32) - blk) ** 2).sum())
+                    if best is None or v < best:
+                        best = v
+            sse[f] += best
+    return int(np.argmin(sse))

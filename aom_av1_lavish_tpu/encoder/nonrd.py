@@ -193,11 +193,13 @@ def encode_realtime_ivf(path: str, frames, width: int, height: int,
     for i, f in enumerate(frames):
         if i == 0:
             fh = make_lossy_frame_header(sh, qindex)
+            # RT speed features: no trellis (speed_features.c
+            # sf->rd_sf.optimize_coefficients = 0 at high speeds)
             enc = LossyAllIntraEncoder(sh, fh, speed=1, rect_parts=False,
-                                       **kw)
+                                       trellis=False, **kw)
         else:
             fh = make_inter_frame_header(sh, qindex)
-            enc = RealtimeEncoder(sh, fh, slots, **kw)
+            enc = RealtimeEncoder(sh, fh, slots, trellis=False, **kw)
         payloads.append((enc.encode_frame(f), i))
         w4, h4 = sh.max_frame_width, sh.max_frame_height
         cw, ch = (w4 + 1) >> 1, (h4 + 1) >> 1

@@ -62,27 +62,26 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.avl_inv_txfm2d_add.restype = ctypes.c_int
+    vp = ctypes.c_void_p
     lib.avl_inv_txfm2d_add.argtypes = [
-        i32p, ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_uint16),
+        vp, vp, vp,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, vp, vp,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.avl_fwd_txfm2d.restype = ctypes.c_int
     lib.avl_fwd_txfm2d.argtypes = [
-        i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p,
+        vp, vp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, vp, vp,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.avl_quantize_b.restype = ctypes.c_int
     lib.avl_quantize_b.argtypes = [
-        i32p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+        vp, vp, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        i32p, i32p]
+        vp, vp, vp, vp]
     lib.avl_encode_tile.restype = ctypes.c_int
     lib.avl_encode_tile.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -374,19 +373,14 @@ def native_inv_txfm2d_add(coeff, pred, w, h, aw, ah, kind_row, kind_col,
                           sh0, sh1, range_row, range_col, bd):
     """pred: contiguous (h, w) uint8/uint16, modified in place."""
     lib = get_lib()
-    i32p = ctypes.POINTER(ctypes.c_int32)
-
-    def tp(a):
-        return ctypes.cast(a.ctypes.data, i32p) if a is not None else None
-
     is8 = pred.dtype == np.uint8
+    pp = pred.ctypes.data
     lib.avl_inv_txfm2d_add(
-        ctypes.cast(coeff.ctypes.data, i32p),
-        ctypes.cast(pred.ctypes.data, ctypes.POINTER(ctypes.c_uint8))
-        if is8 else None,
-        None if is8 else ctypes.cast(pred.ctypes.data,
-                                     ctypes.POINTER(ctypes.c_uint16)),
-        w, h, aw, ah, kind_row, kind_col, tp(row_tbl), tp(col_tbl),
+        coeff.ctypes.data, pp if is8 else None,
+        None if is8 else pp,
+        w, h, aw, ah, kind_row, kind_col,
+        row_tbl.ctypes.data if row_tbl is not None else None,
+        col_tbl.ctypes.data if col_tbl is not None else None,
         flip_lr, flip_ud, rect1, sh0, sh1, range_row, range_col, bd)
     return pred
 
@@ -413,37 +407,29 @@ def native_fwd_txfm2d(resid, w, h, aw, ah, kind_col, kind_row, col_tbl,
                       row_tbl, cb_col, cb_row, flip_ud, flip_lr,
                       s0, s1, s2, rect1):
     lib = get_lib()
-    i32p = ctypes.POINTER(ctypes.c_int32)
     out = np.empty(aw * ah, dtype=np.int32)
-
-    def tp(a):
-        return ctypes.cast(a.ctypes.data, i32p) if a is not None else None
-
     lib.avl_fwd_txfm2d(
-        ctypes.cast(resid.ctypes.data, i32p),
-        ctypes.cast(out.ctypes.data, i32p), w, h, aw, ah, kind_col,
-        kind_row, tp(col_tbl), tp(row_tbl), cb_col, cb_row, flip_ud,
-        flip_lr, s0, s1, s2, rect1)
+        resid.ctypes.data, out.ctypes.data, w, h, aw, ah, kind_col,
+        kind_row,
+        col_tbl.ctypes.data if col_tbl is not None else None,
+        row_tbl.ctypes.data if row_tbl is not None else None,
+        cb_col, cb_row, flip_ud, flip_lr, s0, s1, s2, rect1)
     return out
 
 
 def native_quantize_b(coeff, scan, pq, log_scale, qm, iqm):
     lib = get_lib()
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
     n = len(scan)
     qcoeff = np.empty(n, dtype=np.int32)
     dqcoeff = np.empty(n, dtype=np.int32)
     eob = lib.avl_quantize_b(
-        ctypes.cast(coeff.ctypes.data, i32p),
-        ctypes.cast(scan.ctypes.data, ctypes.POINTER(ctypes.c_int16)), n,
+        coeff.ctypes.data, scan.ctypes.data, n,
         pq.zbin[0], pq.zbin[1], pq.round[0], pq.round[1],
         pq.quant[0], pq.quant[1], pq.quant_shift[0], pq.quant_shift[1],
         pq.dequant[0], pq.dequant[1], log_scale,
-        ctypes.cast(qm.ctypes.data, u8p) if qm is not None else None,
-        ctypes.cast(iqm.ctypes.data, u8p) if iqm is not None else None,
-        ctypes.cast(qcoeff.ctypes.data, i32p),
-        ctypes.cast(dqcoeff.ctypes.data, i32p))
+        qm.ctypes.data if qm is not None else None,
+        iqm.ctypes.data if iqm is not None else None,
+        qcoeff.ctypes.data, dqcoeff.ctypes.data)
     return qcoeff, dqcoeff, eob
 
 

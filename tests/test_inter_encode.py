@@ -68,3 +68,35 @@ def test_lowdelay_conformance(tmp_path, dims, q, n):
         for pi, (a, b) in enumerate(zip(o, r)):
             np.testing.assert_array_equal(
                 a, b, err_msg=f"frame {i} plane {pi}")
+
+
+def test_interp_filter_search_conformance(tmp_path):
+    """Frame-level interpolation-filter pick (av1_pick_interp_filter
+    analog): signaled filter must round-trip pixel-exactly through
+    stock aomdec."""
+    import subprocess
+    from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+    if not HAVE_ORACLE:
+        pytest.skip("oracle not built")
+    rng = np.random.default_rng(1)
+    W, H, N = 176, 144, 4
+    yy, xx = np.mgrid[0:H + 16, 0:W + 16]
+    base = (120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+            + rng.normal(0, 2, yy.shape)).clip(0, 255).astype(np.uint8)
+    frames = [(np.ascontiguousarray(base[i:i + H, 3 * i:3 * i + W]),
+               np.full((H // 2, W // 2), 120, np.uint8),
+               np.full((H // 2, W // 2), 130, np.uint8))
+              for i in range(N)]
+    ivf = str(tmp_path / "g.ivf")
+    out = str(tmp_path / "d.y4m")
+    encode_gop_ivf(ivf, frames, W, H, qindex=80, gf_length=4,
+                   interp_search=True, enable_cdef=False)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    refs = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    assert len(ours) == len(refs) == N
+    for a, b in zip(ours, refs):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

@@ -119,7 +119,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
                  luma_bias=0.0, trellis=True, rect_parts=True, speed=0,
-                 saliency=0.0, tx_search=None):
+                 saliency=0.0, tx_search=None, seg_flavor="variance"):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
@@ -146,6 +146,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self._emit_cur_q = fh.base_q_idx
         # segmentation (segment-based AQ: SEG_LVL_ALT_Q per segment)
         self.seg_on = bool(getattr(fh, "segmentation_enabled", 0))
+        self.seg_flavor = seg_flavor  # "variance" | "complexity"
         self.seg_plan = None      # planned per-mi segment ids
         self.seg_emit_map = None  # decoder-mirrored ids (skip => pred)
         # intraBC (hash-MV search; encoder/intrabc.py)
@@ -215,7 +216,16 @@ class LossyAllIntraEncoder(LosslessEncoder):
         hb = max(y.shape[0] // b, 1)
         wb = max(y.shape[1] // b, 1)
         v = y[:hb * b, :wb * b].reshape(hb, b, wb, b)
-        var = v.var(axis=(1, 3))
+        if self.seg_flavor == "complexity":
+            # aq_complexity.c:62 analog: weight local variance by edge
+            # energy so busy-but-structured blocks keep quality while
+            # noise-like blocks absorb the coarser segments
+            gy, gx = np.gradient(y[:hb * b, :wb * b])
+            e = (np.abs(gx) + np.abs(gy)).reshape(hb, b, wb, b) \
+                .mean(axis=(1, 3))
+            var = v.var(axis=(1, 3)) / (1.0 + e)
+        else:
+            var = v.var(axis=(1, 3))
         qs = np.quantile(var, [(k + 1) / n_seg for k in range(n_seg - 1)])
         bucket = np.digitize(var, qs)
         self.seg_plan = np.zeros((self.mi_rows, self.mi_cols), np.uint8)

@@ -77,7 +77,10 @@ class GopEncoder:
     # --- single-frame encoders -----------------------------------------
 
     def _encode_key(self, planes, qindex: int) -> bytes:
-        fh = make_lossy_frame_header(self.sh, qindex)
+        # host RD keys get the TX_MODE_SELECT depth search (the TPU
+        # wavefront path keeps LARGEST: its batched trial is per-SB)
+        fh = make_lossy_frame_header(self.sh, qindex,
+                                     tx_select=not self.use_tpu)
         if self.use_tpu:
             from .tpu_intra import TpuAllIntraEncoder
             enc = TpuAllIntraEncoder(self.sh, fh, use_native=self.use_native)
@@ -108,7 +111,8 @@ class GopEncoder:
         fh = make_inter_frame_header(
             self.sh, qindex, refresh_frame_flags=1 << refresh_slot,
             ref_frame_idx=ref_frame_idx, show_frame=int(show),
-            showable_frame=int(not show), interp_filter=filt)
+            showable_frame=int(not show), interp_filter=filt,
+            tx_select=not self.use_tpu)
         if self.use_tpu:
             from .tpu_inter import TpuInterFrameEncoder
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,

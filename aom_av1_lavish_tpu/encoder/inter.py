@@ -39,8 +39,8 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             show_frame: int = 1,
                             showable_frame: int = 0,
                             gm_params=None,
-                            interp_filter: int = c.EIGHTTAP_REGULAR
-                            ) -> H.FrameHeader:
+                            interp_filter: int = c.EIGHTTAP_REGULAR,
+                            tx_select: bool = False) -> H.FrameHeader:
     from ..common.loopfilter import pick_filter_level_from_q
     lvl = pick_filter_level_from_q(qindex, frame_is_key=False,
                                    bd=sh.bit_depth) if deblock \
@@ -56,7 +56,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         frame_size_override=0,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
-        base_q_idx=qindex, tx_mode=c.TX_MODE_LARGEST, reduced_tx_set=0,
+        base_q_idx=qindex,
+        tx_mode=c.TX_MODE_SELECT if tx_select else c.TX_MODE_LARGEST,
+        reduced_tx_set=0,
         refresh_frame_flags=refresh_frame_flags,
         ref_frame_idx=tuple(ref_frame_idx),
         allow_high_precision_mv=0, is_filter_switchable=0,
@@ -284,7 +286,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 bits += 1.5 * (len(self.ref_list) > 1)  # ref signaling
                 cost = dist + self._lam(mi_row, mi_col) * bits
                 if best is None or cost < best[0]:
-                    best = (cost, mode, mv, txbs, ref, w_)
+                    best = (cost, mode, mv, txbs, ref, w_, dist, bits)
 
         # intra fallback (DC)
         intra_best = None
@@ -301,7 +303,18 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             and self.num_planes > 1
 
         if best[0] <= intra_best[0]:
-            cost, mode, mv, txbs, ref, gm_warp = best
+            cost, mode, mv, txbs, ref, gm_warp, d0, b0 = best
+            # uniform vartx depth search on the winner
+            # (av1_pick_recursive_tx_size_type_yrd analog, depth 1)
+            if self.tx_select and bsize > c.BLOCK_4X4:
+                from ..decoder.inter import _MAX_DEPTH
+                if _MAX_DEPTH[bsize] >= 1:
+                    lam = self._lam(mi_row, mi_col)
+                    d1, b1, t1 = self._code_inter_planes(
+                        mi_row, mi_col, bsize, mv, ref, gm_warp=gm_warp,
+                        tx_depth=1)
+                    if d1 + lam * (b1 + 4.0) < d0 + lam * b0:
+                        txbs = t1
             self._apply_txbs(0, [t for t in txbs if t["plane"] == 0])
             for plane in (1, 2):
                 self._apply_txbs(plane,
@@ -341,7 +354,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         return bits
 
     def _code_inter_planes(self, mi_row, mi_col, bsize, mv,
-                           ref=c.LAST_FRAME, gm_warp=False):
+                           ref=c.LAST_FRAME, gm_warp=False, tx_depth=0):
         """Motion-compensate + transform-code all planes for one MV.
         gm_warp: GLOBALMV with a non-translation model — warp planes
         whose dims are >= 8 (decoder _warp_params global branch)."""
@@ -389,7 +402,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     self.interp_filter, self.bd)
             d, b, t = self._code_inter_plane_txbs(
                 plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
-                mb_to_right, mb_to_bottom, ss_x, ss_y)
+                mb_to_right, mb_to_bottom, ss_x, ss_y,
+                tx_depth=tx_depth if plane == 0 else 0)
             dist += d
             bits += b
             txbs += t
@@ -397,8 +411,11 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     def _code_inter_plane_txbs(self, plane, plane_bsize, pred, x0, y0,
                                mi_row, mi_col, bsize, mb_to_right,
-                               mb_to_bottom, ss_x, ss_y):
+                               mb_to_bottom, ss_x, ss_y, tx_depth=0):
+        from ..decoder.inter import SUB_TX_SIZE_MAP, depth_to_tx_size
         tx_size = self._plane_tx(plane, bsize)
+        if tx_depth and plane == 0:
+            tx_size = depth_to_tx_size(tx_depth, bsize)
         txw4 = c.TX_WIDTH[tx_size] >> 2
         txh4 = c.TX_HEIGHT[tx_size] >> 2
         pbw = blockd.block_wide(plane_bsize)
@@ -529,6 +546,11 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             -1, emitted_mode if is_inter else bplan["y_mode"], bsize,
             partition, bplan["mv"], (0, 0))
 
+        # block tx size (decoder _read_block_tx_size mirror)
+        if self.tx_select:
+            self._emit_block_tx_size(mi_row, mi_col, bsize, skip,
+                                     is_inter, txbs)
+
         # residual
         if skip and is_inter:
             for plane in range(self.num_planes
@@ -566,6 +588,150 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 t.get("vis_w4", txw), t.get("vis_h4", txh),
                 t.get("loc_c4", 0), t.get("loc_r4", 0),
                 t.get("cross_r", False), t.get("cross_b", False))
+
+    def _tx_size_ctx_enc(self, mi_row, mi_col, bsize):
+        """get_tx_size_context with the inter-neighbour bsize override
+        (decoder/inter.py _tx_size_ctx; lossy version is the key-frame
+        simplification)."""
+        g = self.g
+        m = g.m
+        max_tx = blockd.max_tx_size_rect(bsize)
+        max_w = c.TX_WIDTH[max_tx]
+        max_h = c.TX_HEIGHT[max_tx]
+        up = mi_row > 0
+        left = mi_col > 0
+        above = int(self.above_txfm[mi_col]) >= max_w
+        lft = int(self.left_txfm[mi_row]) >= max_h
+        if up and int(g.ref0[mi_row - 1 + m, mi_col + m]) > c.INTRA_FRAME:
+            above = blockd.block_wide(
+                int(g.bsize[mi_row - 1 + m, mi_col + m])) >= max_w
+        if left and int(g.ref0[mi_row + m, mi_col - 1 + m]) > c.INTRA_FRAME:
+            lft = blockd.block_high(
+                int(g.bsize[mi_row + m, mi_col - 1 + m])) >= max_h
+        if up and left:
+            return int(above) + int(lft)
+        if up:
+            return int(above)
+        if left:
+            return int(lft)
+        return 0
+
+    def _txfm_partition_ctx_enc(self, bsize, tx_size, mi_row, mi_col,
+                                blk_row, blk_col):
+        """txfm_partition_context mirror (decoder/inter.py:1003)."""
+        from ..decoder.inter import _sqr_tx_of_dim
+        txw = c.TX_WIDTH[tx_size]
+        txh = c.TX_HEIGHT[tx_size]
+        above = int(self.above_txfm[mi_col + blk_col]) < txw
+        left = int(self.left_txfm[mi_row + blk_row]) < txh
+        if tx_size <= c.TX_4X4:
+            return 0
+        max_tx = _sqr_tx_of_dim(max(blockd.block_wide(bsize),
+                                    blockd.block_high(bsize)))
+        category = 21
+        if max_tx >= c.TX_8X8:
+            category = int(c.TX_SIZE_SQR_UP[tx_size] != max_tx
+                           and max_tx > c.TX_8X8) + (5 - 1 - max_tx) * 2
+        return category * 3 + above + left
+
+    def _txfm_partition_update_enc(self, mi_row, mi_col, blk_row, blk_col,
+                                   tx_size, txb_size):
+        bh = c.TX_HEIGHT[txb_size] >> 2
+        bw = c.TX_WIDTH[txb_size] >> 2
+        self.above_txfm[mi_col + blk_col:mi_col + blk_col + bw] = \
+            c.TX_WIDTH[tx_size]
+        self.left_txfm[mi_row + blk_row:mi_row + blk_row + bh] = \
+            c.TX_HEIGHT[tx_size]
+
+    def _emit_vartx_unit(self, bsize, tx_size, depth, blk_row, blk_col,
+                         mi_row, mi_col, leaf_tx):
+        """write_tx_size_vartx (bitstream.c) mirroring
+        decoder._read_tx_size_vartx; uniform leaves only."""
+        from ..decoder.inter import MAX_VARTX_DEPTH, SUB_TX_SIZE_MAP
+        h4 = blockd.mi_size_high(bsize)
+        w4 = blockd.mi_size_wide(bsize)
+        if mi_row + h4 > self.mi_rows:
+            h4 = self.mi_rows - mi_row
+        if mi_col + w4 > self.mi_cols:
+            w4 = self.mi_cols - mi_col
+        if blk_row >= h4 or blk_col >= w4:
+            return
+        if depth == MAX_VARTX_DEPTH:
+            self._txfm_partition_update_enc(mi_row, mi_col, blk_row,
+                                            blk_col, tx_size, tx_size)
+            return
+        ctx = self._txfm_partition_ctx_enc(bsize, tx_size, mi_row, mi_col,
+                                           blk_row, blk_col)
+        split = tx_size != leaf_tx
+        self.sink.symbol(int(split), 2, "txfm_partition_cdf", ctx)
+        if not split:
+            self._txfm_partition_update_enc(mi_row, mi_col, blk_row,
+                                            blk_col, tx_size, tx_size)
+            return
+        sub_txs = SUB_TX_SIZE_MAP[tx_size]
+        if sub_txs == c.TX_4X4:
+            self._txfm_partition_update_enc(mi_row, mi_col, blk_row,
+                                            blk_col, sub_txs, tx_size)
+            return
+        bsw = c.TX_WIDTH[sub_txs] >> 2
+        bsh = c.TX_HEIGHT[sub_txs] >> 2
+        for row in range(0, c.TX_HEIGHT[tx_size] >> 2, bsh):
+            for col in range(0, c.TX_WIDTH[tx_size] >> 2, bsw):
+                self._emit_vartx_unit(bsize, sub_txs, depth + 1,
+                                      blk_row + row, blk_col + col,
+                                      mi_row, mi_col, leaf_tx)
+
+    def _emit_block_tx_size(self, mi_row, mi_col, bsize, skip, is_inter,
+                            txbs):
+        """Inter: vartx tree (uniform leaves); intra-in-inter: selected
+        tx-size depth symbol.  Mirrors decoder._read_block_tx_size."""
+        from ..decoder.inter import (_MAX_DEPTH, _TX_SIZE_CAT,
+                                     SUB_TX_SIZE_MAP)
+        bw = blockd.mi_size_wide(bsize)
+        bh = blockd.mi_size_high(bsize)
+        rmax = min(mi_row + bh, self.mi_rows)
+        cmax = min(mi_col + bw, self.mi_cols)
+
+        def fill_grid(tx):
+            # deblock edge grids (decoder _finish_block tx grid fill)
+            self.txw4_grid[mi_row:rmax, mi_col:cmax] = c.TX_WIDTH[tx] >> 2
+            self.txh4_grid[mi_row:rmax, mi_col:cmax] = c.TX_HEIGHT[tx] >> 2
+
+        if bsize == c.BLOCK_4X4:
+            tx = blockd.max_tx_size_rect(bsize)
+            self.above_txfm[mi_col:mi_col + bw] = c.TX_WIDTH[tx]
+            self.left_txfm[mi_row:mi_row + bh] = c.TX_HEIGHT[tx]
+            fill_grid(tx)
+            return
+        if is_inter:
+            if skip:
+                self.above_txfm[mi_col:mi_col + bw] = bw * 4
+                self.left_txfm[mi_row:mi_row + bh] = bh * 4
+                fill_grid(blockd.max_tx_size_rect(bsize))
+                return
+            leaf = next(t["tx_size"] for t in txbs if t["plane"] == 0)
+            fill_grid(leaf)
+            max_tx = blockd.max_tx_size_rect(bsize)
+            bh4 = c.TX_HEIGHT[max_tx] >> 2
+            bw4 = c.TX_WIDTH[max_tx] >> 2
+            for idy in range(0, bh, bh4):
+                for idx in range(0, bw, bw4):
+                    self._emit_vartx_unit(bsize, max_tx, 0, idy, idx,
+                                          mi_row, mi_col, leaf)
+            return
+        # intra block in an inter frame: uniform depth symbol
+        tx = next(t["tx_size"] for t in txbs if t["plane"] == 0)
+        depth = 0
+        t_ = blockd.max_tx_size_rect(bsize)
+        while t_ != tx:
+            t_ = SUB_TX_SIZE_MAP[t_]
+            depth += 1
+        ctx = self._tx_size_ctx_enc(mi_row, mi_col, bsize)
+        self.sink.symbol(depth, _MAX_DEPTH[bsize] + 1, "tx_size_cdf",
+                         _TX_SIZE_CAT[bsize], ctx)
+        self.above_txfm[mi_col:mi_col + bw] = c.TX_WIDTH[tx]
+        self.left_txfm[mi_row:mi_row + bh] = c.TX_HEIGHT[tx]
+        fill_grid(tx)
 
     def _emit_inter_info(self, bplan, mi_row, mi_col, bsize, up_avail,
                          left_avail):

@@ -100,3 +100,36 @@ def test_interp_filter_search_conformance(tmp_path):
     for a, b in zip(ours, refs):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_inter_vartx_select_conformance(tmp_path):
+    """Inter TX_MODE_SELECT: vartx partition tree (uniform leaves) +
+    intra-in-inter tx depth symbols round-trip through stock aomdec."""
+    import subprocess
+    from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+    if not HAVE_ORACLE:
+        pytest.skip("oracle not built")
+    rng = np.random.default_rng(1)
+    W, H, N = 176, 144, 5
+    yy, xx = np.mgrid[0:H + 24, 0:W + 24]
+    base = (120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+            + 25 * (xx % 53 < 22)
+            + rng.normal(0, 3, yy.shape)).clip(0, 255).astype(np.uint8)
+    frames = [(np.ascontiguousarray(base[2 * i:2 * i + H,
+                                         3 * i:3 * i + W]),
+               rng.integers(100, 150, (H // 2, W // 2)).astype(np.uint8),
+               rng.integers(100, 150, (H // 2, W // 2)).astype(np.uint8))
+              for i in range(N)]
+    ivf = str(tmp_path / "g.ivf")
+    out = str(tmp_path / "d.y4m")
+    encode_gop_ivf(ivf, frames, W, H, qindex=100, gf_length=4,
+                   enable_cdef=False)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    refs = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    assert len(ours) == len(refs) == N
+    for a, b in zip(ours, refs):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

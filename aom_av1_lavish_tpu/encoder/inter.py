@@ -40,7 +40,8 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             showable_frame: int = 0,
                             gm_params=None,
                             interp_filter: int = c.EIGHTTAP_REGULAR,
-                            tx_select: bool = False) -> H.FrameHeader:
+                            tx_select: bool = False,
+                            aq: bool = False) -> H.FrameHeader:
     from ..common.loopfilter import pick_filter_level_from_q
     lvl = pick_filter_level_from_q(qindex, frame_is_key=False,
                                    bd=sh.bit_depth) if deblock \
@@ -64,6 +65,7 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         allow_high_precision_mv=0, is_filter_switchable=0,
         interpolation_filter=interp_filter,
         is_motion_mode_switchable=0, reference_mode=c.SINGLE_REFERENCE,
+        delta_q_present=int(aq), delta_q_res_log2=2 if aq else 0,
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl,
         **extra)
 
@@ -499,6 +501,17 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
                    (int(self.mi_skip[left_mi]) if left_mi else 0)
         self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
+
+        # delta-q (read_delta_q_params: after skip/cdef, before is_inter;
+        # cdef_bits == 0 in this encoder so no cdef symbols intervene)
+        if self.fh.delta_q_present:
+            sbm = self.sb_mi
+            first = (mi_row & (sbm - 1)) == 0 and (mi_col & (sbm - 1)) == 0
+            if first and (bsize != self.sb_size or not skip):
+                tgt = self._block_qindex(mi_row, mi_col)
+                d = (tgt - self._emit_cur_q) >> self.fh.delta_q_res_log2
+                self._write_delta_q(d)
+                self._emit_cur_q = tgt
 
         ii_ctx = MR.intra_inter_ctx(self.g, mi_row, mi_col, up_avail,
                                     left_avail)

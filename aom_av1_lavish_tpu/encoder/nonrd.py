@@ -178,10 +178,27 @@ class RealtimeEncoder(InterFrameEncoder):
         return super().encode_frame(planes, use_jax=use_jax)
 
 
+def _cyclic_refresh_map(frame_idx: int, sb_rows: int, sb_cols: int,
+                        qindex: int, boost: int = 24,
+                        refresh_pct: int = 20) -> "np.ndarray":
+    """aq_cyclicrefresh.c:536 analog: a rotating ~refresh_pct% slice of
+    superblocks is coded at a boosted (lower) qindex each inter frame,
+    so every SB gets refreshed periodically without key frames."""
+    import numpy as np
+    n = sb_rows * sb_cols
+    per = max(1, n * refresh_pct // 100)
+    start = ((frame_idx - 1) * per) % n
+    qmap = np.full((sb_rows, sb_cols), qindex, np.int32)
+    idx = (np.arange(per) + start) % n
+    qmap.flat[idx] = max(1, qindex - boost)
+    return qmap
+
+
 def encode_realtime_ivf(path: str, frames, width: int, height: int,
-                        qindex: int = 90, fps=(30, 1), **kw) -> None:
+                        qindex: int = 90, fps=(30, 1),
+                        aq_mode: int = 0, **kw) -> None:
     """RTC low-delay encode: keyframe (speed-1 RD intra) + non-RD
-    P-frames."""
+    P-frames.  aq_mode 3 = cyclic refresh (rotating SB q boost)."""
     from ..bitstream.ivf import write_ivf
     from .encoder import make_sequence_header
     from .inter import make_inter_frame_header
@@ -190,6 +207,9 @@ def encode_realtime_ivf(path: str, frames, width: int, height: int,
     sh = make_sequence_header(width, height)
     slots = [None] * 8
     payloads = []
+    sb = 64
+    sb_rows = -(-height // sb)
+    sb_cols = -(-width // sb)
     for i, f in enumerate(frames):
         if i == 0:
             fh = make_lossy_frame_header(sh, qindex)
@@ -198,8 +218,11 @@ def encode_realtime_ivf(path: str, frames, width: int, height: int,
             enc = LossyAllIntraEncoder(sh, fh, speed=1, rect_parts=False,
                                        trellis=False, **kw)
         else:
-            fh = make_inter_frame_header(sh, qindex)
+            fh = make_inter_frame_header(sh, qindex, aq=aq_mode == 3)
             enc = RealtimeEncoder(sh, fh, slots, trellis=False, **kw)
+            if aq_mode == 3:
+                enc.sb_qmap = _cyclic_refresh_map(i, sb_rows, sb_cols,
+                                                  qindex)
         payloads.append((enc.encode_frame(f), i))
         w4, h4 = sh.max_frame_width, sh.max_frame_height
         cw, ch = (w4 + 1) >> 1, (h4 + 1) >> 1

@@ -67,3 +67,32 @@ def test_realtime_conformance_and_speed(tmp_path):
     mse = ((y - sy) ** 2).mean()
     psnr = 10 * np.log10(255 ** 2 / mse)
     assert psnr > 26, psnr
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC),
+                    reason="oracle not built")
+def test_cyclic_refresh_aq(tmp_path):
+    """aq_mode=3 (aq_cyclicrefresh.c analog): rotating per-SB q boost
+    signaled via inter delta-q; stock aomdec decodes identically."""
+    import subprocess
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+    rng = np.random.default_rng(0)
+    W, H, N = 176, 144, 5
+    yy, xx = np.mgrid[0:H + 16, 0:W + 16]
+    base = (120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+            + rng.normal(0, 3, yy.shape)).clip(0, 255).astype(np.uint8)
+    frames = [(np.ascontiguousarray(base[i:i + H, 2 * i:2 * i + W]),
+               rng.integers(100, 150, (H // 2, W // 2)).astype(np.uint8),
+               rng.integers(100, 150, (H // 2, W // 2)).astype(np.uint8))
+              for i in range(N)]
+    ivf = str(tmp_path / "rt.ivf")
+    out = str(tmp_path / "d.y4m")
+    encode_realtime_ivf(ivf, frames, W, H, 100, aq_mode=3)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    refs = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    assert len(ours) == len(refs) == N
+    for a, b in zip(ours, refs):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

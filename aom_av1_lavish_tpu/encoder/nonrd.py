@@ -196,9 +196,11 @@ def _cyclic_refresh_map(frame_idx: int, sb_rows: int, sb_cols: int,
 
 def encode_realtime_ivf(path: str, frames, width: int, height: int,
                         qindex: int = 90, fps=(30, 1),
-                        aq_mode: int = 0, **kw) -> None:
+                        aq_mode: int = 0, denoise: bool = False,
+                        **kw) -> None:
     """RTC low-delay encode: keyframe (speed-1 RD intra) + non-RD
-    P-frames.  aq_mode 3 = cyclic refresh (rotating SB q boost)."""
+    P-frames.  aq_mode 3 = cyclic refresh (rotating SB q boost);
+    denoise = RT temporal denoiser (av1_temporal_denoiser.c analog)."""
     from ..bitstream.ivf import write_ivf
     from .encoder import make_sequence_header
     from .inter import make_inter_frame_header
@@ -223,6 +225,10 @@ def encode_realtime_ivf(path: str, frames, width: int, height: int,
             if aq_mode == 3:
                 enc.sb_qmap = _cyclic_refresh_map(i, sb_rows, sb_cols,
                                                   qindex)
+            if denoise and slots[0] is not None:
+                from .denoiser import denoise_frame, estimate_noise_level
+                lvl, _ = estimate_noise_level(f[0], slots[0][0])
+                f = denoise_frame(f, slots[0], lvl)
         payloads.append((enc.encode_frame(f), i))
         w4, h4 = sh.max_frame_width, sh.max_frame_height
         cw, ch = (w4 + 1) >> 1, (h4 + 1) >> 1

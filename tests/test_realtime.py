@@ -96,3 +96,32 @@ def test_cyclic_refresh_aq(tmp_path):
     for a, b in zip(ours, refs):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_temporal_denoiser():
+    """encoder/denoiser.py: noisy static content must cost fewer bits
+    with the RT denoiser at equal q, and the stream stays decodable
+    (av1_temporal_denoiser.c analog)."""
+    import tempfile
+    from aom_av1_lavish_tpu.encoder.denoiser import (denoise_frame,
+                                                     estimate_noise_level)
+    rng = np.random.default_rng(5)
+    W, H, N = 176, 144, 4
+    yy, xx = np.mgrid[0:H, 0:W]
+    clean = (120 + 60 * np.sin(yy / 11.0) * np.cos(xx / 13.0))
+    frames = [((clean + rng.normal(0, 6, (H, W))).clip(0, 255)
+               .astype(np.uint8),
+               np.full((H // 2, W // 2), 120, np.uint8),
+               np.full((H // 2, W // 2), 130, np.uint8))
+              for _ in range(N)]
+    lvl, sigma = estimate_noise_level(frames[1][0], frames[0][0])
+    assert lvl > 0 and sigma > 1.0
+    d = denoise_frame(frames[1], frames[0], lvl)
+    assert not np.array_equal(d[0], frames[1][0])
+    with tempfile.TemporaryDirectory() as td:
+        p1 = os.path.join(td, "n.ivf")
+        p2 = os.path.join(td, "d.ivf")
+        encode_realtime_ivf(p1, frames, W, H, 100)
+        encode_realtime_ivf(p2, frames, W, H, 100, denoise=True)
+        assert os.path.getsize(p2) < os.path.getsize(p1)
+        assert len(decode_ivf(p2)) == N

@@ -174,10 +174,26 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     # --- motion search (non-normative) ------------------------------------
 
+    #: full-pel search patterns (mcomp_structs.h:86 SEARCH_METHODS;
+    #: site offsets from mcomp.c's search site configs)
+    SEARCH_PATTERNS = {
+        "diamond": ((-1, 0), (1, 0), (0, -1), (0, 1)),
+        "bigdia": ((-1, 0), (1, 0), (0, -1), (0, 1),
+                   (-1, -1), (-1, 1), (1, -1), (1, 1)),
+        "square": ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                   (0, 1), (1, -1), (1, 0), (1, 1)),
+        "hex": ((-2, 0), (2, 0), (-1, -2), (-1, 2), (1, -2), (1, 2)),
+    }
+    #: selected method ("diamond" | "bigdia" | "square" | "hex" |
+    #: "exhaustive" / NSTEP-style mesh)
+    search_method = "diamond"
+
     def _motion_search(self, mi_row, mi_col, bsize, pred_mv,
                        ref_frame=c.LAST_FRAME):
-        """Fullpel diamond + subpel refine on luma SAD.  Returns an MV in
-        1/8-pel with even components (allow_hp=0)."""
+        """Fullpel pattern search + subpel refine on luma SAD.  Returns
+        an MV in 1/8-pel with even components (allow_hp=0).
+        (av1_full_pixel_search mcomp.c:3864 analog; the pattern is a
+        speed feature knob like sf->mv_sf.search_method.)"""
         y0, x0 = mi_row * 4, mi_col * 4
         h = min(blockd.block_high(bsize), self.mi_rows * 4 - y0)
         w = min(blockd.block_wide(bsize), self.mi_cols * 4 - x0)
@@ -197,16 +213,35 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             v = sad_full(*s)
             if best is None or v < best[0]:
                 best = (v, s)
-        # diamond refinement
-        step = max(1, self.search_range // 2)
         by, bx = best[1]
-        while step >= 1:
+        if self.search_method == "exhaustive":
+            # mesh search (av1_full_pixel_exhaustive): coarse grid then
+            # +-1 polish
+            r = self.search_range
+            for dy in range(by - r, by + r + 1, 2):
+                for dx in range(bx - r, bx + r + 1, 2):
+                    if abs(dy) > 128 or abs(dx) > 128:
+                        continue
+                    v = sad_full(dy, dx)
+                    if v < best[0]:
+                        best = (v, (dy, dx))
+            by, bx = best[1]
+            pattern = self.SEARCH_PATTERNS["square"]
+            step_seq = [1]
+        else:
+            pattern = self.SEARCH_PATTERNS.get(
+                self.search_method, self.SEARCH_PATTERNS["diamond"])
+            step_seq = []
+            step = max(1, self.search_range // 2)
+            while step >= 1:
+                step_seq.append(step)
+                step >>= 1
+        for step in step_seq:
             improved = True
             while improved:
                 improved = False
-                for (dy, dx) in ((-step, 0), (step, 0), (0, -step),
-                                 (0, step)):
-                    ny, nx = by + dy, bx + dx
+                for (dy, dx) in pattern:
+                    ny, nx = by + dy * step, bx + dx * step
                     if abs(ny) > 128 or abs(nx) > 128:
                         continue
                     v = sad_full(ny, nx)
@@ -214,7 +249,6 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                         best = (v, (ny, nx))
                         by, bx = ny, nx
                         improved = True
-            step >>= 1
         # subpel refine at 1/4 pel (even 1/8 units) via interpolation
         best_mv = (by * 8, bx * 8)
         best_cost = None

@@ -133,3 +133,35 @@ def test_inter_vartx_select_conformance(tmp_path):
     for a, b in zip(ours, refs):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+@pytest.mark.parametrize("method", ["diamond", "bigdia", "square", "hex",
+                                    "exhaustive"])
+def test_motion_search_methods(tmp_path, method):
+    """SEARCH_METHODS knob (mcomp.c search site configs): every pattern
+    must find a plain translation and produce a decodable stream."""
+    from aom_av1_lavish_tpu.encoder.inter import InterFrameEncoder
+    old = InterFrameEncoder.search_method
+    InterFrameEncoder.search_method = method
+    try:
+        rng = np.random.default_rng(3)
+        W, H = 96, 64
+        yy, xx = np.mgrid[0:H + 16, 0:W + 16]
+        base = (120 + 60 * np.sin(yy / 7.0) * np.cos(xx / 9.0)
+                + rng.normal(0, 2, yy.shape)).clip(0, 255).astype(np.uint8)
+        frames = [(np.ascontiguousarray(base[0:H, 0:W]),
+                   np.full((H // 2, W // 2), 120, np.uint8),
+                   np.full((H // 2, W // 2), 130, np.uint8)),
+                  (np.ascontiguousarray(base[4:4 + H, 6:6 + W]),
+                   np.full((H // 2, W // 2), 120, np.uint8),
+                   np.full((H // 2, W // 2), 130, np.uint8))]
+        ivf = str(tmp_path / "m.ivf")
+        encode_lowdelay_ivf(ivf, frames, W, H, qindex=80)
+        dec = decode_ivf(ivf)
+        assert len(dec) == 2
+        # the P frame must predict well (translation found)
+        mse = np.mean((dec[1][0].astype(float)
+                       - frames[1][0].astype(float)) ** 2)
+        assert mse < 120, (method, mse)
+    finally:
+        InterFrameEncoder.search_method = old

@@ -472,11 +472,32 @@ class LosslessEncoder:
 
     def _update_ext_partition_ctx(self, mi_row, mi_col, subsize, bsize,
                                   partition):
+        """update_ext_partition_context mirror (decoder.py:795): AB
+        shapes update the two halves with their own effective sizes."""
         if bsize < c.BLOCK_8X8:
             return
         if partition == c.PARTITION_SPLIT and bsize != c.BLOCK_8X8:
             return
-        self._update_partition_ctx(mi_row, mi_col, subsize, bsize)
+        hbs = blockd.mi_size_wide(bsize) // 2
+        bsize2 = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+        if partition == c.PARTITION_HORZ_A:
+            self._update_partition_ctx(mi_row, mi_col, bsize2, subsize)
+            self._update_partition_ctx(mi_row + hbs, mi_col, subsize,
+                                       subsize)
+        elif partition == c.PARTITION_HORZ_B:
+            self._update_partition_ctx(mi_row, mi_col, subsize, subsize)
+            self._update_partition_ctx(mi_row + hbs, mi_col, bsize2,
+                                       subsize)
+        elif partition == c.PARTITION_VERT_A:
+            self._update_partition_ctx(mi_row, mi_col, bsize2, subsize)
+            self._update_partition_ctx(mi_row, mi_col + hbs, subsize,
+                                       subsize)
+        elif partition == c.PARTITION_VERT_B:
+            self._update_partition_ctx(mi_row, mi_col, subsize, subsize)
+            self._update_partition_ctx(mi_row, mi_col + hbs, bsize2,
+                                       subsize)
+        else:
+            self._update_partition_ctx(mi_row, mi_col, subsize, bsize)
 
     # --- block encode -----------------------------------------------------
 

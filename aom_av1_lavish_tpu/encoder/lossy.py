@@ -119,7 +119,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
     def __init__(self, sh, fh, use_native=None, block_size=c.BLOCK_16X16,
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
                  luma_bias=0.0, trellis=True, rect_parts=True, speed=0,
-                 saliency=0.0, tx_search=None, seg_flavor="variance"):
+                 saliency=0.0, tx_search=None, seg_flavor="variance",
+                 ext_parts=False):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
@@ -130,6 +131,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         # tx-type RD search on the winning mode (tx_search.c analog);
         # defaults on at speed 0, off at higher speeds
         self.tx_search = (speed == 0) if tx_search is None else tx_search
+        # AB/4:1 partition shapes in the RD search (speed<=1 feature in
+        # the reference; opt-in here since it ~2.5x's trial work)
+        self.ext_parts = ext_parts
         # TX_MODE_SELECT: per-block tx depth coding + RD search
         # (av1_pick_uniform_tx_size_type_yrd analog, intra-only here)
         self.tx_select = fh.tx_mode == c.TX_MODE_SELECT
@@ -794,6 +798,49 @@ class LossyAllIntraEncoder(LosslessEncoder):
                             self._save_region(mi_row, mi_col, bsize))
                 self._restore_region(mi_row, mi_col, bsize, snap)
 
+        # AB + 4:1 shapes (the rest of the 10-type search,
+        # partition_search.c:5310 EXT_PARTITION_TYPES)
+        if (self.rect_parts and self.ext_parts
+                and c.BLOCK_16X16 <= bsize <= c.BLOCK_64X64):
+            bsize2 = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
+            sub_h = blockd.partition_subsize(bsize, c.PARTITION_HORZ)
+            sub_v = blockd.partition_subsize(bsize, c.PARTITION_VERT)
+            sub_h4 = blockd.partition_subsize(bsize, c.PARTITION_HORZ_4)
+            sub_v4 = blockd.partition_subsize(bsize, c.PARTITION_VERT_4)
+            qbs = bw // 4
+            shapes = [
+                ("HORZ_A", [(mi_row, mi_col, bsize2),
+                            (mi_row, mi_col + hbs, bsize2),
+                            (mi_row + hbs, mi_col, sub_h)]),
+                ("HORZ_B", [(mi_row, mi_col, sub_h),
+                            (mi_row + hbs, mi_col, bsize2),
+                            (mi_row + hbs, mi_col + hbs, bsize2)]),
+                ("VERT_A", [(mi_row, mi_col, bsize2),
+                            (mi_row + hbs, mi_col, bsize2),
+                            (mi_row, mi_col + hbs, sub_v)]),
+                ("VERT_B", [(mi_row, mi_col, sub_v),
+                            (mi_row, mi_col + hbs, bsize2),
+                            (mi_row + hbs, mi_col + hbs, bsize2)]),
+                ("HORZ_4", [(mi_row + i * qbs, mi_col, sub_h4)
+                            for i in range(4)]),
+                ("VERT_4", [(mi_row, mi_col + i * qbs, sub_v4)
+                            for i in range(4)]),
+            ]
+            for kind, kids_geo in shapes:
+                if any(k[2] < 0 or not self._subsize_valid(k[2])
+                       for k in kids_geo):
+                    continue
+                cost = self._lam(mi_row, mi_col) * 6
+                plans = []
+                for (r, cc, sub) in kids_geo:
+                    k_cost, k_bplan = self._trial_block(r, cc, sub)
+                    cost += k_cost
+                    plans.append(k_bplan)
+                if cost < best[0]:
+                    best = (cost, (kind, mi_row, mi_col, bsize, plans),
+                            self._save_region(mi_row, mi_col, bsize))
+                self._restore_region(mi_row, mi_col, bsize, snap)
+
         if skip_split:
             self._restore_region(mi_row, mi_col, bsize, best[2])
             return best[0], best[1]
@@ -846,20 +893,23 @@ class LossyAllIntraEncoder(LosslessEncoder):
         kind, mi_row, mi_col, bsize, kids = plan
         hbs = blockd.mi_size_wide(bsize) // 2
         pmap = {"NONE": c.PARTITION_NONE, "HORZ": c.PARTITION_HORZ,
-                "VERT": c.PARTITION_VERT, "SPLIT": c.PARTITION_SPLIT}
+                "VERT": c.PARTITION_VERT, "SPLIT": c.PARTITION_SPLIT,
+                "HORZ_A": c.PARTITION_HORZ_A, "HORZ_B": c.PARTITION_HORZ_B,
+                "VERT_A": c.PARTITION_VERT_A, "VERT_B": c.PARTITION_VERT_B,
+                "HORZ_4": c.PARTITION_HORZ_4, "VERT_4": c.PARTITION_VERT_4}
         partition = pmap[kind]
         if bsize >= c.BLOCK_8X8:
             self._write_partition(mi_row, mi_col, bsize, partition)
         subsize = blockd.partition_subsize(bsize, partition)
         if kind == "NONE":
             self._emit_block(kids[0], partition)
-        elif kind in ("HORZ", "VERT"):
-            # one half at frame edges, both halves for interior rects
-            for k in kids:
-                self._emit_block(k, partition)
-        else:
+        elif kind == "SPLIT":
             for k in kids:
                 self._emit(k)
+        else:
+            # rect / AB / 4:1: leaves in the decoder's coding order
+            for k in kids:
+                self._emit_block(k, partition)
         self._update_ext_partition_ctx(mi_row, mi_col, subsize, bsize,
                                        partition)
 

@@ -274,3 +274,29 @@ def test_tx_size_select_conformance(tmp_path, dims):
     ref = read_y4m(out)[0][0]
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_ext_partition_shapes_conformance(tmp_path):
+    """AB + 4:1 partition search (partition_search.c EXT_PARTITION
+    types): must save bits on striped content and round-trip through
+    stock aomdec pixel-exactly."""
+    rng = np.random.default_rng(3)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.where(yy % 32 < 8, rng.integers(0, 256, (h, w)),
+                 90 + (xx // 2) % 8).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    off = str(tmp_path / "off.ivf")
+    on = str(tmp_path / "on.ivf")
+    encode_lossy_ivf(off, [(y, u, v)], w, h, qindex=100, ext_parts=False)
+    encode_lossy_ivf(on, [(y, u, v)], w, h, qindex=100, ext_parts=True)
+    assert os.path.getsize(on) < os.path.getsize(off)
+    out = str(tmp_path / "d.y4m")
+    subprocess.run([AOMDEC, "-o", out, on], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0][0]
+    ours = decode_ivf(on)[0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)

@@ -151,7 +151,8 @@ def make_sequence_header(width: int, height: int,
                          film_grain: bool = False,
                          subsampling: str = "420",
                          sb128: bool = False,
-                         superres: bool = False) -> H.SequenceHeader:
+                         superres: bool = False,
+                         filter_intra: bool = False) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
     10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 4:4:4 needs
     profile 1 and 4:2:2 / 12-bit need profile 2 (spec 5.5.2
@@ -171,7 +172,8 @@ def make_sequence_header(width: int, height: int,
         profile=profile, seq_level_idx=31,
         max_frame_width=width,
         max_frame_height=height, use_128x128_superblock=int(sb128),
-        enable_filter_intra=0, enable_intra_edge_filter=0,
+        enable_filter_intra=int(filter_intra),
+        enable_intra_edge_filter=0,
         enable_order_hint=0,
         force_screen_content_tools=2 if screen else 0,
         force_integer_mv=2, enable_superres=int(superres),

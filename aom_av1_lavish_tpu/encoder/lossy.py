@@ -983,6 +983,20 @@ class LossyAllIntraEncoder(LosslessEncoder):
             cost = dist + self._lam(mi_row, mi_col) * (bits + 4.0)
             if cost < y_cost:
                 y_cost, y_txbs = cost, txbs
+        # filter intra (av1_handle_filter_intra_mode analog): 5 modes,
+        # coded as DC + use_filter_intra + fim symbol
+        y_fim = -1
+        if (self.sh.enable_filter_intra and pal_y is None
+                and blockd.block_wide(bsize) <= 32
+                and blockd.block_high(bsize) <= 32):
+            for fim in range(c.FILTER_INTRA_MODES):
+                dist, bits, txbs = self._code_plane(
+                    0, c.DC_PRED, mi_row, mi_col, bsize, up_avail,
+                    left_avail, write_recon=False, fim=fim)
+                cost = dist + self._lam(mi_row, mi_col) * (bits + 7.0)
+                if cost < y_cost:
+                    y_cost, y_mode, y_angle, y_fim, y_txbs = \
+                        cost, c.DC_PRED, 0, fim, txbs
         # tx-size depth search under TX_MODE_SELECT
         # (av1_pick_uniform_tx_size_type_yrd: uniform depth per block)
         if self.tx_select and pal_y is None and bsize > c.BLOCK_4X4:
@@ -991,7 +1005,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 dist, bits, txbs = self._code_plane(
                     0, y_mode, mi_row, mi_col, bsize, up_avail,
                     left_avail, write_recon=False, angle_delta=y_angle,
-                    tx_search=self.tx_search,
+                    tx_search=self.tx_search, fim=y_fim,
                     tx_size_override=depth_to_tx_size(depth, bsize))
                 cost = dist + self._lam(mi_row, mi_col) * (
                     bits + 4.0 + 2.0 * depth)
@@ -1050,6 +1064,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
         return y_cost + uv_cost, dict(
             mi_row=mi_row, mi_col=mi_col, bsize=bsize, y_mode=y_mode,
             y_angle=y_angle, uv_mode=uv_mode, cfl=cfl, pal_y=pal_y,
+            fim=y_fim,
             txbs=y_txbs + uv_txbs, is_chroma_ref=is_chroma_ref)
 
     def _emit_intrabc(self, bplan, dv, mi_row, mi_col, bsize, partition,
@@ -1349,7 +1364,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
     def _code_plane(self, plane, mode, mi_row, mi_col, bsize, up_avail,
                     left_avail, write_recon, pred_override=None,
                     angle_delta=0, pred_full=None, inter_tx=False,
-                    tx_search=False, tx_size_override=None):
+                    tx_search=False, tx_size_override=None, fim=-1):
         """Predict/transform/quantize all txbs of one plane for `mode`.
 
         Returns (dist, bits, txb list).  Does not touch self.recon unless
@@ -1389,8 +1404,12 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 return (("inter_ext_tx_cdf", TT.inter_ext_tx_idx(st),
                          c.TX_SIZE_SQR[tx_size]),
                         TT.EXT_TX_IND[st][tt], TT.NUM_EXT_TX_SET[st])
+            # filter-intra blocks use the mapped directional mode as the
+            # tx-type cdf context (decodemv.c:659 fimode_to_intradir)
+            from ..decoder.decoder import FIMODE_TO_INTRADIR
+            ctx_mode = FIMODE_TO_INTRADIR[fim] if fim >= 0 else mode
             return (("intra_ext_tx_cdf", TT.intra_ext_tx_idx(st),
-                     c.TX_SIZE_SQR[tx_size], mode),
+                     c.TX_SIZE_SQR[tx_size], ctx_mode),
                     TT.EXT_TX_IND[st][tt], TT.NUM_EXT_TX_SET[st])
 
         if plane == 0:
@@ -1443,7 +1462,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
                                          else up_avail,
                                          chroma_left if (plane and ss_x)
                                          else left_avail,
-                                         angle_delta=angle_delta)
+                                         angle_delta=angle_delta, fim=fim)
                 if pred_override is not None:
                     pred = pred_override
                 py = row0 + r4 * 4
@@ -1674,6 +1693,17 @@ class LossyAllIntraEncoder(LosslessEncoder):
             if bplan["is_chroma_ref"] and uv_mode == c.DC_PRED:
                 self.sink.symbol(0, 2, "palette_uv_mode_cdf",
                                  int(pal_y is not None))
+        # filter intra (decoder._filter_intra_allowed mirror; read
+        # between palette mode info and the color map tokens)
+        fim = bplan.get("fim", -1)
+        if (self.sh.enable_filter_intra and y_mode == c.DC_PRED
+                and pal_y is None
+                and blockd.block_wide(bsize) <= 32
+                and blockd.block_high(bsize) <= 32):
+            self.sink.symbol(int(fim >= 0), 2, "filter_intra_cdfs", bsize)
+            if fim >= 0:
+                self.sink.symbol(fim, c.FILTER_INTRA_MODES,
+                                 "filter_intra_mode_cdf")
         if pal_y is not None:
             PAL.encode_color_map(
                 self.sink, "palette_y_color_index_cdf",
@@ -1760,7 +1790,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     # predictor identical to before, kept for reuse
     def _predict(self, plane, mode, mi_row, mi_col, bsize, tx_size,
-                 row_off, col_off, up_avail, left_avail, angle_delta=0):
+                 row_off, col_off, up_avail, left_avail, angle_delta=0,
+                 fim=-1):
         ss_x = self.ss_x if plane else 0
         ss_y = self.ss_y if plane else 0
         plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
@@ -1804,7 +1835,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
             have_left, c.PARTITION_NONE, tx_size, row_off, col_off,
             ss_x, ss_y) if need_bl else -1
         return intra.build_intra_predictor(
-            self.recon[plane], px, py, txwpx, txhpx, mode, angle_delta, -1,
+            self.recon[plane], px, py, txwpx, txhpx, mode, angle_delta,
+            fim,
             n_top_px=min(txwpx, xr + txwpx) if have_top else 0,
             n_topright_px=(min(txwpx, xr) if have_tr > 0 else have_tr),
             n_left_px=min(txhpx, yd + txhpx) if have_left else 0,
@@ -1821,7 +1853,8 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      qm=None, aq: bool = False, grain: bool = False,
                      intrabc: bool = False, subsampling: str = "420",
                      sb128: bool = False, seg=None,
-                     tx_select=None, **kw) -> None:
+                     tx_select=None, filter_intra: bool = False,
+                     **kw) -> None:
     from ..bitstream.ivf import write_ivf
     if tx_select is None:
         # TX_MODE_SELECT is a clear RD win (intra vartx syntax is only
@@ -1831,7 +1864,7 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen,
                               film_grain=grain, subsampling=subsampling,
-                              sb128=sb128)
+                              sb128=sb128, filter_intra=filter_intra)
     grain_params = None
     if grain:
         from ..dsp.noise_model import fit_grain_params

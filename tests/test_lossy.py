@@ -300,3 +300,40 @@ def test_ext_partition_shapes_conformance(tmp_path):
     ours = decode_ivf(on)[0]
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_filter_intra_conformance(tmp_path):
+    """Filter-intra search (av1_handle_filter_intra_mode): blocks coded
+    with use_filter_intra + mode symbols must round-trip bit-exactly
+    through stock aomdec, and the search must actually pick some."""
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+    from aom_av1_lavish_tpu.encoder.encoder import make_sequence_header
+    from aom_av1_lavish_tpu.encoder.lossy import (LossyAllIntraEncoder,
+                                                  make_lossy_frame_header)
+    w, h = 176, 144
+    frame = _content(w, h, seed=11)
+    sh = make_sequence_header(w, h, filter_intra=True)
+    fh = make_lossy_frame_header(sh, 100)
+    enc = LossyAllIntraEncoder(sh, fh)
+    n_fi = [0]
+    orig = enc._trial_block
+
+    def spy(*a):
+        cost, plan = orig(*a)
+        if plan.get("fim", -1) >= 0:
+            n_fi[0] += 1
+        return cost, plan
+
+    enc._trial_block = spy
+    data = enc.encode_frame(frame)
+    ivf = str(tmp_path / "fi.ivf")
+    write_ivf(ivf, [(data, 0)], w, h)
+    out = str(tmp_path / "d.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0][0]
+    ours = decode_ivf(ivf)[0]
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+    assert n_fi[0] > 0

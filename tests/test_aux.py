@@ -127,3 +127,25 @@ def test_frame_parallel_decode(tmp_path):
     for a, b in zip(par, serial):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_psnrhvs_and_fastssim_metrics():
+    """dsp/metrics.py psnrhvs (CSF-weighted DCT MSE + masking,
+    aom_dsp/psnrhvs.c) and fastssim (multiscale, aom_dsp/fastssim.c):
+    identity = perfect score, monotone in distortion."""
+    import numpy as np
+    from aom_av1_lavish_tpu.dsp.metrics import fastssim, psnrhvs
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:144, 0:176]
+    a = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 11.0)).astype(np.uint8)
+    assert psnrhvs(a, a) >= 99.0
+    assert abs(fastssim(a, a) - 1.0) < 1e-9
+    last_p, last_f = 1e9, 2.0
+    for amp in (2, 6, 20):
+        b = (a.astype(int)
+             + rng.integers(-amp, amp + 1, a.shape)).clip(0, 255) \
+            .astype(np.uint8)
+        p = psnrhvs(a, b)
+        f = fastssim(a, b)
+        assert p < last_p and f < last_f, (amp, p, f)
+        last_p, last_f = p, f

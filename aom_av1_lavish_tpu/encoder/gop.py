@@ -46,7 +46,7 @@ class GopEncoder:
                  luma_bias: float = 0.0, twopass_stats=None,
                  enable_tf: bool = True, enable_tpl: bool = True,
                  bit_depth: int = 8, q_offsets=None,
-                 interp_search: bool = False):
+                 interp_search: bool = False, comp_pred: bool = False):
         self.tune = tune
         self.luma_bias = luma_bias
         self.sh = make_sequence_header(width, height,
@@ -71,6 +71,7 @@ class GopEncoder:
         self.enable_tf = enable_tf
         self.enable_tpl = enable_tpl
         self.interp_search = interp_search
+        self.comp_pred = comp_pred
         self._targets = None             # per-display-frame bit budgets
         self._tpl_maps = None            # per-group rdmult scale maps
 
@@ -112,7 +113,9 @@ class GopEncoder:
             self.sh, qindex, refresh_frame_flags=1 << refresh_slot,
             ref_frame_idx=ref_frame_idx, show_frame=int(show),
             showable_frame=int(not show), interp_filter=filt,
-            tx_select=not self.use_tpu)
+            tx_select=not self.use_tpu,
+            comp=(self.comp_pred and not self.use_tpu
+                  and c.ALTREF_FRAME in ref_list))
         if self.use_tpu:
             from .tpu_inter import TpuInterFrameEncoder
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,

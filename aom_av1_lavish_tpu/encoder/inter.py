@@ -41,7 +41,8 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             gm_params=None,
                             interp_filter: int = c.EIGHTTAP_REGULAR,
                             tx_select: bool = False,
-                            aq: bool = False) -> H.FrameHeader:
+                            aq: bool = False,
+                            comp: bool = False) -> H.FrameHeader:
     from ..common.loopfilter import pick_filter_level_from_q
     lvl = pick_filter_level_from_q(qindex, frame_is_key=False,
                                    bd=sh.bit_depth) if deblock \
@@ -64,7 +65,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         ref_frame_idx=tuple(ref_frame_idx),
         allow_high_precision_mv=0, is_filter_switchable=0,
         interpolation_filter=interp_filter,
-        is_motion_mode_switchable=0, reference_mode=c.SINGLE_REFERENCE,
+        is_motion_mode_switchable=0,
+        reference_mode=(c.REFERENCE_MODE_SELECT if comp
+                        else c.SINGLE_REFERENCE),
         delta_q_present=int(aq), delta_q_res_log2=2 if aq else 0,
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl,
         **extra)
@@ -324,6 +327,35 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 if best is None or cost < best[0]:
                     best = (cost, mode, mv, txbs, ref, w_, dist, bits)
 
+        # compound candidate: NEAREST_NEARESTMV (LAST, ALTREF) average
+        # (compound_type.c COMPOUND_AVERAGE branch of the mode loop)
+        if (self.fh.reference_mode == c.REFERENCE_MODE_SELECT
+                and c.ALTREF_FRAME in self.ref_list
+                and min(blockd.block_wide(bsize),
+                        blockd.block_high(bsize)) >= 8):
+            rf_key = (c.LAST_FRAME, c.ALTREF_FRAME)
+            gmi = {"mv": ((0, 0), (0, 0)), "types": self._gm_types}
+            stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
+                ctx, rf_key, gm=gmi)
+            if count:
+                mv0 = MR.lower_mv_precision(stack[0][0], 0, 0)
+                mv1 = MR.lower_mv_precision(stack[0][1], 0, 0)
+            else:
+                mv0 = mv1 = (0, 0)
+            dist, bits, txbs = self._code_inter_planes(
+                mi_row, mi_col, bsize, mv0, c.LAST_FRAME,
+                ref1=c.ALTREF_FRAME, mv1=mv1)
+            bits += 5.0  # comp flag + ref tree + compound mode symbol
+            cost = dist + self._lam(mi_row, mi_col) * bits
+            if best is None or cost < best[0]:
+                best = (cost, MR.NEAREST_NEARESTMV, mv0, txbs,
+                        c.LAST_FRAME, False, dist, bits)
+                best_comp = mv1
+            else:
+                best_comp = None
+        else:
+            best_comp = None
+
         # intra fallback (DC)
         intra_best = None
         for mode in self.mode_set:
@@ -340,6 +372,9 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
         if best[0] <= intra_best[0]:
             cost, mode, mv, txbs, ref, gm_warp, d0, b0 = best
+            is_comp = mode == MR.NEAREST_NEARESTMV and best_comp is not None
+            mv1 = best_comp if is_comp else None
+            ref1 = c.ALTREF_FRAME if is_comp else -1
             # uniform vartx depth search on the winner
             # (av1_pick_recursive_tx_size_type_yrd analog, depth 1)
             if self.tx_select and bsize > c.BLOCK_4X4:
@@ -348,7 +383,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     lam = self._lam(mi_row, mi_col)
                     d1, b1, t1 = self._code_inter_planes(
                         mi_row, mi_col, bsize, mv, ref, gm_warp=gm_warp,
-                        tx_depth=1)
+                        tx_depth=1, ref1=ref1, mv1=mv1)
                     if d1 + lam * (b1 + 4.0) < d0 + lam * b0:
                         txbs = t1
             self._apply_txbs(0, [t for t in txbs if t["plane"] == 0])
@@ -358,7 +393,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             return cost, dict(
                 mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=1,
                 mode=mode, mv=mv, ref=ref, ref_mv_idx=0, txbs=txbs,
-                gm_warp=gm_warp,
+                gm_warp=gm_warp, ref1=ref1, mv1=mv1,
                 is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
                 uv_mode=c.DC_PRED, cfl=None)
         # intra path (chroma DC)
@@ -390,7 +425,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         return bits
 
     def _code_inter_planes(self, mi_row, mi_col, bsize, mv,
-                           ref=c.LAST_FRAME, gm_warp=False, tx_depth=0):
+                           ref=c.LAST_FRAME, gm_warp=False, tx_depth=0,
+                           ref1=-1, mv1=None):
         """Motion-compensate + transform-code all planes for one MV.
         gm_warp: GLOBALMV with a non-translation model — warp planes
         whose dims are >= 8 (decoder _warp_params global branch)."""
@@ -430,6 +466,13 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 WP.warp_affine(e[1], self.refs[slot][plane], pred,
                                x0, y0, b_w, b_h, ss_x, ss_y, *e[3],
                                bd=self.bd)
+            elif ref1 > c.INTRA_FRAME:
+                # COMPOUND_AVERAGE (compound_idx=1 CONV_BUF average)
+                pred = IP.predict_inter_compound(
+                    (self._ref_pad(ref, plane), self._ref_pad(ref1, plane)),
+                    x0, y0, b_w, b_h, (mv, mv1), ss_x, ss_y,
+                    mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                    self.interp_filter, self.interp_filter, bd=self.bd)
             else:
                 pred = IP.predict_inter_block(
                     self._ref_pad(ref, plane), x0, y0, b_w, b_h,
@@ -590,8 +633,10 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self.g.fill_block(
             mi_row, mi_col, bh, bw,
             bplan.get("ref", c.LAST_FRAME) if is_inter else c.INTRA_FRAME,
-            -1, emitted_mode if is_inter else bplan["y_mode"], bsize,
-            partition, bplan["mv"], (0, 0))
+            bplan.get("ref1", -1) if is_inter else -1,
+            emitted_mode if is_inter else bplan["y_mode"], bsize,
+            partition, bplan["mv"],
+            bplan.get("mv1") or (0, 0))
 
         # block tx size (decoder _read_block_tx_size mirror)
         if self.tx_select:
@@ -787,10 +832,31 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         so NEAREST/NEAR may map differently here).  Returns the mode."""
         mv = bplan["mv"]
         ref = bplan.get("ref", c.LAST_FRAME)
+        ref1 = bplan.get("ref1", -1)
+        is_comp = ref1 > c.INTRA_FRAME
         counts = MR.neighbors_ref_counts(self.g, mi_row, mi_col, up_avail,
                                          left_avail)
         if self.fh.reference_mode == c.REFERENCE_MODE_SELECT:
-            raise NotImplementedError
+            from ..decoder.inter import InterDecoderMixin as D
+            comp_allowed = min(blockd.block_wide(bsize),
+                               blockd.block_high(bsize)) >= 8
+            if comp_allowed:
+                rmctx = D._reference_mode_ctx(self, self.g, mi_row, mi_col,
+                                              up_avail, left_avail)
+                self.sink.symbol(int(is_comp), 2, "comp_inter_cdf", rmctx)
+            if is_comp:
+                # BIDIR (LAST, ALTREF): decoder _read_comp_ref_frames
+                ctctx = D._comp_ref_type_ctx(self, self.g, mi_row, mi_col,
+                                             up_avail, left_avail)
+                self.sink.symbol(1, 2, "comp_ref_type_cdf", ctctx)
+                self.sink.symbol(0, 2, "comp_ref_cdf",
+                                 MR.ctx_single_ref_p3(counts), 0)
+                self.sink.symbol(0, 2, "comp_ref_cdf",
+                                 MR.ctx_single_ref_p4(counts), 1)
+                self.sink.symbol(1, 2, "comp_bwdref_cdf",
+                                 MR.ctx_single_ref_p2(counts), 0)
+        if is_comp:
+            return self._emit_compound_mode(bplan, mi_row, mi_col, bsize)
         for (col, rctx, bit) in _single_ref_tree(ref, counts):
             self.sink.symbol(bit, 2, "single_ref_cdf", rctx, col)
 
@@ -845,6 +911,21 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 ref_mv = stack[0]
             self._write_mv(mv, ref_mv)
         return mode
+
+    def _emit_compound_mode(self, bplan, mi_row, mi_col, bsize):
+        """NEAREST_NEARESTMV compound-mode symbol (no drl, no MV bits);
+        comp_group/compound_idx symbols are absent with masked compound
+        and jnt_comp disabled in the sequence header."""
+        ctx = self._refmv_context(mi_row, mi_col, bsize)
+        gmi = {"mv": ((0, 0), (0, 0)), "types": self._gm_types}
+        stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
+            ctx, (c.LAST_FRAME, c.ALTREF_FRAME), gm=gmi)
+        newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
+        refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
+        comp_ctx = MR.COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][
+            min(newmv_ctx, 4)]
+        self.sink.symbol(0, 8, "inter_compound_mode_cdf", comp_ctx)
+        return MR.NEAREST_NEARESTMV
 
     def _write_mv(self, mv, ref_mv):
         dr = mv[0] - ref_mv[0]

@@ -165,3 +165,36 @@ def test_motion_search_methods(tmp_path, method):
         assert mse < 120, (method, mse)
     finally:
         InterFrameEncoder.search_method = old
+
+
+def test_compound_prediction_conformance(tmp_path):
+    """COMPOUND_AVERAGE NEAREST_NEARESTMV (LAST, ALTREF): compound ref
+    + mode symbols and CONV_BUF-average prediction must round-trip
+    through stock aomdec (compound branch of read_ref_frames,
+    decodemv.c:956)."""
+    import subprocess
+    from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+    if not HAVE_ORACLE:
+        pytest.skip("oracle not built")
+    rng = np.random.default_rng(1)
+    W, H, N = 176, 144, 5
+    yy, xx = np.mgrid[0:H + 24, 0:W + 24]
+    base = (120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 7.0)).clip(0, 255)
+    frames = [((base[2 * i:2 * i + H, 3 * i:3 * i + W]
+                + rng.normal(0, 5, (H, W))).clip(0, 255).astype(np.uint8),
+               np.full((H // 2, W // 2), 120, np.uint8),
+               np.full((H // 2, W // 2), 130, np.uint8))
+              for i in range(N)]
+    ivf = str(tmp_path / "c.ivf")
+    out = str(tmp_path / "d.y4m")
+    encode_gop_ivf(ivf, frames, W, H, qindex=120, gf_length=5,
+                   enable_cdef=False, comp_pred=True)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    refs = read_y4m(out)[0]
+    ours = decode_ivf(ivf)
+    assert len(ours) == len(refs) == N
+    for a, b in zip(ours, refs):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

@@ -1,0 +1,457 @@
+"""Device-batched intra RD trials: the encoder hot loop as tensor ops.
+
+TPU-first recast of the quality all-intra mode/partition search
+(SURVEY §7 hard part (c); reference hot loop av1_rd_pick_partition,
+av1/encoder/partition_search.c:5310 + av1_rd_pick_intra_mode_sb,
+av1/encoder/rdopt.c:3296).  Instead of the reference's recursive
+recon-in-the-loop recursion, every candidate block of every size runs its
+full mode trial sweep as one batched device computation:
+
+    edges (from SOURCE pixels) -> 61-mode prediction as an edge-matrix
+    product on the MXU -> batched integer fwd txfm -> vectorized
+    quantize -> token-rate estimate -> exact inverse + SSE -> RD cost
+
+The per-(block,mode) cost tensors feed a bottom-up partition DP on the
+host (encoder/tpu_rdo.py).  The one deliberate approximation vs the host
+search: trial predictions use *source* neighbours rather than recon
+neighbours (recon edges would serialize the search, which is the whole
+point of the reference's recursion).  The final encode of each chosen
+leaf recomputes prediction/transform/quant exactly against real recon, so
+conformance is unaffected; only the *decisions* differ slightly.
+
+Everything except PAETH is linear in the edge pixels, so prediction for
+60 of the 61 modes is a single (N, L) x (L, M*h*w) matmul with integer
+weights over a common denominator of 512 — exact after one floor-divide.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bitstream import constants as c
+from ..bitstream import tables
+from ..common import blockd
+from ..common import intra as I
+from ..common import quant as Q
+from . import txfm_jax as TJ
+from .wavefront import _quantize_jnp, _PQ, _pq_array
+
+MAX_ANGLE_DELTA = 3
+DEN = 512  # common weight denominator
+
+#: directional base modes in trial order
+DIR_MODES = (c.V_PRED, c.H_PRED, c.D45_PRED, c.D135_PRED, c.D113_PRED,
+             c.D157_PRED, c.D203_PRED, c.D67_PRED)
+
+
+def trial_mode_list(min_bsize_px: int = 8):
+    """(mode, angle_delta) trial list: DC/SMOOTH family + every
+    directional mode at every angle delta.  PAETH is appended by the
+    engine (nonlinear, computed separately)."""
+    out = [(c.DC_PRED, 0), (c.SMOOTH_PRED, 0), (c.SMOOTH_V_PRED, 0),
+           (c.SMOOTH_H_PRED, 0)]
+    for m in DIR_MODES:
+        for d in range(-MAX_ANGLE_DELTA, MAX_ANGLE_DELTA + 1):
+            out.append((m, d))
+    return out
+
+
+# --------------------------------------------------------------------------
+# edge-weight matrix construction (host, cached per block geometry)
+#
+# Edge vector layout for a (bw, bh) block, length L = 2*(bw+bh) + 3:
+#   E[0]                    top-left sample
+#   E[1 : bw+bh+2]          above row, samples 0 .. bw+bh   (z1 reach)
+#   E[bw+bh+2 : 2*bw+2*bh+3] left col, samples 0 .. bw+bh   (z3 reach)
+# --------------------------------------------------------------------------
+
+def _edge_len(bw, bh):
+    return 2 * (bw + bh) + 3
+
+
+def _above_idx(bw, bh, k):
+    return 1 + k
+
+
+def _left_idx(bw, bh, k):
+    return bw + bh + 2 + k
+
+
+def _dir_weights(bw, bh, angle):
+    """Integer weight matrix (L, bh*bw) * DEN for one directional angle
+    (dr_prediction z1/z2/z3, reconintra.c; no edge filter / upsample in
+    the trial pass)."""
+    L = _edge_len(bw, bh)
+    G = np.zeros((L, bh * bw), np.int32)
+    scale = DEN // 32  # dir predictors are (.. + 16) >> 5
+
+    def put(eidx, r, cc, w):
+        G[eidx, r * bw + cc] += w * scale
+
+    if angle == 90:                                  # exact V_PRED
+        for r in range(bh):
+            for cc in range(bw):
+                G[_above_idx(bw, bh, cc), r * bw + cc] = DEN
+        return G
+    if angle == 180:                                 # exact H_PRED
+        for r in range(bh):
+            for cc in range(bw):
+                G[_left_idx(bw, bh, r), r * bw + cc] = DEN
+        return G
+    if angle < 90:                                   # zone 1: above only
+        dx = I.get_dx(angle)
+        max_base_x = bw + bh - 1
+        for r in range(bh):
+            x = (r + 1) * dx
+            base0 = x >> 6
+            shift = (x & 0x3F) >> 1
+            for cc in range(bw):
+                base = base0 + cc
+                if base < max_base_x:
+                    put(_above_idx(bw, bh, base), r, cc, 32 - shift)
+                    put(_above_idx(bw, bh, base + 1), r, cc, shift)
+                else:
+                    put(_above_idx(bw, bh, max_base_x), r, cc, 32)
+    elif angle > 180:                                # zone 3: left only
+        dy = I.get_dy(angle)
+        max_base_y = bw + bh - 1
+        for cc in range(bw):
+            y = (cc + 1) * dy
+            base0 = y >> 6
+            shift = (y & 0x3F) >> 1
+            for r in range(bh):
+                base = base0 + r
+                if base < max_base_y:
+                    put(_left_idx(bw, bh, base), r, cc, 32 - shift)
+                    put(_left_idx(bw, bh, base + 1), r, cc, shift)
+                else:
+                    put(_left_idx(bw, bh, max_base_y), r, cc, 32)
+    else:                                            # zone 2: both
+        dx = I.get_dx(angle)
+        dy = I.get_dy(angle)
+        for r in range(bh):
+            for cc in range(bw):
+                x = (cc << 6) - (r + 1) * dx
+                base_x = x >> 6
+                if base_x >= -1:
+                    sx = (x & 0x3F) >> 1
+                    # above_data index -1 == top-left
+                    i0 = 0 if base_x == -1 else _above_idx(bw, bh, base_x)
+                    i1 = _above_idx(bw, bh, base_x + 1)
+                    put(i0, r, cc, 32 - sx)
+                    put(i1, r, cc, sx)
+                else:
+                    y = (r << 6) - (cc + 1) * dy
+                    base_y = y >> 6
+                    sy = (y & 0x3F) >> 1
+                    i0 = 0 if base_y == -1 else _left_idx(bw, bh, base_y)
+                    i1 = _left_idx(bw, bh, base_y + 1)
+                    put(i0, r, cc, 32 - sy)
+                    put(i1, r, cc, sy)
+    return G
+
+
+def _smooth_weights(bw, bh, kind):
+    L = _edge_len(bw, bh)
+    G = np.zeros((L, bh * bw), np.int32)
+    ww = np.array(I.SMOOTH_WEIGHTS[bw], np.int32)
+    wh = np.array(I.SMOOTH_WEIGHTS[bh], np.int32)
+    for r in range(bh):
+        for cc in range(bw):
+            p = r * bw + cc
+            if kind == "smooth":                     # (.. + 256) >> 9
+                G[_above_idx(bw, bh, cc), p] += wh[r]
+                G[_left_idx(bw, bh, bh - 1), p] += 256 - wh[r]
+                G[_left_idx(bw, bh, r), p] += ww[cc]
+                G[_above_idx(bw, bh, bw - 1), p] += 256 - ww[cc]
+            elif kind == "smooth_v":                 # (.. + 128) >> 8
+                G[_above_idx(bw, bh, cc), p] += wh[r] * 2
+                G[_left_idx(bw, bh, bh - 1), p] += (256 - wh[r]) * 2
+            else:                                    # smooth_h
+                G[_left_idx(bw, bh, r), p] += ww[cc] * 2
+                G[_above_idx(bw, bh, bw - 1), p] += (256 - ww[cc]) * 2
+    return G
+
+
+@lru_cache(maxsize=None)
+def mode_matrix(bw: int, bh: int):
+    """Stacked weight tensor (M_lin, L, bh*bw) float32 for the linear
+    trial modes (trial_mode_list order, DC excluded -> index 0 is
+    SMOOTH).  DC is exact-divided in-kernel from edge sums."""
+    mats = []
+    for (m, d) in trial_mode_list():
+        if m == c.DC_PRED:
+            continue
+        if m == c.SMOOTH_PRED:
+            mats.append(_smooth_weights(bw, bh, "smooth"))
+        elif m == c.SMOOTH_V_PRED:
+            mats.append(_smooth_weights(bw, bh, "smooth_v"))
+        elif m == c.SMOOTH_H_PRED:
+            mats.append(_smooth_weights(bw, bh, "smooth_h"))
+        else:
+            angle = I.MODE_TO_ANGLE[m] + d * I.ANGLE_STEP
+            mats.append(_dir_weights(bw, bh, angle))
+    return np.stack(mats).astype(np.float32)
+
+
+def _dc_jnp(E, bw, bh, have_top, have_left):
+    """Exact DC predictor values (N,) int32 (reconintra.c dc variants:
+    both-edge true divide, single-edge shifts, 128 base)."""
+    reach = bw + bh + 1
+    s_a = E[:, 1:1 + bw].astype(jnp.int32).sum(-1)
+    s_l = E[:, 1 + reach:1 + reach + bh].astype(jnp.int32).sum(-1)
+    dc_both = (s_a + s_l + ((bw + bh) >> 1)) // (bw + bh)
+    dc_top = (s_a + (bw >> 1)) >> (bw.bit_length() - 1)
+    dc_left = (s_l + (bh >> 1)) >> (bh.bit_length() - 1)
+    return jnp.where(have_top & have_left, dc_both,
+                     jnp.where(have_top, dc_top,
+                               jnp.where(have_left, dc_left, 128)))
+
+
+# --------------------------------------------------------------------------
+# device trial engine
+# --------------------------------------------------------------------------
+
+def _gather_edges(srcp, bw, bh, nbr, nbc):
+    """Edge vectors for the regular (nbr, nbc) grid of (bw, bh) blocks
+    over padded plane srcp (H+1+reach rows, W+1+reach cols with the
+    block grid starting at (1, 1)).  Returns (N, L) int32 plus
+    availability flags (N,)."""
+    reach = bw + bh + 1
+    rows = np.arange(nbr) * bh + 1
+    cols = np.arange(nbc) * bw + 1
+    # top-left
+    tl = srcp[rows - 1][:, cols - 1]                        # (nbr, nbc)
+    # above run: srcp[r-1, c : c+reach]
+    above = np.stack([srcp[r - 1, :] for r in rows])        # (nbr, W')
+    above = np.stack([above[:, cc:cc + reach] for cc in cols], 1)
+    # left run: srcp[r : r+reach, c-1]
+    leftc = np.stack([srcp[:, cc - 1] for cc in cols], 1)   # (H', nbc)
+    left = np.stack([leftc[r:r + reach, :] for r in rows], 0)
+    left = np.moveaxis(left, -1, 1)                         # (nbr,nbc,reach)
+    E = np.concatenate([tl[..., None], above, left], axis=-1)
+    return E.reshape(nbr * nbc, -1).astype(np.int32)
+
+
+def _fill_edges_np(E, bw, bh, have_top, have_left):
+    """Spec fill rules for unavailable edges (reconintra.c:1309
+    defaults: 127/129/128), applied on host before device upload."""
+    reach = bw + bh + 1
+    tl = E[:, 0]
+    above = E[:, 1:1 + reach]
+    left = E[:, 1 + reach:]
+    first_l = left[:, 0]
+    first_a = above[:, 0]
+    above = np.where(have_top[:, None], above,
+                     np.where(have_left[:, None], first_l[:, None], 127))
+    left = np.where(have_left[:, None], left,
+                    np.where(have_top[:, None], first_a[:, None], 129))
+    tl = np.where(have_top & have_left, tl,
+                  np.where(have_top, first_a,
+                           np.where(have_left, first_l, 128)))
+    return np.concatenate([tl[:, None], above, left], axis=-1)
+
+
+def _est_bits_jnp(qcoeff, scan_order):
+    """Token-bit estimate matching encoder/lossy.py _est_txb_bits."""
+    aq = jnp.abs(qcoeff).astype(jnp.float32)
+    aq_scan = aq[..., scan_order]
+    nz = aq_scan > 0
+    n = aq_scan.shape[-1]
+    idx = jnp.arange(n)
+    eob = jnp.max(jnp.where(nz, idx + 1, 0), axis=-1)
+    nnz = nz.sum(-1)
+    level_bits = jnp.where(nz, 1.7 + 2.0 * jnp.log2(aq_scan + 1.0),
+                           0.0).sum(-1)
+    bits = 2.0 + 0.9 * jnp.log2(eob + 1.0) + 0.55 * (eob - nnz) + level_bits
+    return jnp.where(eob == 0, 0.6, bits), eob
+
+
+_TRIAL_FN_CACHE = {}
+
+
+def _trial_fn_dc(bw, bh, n_chunk):
+    """jit'd DC-only trial (chroma cost grids for the partition DP)."""
+    key = (bw, bh, n_chunk, "dc")
+    if key in _TRIAL_FN_CACHE:
+        return _TRIAL_FN_CACHE[key]
+    from ..common import coeffs as CF
+    tx_size = blockd.tx_size_of(min(bw, 64), min(bh, 64))
+    aw, ah = min(bw, 32), min(bh, 32)
+    scan = jnp.asarray(
+        np.asarray(tables.scan(CF.adjusted_tx_size(tx_size), c.DCT_DCT)),
+        jnp.int32)
+    dc_mask = jnp.arange(aw * ah) == 0
+    log_scale = CF._tx_scale(tx_size)
+
+    def fn(E, blks, have_top, have_left, lam, pq_arr):
+        pq = _PQ(pq_arr)
+        dc = jnp.broadcast_to(
+            _dc_jnp(E, bw, bh, have_top, have_left)[:, None],
+            (E.shape[0], bh * bw))
+        resid = blks.reshape(-1, bh * bw).astype(jnp.int32) - dc
+        coeff = TJ.fwd_txfm2d_batched(
+            resid.reshape(-1, bh, bw), tx_size, c.DCT_DCT)
+        qcoeff, dqcoeff = _quantize_jnp(coeff, pq, log_scale, dc_mask)
+        bits, eob = _est_bits_jnp(qcoeff, scan)
+        pred_hw = dc.reshape(-1, bh, bw)
+        recon = TJ.inv_txfm2d_add_batched(
+            dqcoeff, jnp.clip(pred_hw, 0, 255).astype(jnp.uint8),
+            tx_size, c.DCT_DCT)
+        recon = jnp.where((eob > 0)[:, None, None], recon,
+                          jnp.clip(pred_hw, 0, 255).astype(jnp.uint8))
+        d = blks.astype(jnp.int32) - recon.astype(jnp.int32)
+        sse = (d * d).sum((-1, -2)).astype(jnp.float32)
+        return sse[:, None], bits[:, None]
+
+    jitted = jax.jit(fn)
+    _TRIAL_FN_CACHE[key] = jitted
+    return jitted
+
+
+def _trial_fn(bw, bh, n_chunk):
+    """jit'd trial sweep for one block geometry: (E, blocks, lam, pq) ->
+    (sse, bits) per (block, mode) — float32 (N, M)."""
+    key = (bw, bh, n_chunk)
+    if key in _TRIAL_FN_CACHE:
+        return _TRIAL_FN_CACHE[key]
+    from ..common import coeffs as CF
+    tx_size = blockd.tx_size_of(min(bw, 64), min(bh, 64))
+    aw, ah = min(bw, 32), min(bh, 32)
+    scan = jnp.asarray(
+        np.asarray(tables.scan(CF.adjusted_tx_size(tx_size), c.DCT_DCT)),
+        jnp.int32)
+    dc_mask = jnp.arange(aw * ah) == 0
+    log_scale = CF._tx_scale(tx_size)
+    reach = bw + bh + 1
+
+    def fn(E, blks, have_top, have_left, lam, pq_arr, G_lin_j):
+        """E (N, L) int32; blks (N, bh, bw) int32; lam (N,) f32."""
+        pq = _PQ(pq_arr)
+        Ef = E.astype(jnp.float32)
+        # linear modes: one big matmul on the MXU
+        acc = jnp.einsum("nl,mlp->nmp", Ef, G_lin_j,
+                         preferred_element_type=jnp.float32)
+        pred_lin = jnp.floor((acc + (DEN // 2)) * (1.0 / DEN)) \
+            .astype(jnp.int32)
+        # DC: exact in-kernel divide (rect blocks need a true divide)
+        dc = jnp.broadcast_to(
+            _dc_jnp(E, bw, bh, have_top, have_left)[:, None],
+            (E.shape[0], bh * bw))
+        # PAETH (nonlinear)
+        a = E[:, 1:1 + bw].astype(jnp.int32)          # (N, bw)
+        lf = E[:, 1 + reach:1 + reach + bh].astype(jnp.int32)
+        tl = E[:, 0].astype(jnp.int32)[:, None, None]
+        base = a[:, None, :] + lf[:, :, None] - tl
+        pl = jnp.abs(base - lf[:, :, None])
+        pt = jnp.abs(base - a[:, None, :])
+        ptl = jnp.abs(base - tl)
+        paeth = jnp.where(
+            (pl <= pt) & (pl <= ptl),
+            jnp.broadcast_to(lf[:, :, None], base.shape),
+            jnp.where(pt <= ptl, jnp.broadcast_to(a[:, None, :], base.shape),
+                      jnp.broadcast_to(tl, base.shape)))
+        preds = jnp.concatenate(
+            [dc[:, None], pred_lin, paeth.reshape(-1, 1, bh * bw)], axis=1)
+        M = preds.shape[1]
+        resid = blks.reshape(-1, 1, bh * bw).astype(jnp.int32) - preds
+        coeff = TJ.fwd_txfm2d_batched(
+            resid.reshape(-1, bh, bw), tx_size, c.DCT_DCT)
+        qcoeff, dqcoeff = _quantize_jnp(coeff, pq, log_scale, dc_mask)
+        bits, eob = _est_bits_jnp(qcoeff, scan)
+        pred_hw = preds.reshape(-1, bh, bw)
+        recon = TJ.inv_txfm2d_add_batched(
+            dqcoeff, jnp.clip(pred_hw, 0, 255).astype(jnp.uint8),
+            tx_size, c.DCT_DCT)
+        recon = jnp.where((eob > 0)[:, None, None], recon,
+                          jnp.clip(pred_hw, 0, 255).astype(jnp.uint8))
+        d = blks.reshape(-1, 1, bh, bw).astype(jnp.int32) \
+            - recon.reshape(-1, M, bh, bw).astype(jnp.int32)
+        sse = (d * d).sum((-1, -2)).astype(jnp.float32)
+        return sse, bits.reshape(-1, M)
+
+    jitted = jax.jit(fn)
+    _TRIAL_FN_CACHE[key] = jitted
+    return jitted
+
+
+class IntraTrialEngine:
+    """Per-frame device trial sweep over a set of block geometries.
+
+    trial_plane() returns, for each geometry, float32 (nbr, nbc, M)
+    cost tensors where cost = sse + lam * bits (no mode-signalling
+    terms — the host DP adds those)."""
+
+    CHUNK = 4096  # blocks per device dispatch (memory bound at 32x32+)
+
+    def __init__(self, qindex: int, bd: int = 8):
+        self.qindex = qindex
+        self.bd = bd
+        self.pq = Q.build_plane_quant(qindex, 0, 0, bd=bd)
+        self._pq_j = jnp.asarray(_pq_array(self.pq))
+
+    def trial_plane(self, srcp: np.ndarray, sizes, lam_of,
+                    dc_only: bool = False):
+        """srcp: padded (H, W) uint8 plane, H/W multiples of the block
+        dims.  sizes: iterable of (bw, bh).  lam_of(py, px, bh, bw) ->
+        float.  Returns {(bw, bh): (sse+lam*bits) float32 (nbr, nbc, M)}
+        (M == 1 when dc_only)."""
+        H, W = srcp.shape
+        # pad: 1 row/col before for edges, reach after for z1/z3 runs
+        out = {}
+        for (bw, bh) in sizes:
+            nbr, nbc = H // bh, W // bw
+            reach = bw + bh + 1
+            sp = np.pad(srcp, ((1, 0), (1, 0)), mode="edge")
+            sp = np.pad(sp, ((0, reach), (0, reach)), mode="edge")
+            E = _gather_edges(sp, bw, bh, nbr, nbc)
+            ys = np.repeat(np.arange(nbr) * bh, nbc)
+            xs = np.tile(np.arange(nbc) * bw, nbr)
+            have_top = ys > 0
+            have_left = xs > 0
+            E = _fill_edges_np(E, bw, bh, have_top, have_left)
+            blks = srcp.reshape(nbr, bh, nbc, bw).swapaxes(1, 2) \
+                .reshape(-1, bh, bw).astype(np.int32)
+            lam = np.array([lam_of(y, x, bh, bw) for y, x in zip(ys, xs)],
+                           np.float32)
+            N = E.shape[0]
+            # memory-bound chunking: ~1M block-pixels x 61 modes per
+            # dispatch ((chunk*M*bh*bw) int32 intermediates)
+            chunk = min(N, max(32, self.CHUNK * 256 // (bw * bh)))
+            fn = (_trial_fn_dc if dc_only else _trial_fn)(bw, bh, chunk)
+            g_args = () if dc_only else (jnp.asarray(mode_matrix(bw, bh)),)
+            sses, bitss = [], []
+            for s in range(0, N, chunk):
+                e = min(N, s + chunk)
+                pad = 0
+                Ec, Bc_ = E[s:e], blks[s:e]
+                ht, hl = have_top[s:e], have_left[s:e]
+                if e - s < chunk:
+                    pad = chunk - (e - s)
+                    Ec = np.pad(Ec, ((0, pad), (0, 0)))
+                    Bc_ = np.pad(Bc_, ((0, pad), (0, 0), (0, 0)))
+                    ht = np.pad(ht, (0, pad))
+                    hl = np.pad(hl, (0, pad))
+                sse, bits = fn(jnp.asarray(Ec), jnp.asarray(Bc_),
+                               jnp.asarray(ht), jnp.asarray(hl),
+                               jnp.asarray(np.pad(lam[s:e], (0, pad))),
+                               self._pq_j, *g_args)
+                sses.append(np.asarray(sse)[:e - s])
+                bitss.append(np.asarray(bits)[:e - s])
+            sse = np.concatenate(sses)
+            bits = np.concatenate(bitss)
+            cost = sse + lam[:, None] * bits
+            out[(bw, bh)] = cost.reshape(nbr, nbc, -1)
+        return out
+
+
+def trial_modes_full():
+    """Full trial mode axis: DC + linear modes + PAETH (engine order)."""
+    lst = trial_mode_list()
+    dc = [(c.DC_PRED, 0)]
+    lin = [x for x in lst if x[0] != c.DC_PRED]
+    return dc + lin + [(c.PAETH_PRED, 0)]

@@ -357,6 +357,8 @@ class FrameHeader:
     reference_mode: int = 0               # 0 single, 1 select
     skip_mode_flag: int = 0
     skip_mode_refs: tuple = ()
+    #: encoder-side: primary-ref slot's stored GM params (write context)
+    prev_gm_params: tuple | None = None
     gm_type: tuple = (0,) * 7             # global motion per ref (identity)
     # per ref LAST..ALTREF: (wmtype, (wmmat0..5), invalid)
     gm_params: tuple = tuple((0, (0, 0, 65536, 0, 0, 65536), 0)
@@ -412,14 +414,15 @@ def _read_delta_q(r: BitReader) -> int:
 
 def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
                        w: BitWriter) -> None:
-    """Uncompressed header (spec 5.9.2).
+    """Uncompressed header (spec 5.9.2), mirror of parse_frame_header.
 
-    Inter frames currently require error-resilient mode with order hints
-    disabled (no primary ref, no in-stream ref order hints, no skip mode).
+    Inter frames may be non-error-resilient when the sequence enables
+    order hints: primary_ref_frame CDF carry, skip mode and
+    allow_ref_frame_mvs become codeable (av1_common_int.h:414,985).
     """
-    if not fh.is_intra:
-        assert fh.error_resilient_mode and not sh.enable_order_hint, \
-            "inter headers: ER + no order hints only"
+    if not fh.is_intra and not fh.error_resilient_mode:
+        assert sh.enable_order_hint, \
+            "non-ER inter frames need sequence order hints"
     w.write_bit(0)  # show_existing_frame
     w.write_literal(fh.frame_type, 2)
     w.write_bit(fh.show_frame)
@@ -438,18 +441,29 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
         w.write_bit(fh.frame_size_override)
     if sh.enable_order_hint:
         w.write_literal(fh.order_hint, sh.order_hint_bits)
-    # intra frame or error resilient: primary_ref_frame not coded
+    if not fh.error_resilient_mode and not fh.is_intra:
+        w.write_literal(fh.primary_ref_frame, 3)
     keyshow = fh.frame_type == c.KEY_FRAME and fh.show_frame
     if not keyshow and fh.frame_type != c.SWITCH_FRAME:
         w.write_literal(fh.refresh_frame_flags, 8)
+    if not fh.is_intra or fh.refresh_frame_flags != 0xFF:
+        if fh.error_resilient_mode and sh.enable_order_hint:
+            for i in range(8):
+                w.write_literal(fh.ref_order_hints[i], sh.order_hint_bits)
     if fh.is_intra:
         _write_frame_size(fh, sh, w)
         if (fh.allow_screen_content_tools
                 and fh.superres_denom == SUPERRES_NUM):
             w.write_bit(fh.allow_intrabc)
     else:
+        if sh.enable_order_hint:
+            w.write_bit(fh.frame_refs_short_signaling)
+            assert not fh.frame_refs_short_signaling
         for i in range(7):
             w.write_literal(fh.ref_frame_idx[i], 3)
+        assert not (fh.frame_size_override
+                    and not fh.error_resilient_mode), \
+            "frame_size_with_refs write unimplemented"
         _write_frame_size(fh, sh, w)
         if not fh.force_integer_mv:
             w.write_bit(fh.allow_high_precision_mv)
@@ -457,6 +471,9 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
         if not fh.is_filter_switchable:
             w.write_literal(fh.interpolation_filter, 2)
         w.write_bit(fh.is_motion_mode_switchable)
+        if (not fh.error_resilient_mode and sh.enable_ref_frame_mvs
+                and sh.enable_order_hint):
+            w.write_bit(fh.allow_ref_frame_mvs)
     if not fh.disable_cdf_update:
         w.write_bit(fh.disable_frame_end_update_cdf)
     _write_tile_info(fh, sh, w)
@@ -529,8 +546,13 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
         w.write_bit(fh.tx_mode == c.TX_MODE_SELECT)
     if not fh.is_intra:
         w.write_bit(fh.reference_mode)
-        # skip mode: not allowed without order hints; warped: seq-gated off
-        assert not sh.enable_warped_motion or fh.error_resilient_mode
+        _setup_skip_mode(fh, sh)
+        if fh.skip_mode_refs:
+            w.write_bit(fh.skip_mode_flag)
+        else:
+            assert not fh.skip_mode_flag
+        if not fh.error_resilient_mode and sh.enable_warped_motion:
+            w.write_bit(fh.allow_warped_motion)
     w.write_bit(fh.reduced_tx_set)
     if not fh.is_intra:
         _write_global_motion(fh, w)
@@ -650,14 +672,18 @@ def _write_signed_primitive_refsubexpfin(w: BitWriter, n: int, k: int,
 
 def _write_global_motion(fh: FrameHeader, w: BitWriter) -> None:
     """write_global_motion_params (bitstream.c): mirror of
-    _parse_global_motion; refs are identity (error-resilient frames have
-    no primary-ref prediction)."""
-    assert fh.primary_ref_frame == PRIMARY_REF_NONE or all(
-        p[0] == c.IDENTITY for p in fh.gm_params), \
-        "gm write vs primary-ref prediction unimplemented"
+    _parse_global_motion.  With a primary ref, params are coded relative
+    to that slot's stored params (fh.prev_gm_params, threaded by the
+    encoder from its ref-slot state mirror)."""
+    prev = getattr(fh, "prev_gm_params", None)
+    assert (fh.primary_ref_frame == PRIMARY_REF_NONE or prev is not None
+            or all(p[0] == c.IDENTITY for p in fh.gm_params)), \
+        "gm write with a primary ref needs prev_gm_params"
     for ref in range(7):
         wmtype, mat, _inv = fh.gm_params[ref]
         ref_mat = _GM_IDENTITY_MAT
+        if prev is not None and fh.primary_ref_frame != PRIMARY_REF_NONE:
+            ref_mat = prev[ref][1]
         w.write_bit(wmtype != c.IDENTITY)
         if wmtype == c.IDENTITY:
             continue

@@ -104,6 +104,7 @@ class NativeSink:
 
     def __init__(self, fc):
         from ..runtime import FcArena, OpStream
+        self.fc = fc
         self.arena = FcArena(fc)
         self.os = OpStream(self.arena)
 
@@ -140,7 +141,11 @@ class NativeSink:
         return _cul_level_of(qcoeff)
 
     def finish(self):
-        return self.os.run()
+        data = self.os.run()
+        # mirror PySink: fc holds the tile-end adapted context (the
+        # frame context stored with refs under primary_ref carry)
+        self.arena.write_back(self.fc, self.os.final_arena)
+        return data
 
 
 def make_sequence_header(width: int, height: int,
@@ -152,7 +157,8 @@ def make_sequence_header(width: int, height: int,
                          subsampling: str = "420",
                          sb128: bool = False,
                          superres: bool = False,
-                         filter_intra: bool = False) -> H.SequenceHeader:
+                         filter_intra: bool = False,
+                         order_hint: bool = False) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
     10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 4:4:4 needs
     profile 1 and 4:2:2 / 12-bit need profile 2 (spec 5.5.2
@@ -174,7 +180,9 @@ def make_sequence_header(width: int, height: int,
         max_frame_height=height, use_128x128_superblock=int(sb128),
         enable_filter_intra=int(filter_intra),
         enable_intra_edge_filter=0,
-        enable_order_hint=0,
+        enable_order_hint=int(order_hint),
+        enable_ref_frame_mvs=int(order_hint),
+        order_hint_bits=7 if order_hint else 0,
         force_screen_content_tools=2 if screen else 0,
         force_integer_mv=2, enable_superres=int(superres),
         enable_cdef=enable_cdef,
@@ -203,6 +211,10 @@ class LosslessEncoder:
 
     PAD = 0  # extra right/bottom margin (lossy large-tx blocks may cross
     # the mi grid; the margin absorbs their out-of-frame recon writes)
+
+    #: optional initial FrameContext (primary_ref CDF carry); when None,
+    #: tiles start from the qindex-default context
+    fc0 = None
 
     def __init__(self, sh: H.SequenceHeader, fh: H.FrameHeader,
                  use_native: bool | None = None):
@@ -361,7 +373,8 @@ class LosslessEncoder:
             return pack_tile_group(tiles, fh.tile_size_bytes)
         assert not (self.fh.tile_cols_log2 or self.fh.tile_rows_log2), \
             "multi-tile requires the native walker path"
-        self.fc = FrameContext(self.fh.base_q_idx)
+        self.fc = (self.fc0.copy() if getattr(self, "fc0", None) is not None
+                   else FrameContext(self.fh.base_q_idx))
         if self.use_native:
             self.sink = NativeSink(self.fc)
         else:

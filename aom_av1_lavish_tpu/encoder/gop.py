@@ -46,12 +46,15 @@ class GopEncoder:
                  luma_bias: float = 0.0, twopass_stats=None,
                  enable_tf: bool = True, enable_tpl: bool = True,
                  bit_depth: int = 8, q_offsets=None,
-                 interp_search: bool = False, comp_pred: bool = False):
+                 interp_search: bool = False, comp_pred: bool = False,
+                 order_hint: bool = True):
         self.tune = tune
         self.luma_bias = luma_bias
+        self.order_hint = order_hint
         self.sh = make_sequence_header(width, height,
                                        enable_cdef=int(enable_cdef),
-                                       bit_depth=bit_depth)
+                                       bit_depth=bit_depth,
+                                       order_hint=order_hint)
         if rc_cfg is None:
             rc_cfg = RateControlConfig(mode=MODE_Q, fixed_qindex=qindex,
                                        width=width, height=height)
@@ -64,6 +67,11 @@ class GopEncoder:
         self.use_native = use_native
         self.block_size = block_size
         self.slots = [None] * 8          # slot -> (y, u, v) recon planes
+        # bitstream-state mirror per slot (decoder _update_ref_state):
+        # frame context (CDF carry), order hint, global motion params
+        self.slot_fc = [None] * 8
+        self.slot_hint = [0] * 8
+        self.slot_gm = [None] * 8
         self.last_slot = 0
         self.arf_slot = 1
         self.twopass_stats = twopass_stats
@@ -77,11 +85,13 @@ class GopEncoder:
 
     # --- single-frame encoders -----------------------------------------
 
-    def _encode_key(self, planes, qindex: int) -> bytes:
+    def _encode_key(self, planes, qindex: int, order_hint: int = 0) -> bytes:
         # host RD keys get the TX_MODE_SELECT depth search (the TPU
         # wavefront path keeps LARGEST: its batched trial is per-SB)
         fh = make_lossy_frame_header(self.sh, qindex,
-                                     tx_select=not self.use_tpu)
+                                     tx_select=not self.use_tpu,
+                                     order_hint=order_hint,
+                                     backward_update=self.order_hint)
         if self.use_tpu:
             from .tpu_intra import TpuAllIntraEncoder
             enc = TpuAllIntraEncoder(self.sh, fh, use_native=self.use_native)
@@ -92,12 +102,12 @@ class GopEncoder:
                                        tune=self.tune,
                                        luma_bias=self.luma_bias)
         payload = enc.encode_frame(planes)
-        self._store_recon(enc, 0xFF)
+        self._store_recon(enc, 0xFF, fh)
         return payload
 
     def _encode_inter(self, planes, qindex: int, ref_list,
                       refresh_slot: int, show: bool,
-                      rdmult_map=None) -> bytes:
+                      rdmult_map=None, order_hint: int = 0) -> bytes:
         """Returns the frame OBU bytes only (caller packs the TU)."""
         ref_frame_idx = [0] * 7
         ref_frame_idx[c.LAST_FRAME - 1] = self.last_slot
@@ -109,13 +119,21 @@ class GopEncoder:
             filt = pick_interp_filter(planes[0],
                                       self.slots[self.last_slot][0],
                                       bd=self.sh.bit_depth)
+        # primary ref = LAST (ref list index 0): CDF carry + backward
+        # adaptation when the sequence has order hints
+        primary = (0 if (self.order_hint
+                         and self.slot_fc[self.last_slot] is not None)
+                   else H.PRIMARY_REF_NONE)
         fh = make_inter_frame_header(
             self.sh, qindex, refresh_frame_flags=1 << refresh_slot,
             ref_frame_idx=ref_frame_idx, show_frame=int(show),
             showable_frame=int(not show), interp_filter=filt,
             tx_select=not self.use_tpu,
             comp=(self.comp_pred and not self.use_tpu
-                  and c.ALTREF_FRAME in ref_list))
+                  and c.ALTREF_FRAME in ref_list),
+            order_hint=order_hint, primary_ref=primary,
+            ref_order_hints=tuple(self.slot_hint),
+            prev_gm_params=self.slot_gm[self.last_slot])
         if self.use_tpu:
             from .tpu_inter import TpuInterFrameEncoder
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
@@ -127,21 +145,35 @@ class GopEncoder:
                                     block_size=self.block_size,
                                     ref_list=ref_list, tune=self.tune,
                                     luma_bias=self.luma_bias)
+        if fh.primary_ref_frame != H.PRIMARY_REF_NONE:
+            enc.fc0 = self.slot_fc[self.last_slot]
         if rdmult_map is not None:
             enc.ext_rdmult_map = rdmult_map
         obu = enc.encode_frame_obu(planes)
-        self._store_recon(enc, 1 << refresh_slot)
+        self._store_recon(enc, 1 << refresh_slot, fh)
         return obu
 
-    def _store_recon(self, enc, refresh_flags: int) -> None:
+    def _store_recon(self, enc, refresh_flags: int, fh) -> None:
         w, h = self.sh.max_frame_width, self.sh.max_frame_height
         cw, ch = (w + 1) >> 1, (h + 1) >> 1
         out = (enc.recon[0][:h, :w].copy(),
                enc.recon[1][:ch, :cw].copy(),
                enc.recon[2][:ch, :cw].copy())
+        # stored frame context (decoder _update_ref_state mirror): the
+        # tile-end adapted CDFs with backward refresh, else the initial
+        if fh.disable_frame_end_update_cdf:
+            from ..bitstream.tables import FrameContext
+            fc_store = (enc.fc0.copy() if enc.fc0 is not None
+                        else FrameContext(fh.base_q_idx))
+        else:
+            fc_store = enc.fc.copy()
+            fc_store.reset_counters()
         for slot in range(8):
             if refresh_flags & (1 << slot):
                 self.slots[slot] = out
+                self.slot_fc[slot] = fc_store
+                self.slot_hint[slot] = fh.order_hint
+                self.slot_gm[slot] = fh.gm_params
 
     # --- sequence driver ------------------------------------------------
 
@@ -240,8 +272,9 @@ class GopEncoder:
             if i % self.kf_interval == 0:
                 q = self._q("key", i)
                 p, q = self._recode("key", i, q,
-                                    lambda qq: self._encode_key(frames[i],
-                                                                qq))
+                                    lambda qq: self._encode_key(
+                                        frames[i], qq,
+                                        order_hint=i & 127))
                 self.rc.postencode("key", q, len(p) * 8)
                 self.last_slot, self.arf_slot = 0, 1
                 payloads.append(p)
@@ -257,9 +290,10 @@ class GopEncoder:
                     q = self._q("inter", i + j)
                     obu, q = self._recode(
                         "inter", i + j, q,
-                        lambda qq, f=frames[i + j]: self._encode_inter(
+                        lambda qq, f=frames[i + j], d=i + j:
+                        self._encode_inter(
                             f, qq, (c.LAST_FRAME,), self.last_slot,
-                            show=True))
+                            show=True, order_hint=d & 127))
                     tu = H.temporal_delimiter() + obu
                     self.rc.postencode("inter", q, len(tu) * 8)
                     payloads.append(tu)
@@ -291,16 +325,20 @@ class GopEncoder:
             "arf", base_idx + L - 1, q_arf,
             lambda qq: self._encode_inter(arf_src, qq, (c.LAST_FRAME,),
                                           self.arf_slot, show=False,
-                                          rdmult_map=tpl_maps[L - 1]))
+                                          rdmult_map=tpl_maps[L - 1],
+                                          order_hint=(base_idx + L - 1)
+                                          & 127))
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
         tus = []
         for j in range(L - 1):
             q = self._q("inter", base_idx + j)
             obu, q = self._recode(
                 "inter", base_idx + j, q,
-                lambda qq, f=group[j], m=tpl_maps[j]: self._encode_inter(
+                lambda qq, f=group[j], m=tpl_maps[j], d=base_idx + j:
+                self._encode_inter(
                     f, qq, (c.LAST_FRAME, c.ALTREF_FRAME),
-                    self.last_slot, show=True, rdmult_map=m))
+                    self.last_slot, show=True, rdmult_map=m,
+                    order_hint=d & 127))
             tu = H.temporal_delimiter() + (arf_obu if j == 0 else b"") + obu
             # charge only this frame's bits (the ARF's were already
             # accounted at its own postencode)

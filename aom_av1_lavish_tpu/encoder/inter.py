@@ -42,7 +42,14 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             interp_filter: int = c.EIGHTTAP_REGULAR,
                             tx_select: bool = False,
                             aq: bool = False,
-                            comp: bool = False) -> H.FrameHeader:
+                            comp: bool = False,
+                            order_hint: int = 0,
+                            primary_ref: int = H.PRIMARY_REF_NONE,
+                            ref_order_hints=(0,) * 8,
+                            prev_gm_params=None) -> H.FrameHeader:
+    """Non-error-resilient when the sequence carries order hints and a
+    primary_ref is given: per-frame CDF carry + backward adaptation
+    (av1_common_int.h:414,985 primary_ref_frame / frame contexts)."""
     from ..common.loopfilter import pick_filter_level_from_q
     lvl = pick_filter_level_from_q(qindex, frame_is_key=False,
                                    bd=sh.bit_depth) if deblock \
@@ -51,10 +58,18 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
     if gm_params is not None:
         extra = dict(gm_type=tuple(p[0] for p in gm_params),
                      gm_params=tuple(gm_params))
+    non_er = (sh.enable_order_hint
+              and primary_ref != H.PRIMARY_REF_NONE)
     return H.FrameHeader(
         frame_type=c.INTER_FRAME, show_frame=show_frame,
-        showable_frame=showable_frame, error_resilient_mode=1,
-        disable_cdf_update=0, disable_frame_end_update_cdf=1,
+        showable_frame=showable_frame,
+        error_resilient_mode=0 if non_er else 1,
+        order_hint=order_hint,
+        primary_ref_frame=primary_ref if non_er else H.PRIMARY_REF_NONE,
+        ref_order_hints=tuple(ref_order_hints),
+        prev_gm_params=prev_gm_params,
+        disable_cdf_update=0,
+        disable_frame_end_update_cdf=0 if non_er else 1,
         frame_size_override=0,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
@@ -144,6 +159,16 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     invalid = 1
             self.gm.append((wmtype, list(mat), invalid, shear))
         self._gm_types = [e[0] for e in self.gm]
+        # ref sign bias from order hints (decoder __init__ mirror,
+        # av1_common_int.h ref_frame_sign_bias); all-zero when the
+        # sequence has no order hints
+        self.sign_bias = [0] * 8
+        if sh.enable_order_hint:
+            for i in range(7):
+                slot = fh.ref_frame_idx[i]
+                d = H.get_relative_dist(sh, fh.ref_order_hints[slot],
+                                        fh.order_hint)
+                self.sign_bias[c.LAST_FRAME + i] = int(d > 0)
 
     # --- global motion ------------------------------------------------------
 
@@ -292,7 +317,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         for ref in self.ref_list:
             gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
             stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-                ctx, ref, gm=self._gm_info(gm_mv))
+                ctx, ref, sign_bias=self.sign_bias,
+                gm=self._gm_info(gm_mv))
             nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
             near = MR.lower_mv_precision(mv_list[1], 0, 0)
 
@@ -336,7 +362,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             rf_key = (c.LAST_FRAME, c.ALTREF_FRAME)
             gmi = {"mv": ((0, 0), (0, 0)), "types": self._gm_types}
             stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-                ctx, rf_key, gm=gmi)
+                ctx, rf_key, sign_bias=self.sign_bias, gm=gmi)
             if count:
                 mv0 = MR.lower_mv_precision(stack[0][0], 0, 0)
                 mv1 = MR.lower_mv_precision(stack[0][1], 0, 0)
@@ -863,7 +889,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         ctx = self._refmv_context(mi_row, mi_col, bsize)
         gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, ref, gm=self._gm_info(gm_mv))
+            ctx, ref, sign_bias=self.sign_bias,
+            gm=self._gm_info(gm_mv))
         nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
         near = MR.lower_mv_precision(mv_list[1], 0, 0)
         if bplan.get("gm_warp"):
@@ -919,7 +946,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         ctx = self._refmv_context(mi_row, mi_col, bsize)
         gmi = {"mv": ((0, 0), (0, 0)), "types": self._gm_types}
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, (c.LAST_FRAME, c.ALTREF_FRAME), gm=gmi)
+            ctx, (c.LAST_FRAME, c.ALTREF_FRAME),
+            sign_bias=self.sign_bias, gm=gmi)
         newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
         refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
         comp_ctx = MR.COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][

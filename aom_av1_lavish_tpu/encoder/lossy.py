@@ -54,7 +54,9 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                             screen: bool = False,
                             qm=None, aq: bool = False,
                             intrabc: bool = False,
-                            seg=None, tx_select: bool = False) -> H.FrameHeader:
+                            seg=None, tx_select: bool = False,
+                            order_hint: int = 0,
+                            backward_update: bool = False) -> H.FrameHeader:
     assert 0 < qindex <= 255
     assert not (tx_select and intrabc), \
         "intrabc blocks use the inter vartx tx-size syntax (TBD)"
@@ -93,7 +95,9 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                       seg_preskip=0, seg_last_active=len(seg) - 1)
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
-        disable_cdf_update=0, disable_frame_end_update_cdf=1,
+        disable_cdf_update=0,
+        disable_frame_end_update_cdf=0 if backward_update else 1,
+        order_hint=order_hint,
         frame_size_override=0,
         frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
         render_width=sh.max_frame_width, render_height=sh.max_frame_height,
@@ -513,7 +517,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
         superblock (loop_restoration_read_sb_coeffs write analog)."""
         from ..common import restoration as LR
         from .encoder import NativeSink, PySink
-        self.fc = FrameContext(self.fh.base_q_idx)
+        self.fc = (self.fc0.copy() if getattr(self, "fc0", None) is not None
+                   else FrameContext(self.fh.base_q_idx))
         self.sink = NativeSink(self.fc) if self.use_native \
             else PySink(self.fc)
         self.above_partition = np.zeros(self.mi_cols + 32, dtype=np.uint8)

@@ -133,6 +133,15 @@ class FcArena:
             np.zeros(0, np.uint16)
         self._off_cache = {}
 
+    def write_back(self, fc, arena: np.ndarray) -> None:
+        """Scatter an adapted arena back into fc._d (CDFs + in-band
+        adaptation counters) — the encoder's frame-end context for
+        primary_ref carry (av1_common_int.h:985)."""
+        for n, (off, shape) in self.offsets.items():
+            size = int(np.prod(shape))
+            fc._d[n][...] = arena[off:off + size].reshape(shape) \
+                .astype(fc._d[n].dtype)
+
     def offset(self, name: str, *idx) -> int:
         """Arena offset of the row fc.<name>[idx...] (row = last dim)."""
         key = (name,) + idx
@@ -244,6 +253,7 @@ class OpStream:
             scans.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
         assert 0 < n <= cap
+        self.final_arena = arena   # adapted CDF state after the tile
         return bytes(out[:n])
 
 

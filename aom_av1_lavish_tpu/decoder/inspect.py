@@ -35,6 +35,7 @@ class FrameInspection:
     tx_wide_grid: np.ndarray       # tx width in px per mi
     tx_high_grid: np.ndarray
     skip_grid: np.ndarray
+    skip_mode_grid: np.ndarray     # per-mi skip_mode (derived compound)
     qindex_grid: np.ndarray
     seg_grid: np.ndarray
     cdef_strengths: tuple
@@ -67,6 +68,7 @@ def _snapshot(dec, fh, out) -> FrameInspection:
         tx_wide_grid=dec.tx_wide_grid[:r, :c_].copy(),
         tx_high_grid=dec.tx_high_grid[:r, :c_].copy(),
         skip_grid=dec.skip_inter_grid[:r, :c_].copy(),
+        skip_mode_grid=dec.skip_mode_grid[m:m + r, m:m + c_].copy(),
         qindex_grid=dec.qindex_grid[:r, :c_].copy(),
         seg_grid=dec.seg_map[:r, :c_].copy(),
         cdef_strengths=(tuple(fh.cdef_y_pri or ()),

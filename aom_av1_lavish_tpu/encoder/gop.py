@@ -129,7 +129,7 @@ class GopEncoder:
             ref_frame_idx=ref_frame_idx, show_frame=int(show),
             showable_frame=int(not show), interp_filter=filt,
             tx_select=not self.use_tpu,
-            comp=(self.comp_pred and not self.use_tpu
+            comp=((self.comp_pred or self.order_hint) and not self.use_tpu
                   and c.ALTREF_FRAME in ref_list),
             order_hint=order_hint, primary_ref=primary,
             ref_order_hints=tuple(self.slot_hint),
@@ -144,7 +144,8 @@ class GopEncoder:
                                     use_native=self.use_native,
                                     block_size=self.block_size,
                                     ref_list=ref_list, tune=self.tune,
-                                    luma_bias=self.luma_bias)
+                                    luma_bias=self.luma_bias,
+                                    comp_search=self.comp_pred)
         if fh.primary_ref_frame != H.PRIMARY_REF_NONE:
             enc.fc0 = self.slot_fc[self.last_slot]
         if rdmult_map is not None:

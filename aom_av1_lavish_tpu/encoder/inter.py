@@ -60,7 +60,7 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                      gm_params=tuple(gm_params))
     non_er = (sh.enable_order_hint
               and primary_ref != H.PRIMARY_REF_NONE)
-    return H.FrameHeader(
+    fh = H.FrameHeader(
         frame_type=c.INTER_FRAME, show_frame=show_frame,
         showable_frame=showable_frame,
         error_resilient_mode=0 if non_er else 1,
@@ -86,6 +86,12 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         delta_q_present=int(aq), delta_q_res_log2=2 if aq else 0,
         filter_level=(lvl, lvl), filter_level_u=lvl, filter_level_v=lvl,
         **extra)
+    # skip mode: codeable when the derived fwd/bwd ref pair exists
+    # (av1_setup_skip_mode_allowed); flag=1 lets blocks choose it
+    if non_er:
+        H._setup_skip_mode(fh, sh)
+        fh.skip_mode_flag = 1 if fh.skip_mode_refs else 0
+    return fh
 
 
 # single_ref decision-tree coding: ref enum -> [(cdf_col, ctx_fn, bit)]
@@ -130,7 +136,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                  block_size=c.BLOCK_16X16, mode_set=(c.DC_PRED,),
                  enable_cfl=False, search_range=16,
                  ref_list=(c.LAST_FRAME,), tune="psnr", luma_bias=0.0,
-                 trellis=True):
+                 trellis=True, comp_search=None):
         super().__init__(sh, fh, use_native=use_native,
                          block_size=block_size, mode_set=mode_set,
                          enable_cfl=enable_cfl, tune=tune,
@@ -142,8 +148,14 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             if fh.interpolation_filter != c.SWITCHABLE \
             else c.EIGHTTAP_REGULAR
         self.ref_list = tuple(ref_list)  # ref enums searched per block
+        # compound-average trial sweep (REFERENCE_MODE_SELECT may be on
+        # purely for skip mode; the explicit compound search is separate)
+        self.comp_search = (fh.reference_mode == c.REFERENCE_MODE_SELECT
+                            if comp_search is None else comp_search)
         self.search_range = search_range
         self.g = MR.MiGrids(self.mi_rows, self.mi_cols)
+        #: per-mi skip_mode map (margin-padded like g), skip_mode_ctx input
+        self.skip_mode_grid = np.zeros(self.g.ref0.shape, np.uint8)
         self._ref_pad_cache = {}
         # av1_get_mvpred cost weights (rough): bits per mv step
         self.mv_bit_cost = 1.0
@@ -300,18 +312,96 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     # --- block trial ------------------------------------------------------
 
-    def _refmv_context(self, mi_row, mi_col, bsize):
+    def _refmv_context(self, mi_row, mi_col, bsize,
+                       partition=c.PARTITION_NONE):
         return MR.RefMvContext(
             self.g, mi_row, mi_col, bsize, self.sb_mi if hasattr(
                 self, "sb_mi") else (1 << (self.sh.sb_size_log2 - 2)),
-            0, self.mi_rows, 0, self.mi_cols, c.PARTITION_NONE)
+            0, self.mi_rows, 0, self.mi_cols, partition)
 
-    def _trial_block(self, mi_row, mi_col, bsize):
+    # --- trial-time mi-grid coherence ------------------------------------
+    #
+    # The decoder derives NEAREST/NEAR MVs from already-decoded neighbour
+    # state; the trial must therefore run against the same mi grid the
+    # emit pass will produce, so trials fill self.g as they commit and
+    # the partition search snapshots/restores the grid region alongside
+    # recon (reference keeps per-branch xd->mi context the same way,
+    # encodeframe_utils.c av1_restore_context).
+
+    def _save_region(self, mi_row, mi_col, bsize):
+        base = super()._save_region(mi_row, mi_col, bsize)
+        g = self.g
+        m = g.m
+        h4 = min(blockd.mi_size_high(bsize), self.mi_rows - mi_row)
+        w4 = min(blockd.mi_size_wide(bsize), self.mi_cols - mi_col)
+        r0, c0 = mi_row + m, mi_col + m
+        sl = (slice(r0, r0 + h4), slice(c0, c0 + w4))
+        gsnap = (g.ref0[sl].copy(), g.ref1[sl].copy(), g.mode[sl].copy(),
+                 g.bsize[sl].copy(), g.partition[sl].copy(),
+                 g.mv[sl].copy())
+        return (base, sl, gsnap)
+
+    def _restore_region(self, mi_row, mi_col, bsize, snap):
+        base, sl, gsnap = snap
+        super()._restore_region(mi_row, mi_col, bsize, base)
+        g = self.g
+        (g.ref0[sl], g.ref1[sl], g.mode[sl], g.bsize[sl],
+         g.partition[sl], g.mv[sl]) = gsnap
+
+    def _fill_trial(self, bplan, partition):
+        """Commit one trialed block into the mi grid (emit re-fills the
+        same values; contexts match by induction)."""
+        bsize = bplan["bsize"]
+        bh = blockd.mi_size_high(bsize)
+        bw = blockd.mi_size_wide(bsize)
+        is_inter = bplan["is_inter"]
+        self.g.fill_block(
+            bplan["mi_row"], bplan["mi_col"], bh, bw,
+            bplan.get("ref", c.LAST_FRAME) if is_inter else c.INTRA_FRAME,
+            bplan.get("ref1", -1) if is_inter else -1,
+            bplan["mode"] if is_inter else bplan["y_mode"], bsize,
+            partition, bplan["mv"], bplan.get("mv1") or (0, 0))
+
+    def _trial_skip_mode(self, mi_row, mi_col, bsize, partition):
+        """Skip-mode candidate: derived compound NEAREST_NEARESTMV over
+        fh.skip_mode_refs, zero residual (one ~1-bit symbol).  Mirrors
+        the decoder's skip-mode derivation exactly (decodemv.c:421,
+        mode_info path with ref_mv_idx 0)."""
+        fh = self.fh
+        r0, r1 = fh.skip_mode_refs
+        ctx = self._refmv_context(mi_row, mi_col, bsize, partition)
+        bw, bh = blockd.block_wide(bsize), blockd.block_high(bsize)
+        gm_mv0 = MR.gm_get_motion_vector(
+            self.gm[r0], fh.allow_high_precision_mv, bw, bh,
+            mi_col, mi_row, fh.force_integer_mv)
+        gm_mv1 = MR.gm_get_motion_vector(
+            self.gm[r1], fh.allow_high_precision_mv, bw, bh,
+            mi_col, mi_row, fh.force_integer_mv)
+        gmi = {"mv": (gm_mv0, gm_mv1), "types": self._gm_types}
+        stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
+            ctx, (r0, r1), sign_bias=self.sign_bias, gm=gmi)
+        if count:
+            mv0 = MR.lower_mv_precision(stack[0][0],
+                                        fh.allow_high_precision_mv,
+                                        fh.force_integer_mv)
+            mv1 = MR.lower_mv_precision(stack[0][1],
+                                        fh.allow_high_precision_mv,
+                                        fh.force_integer_mv)
+        else:
+            mv0 = mv1 = (0, 0)
+        dist, _bits, txbs = self._code_inter_planes(
+            mi_row, mi_col, bsize, mv0, r0, ref1=r1, mv1=mv1,
+            force_skip=True)
+        cost = dist + self._lam(mi_row, mi_col) * 1.0
+        return cost, mv0, mv1, txbs
+
+    def _trial_block(self, mi_row, mi_col, bsize,
+                     partition=c.PARTITION_NONE):
         """Try inter modes over every active reference + intra fallback;
         pick by RD."""
         up_avail = mi_row > 0
         left_avail = mi_col > 0
-        ctx = self._refmv_context(mi_row, mi_col, bsize)
+        ctx = self._refmv_context(mi_row, mi_col, bsize, partition)
 
         best = None
         for ref in self.ref_list:
@@ -355,12 +445,16 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
         # compound candidate: NEAREST_NEARESTMV (LAST, ALTREF) average
         # (compound_type.c COMPOUND_AVERAGE branch of the mode loop)
-        if (self.fh.reference_mode == c.REFERENCE_MODE_SELECT
+        if (self.comp_search
+                and self.fh.reference_mode == c.REFERENCE_MODE_SELECT
                 and c.ALTREF_FRAME in self.ref_list
                 and min(blockd.block_wide(bsize),
                         blockd.block_high(bsize)) >= 8):
             rf_key = (c.LAST_FRAME, c.ALTREF_FRAME)
-            gmi = {"mv": ((0, 0), (0, 0)), "types": self._gm_types}
+            bwpx, bhpx = blockd.block_wide(bsize), blockd.block_high(bsize)
+            cgm0 = self._gm_mv(c.LAST_FRAME, bsize, mi_row, mi_col)
+            cgm1 = self._gm_mv(c.ALTREF_FRAME, bsize, mi_row, mi_col)
+            gmi = {"mv": (cgm0, cgm1), "types": self._gm_types}
             stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
                 ctx, rf_key, sign_bias=self.sign_bias, gm=gmi)
             if count:
@@ -382,6 +476,16 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         else:
             best_comp = None
 
+        # skip-mode candidate (zero residual, derived compound refs)
+        skip_best = None
+        if (self.fh.skip_mode_flag and self.fh.skip_mode_refs
+                and not self.fh.segmentation_enabled
+                and min(blockd.block_wide(bsize),
+                        blockd.block_high(bsize)) >= 8):
+            sk_cost, sk_mv0, sk_mv1, sk_txbs = self._trial_skip_mode(
+                mi_row, mi_col, bsize, partition)
+            skip_best = (sk_cost, sk_mv0, sk_mv1, sk_txbs)
+
         # intra fallback (DC)
         intra_best = None
         for mode in self.mode_set:
@@ -395,6 +499,22 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         is_chroma_ref = blockd.is_chroma_reference(
             mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
             and self.num_planes > 1
+
+        if (skip_best is not None and skip_best[0] <= best[0]
+                and skip_best[0] <= intra_best[0]):
+            sk_cost, sk_mv0, sk_mv1, sk_txbs = skip_best
+            for plane in range(self.num_planes if is_chroma_ref else 1):
+                self._apply_txbs(plane, [t for t in sk_txbs
+                                         if t["plane"] == plane])
+            bplan = dict(
+                mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=1,
+                skip_mode=1, mode=MR.NEAREST_NEARESTMV, mv=sk_mv0,
+                mv1=sk_mv1, ref=self.fh.skip_mode_refs[0],
+                ref1=self.fh.skip_mode_refs[1], ref_mv_idx=0,
+                txbs=sk_txbs, gm_warp=False, is_chroma_ref=is_chroma_ref,
+                y_mode=c.DC_PRED, uv_mode=c.DC_PRED, cfl=None)
+            self._fill_trial(bplan, partition)
+            return sk_cost, bplan
 
         if best[0] <= intra_best[0]:
             cost, mode, mv, txbs, ref, gm_warp, d0, b0 = best
@@ -416,12 +536,14 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             for plane in (1, 2):
                 self._apply_txbs(plane,
                                  [t for t in txbs if t["plane"] == plane])
-            return cost, dict(
+            bplan = dict(
                 mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=1,
                 mode=mode, mv=mv, ref=ref, ref_mv_idx=0, txbs=txbs,
                 gm_warp=gm_warp, ref1=ref1, mv1=mv1,
                 is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
                 uv_mode=c.DC_PRED, cfl=None)
+            self._fill_trial(bplan, partition)
+            return cost, bplan
         # intra path (chroma DC)
         cost, y_mode, y_txbs = intra_best
         self._apply_txbs(0, y_txbs)
@@ -435,12 +557,14 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 uv_cost += d + self._lam(mi_row, mi_col) * b
                 uv_txbs += t
                 self._apply_txbs(plane, t)
-        return cost + uv_cost, dict(
+        bplan = dict(
             mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=0,
             mode=0, mv=(0, 0), ref=c.INTRA_FRAME, ref_mv_idx=0,
             txbs=y_txbs + uv_txbs,
             is_chroma_ref=is_chroma_ref, y_mode=y_mode, uv_mode=c.DC_PRED,
             cfl=None)
+        self._fill_trial(bplan, partition)
+        return cost + uv_cost, bplan
 
     def _est_inter_mode_bits(self, mode, mv, ref_mv, mode_ctx):
         bits = 6.0  # skip+is_inter+ref frames+mode coarse
@@ -452,7 +576,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     def _code_inter_planes(self, mi_row, mi_col, bsize, mv,
                            ref=c.LAST_FRAME, gm_warp=False, tx_depth=0,
-                           ref1=-1, mv1=None):
+                           ref1=-1, mv1=None, force_skip=False):
         """Motion-compensate + transform-code all planes for one MV.
         gm_warp: GLOBALMV with a non-translation model — warp planes
         whose dims are >= 8 (decoder _warp_params global branch)."""
@@ -508,7 +632,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             d, b, t = self._code_inter_plane_txbs(
                 plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
                 mb_to_right, mb_to_bottom, ss_x, ss_y,
-                tx_depth=tx_depth if plane == 0 else 0)
+                tx_depth=tx_depth if plane == 0 else 0,
+                force_skip=force_skip)
             dist += d
             bits += b
             txbs += t
@@ -516,7 +641,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     def _code_inter_plane_txbs(self, plane, plane_bsize, pred, x0, y0,
                                mi_row, mi_col, bsize, mb_to_right,
-                               mb_to_bottom, ss_x, ss_y, tx_depth=0):
+                               mb_to_bottom, ss_x, ss_y, tx_depth=0,
+                               force_skip=False):
         from ..decoder.inter import SUB_TX_SIZE_MAP, depth_to_tx_size
         tx_size = self._plane_tx(plane, bsize)
         if tx_depth and plane == 0:
@@ -553,6 +679,20 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 p = pred[r4 * 4:r4 * 4 + c.TX_HEIGHT[tx_size],
                          c4 * 4:c4 * 4 + c.TX_WIDTH[tx_size]]
                 src = self.src[plane][py:py + p.shape[0], px:px + p.shape[1]]
+                if force_skip:
+                    # skip-mode: zero residual by construction
+                    dist += float(((src.astype(np.int64)
+                                    - p.astype(np.int64)) ** 2).sum())
+                    txbs.append(dict(
+                        plane=plane, tx_size=tx_size, tx_type=c.DCT_DCT,
+                        tx_type_sym=None,
+                        qcoeff=np.zeros(p.shape, np.int32), eob=0,
+                        plane_bsize=plane_bsize, py=py, px=px,
+                        recon=p.copy(), acol=px >> 2, lrow=py >> 2,
+                        loc_c4=c4, loc_r4=r4,
+                        vis_w4=max(vis_w >> 2, 1), vis_h4=max(vis_h >> 2, 1),
+                        cross_r=mb_to_right < 0, cross_b=mb_to_bottom < 0))
+                    continue
                 resid = src.astype(np.int32) - p.astype(np.int32)
                 coeff = T2.fwd_txfm2d(resid, tx_size, tx_type, self.bd)
                 qcoeff, dqcoeff, eob = Q.quantize_b(coeff, scan, pq,
@@ -601,9 +741,22 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
         above_mi = (mi_row - 1, mi_col) if up_avail else None
         left_mi = (mi_row, mi_col - 1) if left_avail else None
-        skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
-                   (int(self.mi_skip[left_mi]) if left_mi else 0)
-        self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
+        # skip mode (decoder read_skip_mode mirror: before skip_txfm;
+        # a skip-mode block implies skip_txfm=1 and is_inter=1, neither
+        # coded)
+        sk_mode = bplan.get("skip_mode", 0)
+        if (self.fh.skip_mode_flag and not self.fh.segmentation_enabled
+                and min(blockd.block_wide(bsize),
+                        blockd.block_high(bsize)) >= 8):
+            smctx = MR.skip_mode_ctx(self.g, mi_row, mi_col, up_avail,
+                                     left_avail, self.skip_mode_grid)
+            self.sink.symbol(sk_mode, 2, "skip_mode_cdfs", smctx)
+        else:
+            assert not sk_mode
+        if not sk_mode:
+            skip_ctx = (int(self.mi_skip[above_mi]) if above_mi else 0) + \
+                       (int(self.mi_skip[left_mi]) if left_mi else 0)
+            self.sink.symbol(int(skip), 2, "skip_txfm_cdfs", skip_ctx)
 
         # delta-q (read_delta_q_params: after skip/cdef, before is_inter;
         # cdef_bits == 0 in this encoder so no cdef symbols intervene)
@@ -616,17 +769,21 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 self._write_delta_q(d)
                 self._emit_cur_q = tgt
 
-        ii_ctx = MR.intra_inter_ctx(self.g, mi_row, mi_col, up_avail,
-                                    left_avail)
-        self.sink.symbol(int(is_inter), 2, "intra_inter_cdf", ii_ctx)
+        if not sk_mode:
+            ii_ctx = MR.intra_inter_ctx(self.g, mi_row, mi_col, up_avail,
+                                        left_avail)
+            self.sink.symbol(int(is_inter), 2, "intra_inter_cdf", ii_ctx)
 
         from .lossy import MAX_ANGLE_DELTA
         from ..common import intra
         from ..decoder.inter import SIZE_GROUP
         emitted_mode = bplan["mode"]
-        if is_inter:
+        if sk_mode:
+            emitted_mode = MR.NEAREST_NEARESTMV   # fully derived, no syms
+        elif is_inter:
             emitted_mode = self._emit_inter_info(
-                bplan, mi_row, mi_col, bsize, up_avail, left_avail)
+                bplan, mi_row, mi_col, bsize, up_avail, left_avail,
+                partition)
         else:
             y_mode = bplan["y_mode"]
             self.sink.symbol(y_mode, c.INTRA_MODES, "y_mode_cdf",
@@ -652,6 +809,9 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         # mi bookkeeping
         rmax = min(mi_row + bh, self.mi_rows)
         cmax = min(mi_col + bw, self.mi_cols)
+        m = self.g.m
+        self.skip_mode_grid[mi_row + m:rmax + m,
+                            mi_col + m:cmax + m] = sk_mode
         self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
         self.mi_mode[mi_row:rmax, mi_col:cmax] = \
             emitted_mode if is_inter else bplan["y_mode"]
@@ -852,7 +1012,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         fill_grid(tx)
 
     def _emit_inter_info(self, bplan, mi_row, mi_col, bsize, up_avail,
-                         left_avail):
+                         left_avail, partition=c.PARTITION_NONE):
         """Write ref frame + mode + mv symbols; the mode is re-derived at
         emit time for the planned MV (the trial ran with a stale mv stack,
         so NEAREST/NEAR may map differently here).  Returns the mode."""
@@ -882,11 +1042,12 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 self.sink.symbol(1, 2, "comp_bwdref_cdf",
                                  MR.ctx_single_ref_p2(counts), 0)
         if is_comp:
-            return self._emit_compound_mode(bplan, mi_row, mi_col, bsize)
+            return self._emit_compound_mode(bplan, mi_row, mi_col, bsize,
+                                            partition)
         for (col, rctx, bit) in _single_ref_tree(ref, counts):
             self.sink.symbol(bit, 2, "single_ref_cdf", rctx, col)
 
-        ctx = self._refmv_context(mi_row, mi_col, bsize)
+        ctx = self._refmv_context(mi_row, mi_col, bsize, partition)
         gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
             ctx, ref, sign_bias=self.sign_bias,
@@ -939,12 +1100,15 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             self._write_mv(mv, ref_mv)
         return mode
 
-    def _emit_compound_mode(self, bplan, mi_row, mi_col, bsize):
+    def _emit_compound_mode(self, bplan, mi_row, mi_col, bsize,
+                            partition=c.PARTITION_NONE):
         """NEAREST_NEARESTMV compound-mode symbol (no drl, no MV bits);
         comp_group/compound_idx symbols are absent with masked compound
         and jnt_comp disabled in the sequence header."""
-        ctx = self._refmv_context(mi_row, mi_col, bsize)
-        gmi = {"mv": ((0, 0), (0, 0)), "types": self._gm_types}
+        ctx = self._refmv_context(mi_row, mi_col, bsize, partition)
+        gm0 = self._gm_mv(c.LAST_FRAME, bsize, mi_row, mi_col)
+        gm1 = self._gm_mv(c.ALTREF_FRAME, bsize, mi_row, mi_col)
+        gmi = {"mv": (gm0, gm1), "types": self._gm_types}
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
             ctx, (c.LAST_FRAME, c.ALTREF_FRAME),
             sign_bias=self.sign_bias, gm=gmi)

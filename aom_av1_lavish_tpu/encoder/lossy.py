@@ -702,11 +702,13 @@ class LossyAllIntraEncoder(LosslessEncoder):
             sub_v = blockd.partition_subsize(bsize, c.PARTITION_VERT)
             if (bsize > c.BLOCK_8X8 and not has_rows and fits_cols
                     and self._subsize_valid(sub_h)):
-                cost, bplan = self._trial_block(mi_row, mi_col, sub_h)
+                cost, bplan = self._trial_block(mi_row, mi_col, sub_h,
+                                                partition=c.PARTITION_HORZ)
                 return cost, ("HORZ", mi_row, mi_col, bsize, [bplan])
             if (bsize > c.BLOCK_8X8 and not has_cols and fits_rows
                     and self._subsize_valid(sub_v)):
-                cost, bplan = self._trial_block(mi_row, mi_col, sub_v)
+                cost, bplan = self._trial_block(mi_row, mi_col, sub_v,
+                                                partition=c.PARTITION_VERT)
                 return cost, ("VERT", mi_row, mi_col, bsize, [bplan])
             # split
             sub = blockd.partition_subsize(bsize, c.PARTITION_SPLIT)
@@ -740,7 +742,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
             cost = self._lam(mi_row, mi_col) * 4
             plans = []
             for (r, cc) in offs:
-                k_cost, k_bplan = self._trial_block(r, cc, sub)
+                k_cost, k_bplan = self._trial_block(r, cc, sub,
+                                                    partition=part)
                 cost += k_cost
                 plans.append(k_bplan)
             return cost, (ext, mi_row, mi_col, bsize, plans)
@@ -795,7 +798,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 cost = self._lam(mi_row, mi_col) * 4
                 plans = []
                 for (r, cc) in offs:
-                    k_cost, k_bplan = self._trial_block(r, cc, sub)
+                    k_cost, k_bplan = self._trial_block(r, cc, sub,
+                                                        partition=part)
                     cost += k_cost
                     plans.append(k_bplan)
                 if cost < best[0]:
@@ -831,6 +835,12 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 ("VERT_4", [(mi_row, mi_col + i * qbs, sub_v4)
                             for i in range(4)]),
             ]
+            abmap = {"HORZ_A": c.PARTITION_HORZ_A,
+                     "HORZ_B": c.PARTITION_HORZ_B,
+                     "VERT_A": c.PARTITION_VERT_A,
+                     "VERT_B": c.PARTITION_VERT_B,
+                     "HORZ_4": c.PARTITION_HORZ_4,
+                     "VERT_4": c.PARTITION_VERT_4}
             for kind, kids_geo in shapes:
                 if any(k[2] < 0 or not self._subsize_valid(k[2])
                        for k in kids_geo):
@@ -838,7 +848,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 cost = self._lam(mi_row, mi_col) * 6
                 plans = []
                 for (r, cc, sub) in kids_geo:
-                    k_cost, k_bplan = self._trial_block(r, cc, sub)
+                    k_cost, k_bplan = self._trial_block(
+                        r, cc, sub, partition=abmap[kind])
                     cost += k_cost
                     plans.append(k_bplan)
                 if cost < best[0]:
@@ -943,9 +954,13 @@ class LossyAllIntraEncoder(LosslessEncoder):
         bits += float(np.sum(1.7 + 2.0 * np.log2(nz + 1.0)))
         return bits
 
-    def _trial_block(self, mi_row, mi_col, bsize):
+    def _trial_block(self, mi_row, mi_col, bsize,
+                     partition=c.PARTITION_NONE):
         """Mode-search + encode one block; writes recon; returns
-        (rd_cost, block_plan)."""
+        (rd_cost, block_plan).  partition: the partition context the
+        block will be coded under (decoder passes bi.partition into
+        RefMvContext; inter trials must match it for has_top_right
+        parity, mvref_common.c:259)."""
         up_avail = mi_row > 0
         left_avail = mi_col > 0
         # --- luma mode search ---

@@ -63,29 +63,46 @@ def bench_aomenc(frames, tmpdir):
     return len(frames) / dt
 
 
-def _ensure_backend(probe_timeout: int = 120) -> None:
-    """Fall back to the CPU backend when the TPU tunnel is unavailable
-    (jax.devices() can hang indefinitely on a dead tunnel, which would
-    turn a bench run into a timeout)."""
+def _ensure_backend(probe_timeout: int = 300) -> str:
+    """Pin the JAX backend and RETURN its name for the bench record.
+
+    jax.devices() can hang indefinitely on a dead TPU tunnel, so probe in
+    a subprocess first.  Every bench JSON now carries the backend that
+    actually ran, and a CPU fallback is reported loudly on stderr."""
     if os.environ.get("JAX_PLATFORMS") == "cpu":
-        return
-    code = "import jax; jax.devices()"
+        # the axon TPU plugin ignores the env var: pin via config too
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        return "cpu (forced by JAX_PLATFORMS)"
+    code = "import jax; print(jax.default_backend())"
     try:
-        subprocess.run([sys.executable, "-c", code], check=True,
-                       timeout=probe_timeout, capture_output=True)
-    except Exception:
+        r = subprocess.run([sys.executable, "-c", code], check=True,
+                           timeout=probe_timeout, capture_output=True)
+        backend = r.stdout.decode().strip().splitlines()[-1]
+        if backend != "cpu":
+            return backend
+        raise RuntimeError("probe resolved to cpu")
+    except Exception as e:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
-        print("warning: TPU backend unavailable, benching on CPU",
+        print("=" * 64, file=sys.stderr)
+        print("WARNING: TPU backend unavailable (%s)" % type(e).__name__,
               file=sys.stderr)
+        print("         falling back to CPU — this is NOT a TPU number",
+              file=sys.stderr)
+        print("=" * 64, file=sys.stderr)
+        return "cpu (TPU tunnel unavailable)"
 
 
 def main():
-    _ensure_backend()
+    backend = _ensure_backend()
     frames = make_frames()
     with tempfile.TemporaryDirectory() as tmpdir:
         ours = bench_ours(frames, tmpdir)
@@ -99,6 +116,7 @@ def main():
         "value": round(ours, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 4),
+        "backend": backend,
     }))
 
 

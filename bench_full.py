@@ -66,8 +66,8 @@ def aomenc_fps(frames, tmpdir, args, w=W, h=H):
 def main():
     import tempfile
     from bench import _ensure_backend
-    _ensure_backend()
-    results = []
+    backend = _ensure_backend()
+    results = [dict(metric="backend", value=backend)]
     frames = make_frames()
     with tempfile.TemporaryDirectory() as td:
         # 1. lossless all-intra
@@ -117,6 +117,28 @@ def main():
         results.append(dict(metric="lossy_allintra_tpu_352x288",
                             value=round(v, 3), unit="frames/s",
                             vs_baseline=round(v / ref, 3) if ref else None))
+
+        # 2b. lossy all-intra, device RDO (the quality path, trials on
+        # device) — fps plus the equal-quality axis (PSNR at this rate)
+        from aom_av1_lavish_tpu.encoder.tpu_rdo import encode_tpu_rdo_ivf
+        out2b = os.path.join(td, "rdo.ivf")
+        dt = timed(encode_tpu_rdo_ivf, out2b, frames, W, H, 80)
+        ref = aomenc_fps(frames, td, ["--cpu-used=6", "--end-usage=q",
+                                      "--cq-level=20", "--kf-max-dist=1",
+                                      "--kf-min-dist=1"])
+        v = N / dt
+        results.append(dict(metric="lossy_allintra_rdo_352x288",
+                            value=round(v, 3), unit="frames/s",
+                            vs_baseline=round(v / ref, 3) if ref else None))
+        # BD-rate pairing (tools/bdrate.py writes BDRATE.json)
+        bd_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BDRATE.json")
+        if os.path.exists(bd_path):
+            with open(bd_path) as f:
+                bd = json.load(f).get("aggregate", {})
+            for k, val in bd.items():
+                results.append(dict(metric=k, value=val, unit="percent",
+                                    vs_baseline=None))
 
         # 3. inter GOP (TPU batched search, LAST+ALTREF)
         from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf

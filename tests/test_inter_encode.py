@@ -198,3 +198,59 @@ def test_compound_prediction_conformance(tmp_path):
     for a, b in zip(ours, refs):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_skip_mode_and_cdf_carry_conformance(tmp_path):
+    """Non-ER GF-group streams: order hints + primary_ref CDF carry +
+    frame-level skip mode (av1_setup_skip_mode_allowed).  On static
+    content skip-mode blocks (derived compound NEAREST_NEARESTMV, zero
+    residual) must be chosen, the encoder recon must equal the decoder
+    output, and the stream must decode in stock aomdec."""
+    import subprocess
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+    from aom_av1_lavish_tpu.decoder.decoder import decode_frame_obus
+    from aom_av1_lavish_tpu.decoder.inspect import inspect_ivf
+    from aom_av1_lavish_tpu.encoder.gop import GopEncoder
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+
+    rng = np.random.default_rng(11)
+    W, H, N = 176, 144, 6
+    y = (rng.integers(0, 200, (H // 8, W // 8)).astype(np.uint8)
+         .repeat(8, 0).repeat(8, 1))
+    frame = (y, np.full((H // 2, W // 2), 118, np.uint8),
+             np.full((H // 2, W // 2), 135, np.uint8))
+    frames = [frame] * N
+    enc = GopEncoder(W, H, qindex=100, gf_length=N, enable_cdef=False)
+    payloads = enc.encode_sequence(frames)
+    # coding-path sync with backward CDF adaptation
+    sh = None
+    state = {"slots": [None] * 8}
+    for p in payloads:
+        _, sh = decode_frame_obus(p, sh, state)
+    for slot in range(8):
+        if enc.slots[slot] is None or state["slots"][slot] is None:
+            continue
+        for pe, pd in zip(enc.slots[slot], state["slots"][slot]["planes"]):
+            np.testing.assert_array_equal(pe, pd)
+    ivf = str(tmp_path / "sm.ivf")
+    write_ivf(ivf, [(p, i) for i, p in enumerate(payloads)], W, H, 30, 1)
+    # skip-mode blocks must actually be used on the static P frames
+    infos = inspect_ivf(ivf)
+    n_skip_mode = sum(int(i.skip_mode_grid.sum()) for i in infos)
+    assert n_skip_mode > 0, "no skip-mode block chosen on static content"
+    if not HAVE_ORACLE:
+        return
+    out = str(tmp_path / "sm.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    golden = read_y4m(out)[0]
+    sh = None
+    state = {"slots": [None] * 8}
+    ours = []
+    for p in payloads:
+        fr, sh = decode_frame_obus(p, sh, state)
+        ours.extend(fr)
+    assert len(ours) == len(golden) == N
+    for a, b in zip(ours, golden):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

@@ -319,8 +319,8 @@ def test_filter_intra_conformance(tmp_path):
     n_fi = [0]
     orig = enc._trial_block
 
-    def spy(*a):
-        cost, plan = orig(*a)
+    def spy(*a, **kw):
+        cost, plan = orig(*a, **kw)
         if plan.get("fim", -1) >= 0:
             n_fi[0] += 1
         return cost, plan

@@ -835,3 +835,136 @@ def skip_mode_ctx(g: MiGrids, mi_row: int, mi_col: int, up: bool, left: bool,
     a = int(skip_mode_grid[mi_row - 1 + m, mi_col + m]) if up else 0
     l = int(skip_mode_grid[mi_row + m, mi_col - 1 + m]) if left else 0
     return a + l
+
+
+# ---------------------------------------------------------------------------
+# temporal motion-field projection (shared encoder/decoder, vectorized)
+# ---------------------------------------------------------------------------
+
+def _motion_field_projection_np(tpl_mfmv, tpl_valid, tpl_offset, buf,
+                                cur_hint, rel, mi_rows, mi_cols,
+                                direction) -> int:
+    """motion_field_projection (mvref_common.c:911), numpy formulation.
+
+    Scatters the stored per-8x8 MVs of `buf` into the current frame's
+    temporal MV field.  Duplicate targets resolve to the last source in
+    row-major order (C fancy-assignment), matching the reference's scan
+    order.  Both the encoder and the decoder call this, so trial-time
+    and decode-time fields agree by construction."""
+    import numpy as _np
+    from ..bitstream import constants as c
+    if buf is None or buf.get("mvs") is None:
+        return 0
+    if buf.get("frame_type", c.INTER_FRAME) in (c.KEY_FRAME,
+                                                c.INTRA_ONLY_FRAME):
+        return 0
+    if buf.get("mi_dims") != (mi_rows, mi_cols):
+        return 0
+    start_hint = buf["order_hint"]
+    ref_hints_of_start = buf.get("ref_order_hints", (0,) * 7)
+    s2c = rel(start_hint, cur_hint)
+    if direction == 2:
+        s2c = -s2c
+    if abs(s2c) > MAX_FRAME_DISTANCE:
+        return 1
+    ref_offset = _np.zeros(8, _np.int32)
+    for rf in range(1, 8):
+        ref_offset[rf] = rel(start_hint, ref_hints_of_start[rf - 1])
+    mv_ref, mv_mv = buf["mvs"]
+    h2, w2 = mv_ref.shape
+    rf = mv_ref.astype(_np.int32)
+    roff = ref_offset[_np.clip(rf, 0, 7)]
+    ok = (rf > c.INTRA_FRAME) & (roff > 0) & (roff <= 31)
+    if not ok.any():
+        return 1
+    # get_mv_projection, vectorized (num=s2c, den=roff)
+    num = max(-MAX_FRAME_DISTANCE, min(MAX_FRAME_DISTANCE, s2c))
+    mult = _np.asarray(_DIV_MULT, _np.int64)[_np.clip(roff, 0, 31)]
+    mv64 = mv_mv.astype(_np.int64)
+    pr = mv64[..., 0] * num * mult
+    pc = mv64[..., 1] * num * mult
+
+    def r2s(x):
+        neg = x < 0
+        mag = _np.where(neg, -x, x)
+        out = (mag + (1 << 13)) >> 14
+        return _np.where(neg, -out, out).astype(_np.int32)
+
+    pr = _np.clip(r2s(pr), -(1 << 14) + 1, (1 << 14) - 1)
+    pc = _np.clip(r2s(pc), -(1 << 14) + 1, (1 << 14) - 1)
+    # get_block_position (mvref_common.c:873)
+
+    def shr6(x):
+        neg = x < 0
+        mag = _np.where(neg, -x, x) >> 6
+        return _np.where(neg, -mag, mag)
+
+    br = _np.arange(h2, dtype=_np.int32)[:, None].repeat(w2, 1)
+    bc = _np.arange(w2, dtype=_np.int32)[None, :].repeat(h2, 0)
+    sb = direction >> 1
+    ro, co = shr6(pr), shr6(pc)
+    row = br - ro if sb == 1 else br + ro
+    col = bc - co if sb == 1 else bc + co
+    ok &= (row >= 0) & (row < (mi_rows >> 1)) \
+        & (col >= 0) & (col < (mi_cols >> 1))
+    base_r = (br >> 3) << 3
+    base_c = (bc >> 3) << 3
+    ok &= (base_r <= row) & (row < base_r + 8) \
+        & (base_c - 8 <= col) & (col < base_c + 16)
+    if not ok.any():
+        return 1
+    fr = row[ok]
+    fcc = col[ok]
+    tpl_mfmv[fr, fcc, 0] = mv_mv[..., 0][ok]
+    tpl_mfmv[fr, fcc, 1] = mv_mv[..., 1][ok]
+    tpl_offset[fr, fcc] = roff[ok]
+    tpl_valid[fr, fcc] = True
+    return 1
+
+
+def setup_motion_field(sh, fh, mi_rows, mi_cols, ref_slot_bufs, ref_hints,
+                       rel):
+    """av1_setup_motion_field (mvref_common.c:1006): returns the tmvp
+    dict find_mv_refs consumes, or the empty field when no ref
+    projects.  ref_slot_bufs/ref_hints are enum-indexed (LAST..ALTREF at
+    1..7) like decoder.FrameDecoder's."""
+    import numpy as _np
+    from ..bitstream import constants as c
+    h2 = (mi_rows + 1) >> 1
+    w2 = (mi_cols + 1) >> 1
+    tpl_mfmv = _np.zeros((h2, w2, 2), _np.int16)
+    tpl_valid = _np.zeros((h2, w2), bool)
+    tpl_offset = _np.zeros((h2, w2), _np.int32)
+    tmvp = {
+        "mfmv": tpl_mfmv, "valid": tpl_valid, "offset": tpl_offset,
+        "cur_hint": fh.order_hint, "hints": ref_hints, "rel": rel,
+        "allow_hp": fh.allow_high_precision_mv,
+        "force_int": fh.force_integer_mv,
+    }
+
+    def proj(ref, direction):
+        return _motion_field_projection_np(
+            tpl_mfmv, tpl_valid, tpl_offset, ref_slot_bufs[ref],
+            fh.order_hint, rel, mi_rows, mi_cols, direction)
+
+    cur = fh.order_hint
+    ref_stamp = 2  # MFMV_STACK_SIZE - 1
+    lst = ref_slot_bufs[c.LAST_FRAME]
+    if lst is not None:
+        alt_of_lst = lst.get("ref_order_hints", (0,) * 7)[
+            c.ALTREF_FRAME - c.LAST_FRAME]
+        if alt_of_lst != ref_hints[c.GOLDEN_FRAME]:
+            proj(c.LAST_FRAME, 2)
+        ref_stamp -= 1
+    if rel(ref_hints[c.BWDREF_FRAME], cur) > 0:
+        if proj(c.BWDREF_FRAME, 0):
+            ref_stamp -= 1
+    if rel(ref_hints[c.ALTREF2_FRAME], cur) > 0:
+        if proj(c.ALTREF2_FRAME, 0):
+            ref_stamp -= 1
+    if rel(ref_hints[c.ALTREF_FRAME], cur) > 0 and ref_stamp >= 0:
+        if proj(c.ALTREF_FRAME, 0):
+            ref_stamp -= 1
+    if ref_stamp >= 0:
+        proj(c.LAST2_FRAME, 2)
+    return tmvp

@@ -290,95 +290,16 @@ class FrameDecoder(InterDecoderMixin):
         return v
 
     def _setup_motion_field(self):
-        """av1_setup_motion_field (mvref_common.c:1006)."""
-        h2 = (self.mi_rows + 1) >> 1
-        w2 = (self.mi_cols + 1) >> 1
-        self.tpl_mfmv = np.zeros((h2, w2, 2), np.int16)
-        self.tpl_valid = np.zeros((h2, w2), bool)
-        self.tpl_offset = np.zeros((h2, w2), np.int32)
-        self.tmvp = {
-            "mfmv": self.tpl_mfmv, "valid": self.tpl_valid,
-            "offset": self.tpl_offset, "cur_hint": self.fh.order_hint,
-            "hints": self.ref_hints,
-            "rel": lambda a, b: H.get_relative_dist(self.sh, a, b),
-            "allow_hp": self.fh.allow_high_precision_mv,
-            "force_int": self.fh.force_integer_mv,
-        }
-        rel = self.tmvp["rel"]
-        cur = self.fh.order_hint
-        ref_stamp = 2  # MFMV_STACK_SIZE - 1
-        lst = self.ref_slot_bufs[c.LAST_FRAME]
-        if lst is not None:
-            alt_of_lst = lst.get("ref_order_hints", (0,) * 7)[
-                c.ALTREF_FRAME - c.LAST_FRAME]
-            if alt_of_lst != self.ref_hints[c.GOLDEN_FRAME]:
-                self._motion_field_projection(c.LAST_FRAME, 2)
-            ref_stamp -= 1
-        if rel(self.ref_hints[c.BWDREF_FRAME], cur) > 0:
-            if self._motion_field_projection(c.BWDREF_FRAME, 0):
-                ref_stamp -= 1
-        if rel(self.ref_hints[c.ALTREF2_FRAME], cur) > 0:
-            if self._motion_field_projection(c.ALTREF2_FRAME, 0):
-                ref_stamp -= 1
-        if rel(self.ref_hints[c.ALTREF_FRAME], cur) > 0 and ref_stamp >= 0:
-            if self._motion_field_projection(c.ALTREF_FRAME, 0):
-                ref_stamp -= 1
-        if ref_stamp >= 0:
-            self._motion_field_projection(c.LAST2_FRAME, 2)
-
-    def _motion_field_projection(self, start, direction):
-        """motion_field_projection (mvref_common.c:911)."""
-        buf = self.ref_slot_bufs[start]
-        if buf is None or buf.get("mvs") is None:
-            return 0
-        if buf.get("frame_type", c.INTER_FRAME) in (c.KEY_FRAME,
-                                                    c.INTRA_ONLY_FRAME):
-            return 0
-        if buf.get("mi_dims") != (self.mi_rows, self.mi_cols):
-            return 0
-        rel = self.tmvp["rel"]
-        start_hint = buf["order_hint"]
-        ref_hints_of_start = buf.get("ref_order_hints", (0,) * 7)
-        cur = self.fh.order_hint
-        s2c = rel(start_hint, cur)
-        if direction == 2:
-            s2c = -s2c
-        ref_offset = [0] * 8
-        for rf in range(1, 8):
-            ref_offset[rf] = rel(start_hint, ref_hints_of_start[rf - 1])
-        mv_ref, mv_mv = buf["mvs"]
-        h2, w2 = mv_ref.shape
-        sb = direction >> 1
-        for br in range(h2):
-            for bc in range(w2):
-                rf = int(mv_ref[br, bc])
-                if rf <= c.INTRA_FRAME:
-                    continue
-                roff = ref_offset[rf]
-                if not (0 < roff <= 31 and abs(s2c) <= 31):
-                    continue
-                from ..common import mvref as MRR
-                pr, pc = MRR.mv_projection(
-                    (int(mv_mv[br, bc, 0]), int(mv_mv[br, bc, 1])),
-                    s2c, roff)
-                # get_block_position (mvref_common.c:873)
-                ro = (pr >> 6) if pr >= 0 else -((-pr) >> 6)
-                co = (pc >> 6) if pc >= 0 else -((-pc) >> 6)
-                row = br - ro if sb == 1 else br + ro
-                col = bc - co if sb == 1 else bc + co
-                if not (0 <= row < (self.mi_rows >> 1)
-                        and 0 <= col < (self.mi_cols >> 1)):
-                    continue
-                base_r = (br >> 3) << 3
-                base_c = (bc >> 3) << 3
-                if not (base_r <= row < base_r + 8
-                        and base_c - 8 <= col < base_c + 8 + 8):
-                    continue
-                self.tpl_mfmv[row, col, 0] = mv_mv[br, bc, 0]
-                self.tpl_mfmv[row, col, 1] = mv_mv[br, bc, 1]
-                self.tpl_offset[row, col] = roff
-                self.tpl_valid[row, col] = True
-        return 1
+        """av1_setup_motion_field (mvref_common.c:1006) — delegates to
+        the shared encoder/decoder projection (common/mvref.py)."""
+        from ..common import mvref as MRR
+        self.tmvp = MRR.setup_motion_field(
+            self.sh, self.fh, self.mi_rows, self.mi_cols,
+            self.ref_slot_bufs, self.ref_hints,
+            lambda a, b: H.get_relative_dist(self.sh, a, b))
+        self.tpl_mfmv = self.tmvp["mfmv"]
+        self.tpl_valid = self.tmvp["valid"]
+        self.tpl_offset = self.tmvp["offset"]
 
     def _copy_frame_mvs(self, bi, mi_row, mi_col, x_mis, y_mis):
         """av1_copy_frame_mvs (mvref_common.c:40)."""

@@ -72,6 +72,9 @@ class GopEncoder:
         self.slot_fc = [None] * 8
         self.slot_hint = [0] * 8
         self.slot_gm = [None] * 8
+        # temporal-MVP source state per slot (decoder stored-buf mirror:
+        # order_hint / ref_order_hints / frame_type / mi_dims / mvs)
+        self.slot_buf = [None] * 8
         self.last_slot = 0
         self.arf_slot = 1
         self.twopass_stats = twopass_stats
@@ -145,7 +148,8 @@ class GopEncoder:
                                     block_size=self.block_size,
                                     ref_list=ref_list, tune=self.tune,
                                     luma_bias=self.luma_bias,
-                                    comp_search=self.comp_pred)
+                                    comp_search=self.comp_pred,
+                                    ref_bufs=self.slot_buf)
         if fh.primary_ref_frame != H.PRIMARY_REF_NONE:
             enc.fc0 = self.slot_fc[self.last_slot]
         if rdmult_map is not None:
@@ -169,12 +173,31 @@ class GopEncoder:
         else:
             fc_store = enc.fc.copy()
             fc_store.reset_counters()
+        if fh.is_intra:
+            ref_hints_of = (0,) * 7
+        else:
+            ref_hints_of = tuple(self.slot_hint[fh.ref_frame_idx[i]]
+                                 for i in range(7))
+        h2 = (enc.mi_rows + 1) >> 1
+        w2 = (enc.mi_cols + 1) >> 1
+        mvs = (enc.frame_mvs_ref.copy(), enc.frame_mvs.copy()) \
+            if hasattr(enc, "frame_mvs_ref") \
+            else (np.full((h2, w2), -1, np.int8),
+                  np.zeros((h2, w2, 2), np.int16))
+        buf = {
+            "order_hint": fh.order_hint,
+            "ref_order_hints": ref_hints_of,
+            "frame_type": fh.frame_type,
+            "mi_dims": (enc.mi_rows, enc.mi_cols),
+            "mvs": mvs,
+        }
         for slot in range(8):
             if refresh_flags & (1 << slot):
                 self.slots[slot] = out
                 self.slot_fc[slot] = fc_store
                 self.slot_hint[slot] = fh.order_hint
                 self.slot_gm[slot] = fh.gm_params
+                self.slot_buf[slot] = buf
 
     # --- sequence driver ------------------------------------------------
 
@@ -208,12 +231,24 @@ class GopEncoder:
             return None
         return float(self._targets[display_idx])
 
+    def _slot_state(self):
+        return (list(self.slots), list(self.slot_fc),
+                list(self.slot_hint), list(self.slot_gm),
+                list(self.slot_buf), self.last_slot, self.arf_slot)
+
+    def _restore_slot_state(self, st):
+        (self.slots, self.slot_fc, self.slot_hint, self.slot_gm,
+         self.slot_buf, self.last_slot, self.arf_slot) = \
+            (list(st[0]), list(st[1]), list(st[2]), list(st[3]),
+             list(st[4]), st[5], st[6])
+
     def _recode(self, kind: str, display_idx: int, q: int, encode_fn):
         """encode_with_recode_loop (encoder.c:2779): re-encode while the
         frame size misses its target beyond the tolerance, walking q
-        with the observed bits/qstep ratio.  Ref-slot writes are
-        idempotent (each attempt overwrites the same slot), so only the
-        final attempt's recon survives."""
+        with the observed bits/qstep ratio.  Every attempt starts from
+        the same ref-slot state (an attempt's own refresh must not leak
+        into the next attempt's ref hints / CDF carry / TMVP bufs — the
+        decoder only ever sees the final attempt)."""
         rc = self.rc
         target = self._target(display_idx)
         # ALLOW_RECODE_KFARFGF (speed_features.h): only key/ARF frames
@@ -226,6 +261,7 @@ class GopEncoder:
             target = rc.frame_target(kind)
         q_low, q_high = rc.cfg.best_q, rc.cfg.worst_q
         over = under = False
+        st0 = self._slot_state()
         p = encode_fn(q)
         best = (abs(len(p) * 8 - target), p, q)
         for _ in range(rc.cfg.max_recodes):
@@ -249,12 +285,14 @@ class GopEncoder:
             if nq == q:
                 break
             q = nq
+            self._restore_slot_state(st0)
             p = encode_fn(q)
             if abs(len(p) * 8 - target) < best[0]:
                 best = (abs(len(p) * 8 - target), p, q)
         if best[1] is not p:
             # the ref slot holds the LAST attempt's recon; re-encode at
             # the winning q so payload and reference state agree
+            self._restore_slot_state(st0)
             best = (best[0], encode_fn(best[2]), best[2])
         return best[1], best[2]
 

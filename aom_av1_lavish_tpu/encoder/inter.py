@@ -46,7 +46,8 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             order_hint: int = 0,
                             primary_ref: int = H.PRIMARY_REF_NONE,
                             ref_order_hints=(0,) * 8,
-                            prev_gm_params=None) -> H.FrameHeader:
+                            prev_gm_params=None,
+                            allow_hp=None) -> H.FrameHeader:
     """Non-error-resilient when the sequence carries order hints and a
     primary_ref is given: per-frame CDF carry + backward adaptation
     (av1_common_int.h:414,985 primary_ref_frame / frame contexts)."""
@@ -60,6 +61,10 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                      gm_params=tuple(gm_params))
     non_er = (sh.enable_order_hint
               and primary_ref != H.PRIMARY_REF_NONE)
+    if allow_hp is None:
+        # av1_pick_and_set_high_precision_mv (mv_prec.c): 1/8-pel pays
+        # off at low q where residual bits dominate MV bits
+        allow_hp = qindex < 128
     fh = H.FrameHeader(
         frame_type=c.INTER_FRAME, show_frame=show_frame,
         showable_frame=showable_frame,
@@ -78,7 +83,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         reduced_tx_set=0,
         refresh_frame_flags=refresh_frame_flags,
         ref_frame_idx=tuple(ref_frame_idx),
-        allow_high_precision_mv=0, is_filter_switchable=0,
+        allow_high_precision_mv=int(allow_hp),
+        allow_ref_frame_mvs=int(non_er and sh.enable_ref_frame_mvs),
+        is_filter_switchable=0,
         interpolation_filter=interp_filter,
         is_motion_mode_switchable=0,
         reference_mode=(c.REFERENCE_MODE_SELECT if comp
@@ -136,7 +143,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                  block_size=c.BLOCK_16X16, mode_set=(c.DC_PRED,),
                  enable_cfl=False, search_range=16,
                  ref_list=(c.LAST_FRAME,), tune="psnr", luma_bias=0.0,
-                 trellis=True, comp_search=None):
+                 trellis=True, comp_search=None, ref_bufs=None):
         super().__init__(sh, fh, use_native=use_native,
                          block_size=block_size, mode_set=mode_set,
                          enable_cfl=enable_cfl, tune=tune,
@@ -171,16 +178,38 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     invalid = 1
             self.gm.append((wmtype, list(mat), invalid, shear))
         self._gm_types = [e[0] for e in self.gm]
-        # ref sign bias from order hints (decoder __init__ mirror,
-        # av1_common_int.h ref_frame_sign_bias); all-zero when the
-        # sequence has no order hints
+        # ref sign bias / side from order hints (decoder __init__
+        # mirror, av1_common_int.h ref_frame_sign_bias); all-zero when
+        # the sequence has no order hints
         self.sign_bias = [0] * 8
+        self.ref_side = [0] * 8
+        self.ref_hints = [0] * 8
         if sh.enable_order_hint:
             for i in range(7):
                 slot = fh.ref_frame_idx[i]
-                d = H.get_relative_dist(sh, fh.ref_order_hints[slot],
-                                        fh.order_hint)
+                hint = fh.ref_order_hints[slot]
+                self.ref_hints[c.LAST_FRAME + i] = hint
+                d = H.get_relative_dist(sh, hint, fh.order_hint)
                 self.sign_bias[c.LAST_FRAME + i] = int(d > 0)
+                if d > 0:
+                    self.ref_side[c.LAST_FRAME + i] = 1
+                elif hint == fh.order_hint:
+                    self.ref_side[c.LAST_FRAME + i] = -1
+        # temporal MV field (av1_setup_motion_field) + per-8x8 storage
+        # for future frames (av1_copy_frame_mvs), decoder mirrors
+        h2, w2 = (self.mi_rows + 1) >> 1, (self.mi_cols + 1) >> 1
+        self.frame_mvs_ref = np.full((h2, w2), -1, np.int8)
+        self.frame_mvs = np.zeros((h2, w2, 2), np.int16)
+        self.tmvp = None
+        if fh.allow_ref_frame_mvs and ref_bufs is not None:
+            slot_bufs = [None] * 8
+            for i in range(7):
+                slot_bufs[c.LAST_FRAME + i] = \
+                    ref_bufs[fh.ref_frame_idx[i]]
+            self.tmvp = MR.setup_motion_field(
+                sh, fh, self.mi_rows, self.mi_cols, slot_bufs,
+                self.ref_hints,
+                lambda a, b: H.get_relative_dist(sh, a, b))
 
     # --- global motion ------------------------------------------------------
 
@@ -296,18 +325,29 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         mb_to_right = (self.mi_cols * 4 - blockd.block_wide(bsize) - x0)
         mb_to_top = -y0
         mb_to_bottom = (self.mi_rows * 4 - blockd.block_high(bsize) - y0)
+        def try_mv(mv):
+            nonlocal best_cost, best_mv
+            pred = IP.predict_inter_block(
+                ref, x0, y0, blockd.block_wide(bsize),
+                blockd.block_high(bsize), mv[0], mv[1], 0, 0,
+                mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
+                self.interp_filter, self.interp_filter, self.bd)
+            v = int(np.abs(pred[:h, :w].astype(np.int32) - src).sum())
+            if best_cost is None or v < best_cost:
+                best_cost = v
+                best_mv = mv
+
         for dy in (-4, -2, 0, 2, 4):
             for dx in (-4, -2, 0, 2, 4):
-                mv = (by * 8 + dy, bx * 8 + dx)
-                pred = IP.predict_inter_block(
-                    ref, x0, y0, blockd.block_wide(bsize),
-                    blockd.block_high(bsize), mv[0], mv[1], 0, 0,
-                    mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                    self.interp_filter, self.interp_filter, self.bd)
-                v = int(np.abs(pred[:h, :w].astype(np.int32) - src).sum())
-                if best_cost is None or v < best_cost:
-                    best_cost = v
-                    best_mv = mv
+                try_mv((by * 8 + dy, bx * 8 + dx))
+        if self.fh.allow_high_precision_mv:
+            # 1/8-pel refinement ring around the 1/4-pel winner
+            # (mcomp.c subpel FULL_PEL->QTR->EIGHTH ladder tail)
+            qy, qx = best_mv
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy or dx:
+                        try_mv((qy + dy, qx + dx))
         return best_mv
 
     # --- block trial ------------------------------------------------------
@@ -379,7 +419,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             mi_col, mi_row, fh.force_integer_mv)
         gmi = {"mv": (gm_mv0, gm_mv1), "types": self._gm_types}
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, (r0, r1), sign_bias=self.sign_bias, gm=gmi)
+            ctx, (r0, r1), sign_bias=self.sign_bias, tmvp=self.tmvp,
+            gm=gmi)
         if count:
             mv0 = MR.lower_mv_precision(stack[0][0],
                                         fh.allow_high_precision_mv,
@@ -407,10 +448,12 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         for ref in self.ref_list:
             gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
             stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-                ctx, ref, sign_bias=self.sign_bias,
+                ctx, ref, sign_bias=self.sign_bias, tmvp=self.tmvp,
                 gm=self._gm_info(gm_mv))
-            nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
-            near = MR.lower_mv_precision(mv_list[1], 0, 0)
+            allow_hp = self.fh.allow_high_precision_mv
+            force_int = self.fh.force_integer_mv
+            nearest = MR.lower_mv_precision(mv_list[0], allow_hp, force_int)
+            near = MR.lower_mv_precision(mv_list[1], allow_hp, force_int)
 
             searched = self._motion_search(mi_row, mi_col, bsize, nearest,
                                            ref)
@@ -456,10 +499,15 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             cgm1 = self._gm_mv(c.ALTREF_FRAME, bsize, mi_row, mi_col)
             gmi = {"mv": (cgm0, cgm1), "types": self._gm_types}
             stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-                ctx, rf_key, sign_bias=self.sign_bias, gm=gmi)
+                ctx, rf_key, sign_bias=self.sign_bias, tmvp=self.tmvp,
+                gm=gmi)
             if count:
-                mv0 = MR.lower_mv_precision(stack[0][0], 0, 0)
-                mv1 = MR.lower_mv_precision(stack[0][1], 0, 0)
+                mv0 = MR.lower_mv_precision(stack[0][0],
+                                            self.fh.allow_high_precision_mv,
+                                            self.fh.force_integer_mv)
+                mv1 = MR.lower_mv_precision(stack[0][1],
+                                            self.fh.allow_high_precision_mv,
+                                            self.fh.force_integer_mv)
             else:
                 mv0 = mv1 = (0, 0)
             dist, bits, txbs = self._code_inter_planes(
@@ -813,6 +861,9 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self.skip_mode_grid[mi_row + m:rmax + m,
                             mi_col + m:cmax + m] = sk_mode
         self.mi_skip[mi_row:rmax, mi_col:cmax] = int(skip)
+        if self.sh.enable_ref_frame_mvs:
+            self._store_frame_mvs(bplan, mi_row, mi_col, rmax, cmax,
+                                  is_inter)
         self.mi_mode[mi_row:rmax, mi_col:cmax] = \
             emitted_mode if is_inter else bplan["y_mode"]
         self.mi_bsize[mi_row:rmax, mi_col:cmax] = bsize
@@ -866,6 +917,34 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 t.get("vis_w4", txw), t.get("vis_h4", txh),
                 t.get("loc_c4", 0), t.get("loc_r4", 0),
                 t.get("cross_r", False), t.get("cross_b", False))
+
+    def _store_frame_mvs(self, bplan, mi_row, mi_col, rmax, cmax,
+                         is_inter):
+        """av1_copy_frame_mvs mirror (decoder _copy_frame_mvs /
+        intra reset): per-8x8 MV storage consumed by future frames'
+        motion-field projection."""
+        r0, c0 = mi_row >> 1, mi_col >> 1
+        y2 = (rmax - mi_row + 1) >> 1
+        x2 = (cmax - mi_col + 1) >> 1
+        if not is_inter:
+            self.frame_mvs_ref[r0:r0 + y2, c0:c0 + x2] = -1
+            return
+        ref = -1
+        mv = (0, 0)
+        refs = (bplan.get("ref", c.LAST_FRAME), bplan.get("ref1", -1))
+        mvs = (bplan["mv"], bplan.get("mv1") or (0, 0))
+        for idx in range(2):
+            rf = refs[idx]
+            if rf > c.INTRA_FRAME:
+                if self.ref_side[rf]:
+                    continue
+                if abs(mvs[idx][0]) > 4095 or abs(mvs[idx][1]) > 4095:
+                    continue
+                ref = rf
+                mv = mvs[idx]
+        self.frame_mvs_ref[r0:r0 + y2, c0:c0 + x2] = ref
+        self.frame_mvs[r0:r0 + y2, c0:c0 + x2, 0] = mv[0]
+        self.frame_mvs[r0:r0 + y2, c0:c0 + x2, 1] = mv[1]
 
     def _tx_size_ctx_enc(self, mi_row, mi_col, bsize):
         """get_tx_size_context with the inter-neighbour bsize override
@@ -1050,10 +1129,14 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         ctx = self._refmv_context(mi_row, mi_col, bsize, partition)
         gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
-            ctx, ref, sign_bias=self.sign_bias,
+            ctx, ref, sign_bias=self.sign_bias, tmvp=self.tmvp,
             gm=self._gm_info(gm_mv))
-        nearest = MR.lower_mv_precision(mv_list[0], 0, 0)
-        near = MR.lower_mv_precision(mv_list[1], 0, 0)
+        nearest = MR.lower_mv_precision(mv_list[0],
+                                        self.fh.allow_high_precision_mv,
+                                        self.fh.force_integer_mv)
+        near = MR.lower_mv_precision(mv_list[1],
+                                     self.fh.allow_high_precision_mv,
+                                     self.fh.force_integer_mv)
         if bplan.get("gm_warp"):
             # trial predicted with the global warp: only GLOBALMV decodes
             # with warp, so the mode choice is forced
@@ -1111,7 +1194,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         gmi = {"mv": (gm0, gm1), "types": self._gm_types}
         stack, weights, count, mode_ctx, mv_list = MR.find_mv_refs(
             ctx, (c.LAST_FRAME, c.ALTREF_FRAME),
-            sign_bias=self.sign_bias, gm=gmi)
+            sign_bias=self.sign_bias, tmvp=self.tmvp, gm=gmi)
         newmv_ctx = mode_ctx & MR.NEWMV_CTX_MASK
         refmv_ctx = (mode_ctx >> MR.REFMV_OFFSET) & MR.REFMV_CTX_MASK
         comp_ctx = MR.COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][
@@ -1123,15 +1206,17 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         dr = mv[0] - ref_mv[0]
         dc = mv[1] - ref_mv[1]
         joint = (1 if dc else 0) | (2 if dr else 0)
+        usehp = bool(self.fh.allow_high_precision_mv) \
+            and not self.fh.force_integer_mv
         self.sink.symbol(joint, 4, "nmv_joints_cdf")
         if dr:
-            self._write_mv_component(dr, 0)
+            self._write_mv_component(dr, 0, usehp)
         if dc:
-            self._write_mv_component(dc, 1)
+            self._write_mv_component(dc, 1, usehp)
 
-    def _write_mv_component(self, d, comp):
-        """Mirror of decodemv.c read_mv_component (low precision: hp
-        symbol still coded? no - usehp=0 means no hp symbol, hp=1)."""
+    def _write_mv_component(self, d, comp, usehp=False):
+        """Mirror of decodemv.c read_mv_component: the hp symbol is
+        coded only when usehp; otherwise hp is implied 1."""
         pre = f"nmv_comp{comp}_"
         sign = 1 if d < 0 else 0
         z = abs(d) - 1
@@ -1140,8 +1225,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self.sink.symbol(cls, 11, pre + "classes_cdf")
         intd = offset >> 3
         fr = (offset >> 1) & 3
-        # hp bit must be 1 when not coded (low precision)
-        assert (offset & 1) == 1, "low-precision MV must have hp bit 1"
+        hp = offset & 1
+        assert usehp or hp == 1, "low-precision MV must have hp bit 1"
         if cls == 0:
             self.sink.symbol(intd, 2, pre + "class0_cdf")
         else:
@@ -1151,7 +1236,10 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             self.sink.symbol(fr, 4, pre + "class0_fp_cdf", intd)
         else:
             self.sink.symbol(fr, 4, pre + "fp_cdf")
-        # usehp = 0: no symbol
+        if usehp:
+            self.sink.symbol(hp, 2,
+                             pre + ("class0_hp_cdf" if cls == 0
+                                    else "hp_cdf"))
 
 
 class LowDelayEncoder:

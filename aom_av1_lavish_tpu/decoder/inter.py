@@ -679,6 +679,11 @@ class InterDecoderMixin:
             return c.WARPED_CAUSAL
         return c.OBMC_CAUSAL
 
+    def _nb_obmc(self, r, cc):
+        """Neighbor info for OBMC scans; the encoder overrides this to
+        read its array mi grid instead of BlockInfo objects."""
+        return self.mi[r, cc]
+
     def _overlappable_above(self, mi_row, mi_col, w4, nb_max):
         """foreach_overlappable_nb_above (obmc.h:20): yields (nb, rel, op)
         for overlappable (inter) above neighbors, pair-adjusted for
@@ -689,11 +694,11 @@ class InterDecoderMixin:
         count = 0
         acol = mi_col
         while acol < end_col and count < nb_max:
-            nb = self.mi[mi_row - 1, acol]
+            nb = self._nb_obmc(mi_row - 1, acol)
             step = min(blockd.mi_size_wide(nb.bsize), 16)
             if step == 1:
                 acol &= ~1
-                nb = self.mi[mi_row - 1, acol + 1]
+                nb = self._nb_obmc(mi_row - 1, acol + 1)
                 step = 2
             if nb.is_inter:
                 count += 1
@@ -707,11 +712,11 @@ class InterDecoderMixin:
         count = 0
         arow = mi_row
         while arow < end_row and count < nb_max:
-            nb = self.mi[arow, mi_col - 1]
+            nb = self._nb_obmc(arow, mi_col - 1)
             step = min(blockd.mi_size_high(nb.bsize), 16)
             if step == 1:
                 arow &= ~1
-                nb = self.mi[arow + 1, mi_col - 1]
+                nb = self._nb_obmc(arow + 1, mi_col - 1)
                 step = 2
             if nb.is_inter:
                 count += 1
@@ -1635,11 +1640,11 @@ class InterDecoderMixin:
             acol = mi_col
             end_col = min(mi_col + w4, self.mi_cols)
             while acol < end_col and count < nb_max:
-                nb = self.mi[mi_row - 1, acol]
+                nb = self._nb_obmc(mi_row - 1, acol)
                 step = min(blockd.mi_size_wide(nb.bsize), 16)
                 if step == 1:
                     acol &= ~1
-                    nb = self.mi[mi_row - 1, acol + 1]
+                    nb = self._nb_obmc(mi_row - 1, acol + 1)
                     step = 2
                 if nb.is_inter:
                     count += 1
@@ -1679,11 +1684,11 @@ class InterDecoderMixin:
             arow = mi_row
             end_row = min(mi_row + h4, self.mi_rows)
             while arow < end_row and count < nb_max:
-                nb = self.mi[arow, mi_col - 1]
+                nb = self._nb_obmc(arow, mi_col - 1)
                 step = min(blockd.mi_size_high(nb.bsize), 16)
                 if step == 1:
                     arow &= ~1
-                    nb = self.mi[arow + 1, mi_col - 1]
+                    nb = self._nb_obmc(arow + 1, mi_col - 1)
                     step = 2
                 if nb.is_inter:
                     count += 1

@@ -47,14 +47,29 @@ class GopEncoder:
                  enable_tf: bool = True, enable_tpl: bool = True,
                  bit_depth: int = 8, q_offsets=None,
                  interp_search: bool = False, comp_pred: bool = False,
-                 order_hint: bool = True):
+                 order_hint: bool = True, motion_modes: bool = True,
+                 cpu_used: int | None = None):
         self.tune = tune
         self.luma_bias = luma_bias
         self.order_hint = order_hint
+        # cpu-used preset overrides the individual knobs
+        # (speed_features.c:2240 analog, encoder/speed.py)
+        self.sf = None
+        if cpu_used is not None:
+            from .speed import speed_features_for
+            self.sf = sf = speed_features_for(cpu_used)
+            motion_modes = sf.motion_modes
+            comp_pred = sf.comp_search
+            interp_search = sf.interp_search
+            enable_tf = sf.enable_tf
+            enable_tpl = sf.enable_tpl
+            block_size = max(block_size, sf.min_block)
+        self.motion_modes = motion_modes
         self.sh = make_sequence_header(width, height,
                                        enable_cdef=int(enable_cdef),
                                        bit_depth=bit_depth,
-                                       order_hint=order_hint)
+                                       order_hint=order_hint,
+                                       warped_motion=motion_modes)
         if rc_cfg is None:
             rc_cfg = RateControlConfig(mode=MODE_Q, fixed_qindex=qindex,
                                        width=width, height=height)
@@ -91,19 +106,29 @@ class GopEncoder:
     def _encode_key(self, planes, qindex: int, order_hint: int = 0) -> bytes:
         # host RD keys get the TX_MODE_SELECT depth search (the TPU
         # wavefront path keeps LARGEST: its batched trial is per-SB)
+        tx_sel = not self.use_tpu and (self.sf is None
+                                       or self.sf.tx_select)
         fh = make_lossy_frame_header(self.sh, qindex,
-                                     tx_select=not self.use_tpu,
+                                     tx_select=tx_sel,
                                      order_hint=order_hint,
                                      backward_update=self.order_hint)
         if self.use_tpu:
             from .tpu_intra import TpuAllIntraEncoder
             enc = TpuAllIntraEncoder(self.sh, fh, use_native=self.use_native)
         else:
+            kw = {}
+            if self.sf is not None:
+                kw = dict(mode_set=self.sf.mode_set,
+                          trellis=self.sf.trellis,
+                          rect_parts=self.sf.rect_parts,
+                          ext_parts=self.sf.ext_parts,
+                          speed=self.sf.ml_partition_prune,
+                          tx_search=self.sf.tx_search)
             enc = LossyAllIntraEncoder(self.sh, fh,
                                        use_native=self.use_native,
                                        block_size=self.block_size,
                                        tune=self.tune,
-                                       luma_bias=self.luma_bias)
+                                       luma_bias=self.luma_bias, **kw)
         payload = enc.encode_frame(planes)
         self._store_recon(enc, 0xFF, fh)
         return payload
@@ -136,20 +161,29 @@ class GopEncoder:
                   and c.ALTREF_FRAME in ref_list),
             order_hint=order_hint, primary_ref=primary,
             ref_order_hints=tuple(self.slot_hint),
-            prev_gm_params=self.slot_gm[self.last_slot])
+            prev_gm_params=self.slot_gm[self.last_slot],
+            motion_modes=self.motion_modes and not self.use_tpu)
         if self.use_tpu:
             from .tpu_inter import TpuInterFrameEncoder
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
                                        use_native=self.use_native,
                                        ref_list=ref_list)
         else:
+            kw = {}
+            if self.sf is not None:
+                kw = dict(trellis=self.sf.trellis,
+                          search_range=self.sf.search_range)
             enc = InterFrameEncoder(self.sh, fh, self.slots,
                                     use_native=self.use_native,
                                     block_size=self.block_size,
                                     ref_list=ref_list, tune=self.tune,
                                     luma_bias=self.luma_bias,
                                     comp_search=self.comp_pred,
-                                    ref_bufs=self.slot_buf)
+                                    ref_bufs=self.slot_buf, **kw)
+            if self.sf is not None:
+                enc.search_method = self.sf.search_method
+                enc.rect_parts = self.sf.rect_parts
+                enc.speed = self.sf.ml_partition_prune
         if fh.primary_ref_frame != H.PRIMARY_REF_NONE:
             enc.fc0 = self.slot_fc[self.last_slot]
         if rdmult_map is not None:

@@ -47,7 +47,8 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             primary_ref: int = H.PRIMARY_REF_NONE,
                             ref_order_hints=(0,) * 8,
                             prev_gm_params=None,
-                            allow_hp=None) -> H.FrameHeader:
+                            allow_hp=None,
+                            motion_modes: bool = False) -> H.FrameHeader:
     """Non-error-resilient when the sequence carries order hints and a
     primary_ref is given: per-frame CDF carry + backward adaptation
     (av1_common_int.h:414,985 primary_ref_frame / frame contexts)."""
@@ -87,7 +88,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         allow_ref_frame_mvs=int(non_er and sh.enable_ref_frame_mvs),
         is_filter_switchable=0,
         interpolation_filter=interp_filter,
-        is_motion_mode_switchable=0,
+        is_motion_mode_switchable=int(motion_modes),
+        allow_warped_motion=int(motion_modes and non_er
+                                and sh.enable_warped_motion),
         reference_mode=(c.REFERENCE_MODE_SELECT if comp
                         else c.SINGLE_REFERENCE),
         delta_q_present=int(aq), delta_q_res_log2=2 if aq else 0,
@@ -210,6 +213,93 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 sh, fh, self.mi_rows, self.mi_cols, slot_bufs,
                 self.ref_hints,
                 lambda a, b: H.get_relative_dist(sh, a, b))
+
+    # --- motion modes: decoder machinery reused over the encoder state ----
+    #
+    # The OBMC scans / blend and warp-sample search are the decoder's own
+    # methods (decoder/inter.py), bound here so trial and decode use one
+    # implementation; only the mi-grid accessor and ref plumbing differ.
+
+    @property
+    def planes(self):
+        # decoder-side name for the surface _obmc_blend blends into:
+        # the encoder's recon (trial scratch; final recon is re-written
+        # by _apply_txbs over the same region)
+        return self.recon
+
+    def _ref_sf(self, ref_enum):
+        return (IP.REF_NO_SCALE, IP.REF_NO_SCALE)
+
+    # borrowed decoder methods (single implementation for both sides)
+    from ..decoder.inter import InterDecoderMixin as _D
+    _has_overlappable_neighbor = _D._has_overlappable_neighbor
+    _overlappable_above = _D._overlappable_above
+    _overlappable_left = _D._overlappable_left
+    _skip_obmc_chroma = _D._skip_obmc_chroma
+    _mc_single = _D._mc_single
+    _OBMC_MASKS = _D._OBMC_MASKS
+    _MAX_NEIGHBOR_OBMC = _D._MAX_NEIGHBOR_OBMC
+    del _D
+
+    class _NbInfo:
+        __slots__ = ("bsize", "is_inter", "ref_frame", "mv",
+                     "interp_filter", "mode", "num_proj_ref",
+                     "partition")
+
+    def _nb_obmc(self, r, cc):
+        g = self.g
+        m = g.m
+        nb = InterFrameEncoder._NbInfo()
+        r0 = int(g.ref0[r + m, cc + m])
+        nb.bsize = int(g.bsize[r + m, cc + m])
+        nb.is_inter = r0 > c.INTRA_FRAME and r0 != MR.INTRABC_REF
+        nb.ref_frame = (r0, int(g.ref1[r + m, cc + m]))
+        nb.mv = (tuple(int(v) for v in g.mv[r + m, cc + m, 0]),
+                 tuple(int(v) for v in g.mv[r + m, cc + m, 1]))
+        nb.interp_filter = (self.interp_filter, self.interp_filter)
+        return nb
+
+    def _motion_mode_allowed_enc(self, mode, ref, bsize, mi_row, mi_col,
+                                 partition=c.PARTITION_NONE):
+        """motion_mode_allowed + the read gates of decodemv.c:226: the
+        motion-mode symbol context for this block, or None when no
+        symbol is coded.  Returns (allowed, num_proj_ref, pts,
+        pts_inref)."""
+        from ..decoder.inter import InterDecoderMixin as D
+        fh = self.fh
+        bi = InterFrameEncoder._NbInfo()
+        bi.bsize = bsize
+        bi.ref_frame = (ref, -1)
+        bi.mv = ((0, 0), (0, 0))
+        bi.is_inter = True
+        bi.mode = mode
+        bi.partition = partition
+        bi.num_proj_ref = 0
+        pts = pts_inref = None
+        if (blockd.block_wide(bsize) >= 8
+                and blockd.block_high(bsize) >= 8):
+            bi.num_proj_ref, pts, pts_inref = D._find_samples(
+                self, None, bi, mi_row, mi_col, bsize)
+        if not fh.is_motion_mode_switchable:
+            return c.SIMPLE_TRANSLATION, bi.num_proj_ref, pts, pts_inref
+        allowed = D._motion_mode_allowed(self, None, bi, mi_row, mi_col,
+                                         bsize, mi_row > 0, mi_col > 0)
+        return allowed, bi.num_proj_ref, pts, pts_inref
+
+    def _warp_model(self, mv, num_proj_ref, pts, pts_inref, bsize,
+                    mi_row, mi_col):
+        """Decoder WARPED_CAUSAL tail (select_samples+find_projection);
+        returns (mat, shear) or None when the projection is invalid."""
+        from ..common import warp as WP
+        np_ref = num_proj_ref
+        if np_ref > 1:
+            np_ref = WP.select_samples(
+                mv[0], mv[1], pts, pts_inref, np_ref,
+                blockd.block_wide(bsize), blockd.block_high(bsize))
+        ok, mat, alpha, beta, gamma, delta = WP.find_projection(
+            np_ref, pts, pts_inref, blockd.block_wide(bsize),
+            blockd.block_high(bsize), mv[0], mv[1], mi_row, mi_col)
+        return (mat, (alpha, beta, gamma, delta)) if ok else None
 
     # --- global motion ------------------------------------------------------
 
@@ -569,9 +659,37 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             is_comp = mode == MR.NEAREST_NEARESTMV and best_comp is not None
             mv1 = best_comp if is_comp else None
             ref1 = c.ALTREF_FRAME if is_comp else -1
+            # motion-mode trial on the winner (rdopt.c motion_mode_rd):
+            # OBMC / WARPED_CAUSAL vs simple translation
+            motion_mode = 0
+            if (self.fh.is_motion_mode_switchable and not is_comp
+                    and not gm_warp):
+                allowed, npr, pts, ptsr = self._motion_mode_allowed_enc(
+                    mode, ref, bsize, mi_row, mi_col, partition)
+                if allowed != c.SIMPLE_TRANSLATION:
+                    lam = self._lam(mi_row, mi_col)
+                    sym = 1.0 if allowed == c.OBMC_CAUSAL else 1.6
+                    mm_best = d0 + lam * (b0 + sym)
+                    d_o, b_o, t_o = self._code_motion_mode_planes(
+                        mi_row, mi_col, bsize, mv, ref, c.OBMC_CAUSAL)
+                    if d_o + lam * (b_o + sym) < mm_best:
+                        mm_best = d_o + lam * (b_o + sym)
+                        motion_mode, txbs = c.OBMC_CAUSAL, t_o
+                        cost = mm_best
+                    if allowed == c.WARPED_CAUSAL:
+                        wm = self._warp_model(mv, npr, pts, ptsr, bsize,
+                                              mi_row, mi_col)
+                        if wm is not None:
+                            d_w, b_w_, t_w = self._code_motion_mode_planes(
+                                mi_row, mi_col, bsize, mv, ref,
+                                c.WARPED_CAUSAL, wm)
+                            if d_w + lam * (b_w_ + sym) < mm_best:
+                                mm_best = d_w + lam * (b_w_ + sym)
+                                motion_mode, txbs = c.WARPED_CAUSAL, t_w
+                                cost = mm_best
             # uniform vartx depth search on the winner
             # (av1_pick_recursive_tx_size_type_yrd analog, depth 1)
-            if self.tx_select and bsize > c.BLOCK_4X4:
+            if self.tx_select and bsize > c.BLOCK_4X4 and not motion_mode:
                 from ..decoder.inter import _MAX_DEPTH
                 if _MAX_DEPTH[bsize] >= 1:
                     lam = self._lam(mi_row, mi_col)
@@ -588,6 +706,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 mi_row=mi_row, mi_col=mi_col, bsize=bsize, is_inter=1,
                 mode=mode, mv=mv, ref=ref, ref_mv_idx=0, txbs=txbs,
                 gm_warp=gm_warp, ref1=ref1, mv1=mv1,
+                motion_mode=motion_mode,
                 is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
                 uv_mode=c.DC_PRED, cfl=None)
             self._fill_trial(bplan, partition)
@@ -621,6 +740,89 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             dc = abs(mv[1] - ref_mv[1]) >> 1
             bits += 6.0 + (np.log2(dr + 1) + np.log2(dc + 1)) * 2.0
         return bits
+
+    def _motion_mode_preds(self, mi_row, mi_col, bsize, mv, ref,
+                           motion_mode, wm=None):
+        """Per-plane predictions for OBMC_CAUSAL / WARPED_CAUSAL.
+
+        OBMC writes base preds into the recon scratch, runs the
+        decoder's _obmc_blend over it (neighbor preds re-derived from
+        the mi grid), and lifts the blended patches back out; recon is
+        restored afterwards.  WARPED warps planes whose dims are >= 8
+        (decoder _warp_params gate) and falls back to translation MC
+        elsewhere."""
+        from ..decoder.inter import InterDecoderMixin as D
+        bw4 = blockd.mi_size_wide(bsize)
+        bh4 = blockd.mi_size_high(bsize)
+        mi_x, mi_y = mi_col * 4, mi_row * 4
+        mb_to_left = -mi_x
+        mb_to_right = (self.mi_cols - bw4 - mi_col) * 4
+        mb_to_top = -mi_y
+        mb_to_bottom = (self.mi_rows - bh4 - mi_row) * 4
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+        bw_px = blockd.block_wide(bsize)
+        bh_px = blockd.block_high(bsize)
+        preds = []
+        geo = []
+        for plane in range(nplanes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            b_w = max(bw_px >> ss_x, 4) if plane else bw_px
+            b_h = max(bh_px >> ss_y, 4) if plane else bh_px
+            x0 = mi_x >> ss_x
+            y0 = mi_y >> ss_y
+            geo.append((plane, ss_x, ss_y, x0, y0, b_w, b_h))
+            if (motion_mode == c.WARPED_CAUSAL and wm is not None
+                    and b_w >= 8 and b_h >= 8
+                    and not self.fh.force_integer_mv):
+                from ..common import warp as WP
+                slot = self.fh.ref_frame_idx[ref - 1]
+                pred = np.empty((b_h, b_w), self.refs[slot][plane].dtype)
+                WP.warp_affine(wm[0], self.refs[slot][plane], pred,
+                               x0, y0, b_w, b_h, ss_x, ss_y, *wm[1],
+                               bd=self.bd)
+            else:
+                pred = IP.predict_inter_block(
+                    self._ref_pad(ref, plane), x0, y0, b_w, b_h,
+                    mv[0], mv[1], ss_x, ss_y, mb_to_left, mb_to_right,
+                    mb_to_top, mb_to_bottom, self.interp_filter,
+                    self.interp_filter, self.bd)
+            preds.append(pred)
+        if motion_mode == c.OBMC_CAUSAL:
+            saved = [self.recon[p][y0:y0 + b_h, x0:x0 + b_w].copy()
+                     for (p, _sx, _sy, x0, y0, b_w, b_h) in geo]
+            for pred, (p, _sx, _sy, x0, y0, b_w, b_h) in zip(preds, geo):
+                self.recon[p][y0:y0 + b_h, x0:x0 + b_w] = pred
+            bi = InterFrameEncoder._NbInfo()
+            bi.bsize = bsize
+            D._obmc_blend(self, bi, mi_row, mi_col)
+            preds = [self.recon[p][y0:y0 + b_h, x0:x0 + b_w].copy()
+                     for (p, _sx, _sy, x0, y0, b_w, b_h) in geo]
+            for sv, (p, _sx, _sy, x0, y0, b_w, b_h) in zip(saved, geo):
+                self.recon[p][y0:y0 + b_h, x0:x0 + b_w] = sv
+        return preds, geo, (mb_to_right, mb_to_bottom)
+
+    def _code_motion_mode_planes(self, mi_row, mi_col, bsize, mv, ref,
+                                 motion_mode, wm=None):
+        """Transform-code all planes against a motion-mode prediction."""
+        preds, geo, (mb_to_right, mb_to_bottom) = self._motion_mode_preds(
+            mi_row, mi_col, bsize, mv, ref, motion_mode, wm)
+        dist = 0.0
+        bits = 0.0
+        txbs = []
+        for pred, (plane, ss_x, ss_y, x0, y0, _bw, _bh) in zip(preds, geo):
+            plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
+                if plane else bsize
+            d, b, t = self._code_inter_plane_txbs(
+                plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
+                mb_to_right, mb_to_bottom, ss_x, ss_y)
+            dist += d
+            bits += b
+            txbs += t
+        return dist, bits, txbs
 
     def _code_inter_planes(self, mi_row, mi_col, bsize, mv,
                            ref=c.LAST_FRAME, gm_warp=False, tx_depth=0,
@@ -1181,6 +1383,18 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             if count > 1:
                 ref_mv = stack[0]
             self._write_mv(mv, ref_mv)
+        # motion mode (decodemv.c:226 read_motion_mode write mirror)
+        if self.fh.is_motion_mode_switchable:
+            allowed, _npr, _pts, _ptsr = self._motion_mode_allowed_enc(
+                mode, ref, bsize, mi_row, mi_col, partition)
+            mm = bplan.get("motion_mode", 0)
+            if allowed == c.OBMC_CAUSAL:
+                self.sink.symbol(1 if mm == c.OBMC_CAUSAL else 0, 2,
+                                 "obmc_cdf", bsize)
+            elif allowed == c.WARPED_CAUSAL:
+                self.sink.symbol(mm, 3, "motion_mode_cdf", bsize)
+            else:
+                assert mm == c.SIMPLE_TRANSLATION
         return mode
 
     def _emit_compound_mode(self, bplan, mi_row, mi_col, bsize,

@@ -254,3 +254,73 @@ def test_skip_mode_and_cdf_carry_conformance(tmp_path):
     for a, b in zip(ours, golden):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_motion_modes_encode_conformance(tmp_path):
+    """OBMC + WARPED_CAUSAL encode: the motion-mode RD trial must pick
+    both modes on rotational content, the encoder recon must equal the
+    decoder output, and streams must decode in stock aomdec
+    (read_motion_mode / warp-sample search parity)."""
+    import subprocess
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+    from aom_av1_lavish_tpu.decoder.decoder import decode_frame_obus
+    from aom_av1_lavish_tpu.encoder.gop import GopEncoder
+    import aom_av1_lavish_tpu.encoder.inter as EI
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+    from scipy import ndimage
+
+    rng = np.random.default_rng(5)
+    W, H, N = 176, 144, 5
+    yy, xx = np.mgrid[0:H * 2, 0:W * 2]
+    base = (120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 8.0)
+            + rng.normal(0, 4, yy.shape)).clip(0, 255).astype(np.uint8)
+    frames = []
+    for i in range(N):
+        rot = ndimage.rotate(base.astype(float), i * 1.2, reshape=False,
+                             order=1, mode="nearest")
+        crop = rot[H // 2:H // 2 + H, W // 2:W // 2 + W] \
+            .clip(0, 255).astype(np.uint8)
+        frames.append((np.ascontiguousarray(crop),
+                       np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 130, np.uint8)))
+
+    counts = {0: 0, 1: 0, 2: 0}
+    orig = EI.InterFrameEncoder._fill_trial
+
+    def spy(self, bplan, part):
+        if bplan.get("is_inter"):
+            counts[bplan.get("motion_mode", 0)] += 1
+        orig(self, bplan, part)
+
+    EI.InterFrameEncoder._fill_trial = spy
+    try:
+        enc = GopEncoder(W, H, qindex=100, gf_length=N,
+                         enable_cdef=False)
+        payloads = enc.encode_sequence(frames)
+    finally:
+        EI.InterFrameEncoder._fill_trial = orig
+    assert counts[1] > 0, "no OBMC block chosen"
+    assert counts[2] > 0, "no WARPED_CAUSAL block chosen"
+    sh = None
+    state = {"slots": [None] * 8}
+    ours = []
+    for p in payloads:
+        fr, sh = decode_frame_obus(p, sh, state)
+        ours.extend(fr)
+    for slot in range(8):
+        if enc.slots[slot] is None or state["slots"][slot] is None:
+            continue
+        for pe, pd in zip(enc.slots[slot], state["slots"][slot]["planes"]):
+            np.testing.assert_array_equal(pe, pd)
+    if not HAVE_ORACLE:
+        return
+    ivf = str(tmp_path / "mm.ivf")
+    out = str(tmp_path / "mm.y4m")
+    write_ivf(ivf, [(p, i) for i, p in enumerate(payloads)], W, H, 30, 1)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    golden = read_y4m(out)[0]
+    assert len(ours) == len(golden) == N
+    for a, b in zip(ours, golden):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

@@ -43,6 +43,7 @@ class EncoderConfig:
     height: int = 0
     fps: float = 30.0
     usage: int = USAGE_GOOD_QUALITY
+    cpu_used: int | None = None      # speed preset (speed_features.c)
     # rate control
     rc_mode: int = MODE_Q            # MODE_Q | MODE_CBR | MODE_VBR
     target_bps: int = 0              # used by CBR/VBR
@@ -108,7 +109,11 @@ class EncoderConfig:
             raise KeyError(f"unknown option {key!r}")
         t = names[key].type
         cur = getattr(self, key)
-        if isinstance(cur, bool):
+        if cur is None:
+            v = value.strip()
+            setattr(self, key,
+                    int(v) if v.lstrip("+-").isdigit() else v)
+        elif isinstance(cur, bool):
             setattr(self, key, value.lower() in ("1", "true", "yes"))
         elif isinstance(cur, int):
             setattr(self, key, int(value))
@@ -182,7 +187,7 @@ class Encoder:
                 use_arf=cfg.use_arf, use_tpu=cfg.use_tpu,
                 use_native=cfg.use_native, enable_cdef=cfg.enable_cdef,
                 tune=cfg.tune, luma_bias=cfg.luma_bias,
-                bit_depth=cfg.bit_depth)
+                bit_depth=cfg.bit_depth, cpu_used=cfg.cpu_used)
             payloads = genc.encode_sequence(self._frames)
         self._frames = []
         return payloads

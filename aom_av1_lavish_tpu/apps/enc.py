@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-rows", type=int, default=0,
                    help="log2 tile rows")
     p.add_argument("--enable-cdef", type=int, default=1)
+    p.add_argument("--cpu-used", type=int, default=None,
+                   help="speed preset 0 (best) .. 9 (fastest)")
     p.add_argument("--tune",
                    choices=("psnr", "ssim", "butteraugli", "vmaf"),
                    default="psnr")
@@ -159,7 +161,8 @@ def main(argv=None) -> int:
         gf_length=args.gf_length, use_arf=not args.no_arf,
         lossless=bool(args.lossless), enable_cdef=bool(args.enable_cdef),
         tile_cols_log2=args.tile_columns, tile_rows_log2=args.tile_rows,
-        use_tpu=args.tpu, tune=args.tune, luma_bias=args.luma_bias)
+        use_tpu=args.tpu, tune=args.tune, luma_bias=args.luma_bias,
+        cpu_used=args.cpu_used)
     enc = Encoder(cfg)
     t0 = time.perf_counter()
     for f in frames:

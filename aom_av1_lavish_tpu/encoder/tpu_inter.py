@@ -34,12 +34,20 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         h = self.mi_rows * 4
         assert w % 16 == 0 and h % 16 == 0, \
             "TPU preset needs a 16px-aligned mi grid (use inter.py otherwise)"
-        self._results = None
+        if not getattr(self, "_external_results", False):
+            self._results = None
         from .lossy import LossyAllIntraEncoder
         return super(LossyAllIntraEncoder, self).encode_frame(
             planes, use_jax=False)
 
     def _ensure_device_encode(self):
+        if (self._results is not None
+                and getattr(self, "_external_recon", None) is not None):
+            ry, ru, rv = self._external_recon
+            self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
+            self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
+            self.recon[2][:rv.shape[0], :rv.shape[1]] = rv
+            self._external_recon = None
         if self._results is None:
             from ..ops.inter_tpu import DeviceInterEncoder
             dev = DeviceInterEncoder(self.fh.base_q_idx)

@@ -204,9 +204,9 @@ def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
 _FN_CACHE = {}
 
 
-def _p_frame_fn(key):
-    if key in _FN_CACHE:
-        return _FN_CACHE[key]
+def _p_frame_core(key):
+    """Unjitted whole-frame P encode closure (shared by the single-
+    device jit and the FPMT 'frame'-axis sharded batch)."""
     H, W, n_refs = key
     nby, nbx = H // 16, W // 16
     B = nby * nbx
@@ -297,9 +297,30 @@ def _p_frame_fn(key):
         return (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
                 untile(rec_y, 16), untile(rec_u, 8), untile(rec_v, 8))
 
-    fn = jax.jit(fn)
+    return fn
+
+
+def _p_frame_fn(key):
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    fn = jax.jit(_p_frame_core(key))
     _FN_CACHE[key] = fn
     return fn
+
+
+def pack_frame_results(mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u,
+                       qv, eob_v, W):
+    """Device outputs of one frame -> the per-block dict the host
+    emitter (encoder/tpu_inter.py) walks."""
+    nbx = W // 16
+    res = {}
+    for b in range(mv_r.shape[0]):
+        r, cc = divmod(b, nbx)
+        res[(r, cc)] = dict(
+            mv=(int(mv_r[b]), int(mv_c[b])), ref_idx=int(best_ref[b]),
+            qy=qy[b], eoby=int(eob_y[b]), qu=qu[b],
+            eobu=int(eob_u[b]), qv=qv[b], eobv=int(eob_v[b]))
+    return res
 
 
 class DeviceInterEncoder:
@@ -343,12 +364,5 @@ class DeviceInterEncoder:
         (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
          rec_y, rec_u, rec_v) = [np.asarray(o) for o in out]
         self.recon = (rec_y, rec_u, rec_v)
-        nbx = W // 16
-        res = {}
-        for b in range(mv_r.shape[0]):
-            r, cc = divmod(b, nbx)
-            res[(r, cc)] = dict(
-                mv=(int(mv_r[b]), int(mv_c[b])), ref_idx=int(best_ref[b]),
-                qy=qy[b], eoby=int(eob_y[b]), qu=qu[b],
-                eobu=int(eob_u[b]), qv=qv[b], eobv=int(eob_v[b]))
-        return res
+        return pack_frame_results(mv_r, mv_c, best_ref, qy, eob_y,
+                                  qu, eob_u, qv, eob_v, W)

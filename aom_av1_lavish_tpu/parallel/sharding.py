@@ -176,3 +176,114 @@ def make_sharded_analyze(mesh: Mesh):
                  NamedSharding(mesh, P()))
     return jax.jit(batched_analyze_step, in_shardings=(in_shard,),
                    out_shardings=out_shard)
+
+# ---------------------------------------------------------------------------
+# FPMT analog: frame-parallel P-frame encode over the 'frame' mesh axis
+# ---------------------------------------------------------------------------
+
+_FPMT_FN_CACHE = {}
+
+
+def make_sharded_p_frame_fn(mesh: Mesh, H: int, W: int, n_refs: int = 1):
+    """Batched whole-frame P-frame analysis (motion search + MC +
+    transforms, ops/inter_tpu.py) vmapped over a frame batch and sharded
+    on the mesh 'frame' axis; references are replicated.  XLA partitions
+    the batch across devices with zero cross-chip traffic (frames are
+    independent given their shared references — the FPMT condition,
+    av1/encoder/ethread.c:1224)."""
+    key = (id(mesh), H, W, n_refs)
+    fn = _FPMT_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ..ops.inter_tpu import _p_frame_core
+    core = _p_frame_core((H, W, n_refs))
+    batched = jax.vmap(core, in_axes=(0, 0, 0) + (None,) * 7)
+    sb = NamedSharding(mesh, P("frame"))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(batched,
+                 in_shardings=(sb, sb, sb) + (rep,) * 7,
+                 out_shardings=sb)
+    _FPMT_FN_CACHE[key] = fn
+    return fn
+
+
+class ShardedInterGopEncoder:
+    """Flat-GOP frame-parallel encoder: one intra anchor + a batch of
+    P-frames that all reference ONLY the anchor, so the per-frame device
+    analysis runs concurrently across the 'frame' mesh axis.  The host
+    entropy emit stays serial per frame (byte-stream order), producing
+    streams byte-identical to the serial flat-ref encode
+    (tests/test_sharding.py contract)."""
+
+    def __init__(self, width: int, height: int, mesh: Mesh,
+                 qindex: int = 60, use_native=None):
+        assert width % 16 == 0 and height % 16 == 0
+        from ..encoder.encoder import make_sequence_header
+        self.mesh = mesh
+        self.n_frame = int(np.prod(mesh.devices.shape))
+        self.width, self.height = width, height
+        self.qindex = qindex
+        self.use_native = use_native
+        self.sh = make_sequence_header(width, height, enable_cdef=0)
+
+    def _encode_anchor(self, planes):
+        from ..encoder.lossy import make_lossy_frame_header
+        from ..encoder.tpu_intra import TpuAllIntraEncoder
+        fh = make_lossy_frame_header(self.sh, self.qindex)
+        enc = TpuAllIntraEncoder(self.sh, fh, use_native=self.use_native)
+        payload = enc.encode_frame(planes)
+        w, h = self.width, self.height
+        rec = (enc.recon[0][:h, :w].copy(),
+               enc.recon[1][:h // 2, :w // 2].copy(),
+               enc.recon[2][:h // 2, :w // 2].copy())
+        return payload, rec
+
+    def encode_frames(self, frames):
+        """frames[0] = anchor (intra), frames[1:] = P batch.  Returns
+        one packed TU payload per frame."""
+        import jax.numpy as jnp
+        from ..bitstream import headers as HH
+        from ..encoder.tpu_inter import (TpuInterFrameEncoder,
+                                         make_inter_frame_header)
+        from ..ops.inter_tpu import (PADR, pack_frame_results,
+                                     _pq_array)
+        from ..common import quant as Q
+        anchor_payload, anchor_rec = self._encode_anchor(frames[0])
+        pfrs = frames[1:]
+        if not pfrs:
+            return [anchor_payload]
+        H, W = self.height, self.width
+        fn = make_sharded_p_frame_fn(self.mesh, H, W, 1)
+        ys = jnp.asarray(np.stack([f[0][:H, :W] for f in pfrs]))
+        us = jnp.asarray(np.stack([f[1][:H >> 1, :W >> 1] for f in pfrs]))
+        vs = jnp.asarray(np.stack([f[2][:H >> 1, :W >> 1] for f in pfrs]))
+        ref_y = np.pad(anchor_rec[0], PADR, mode="edge").astype(np.uint8)
+        ref_u = np.pad(anchor_rec[1], PADR, mode="edge")
+        ref_v = np.pad(anchor_rec[2], PADR, mode="edge")
+        y2 = ref_y.astype(np.int32)
+        h2, w2 = (y2.shape[0] // 2) * 2, (y2.shape[1] // 2) * 2
+        y2 = y2[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
+        pq = [_pq_array(Q.build_plane_quant(self.qindex, 0, 0))
+              for _ in range(3)]
+        out = fn(ys, us, vs,
+                 jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
+                 jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),
+                 pq[0], pq[1], pq[2])
+        out = [np.asarray(o) for o in out]
+        (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
+         rec_y, rec_u, rec_v) = out
+        payloads = [anchor_payload]
+        slots = [anchor_rec] + [None] * 7
+        for i in range(len(pfrs)):
+            fh = make_inter_frame_header(self.sh, self.qindex,
+                                         refresh_frame_flags=0)
+            enc = TpuInterFrameEncoder(self.sh, fh, slots,
+                                       use_native=self.use_native)
+            enc._results = pack_frame_results(
+                mv_r[i], mv_c[i], best_ref[i], qy[i], eob_y[i],
+                qu[i], eob_u[i], qv[i], eob_v[i], W)
+            enc._external_results = True
+            enc._external_recon = (rec_y[i], rec_u[i], rec_v[i])
+            obu = enc.encode_frame_obu(pfrs[i])
+            payloads.append(HH.temporal_delimiter() + obu)
+        return payloads

@@ -68,3 +68,54 @@ def test_sharded_stream_decodes_losslessly():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(jax.device_count())
+
+
+def test_fpmt_inter_sharded_byte_identical():
+    """FPMT analog: the 'frame'-axis sharded P-frame batch must produce
+    byte-identical streams to the serial single-device encode of the
+    same flat GOP (ethread.c:1224 determinism contract)."""
+    import jax
+    from jax.sharding import Mesh
+    import numpy as np
+    from aom_av1_lavish_tpu.bitstream import headers as HH
+    from aom_av1_lavish_tpu.parallel.sharding import (
+        ShardedInterGopEncoder)
+    from aom_av1_lavish_tpu.encoder.tpu_inter import (
+        TpuInterFrameEncoder, make_inter_frame_header)
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("frame",))
+    W, H, N = 64, 48, 5
+    rng = np.random.default_rng(8)
+    yy, xx = np.mgrid[0:H + 16, 0:W + 16]
+    base = (128 + 60 * np.sin(yy / 7.0) * np.cos(xx / 9.0)
+            + rng.normal(0, 3, yy.shape)).clip(0, 255).astype(np.uint8)
+    frames = [(np.ascontiguousarray(base[i:i + H, 2 * i:2 * i + W]),
+               np.full((H // 2, W // 2), 120, np.uint8),
+               np.full((H // 2, W // 2), 133, np.uint8))
+              for i in range(N)]
+
+    enc = ShardedInterGopEncoder(W, H, mesh, qindex=80)
+    sharded = enc.encode_frames(frames)
+    assert len(sharded) == N
+
+    # serial reference: same anchor, each P frame device-encoded alone
+    anchor_payload, anchor_rec = enc._encode_anchor(frames[0])
+    assert anchor_payload == sharded[0]
+    slots = [anchor_rec] + [None] * 7
+    for i, f in enumerate(frames[1:]):
+        fh = make_inter_frame_header(enc.sh, 80, refresh_frame_flags=0)
+        se = TpuInterFrameEncoder(enc.sh, fh, slots)
+        obu = se.encode_frame_obu(f)
+        assert HH.temporal_delimiter() + obu == sharded[1 + i], \
+            f"P frame {i} differs from serial encode"
+
+    # and the stream must decode
+    from aom_av1_lavish_tpu.decoder.decoder import decode_frame_obus
+    sh = None
+    state = {"slots": [None] * 8}
+    shown = []
+    for p in sharded:
+        fr, sh = decode_frame_obus(p, sh, state)
+        shown.extend(fr)
+    assert len(shown) == N

@@ -159,7 +159,9 @@ def make_sequence_header(width: int, height: int,
                          superres: bool = False,
                          filter_intra: bool = False,
                          order_hint: bool = False,
-                         warped_motion: bool = False) -> H.SequenceHeader:
+                         warped_motion: bool = False,
+                         masked_compound: bool = False,
+                         interintra: bool = False) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
     10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 4:4:4 needs
     profile 1 and 4:2:2 / 12-bit need profile 2 (spec 5.5.2
@@ -183,6 +185,8 @@ def make_sequence_header(width: int, height: int,
         enable_intra_edge_filter=0,
         enable_order_hint=int(order_hint),
         enable_warped_motion=int(warped_motion),
+        enable_masked_compound=int(masked_compound),
+        enable_interintra_compound=int(interintra),
         enable_ref_frame_mvs=int(order_hint),
         order_hint_bits=7 if order_hint else 0,
         force_screen_content_tools=2 if screen else 0,

@@ -48,6 +48,8 @@ class GopEncoder:
                  bit_depth: int = 8, q_offsets=None,
                  interp_search: bool = False, comp_pred: bool = False,
                  order_hint: bool = True, motion_modes: bool = True,
+                 compound_types: bool | None = None,
+                 interintra: bool | None = None,
                  cpu_used: int | None = None):
         self.tune = tune
         self.luma_bias = luma_bias
@@ -64,12 +66,26 @@ class GopEncoder:
             enable_tf = sf.enable_tf
             enable_tpl = sf.enable_tpl
             block_size = max(block_size, sf.min_block)
+            if compound_types is None:
+                compound_types = sf.compound_types
+            if interintra is None:
+                interintra = sf.interintra
+        # masked compound (wedge/diffwtd) rides on the explicit compound
+        # search; interintra rides on single-ref RD (compound_type.c)
+        if compound_types is None:
+            compound_types = False
+        if interintra is None:
+            interintra = False
+        compound_types = compound_types and comp_pred and not use_tpu
+        interintra = interintra and not use_tpu
         self.motion_modes = motion_modes
         self.sh = make_sequence_header(width, height,
                                        enable_cdef=int(enable_cdef),
                                        bit_depth=bit_depth,
                                        order_hint=order_hint,
-                                       warped_motion=motion_modes)
+                                       warped_motion=motion_modes,
+                                       masked_compound=compound_types,
+                                       interintra=interintra)
         if rc_cfg is None:
             rc_cfg = RateControlConfig(mode=MODE_Q, fixed_qindex=qindex,
                                        width=width, height=height)

@@ -128,6 +128,13 @@ def _single_ref_tree(ref, counts):
     return bits
 
 
+#: block sizes with wedge codebooks (av1_wedge_params_lookup non-null,
+#: reconinter.c; mirrors decoder/inter.py wedge_used set)
+WEDGE_SIZES = frozenset((c.BLOCK_8X8, c.BLOCK_8X16, c.BLOCK_16X8,
+                         c.BLOCK_16X16, c.BLOCK_16X32, c.BLOCK_32X16,
+                         c.BLOCK_32X32, c.BLOCK_8X32, c.BLOCK_32X8))
+
+
 def _mv_class(z: int):
     """av1_get_mv_class: z = |mv| - 1; returns (class, offset)."""
     if z < 16:
@@ -166,6 +173,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self.g = MR.MiGrids(self.mi_rows, self.mi_cols)
         #: per-mi skip_mode map (margin-padded like g), skip_mode_ctx input
         self.skip_mode_grid = np.zeros(self.g.ref0.shape, np.uint8)
+        #: per-mi comp_group_idx map (comp_group_idx_ctx neighbour state)
+        self.comp_group_grid = np.zeros(self.g.ref0.shape, np.uint8)
         self._ref_pad_cache = {}
         # av1_get_mvpred cost weights (rough): bits per mv step
         self.mv_bit_cost = 1.0
@@ -468,7 +477,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         sl = (slice(r0, r0 + h4), slice(c0, c0 + w4))
         gsnap = (g.ref0[sl].copy(), g.ref1[sl].copy(), g.mode[sl].copy(),
                  g.bsize[sl].copy(), g.partition[sl].copy(),
-                 g.mv[sl].copy())
+                 g.mv[sl].copy(), self.comp_group_grid[sl].copy())
         return (base, sl, gsnap)
 
     def _restore_region(self, mi_row, mi_col, bsize, snap):
@@ -476,7 +485,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         super()._restore_region(mi_row, mi_col, bsize, base)
         g = self.g
         (g.ref0[sl], g.ref1[sl], g.mode[sl], g.bsize[sl],
-         g.partition[sl], g.mv[sl]) = gsnap
+         g.partition[sl], g.mv[sl], self.comp_group_grid[sl]) = gsnap
 
     def _fill_trial(self, bplan, partition):
         """Commit one trialed block into the mi grid (emit re-fills the
@@ -485,12 +494,24 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         bh = blockd.mi_size_high(bsize)
         bw = blockd.mi_size_wide(bsize)
         is_inter = bplan["is_inter"]
+        # interintra blocks store ref_frame[1] = INTRA_FRAME (decoder
+        # read_interintra_mode mirror), so neighbour contexts match
+        ref1 = bplan.get("ref1", -1) if is_inter else -1
+        if is_inter and bplan.get("interintra", 0):
+            ref1 = c.INTRA_FRAME
         self.g.fill_block(
             bplan["mi_row"], bplan["mi_col"], bh, bw,
             bplan.get("ref", c.LAST_FRAME) if is_inter else c.INTRA_FRAME,
-            bplan.get("ref1", -1) if is_inter else -1,
+            ref1,
             bplan["mode"] if is_inter else bplan["y_mode"], bsize,
             partition, bplan["mv"], bplan.get("mv1") or (0, 0))
+        m = self.g.m
+        r = bplan["mi_row"] + m
+        cc = bplan["mi_col"] + m
+        h4 = min(bh, self.mi_rows - bplan["mi_row"])
+        w4 = min(bw, self.mi_cols - bplan["mi_col"])
+        self.comp_group_grid[r:r + h4, cc:cc + w4] = \
+            bplan.get("comp_group_idx", 0) if is_inter else 0
 
     def _trial_skip_mode(self, mi_row, mi_col, bsize, partition):
         """Skip-mode candidate: derived compound NEAREST_NEARESTMV over
@@ -600,19 +621,32 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                                             self.fh.force_integer_mv)
             else:
                 mv0 = mv1 = (0, 0)
+            lam = self._lam(mi_row, mi_col)
+            masked_ok = bool(self.sh.enable_masked_compound)
             dist, bits, txbs = self._code_inter_planes(
                 mi_row, mi_col, bsize, mv0, c.LAST_FRAME,
                 ref1=c.ALTREF_FRAME, mv1=mv1)
             bits += 5.0  # comp flag + ref tree + compound mode symbol
-            cost = dist + self._lam(mi_row, mi_col) * bits
+            if masked_ok:
+                bits += 1.0  # comp_group_idx = 0 symbol
+            # compound-type RD: COMPOUND_AVERAGE vs WEDGE vs DIFFWTD
+            # (av1/encoder/compound_type.c:1666 av1_compound_type_rd)
+            cands = [(dist + lam * bits, None, txbs)]
+            if masked_ok:
+                cands += self._trial_masked_compound(
+                    mi_row, mi_col, bsize, mv0, c.LAST_FRAME, mv1,
+                    c.ALTREF_FRAME, lam)
+            cost, best_comp_spec, txbs = min(cands, key=lambda t: t[0])
             if best is None or cost < best[0]:
                 best = (cost, MR.NEAREST_NEARESTMV, mv0, txbs,
                         c.LAST_FRAME, False, dist, bits)
                 best_comp = mv1
             else:
                 best_comp = None
+                best_comp_spec = None
         else:
             best_comp = None
+            best_comp_spec = None
 
         # skip-mode candidate (zero residual, derived compound refs)
         skip_best = None
@@ -662,6 +696,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             # motion-mode trial on the winner (rdopt.c motion_mode_rd):
             # OBMC / WARPED_CAUSAL vs simple translation
             motion_mode = 0
+            ii_extra = {}
             if (self.fh.is_motion_mode_switchable and not is_comp
                     and not gm_warp):
                 allowed, npr, pts, ptsr = self._motion_mode_allowed_enc(
@@ -687,9 +722,28 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                                 mm_best = d_w + lam * (b_w_ + sym)
                                 motion_mode, txbs = c.WARPED_CAUSAL, t_w
                                 cost = mm_best
+            # interintra trial on the winner (is_interintra_allowed
+            # gates: single-ref, 8x8..32x32, NEARESTMV..NEWMV; mutually
+            # exclusive with motion modes at read time)
+            if (self.sh.enable_interintra_compound and not is_comp
+                    and not gm_warp
+                    and mode in (MR.NEWMV, MR.NEARESTMV, MR.NEARMV)
+                    and c.BLOCK_8X8 <= bsize <= c.BLOCK_32X32):
+                lam = self._lam(mi_row, mi_col)
+                ii_cost, ii_keys, ii_txbs = self._trial_interintra(
+                    mi_row, mi_col, bsize, mv, ref, lam)
+                if ii_cost < cost and ii_cost < d0 + lam * (b0 + 1.0):
+                    cost = ii_cost
+                    txbs = ii_txbs
+                    motion_mode = 0
+                    ii_extra = ii_keys
             # uniform vartx depth search on the winner
-            # (av1_pick_recursive_tx_size_type_yrd analog, depth 1)
-            if self.tx_select and bsize > c.BLOCK_4X4 and not motion_mode:
+            # (av1_pick_recursive_tx_size_type_yrd analog, depth 1);
+            # masked-compound / interintra winners keep their own txbs
+            # (the depth-1 re-code below predicts with a plain average)
+            if self.tx_select and bsize > c.BLOCK_4X4 and not motion_mode \
+                    and not ii_extra \
+                    and not (is_comp and best_comp_spec is not None):
                 from ..decoder.inter import _MAX_DEPTH
                 if _MAX_DEPTH[bsize] >= 1:
                     lam = self._lam(mi_row, mi_col)
@@ -708,7 +762,9 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 gm_warp=gm_warp, ref1=ref1, mv1=mv1,
                 motion_mode=motion_mode,
                 is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
-                uv_mode=c.DC_PRED, cfl=None)
+                uv_mode=c.DC_PRED, cfl=None, **ii_extra)
+            if is_comp and best_comp_spec is not None:
+                bplan.update(best_comp_spec)
             self._fill_trial(bplan, partition)
             return cost, bplan
         # intra path (chroma DC)
@@ -888,6 +944,269 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             bits += b
             txbs += t
         return dist, bits, txbs
+
+    def _block_edges(self, mi_row, mi_col, bsize):
+        """(mi_x, mi_y, mb_to_left/right/top/bottom) in luma pels."""
+        bw4 = blockd.mi_size_wide(bsize)
+        bh4 = blockd.mi_size_high(bsize)
+        mi_x, mi_y = mi_col * 4, mi_row * 4
+        return (mi_x, mi_y, -mi_x, (self.mi_cols - bw4 - mi_col) * 4,
+                -mi_y, (self.mi_rows - bh4 - mi_row) * 4)
+
+    def _compound_bufs_enc(self, plane, mi_row, mi_col, bsize, mv0, r0,
+                           mv1, r1):
+        """CONV-domain prediction buffers for both refs of one plane
+        (decoder _compound_bufs geometry; compound blocks are >= 8x8 so
+        no sub-8 chroma offsets apply)."""
+        mi_x, mi_y, mtl, mtr, mtt, mtb = self._block_edges(mi_row, mi_col,
+                                                           bsize)
+        ss_x = self.ss_x if plane else 0
+        ss_y = self.ss_y if plane else 0
+        bw_px = blockd.block_wide(bsize)
+        bh_px = blockd.block_high(bsize)
+        b_w = max(bw_px >> ss_x, 4) if plane else bw_px
+        b_h = max(bh_px >> ss_y, 4) if plane else bh_px
+        x0 = mi_x >> ss_x
+        y0 = mi_y >> ss_y
+        bufs = IP.compound_conv_bufs(
+            (self._ref_pad(r0, plane), self._ref_pad(r1, plane)),
+            x0, y0, b_w, b_h, (mv0, mv1), ss_x, ss_y, mtl, mtr, mtt, mtb,
+            self.interp_filter, self.interp_filter, bd=self.bd)
+        return bufs, (ss_x, ss_y, x0, y0, b_w, b_h, mtr, mtb)
+
+    def _trial_masked_compound(self, mi_row, mi_col, bsize, mv0, r0, mv1,
+                               r1, lam):
+        """Candidate (cost, spec, txbs) triples for WEDGE and DIFFWTD
+        masked compound.  Mask pre-selection by luma SSE of the blended
+        prediction (pick_wedge / pick_interinter_mask analog,
+        compound_type.c:282), then one full transform-code RD per type."""
+        bufs, (_sx, _sy, x0, y0, b_w, b_h, _mr, _mb) = \
+            self._compound_bufs_enc(0, mi_row, mi_col, bsize, mv0, r0,
+                                    mv1, r1)
+        src = self.src[0][y0:y0 + b_h, x0:x0 + b_w].astype(np.int64)
+        out = []
+        wedge_used = bsize in WEDGE_SIZES
+        if wedge_used:
+            best = None
+            for sign in (0, 1):
+                for widx in range(16):
+                    mask = IP.wedge_mask(bsize, sign, widx)
+                    blend = IP.blend_a64_d16(bufs[0], bufs[1], mask, 0, 0,
+                                             self.bd)
+                    sse = float(((src - blend) ** 2).sum())
+                    if best is None or sse < best[0]:
+                        best = (sse, sign, widx)
+            _, ws, wi = best
+            d, b, t = self._code_compound_masked(
+                mi_row, mi_col, bsize, mv0, r0, mv1, r1, comp_type=1,
+                wedge_index=wi, wedge_sign=ws)
+            # comp flag + ref tree + mode (5) + comp_group(1)
+            # + compound_type(1) + wedge idx(4) + sign(1)
+            b += 12.0
+            out.append((d + lam * b,
+                        dict(comp_group_idx=1, comp_type=1,
+                             wedge_index=wi, wedge_sign=ws), t))
+        best_mt = None
+        for mt in (0, 1):
+            mask = IP.diffwtd_mask_d16(bufs[0], bufs[1], bool(mt), self.bd)
+            blend = IP.blend_a64_d16(bufs[0], bufs[1], mask, 0, 0, self.bd)
+            sse = float(((src - blend) ** 2).sum())
+            if best_mt is None or sse < best_mt[0]:
+                best_mt = (sse, mt)
+        mt = best_mt[1]
+        d, b, t = self._code_compound_masked(
+            mi_row, mi_col, bsize, mv0, r0, mv1, r1, comp_type=2,
+            mask_type=mt)
+        b += 5.0 + 1.0 + (1.0 if wedge_used else 0.0) + 1.0
+        out.append((d + lam * b,
+                    dict(comp_group_idx=1, comp_type=2, mask_type=mt), t))
+        return out
+
+    def _code_compound_masked(self, mi_row, mi_col, bsize, mv0, r0, mv1,
+                              r1, comp_type, wedge_index=0, wedge_sign=0,
+                              mask_type=0):
+        """Transform-code all planes against a masked-compound blend
+        (decoder comp_group_idx branch mirror: wedge mask at luma
+        resolution subsampled per plane; diffwtd mask derived from the
+        plane-0 CONV buffers)."""
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+        dist = 0.0
+        bits = 0.0
+        txbs = []
+        diff_mask = None
+        for plane in range(nplanes):
+            bufs, (ss_x, ss_y, x0, y0, _bw, _bh, mtr, mtb) = \
+                self._compound_bufs_enc(plane, mi_row, mi_col, bsize,
+                                        mv0, r0, mv1, r1)
+            if comp_type == 1:
+                mask = IP.wedge_mask(bsize, wedge_sign, wedge_index)
+            else:
+                if plane == 0:
+                    diff_mask = IP.diffwtd_mask_d16(bufs[0], bufs[1],
+                                                    bool(mask_type),
+                                                    self.bd)
+                mask = diff_mask
+            pred = IP.blend_a64_d16(bufs[0], bufs[1], mask, ss_x, ss_y,
+                                    self.bd)
+            plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
+                if plane else bsize
+            d, b, t = self._code_inter_plane_txbs(
+                plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
+                mtr, mtb, ss_x, ss_y)
+            dist += d
+            bits += b
+            txbs += t
+        return dist, bits, txbs
+
+    def _comp_group_ctx_enc(self, mi_row, mi_col, up, left):
+        """get_comp_group_idx_context (pred_common.h:141) over the
+        encoder mi grids (decoder _comp_group_idx_ctx mirror)."""
+        g, m = self.g, self.g.m
+        a = l_ = 0
+        if up:
+            r, cc = mi_row - 1 + m, mi_col + m
+            if g.ref1[r, cc] > c.INTRA_FRAME:
+                a = int(self.comp_group_grid[r, cc])
+            elif g.ref0[r, cc] == c.ALTREF_FRAME:
+                a = 3
+        if left:
+            r, cc = mi_row + m, mi_col - 1 + m
+            if g.ref1[r, cc] > c.INTRA_FRAME:
+                l_ = int(self.comp_group_grid[r, cc])
+            elif g.ref0[r, cc] == c.ALTREF_FRAME:
+                l_ = 3
+        return min(5, a + l_)
+
+    _II_TO_INTRA = (c.DC_PRED, c.V_PRED, c.H_PRED, c.SMOOTH_PRED)
+
+    def _interintra_intra_pred(self, plane, x0, y0, b_w, b_h, ii_mode,
+                               ss_x, ss_y, mi_row, mi_col, bsize):
+        """Intra half of the interintra blend against the current recon
+        (decoder _interintra_blend mirror; our sequences always carry
+        enable_intra_edge_filter=0 so the edge-filter type is moot)."""
+        from ..common import intra
+        mode = self._II_TO_INTRA[ii_mode]
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+        bw_mi = blockd.mi_size_wide(bsize)
+        bh_mi = blockd.mi_size_high(bsize)
+        xr = ((self.mi_cols - bw_mi - mi_col) * 4) >> ss_x
+        yd = ((self.mi_rows - bh_mi - mi_row) * 4) >> ss_y
+        return intra.build_intra_predictor(
+            self.recon[plane], x0, y0, b_w, b_h, mode, 0, -1,
+            n_top_px=min(b_w, xr + b_w) if up_avail else 0,
+            n_topright_px=-1,
+            n_left_px=min(b_h, yd + b_h) if left_avail else 0,
+            n_bottomleft_px=-1,
+            disable_edge_filter=not self.sh.enable_intra_edge_filter,
+            intra_edge_filter_type=0, bd=self.bd)
+
+    def _code_interintra_planes(self, mi_row, mi_col, bsize, mv, ref,
+                                ii_mode, use_wedge=0, wedge_index=0):
+        """Transform-code all planes against an interintra blend
+        (av1_build_interintra_predictor mirror)."""
+        mi_x, mi_y, mtl, mtr, mtt, mtb = self._block_edges(mi_row, mi_col,
+                                                           bsize)
+        is_chroma_ref = blockd.is_chroma_reference(
+            mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+            and self.num_planes > 1
+        nplanes = self.num_planes if is_chroma_ref else 1
+        bw_px = blockd.block_wide(bsize)
+        bh_px = blockd.block_high(bsize)
+        dist = 0.0
+        bits = 0.0
+        txbs = []
+        for plane in range(nplanes):
+            ss_x = self.ss_x if plane else 0
+            ss_y = self.ss_y if plane else 0
+            b_w = max(bw_px >> ss_x, 4) if plane else bw_px
+            b_h = max(bh_px >> ss_y, 4) if plane else bh_px
+            x0 = mi_x >> ss_x
+            y0 = mi_y >> ss_y
+            inter_pred = IP.predict_inter_block(
+                self._ref_pad(ref, plane), x0, y0, b_w, b_h,
+                mv[0], mv[1], ss_x, ss_y, mtl, mtr, mtt, mtb,
+                self.interp_filter, self.interp_filter, self.bd)
+            ipred = self._interintra_intra_pred(
+                plane, x0, y0, b_w, b_h, ii_mode, ss_x, ss_y, mi_row,
+                mi_col, bsize)
+            if use_wedge:
+                # INTERINTRA_WEDGE_SIGN == 0 (blockd.h:40)
+                mask = IP.wedge_mask(bsize, 0, wedge_index)
+                pred = IP.blend_a64_mask_pixel(ipred, inter_pred, mask,
+                                               ss_x, ss_y)
+            else:
+                pb = blockd.plane_block_size(bsize, ss_x, ss_y)
+                mask = IP.smooth_interintra_mask(pb, ii_mode)
+                pred = IP.blend_a64_mask_pixel(ipred, inter_pred, mask,
+                                               0, 0)
+            plane_bsize = blockd.plane_block_size(bsize, ss_x, ss_y) \
+                if plane else bsize
+            d, b, t = self._code_inter_plane_txbs(
+                plane, plane_bsize, pred, x0, y0, mi_row, mi_col, bsize,
+                mtr, mtb, ss_x, ss_y)
+            dist += d
+            bits += b
+            txbs += t
+        return dist, bits, txbs
+
+    def _trial_interintra(self, mi_row, mi_col, bsize, mv, ref, lam):
+        """(cost_proxy, extra-bplan-keys, txbs) for the best interintra
+        configuration, or None.  Mode pre-selection by luma SSE over the
+        4 smooth blends, wedge index likewise (interintra mode loop of
+        rdopt.c / compound_type.c pick_interintra_mask)."""
+        mi_x, mi_y, mtl, mtr, mtt, mtb = self._block_edges(mi_row, mi_col,
+                                                           bsize)
+        bw_px = blockd.block_wide(bsize)
+        bh_px = blockd.block_high(bsize)
+        inter_pred = IP.predict_inter_block(
+            self._ref_pad(ref, 0), mi_x, mi_y, bw_px, bh_px, mv[0], mv[1],
+            0, 0, mtl, mtr, mtt, mtb, self.interp_filter,
+            self.interp_filter, self.bd)
+        src = self.src[0][mi_y:mi_y + bh_px,
+                          mi_x:mi_x + bw_px].astype(np.int64)
+        best_m = None
+        ipreds = []
+        for iim in range(c.INTERINTRA_MODES):
+            ipred = self._interintra_intra_pred(
+                0, mi_x, mi_y, bw_px, bh_px, iim, 0, 0, mi_row, mi_col,
+                bsize)
+            ipreds.append(ipred)
+            mask = IP.smooth_interintra_mask(bsize, iim)
+            blend = IP.blend_a64_mask_pixel(ipred, inter_pred, mask, 0, 0)
+            sse = float(((src - blend) ** 2).sum())
+            if best_m is None or sse < best_m[0]:
+                best_m = (sse, iim)
+        iim = best_m[1]
+        d, b, t = self._code_interintra_planes(mi_row, mi_col, bsize, mv,
+                                               ref, iim)
+        sym = 3.0 + (1.0 if bsize in WEDGE_SIZES else 0.0)
+        out = (d + lam * (b + sym),
+               dict(interintra=1, interintra_mode=iim,
+                    use_wedge_interintra=0), t)
+        if bsize in WEDGE_SIZES:
+            best_w = None
+            for widx in range(16):
+                mask = IP.wedge_mask(bsize, 0, widx)
+                blend = IP.blend_a64_mask_pixel(ipreds[iim], inter_pred,
+                                                mask, 0, 0)
+                sse = float(((src - blend) ** 2).sum())
+                if best_w is None or sse < best_w[0]:
+                    best_w = (sse, widx)
+            widx = best_w[1]
+            d, b, t = self._code_interintra_planes(
+                mi_row, mi_col, bsize, mv, ref, iim, use_wedge=1,
+                wedge_index=widx)
+            cost_w = d + lam * (b + sym + 4.0)
+            if cost_w < out[0]:
+                out = (cost_w,
+                       dict(interintra=1, interintra_mode=iim,
+                            use_wedge_interintra=1,
+                            interintra_wedge_index=widx), t)
+        return out
 
     def _code_inter_plane_txbs(self, plane, plane_bsize, pred, x0, y0,
                                mi_row, mi_col, bsize, mb_to_right,
@@ -1069,13 +1388,18 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self.mi_mode[mi_row:rmax, mi_col:cmax] = \
             emitted_mode if is_inter else bplan["y_mode"]
         self.mi_bsize[mi_row:rmax, mi_col:cmax] = bsize
+        emit_ref1 = bplan.get("ref1", -1) if is_inter else -1
+        if is_inter and bplan.get("interintra", 0):
+            emit_ref1 = c.INTRA_FRAME
         self.g.fill_block(
             mi_row, mi_col, bh, bw,
             bplan.get("ref", c.LAST_FRAME) if is_inter else c.INTRA_FRAME,
-            bplan.get("ref1", -1) if is_inter else -1,
+            emit_ref1,
             emitted_mode if is_inter else bplan["y_mode"], bsize,
             partition, bplan["mv"],
             bplan.get("mv1") or (0, 0))
+        self.comp_group_grid[mi_row + m:rmax + m, mi_col + m:cmax + m] = \
+            bplan.get("comp_group_idx", 0) if is_inter else 0
 
         # block tx size (decoder _read_block_tx_size mirror)
         if self.tx_select:
@@ -1383,8 +1707,31 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             if count > 1:
                 ref_mv = stack[0]
             self._write_mv(mv, ref_mv)
-        # motion mode (decodemv.c:226 read_motion_mode write mirror)
-        if self.fh.is_motion_mode_switchable:
+        # interintra (decodemv.c:1382 read mirror: after MVs, before
+        # motion mode; every gated block carries the flag symbol)
+        ii = bplan.get("interintra", 0)
+        if (self.sh.enable_interintra_compound
+                and c.BLOCK_8X8 <= bsize <= c.BLOCK_32X32
+                and MR.NEARESTMV <= mode <= MR.NEWMV):
+            from ..decoder.inter import SIZE_GROUP
+            bsg = SIZE_GROUP[bsize]
+            self.sink.symbol(int(bool(ii)), 2, "interintra_cdf", bsg)
+            if ii:
+                self.sink.symbol(bplan["interintra_mode"],
+                                 c.INTERINTRA_MODES,
+                                 "interintra_mode_cdf", bsg)
+                if bsize in WEDGE_SIZES:
+                    uw = bplan.get("use_wedge_interintra", 0)
+                    self.sink.symbol(uw, 2, "wedge_interintra_cdf", bsize)
+                    if uw:
+                        self.sink.symbol(
+                            bplan["interintra_wedge_index"], 16,
+                            "wedge_idx_cdf", bsize)
+        else:
+            assert not ii
+        # motion mode (decodemv.c:226 read_motion_mode write mirror;
+        # not read for interintra blocks)
+        if self.fh.is_motion_mode_switchable and not ii:
             allowed, _npr, _pts, _ptsr = self._motion_mode_allowed_enc(
                 mode, ref, bsize, mi_row, mi_col, partition)
             mm = bplan.get("motion_mode", 0)
@@ -1399,9 +1746,11 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     def _emit_compound_mode(self, bplan, mi_row, mi_col, bsize,
                             partition=c.PARTITION_NONE):
-        """NEAREST_NEARESTMV compound-mode symbol (no drl, no MV bits);
-        comp_group/compound_idx symbols are absent with masked compound
-        and jnt_comp disabled in the sequence header."""
+        """NEAREST_NEARESTMV compound-mode symbol (no drl, no MV bits),
+        then the compound-type symbols (comp_group_idx / compound_type /
+        wedge / mask_type, decodemv.c:1428 write mirror); the
+        compound_idx symbol is absent with jnt_comp off in the sequence
+        header."""
         ctx = self._refmv_context(mi_row, mi_col, bsize, partition)
         gm0 = self._gm_mv(c.LAST_FRAME, bsize, mi_row, mi_col)
         gm1 = self._gm_mv(c.ALTREF_FRAME, bsize, mi_row, mi_col)
@@ -1414,6 +1763,32 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         comp_ctx = MR.COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][
             min(newmv_ctx, 4)]
         self.sink.symbol(0, 8, "inter_compound_mode_cdf", comp_ctx)
+        comp_allowed = min(blockd.block_wide(bsize),
+                           blockd.block_high(bsize)) >= 8
+        if self.sh.enable_masked_compound and comp_allowed:
+            up_avail = mi_row > 0
+            left_avail = mi_col > 0
+            gctx = self._comp_group_ctx_enc(mi_row, mi_col, up_avail,
+                                            left_avail)
+            cg = bplan.get("comp_group_idx", 0)
+            self.sink.symbol(cg, 2, "comp_group_idx_cdf", gctx)
+            if cg:
+                ct = bplan["comp_type"]
+                if bsize in WEDGE_SIZES:
+                    self.sink.symbol(ct - 1, 2, "compound_type_cdf",
+                                     bsize)
+                else:
+                    assert ct == 2
+                if ct == 1:
+                    self.sink.symbol(bplan["wedge_index"], 16,
+                                     "wedge_idx_cdf", bsize)
+                    self.sink.bit(bplan["wedge_sign"])
+                else:
+                    self.sink.bit(bplan["mask_type"])
+            elif self.sh.enable_jnt_comp:
+                raise NotImplementedError("jnt_comp emission")
+        else:
+            assert not bplan.get("comp_group_idx", 0)
         return MR.NEAREST_NEARESTMV
 
     def _write_mv(self, mv, ref_mv):

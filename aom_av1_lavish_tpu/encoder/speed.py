@@ -41,6 +41,8 @@ class SpeedFeatures:
     trellis: bool            # coeff trellis (optimize_txb)
     motion_modes: bool       # OBMC / WARPED_CAUSAL trials
     comp_search: bool        # explicit compound-average trials
+    compound_types: bool     # wedge / diffwtd masked-compound RD
+    interintra: bool         # interintra (smooth + wedge) RD
     interp_search: bool      # frame interp-filter search
     search_method: str       # fullpel pattern
     search_range: int        # fullpel search radius
@@ -51,35 +53,35 @@ class SpeedFeatures:
 
 _TABLE = {
     0: SpeedFeatures(0, True, True, 0, _ALL_MODES, True, True, True,
-                     True, True, True, "bigdia", 24, True, True,
-                     c.BLOCK_8X8),
+                     True, True, True, True, True, "bigdia", 24, True,
+                     True, c.BLOCK_8X8),
     1: SpeedFeatures(1, False, True, 1, _ALL_MODES, True, True, True,
-                     True, True, True, "bigdia", 20, True, True,
-                     c.BLOCK_8X8),
+                     True, True, True, True, True, "bigdia", 20, True,
+                     True, c.BLOCK_8X8),
     2: SpeedFeatures(2, False, True, 1, _ALL_MODES, False, True, True,
-                     True, True, False, "diamond", 16, True, True,
-                     c.BLOCK_8X8),
+                     True, True, True, False, False, "diamond", 16, True,
+                     True, c.BLOCK_8X8),
     3: SpeedFeatures(3, False, True, 1, _MID_MODES, False, True, True,
-                     True, False, False, "diamond", 16, True, True,
-                     c.BLOCK_16X16),
+                     True, False, False, False, False, "diamond", 16,
+                     True, True, c.BLOCK_16X16),
     4: SpeedFeatures(4, False, True, 1, _MID_MODES, False, True, True,
-                     False, False, False, "hex", 16, True, True,
-                     c.BLOCK_16X16),
+                     False, False, False, False, False, "hex", 16, True,
+                     True, c.BLOCK_16X16),
     5: SpeedFeatures(5, False, True, 1, _FAST_MODES, False, True, False,
-                     False, False, False, "hex", 12, True, True,
-                     c.BLOCK_16X16),
+                     False, False, False, False, False, "hex", 12, True,
+                     True, c.BLOCK_16X16),
     6: SpeedFeatures(6, False, True, 1, _FAST_MODES, False, False, False,
-                     False, False, False, "hex", 12, False, True,
-                     c.BLOCK_16X16),
+                     False, False, False, False, False, "hex", 12, False,
+                     True, c.BLOCK_16X16),
     7: SpeedFeatures(7, False, False, 1, _FAST_MODES, False, False,
-                     False, False, False, False, "hex", 8, False, True,
-                     c.BLOCK_16X16),
-    8: SpeedFeatures(8, False, False, 1, (c.DC_PRED, c.V_PRED, c.H_PRED),
                      False, False, False, False, False, False, "hex", 8,
-                     False, False, c.BLOCK_16X16),
+                     False, True, c.BLOCK_16X16),
+    8: SpeedFeatures(8, False, False, 1, (c.DC_PRED, c.V_PRED, c.H_PRED),
+                     False, False, False, False, False, False, False,
+                     False, "hex", 8, False, False, c.BLOCK_16X16),
     9: SpeedFeatures(9, False, False, 1, (c.DC_PRED,), False, False,
-                     False, False, False, False, "diamond", 4, False,
-                     False, c.BLOCK_16X16),
+                     False, False, False, False, False, False, "diamond",
+                     4, False, False, c.BLOCK_16X16),
 }
 
 

@@ -68,19 +68,8 @@ def _mc_block(refp, x0, y0, bw, bh, mv_r_q4, mv_c_q4):
                             bh + 7, bw + 7).astype(jnp.int32)
     kx = FILT8[sc]          # (B, 8)
     ky = FILT8[sr]
-    # horizontal pass -> (B, bh+7, bw)
-    acc = jnp.zeros(region.shape[:1] + (bh + 7, bw), jnp.int32)
-    for k in range(8):
-        acc = acc + kx[:, k, None, None] * region[:, :, k:k + bw]
-    im = _round2(acc + (1 << 14), 3)
-    # vertical pass
-    acc2 = jnp.zeros(region.shape[:1] + (bh, bw), jnp.int32)
-    for k in range(8):
-        acc2 = acc2 + ky[:, k, None, None] * im[:, k:k + bh, :]
-    sum_ = acc2 + (1 << (8 + 14 - 3))
-    res = _round2(sum_, 11) - ((1 << 8) + (1 << 7))
-    both = jnp.clip(res, 0, 255)
-    return both.astype(jnp.uint8)
+    from .pallas_kernels import convolve_8tap
+    return convolve_8tap(region, kx, ky, bh, bw)
 
 
 def _clamp_mv(mv_r, mv_c, bw, bh, ss_x, ss_y, x0l, y0l, fw, fh_, bw4l,
@@ -109,18 +98,11 @@ def _ssd_surface(src_blk, refp, y0, x0, bsz, radius):
     src_blk: (B, bsz, bsz) int; refp: padded plane; y0/x0: (B,) block
     origins in plane coords.  Returns (B, 2r+1, 2r+1) float32 SSD (exact:
     all partial sums are integers < 2^24)."""
-    B = src_blk.shape[0]
     W = 2 * radius + bsz
     win = _gather_blocks(refp, PADR + y0 - radius, PADR + x0 - radius,
-                         W, W).astype(jnp.float32)
-    src = src_blk.astype(jnp.float32)
-    corr = jax.lax.conv_general_dilated(
-        win[None], src[:, None], window_strides=(1, 1), padding="VALID",
-        feature_group_count=B)[0]                      # (B, 2r+1, 2r+1)
-    e_ref = jax.lax.reduce_window(
-        win * win, 0.0, jax.lax.add, (1, bsz, bsz), (1, 1, 1), "VALID")
-    e_src = (src * src).sum((1, 2))
-    return e_src[:, None, None] + e_ref - 2.0 * corr
+                         W, W).astype(jnp.int32)
+    from .pallas_kernels import ssd_surface
+    return ssd_surface(src_blk, win, bsz, radius)
 
 
 def _argmin2d(cost):

@@ -1,0 +1,273 @@
+"""Pallas TPU kernels for the encoder's hottest device ops.
+
+Re-designs the RTCD SIMD leaves (SURVEY §2.6 "the Pallas kernel
+surface") as hand-written TPU kernels, replacing the XLA formulations
+where control over VMEM residency and fusion pays:
+
+  * ssd_surface   — exhaustive full-pel motion-search cost volume
+                    (aom_dsp/sad.c / variance.c families; the hot loop of
+                    av1_full_pixel_search, av1/encoder/mcomp.c:1755)
+  * quantize_b    — batched scalar quantizer (aom_dsp/quantize.c:71
+                    aom_quantize_b_c), exact integer arithmetic
+  * convolve_8tap — batched subpel motion compensation
+                    (av1/common/convolve.c:133 av1_convolve_2d_sr_c)
+
+Every kernel keeps its XLA fallback: `use_pallas()` picks the Pallas
+path on a real TPU backend (kill switch AVL_NO_PALLAS=1), while tests
+force the Pallas path in interpreter mode on CPU (AVL_FORCE_PALLAS=1)
+and assert bit-exactness against the fallback, mirroring the
+reference's SIMD-vs-C equivalence suites (test/sad_test.cc,
+quantize_func_test.cc, convolve_test.cc).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def use_pallas() -> bool:
+    """Pallas on real TPUs; XLA elsewhere (override via env)."""
+    if os.environ.get("AVL_NO_PALLAS"):
+        return False
+    if os.environ.get("AVL_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# 1. SSD cost surface (motion search)
+
+
+def _ssd_kernel(bsz, radius, src_ref, win_ref, out_ref):
+    """One block's exhaustive SSD surface.
+
+    src (SMEM, (bsz,bsz) int32), win (VMEM, (1,W,W) int32) ->
+    out (1, S, S) float32 with S = 2*radius+1.  All displacement tiles
+    are static shifted views, so the whole surface is (bsz*bsz) fused
+    scalar*tile MACs on the VPU plus two separable sliding sums."""
+    S = 2 * radius + 1
+    win = win_ref[0].astype(jnp.float32)
+    # sliding sum of win^2 over bsz x bsz windows (separable)
+    w2 = win * win
+    rs = w2[0:S, :]
+    for i in range(1, bsz):
+        rs = rs + w2[i:i + S, :]
+    e_ref = rs[:, 0:S]
+    for j in range(1, bsz):
+        e_ref = e_ref + rs[:, j:j + S]
+    # cross-correlation via static shifted tiles
+    corr = jnp.zeros((S, S), jnp.float32)
+    e_src = 0.0
+    for i in range(bsz):
+        for j in range(bsz):
+            s = src_ref[0, i, j].astype(jnp.float32)
+            e_src = e_src + s * s
+            corr = corr + s * win[i:i + S, j:j + S]
+    out_ref[0] = e_src + e_ref - 2.0 * corr
+
+
+@lru_cache(maxsize=None)
+def _ssd_pallas_fn(bsz: int, radius: int):
+    S = 2 * radius + 1
+    W = 2 * radius + bsz
+
+    def fn(src_blk, win):
+        B = src_blk.shape[0]
+        return pl.pallas_call(
+            partial(_ssd_kernel, bsz, radius),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, bsz, bsz), lambda b: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, W, W), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, S, S), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, S, S), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * bsz * bsz * S * S,
+                bytes_accessed=B * (W * W + S * S + bsz * bsz) * 4,
+                transcendentals=0),
+            interpret=_interpret(),
+        )(src_blk.astype(jnp.int32), win)
+    return fn
+
+
+def ssd_surface(src_blk, win, bsz: int, radius: int):
+    """(B,bsz,bsz) source blocks x (B,W,W) search windows ->
+    (B, 2r+1, 2r+1) float32 SSD surface (exact integers in f32)."""
+    if use_pallas():
+        return _ssd_pallas_fn(bsz, radius)(src_blk, win)
+    # XLA fallback: grouped conv + reduce_window (SSD identity)
+    B = src_blk.shape[0]
+    winf = win.astype(jnp.float32)
+    src = src_blk.astype(jnp.float32)
+    corr = jax.lax.conv_general_dilated(
+        winf[None], src[:, None], window_strides=(1, 1), padding="VALID",
+        feature_group_count=B)[0]
+    e_ref = jax.lax.reduce_window(
+        winf * winf, 0.0, jax.lax.add, (1, bsz, bsz), (1, 1, 1), "VALID")
+    e_src = (src * src).sum((1, 2))
+    return e_src[:, None, None] + e_ref - 2.0 * corr
+
+
+# ---------------------------------------------------------------------------
+# 2. Batched quantizer
+
+
+def _quant_kernel(log_scale, coeff_ref, zbin_ref, rnd_ref, quant_ref,
+                  qshift_ref, deq_ref, q_ref, dq_ref):
+    coeff = coeff_ref[...]
+    zbin = zbin_ref[...]
+    rnd = rnd_ref[...]
+    quant = quant_ref[...]
+    qshift = qshift_ref[...]
+    deq = deq_ref[...]
+    ac = jnp.abs(coeff)
+    sign = jnp.where(coeff < 0, -1, 1)
+    above = ac >= zbin
+    tmp = jnp.clip(ac + rnd, -32768, 32767)
+    tmp32 = ((((tmp * quant) >> 16) + tmp) * qshift) >> (16 - log_scale)
+    tmp32 = jnp.where(above, tmp32, 0)
+    q_ref[...] = sign * tmp32
+    dq_ref[...] = sign * ((tmp32 * deq) >> log_scale)
+
+
+@lru_cache(maxsize=None)
+def _quant_pallas_fn(n: int, log_scale: int, rows: int = 8):
+    def fn(coeff2d, zbin, rnd, quant, qshift, deq):
+        B = coeff2d.shape[0]
+        pad = (-B) % rows
+        if pad:
+            coeff2d = jnp.pad(coeff2d, ((0, pad), (0, 0)))
+        Bp = coeff2d.shape[0]
+        vec = pl.BlockSpec((1, n), lambda b: (0, 0),
+                           memory_space=pltpu.VMEM)
+        q, dq = pl.pallas_call(
+            partial(_quant_kernel, log_scale),
+            grid=(Bp // rows,),
+            in_specs=[pl.BlockSpec((rows, n), lambda b: (b, 0),
+                                   memory_space=pltpu.VMEM),
+                      vec, vec, vec, vec, vec],
+            out_specs=(pl.BlockSpec((rows, n), lambda b: (b, 0),
+                                    memory_space=pltpu.VMEM),) * 2,
+            out_shape=(jax.ShapeDtypeStruct((Bp, n), jnp.int32),) * 2,
+            interpret=_interpret(),
+        )(coeff2d, zbin[None], rnd[None], quant[None], qshift[None],
+          deq[None])
+        if pad:
+            q, dq = q[:B], dq[:B]
+        return q, dq
+    return fn
+
+
+def quantize_b_vec(coeff, zbin, rnd, quant, qshift, deq, log_scale: int):
+    """aom_quantize_b over (..., n) coeffs with per-position parameter
+    vectors (n,) (DC/AC already splatted).  Exact integer arithmetic."""
+    n = coeff.shape[-1]
+    lead = coeff.shape[:-1]
+    if use_pallas():
+        c2 = coeff.reshape((-1, n)).astype(jnp.int32)
+        q, dq = _quant_pallas_fn(n, int(log_scale))(
+            c2, zbin.astype(jnp.int32), rnd.astype(jnp.int32),
+            quant.astype(jnp.int32), qshift.astype(jnp.int32),
+            deq.astype(jnp.int32))
+        return q.reshape(lead + (n,)), dq.reshape(lead + (n,))
+    ac = jnp.abs(coeff)
+    sign = jnp.where(coeff < 0, -1, 1)
+    above = ac >= zbin
+    tmp = jnp.clip(ac + rnd, -32768, 32767)
+    tmp32 = ((((tmp * quant) >> 16) + tmp) * qshift) >> (16 - log_scale)
+    tmp32 = jnp.where(above, tmp32, 0)
+    qcoeff = sign * tmp32
+    dqcoeff = sign * ((tmp32 * deq) >> log_scale)
+    return qcoeff.astype(jnp.int32), dqcoeff.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# 3. 8-tap separable subpel convolve (motion compensation)
+
+
+_CONV_ROWS = 8   # blocks per grid step (SMEM tiling wants multiples of 8)
+
+
+def _conv8_kernel(bh, bw, region_ref, kx_ref, ky_ref, out_ref):
+    """_CONV_ROWS blocks' av1_convolve_2d_sr: region (R, bh+7, bw+7)
+    int32, per-block taps kx/ky (SMEM, (R,8) int32) -> (R, bh, bw)."""
+    for r in range(_CONV_ROWS):
+        region = region_ref[r]
+        acc = jnp.zeros((bh + 7, bw), jnp.int32)
+        for k in range(8):
+            acc = acc + kx_ref[r, k] * region[:, k:k + bw]
+        im = (acc + (1 << 14) + (1 << 2)) >> 3
+        acc2 = jnp.zeros((bh, bw), jnp.int32)
+        for k in range(8):
+            acc2 = acc2 + ky_ref[r, k] * im[k:k + bh, :]
+        sum_ = acc2 + (1 << 19) + (1 << 10)
+        res = (sum_ >> 11) - ((1 << 8) + (1 << 7))
+        out_ref[r] = jnp.clip(res, 0, 255)
+
+
+@lru_cache(maxsize=None)
+def _conv8_pallas_fn(bh: int, bw: int):
+    R = _CONV_ROWS
+
+    def fn(region, kx, ky):
+        B = region.shape[0]
+        pad = (-B) % R
+        if pad:
+            region = jnp.pad(region, ((0, pad), (0, 0), (0, 0)))
+            kx = jnp.pad(kx, ((0, pad), (0, 0)))
+            ky = jnp.pad(ky, ((0, pad), (0, 0)))
+        Bp = region.shape[0]
+        out = pl.pallas_call(
+            partial(_conv8_kernel, bh, bw),
+            grid=(Bp // R,),
+            in_specs=[
+                pl.BlockSpec((R, bh + 7, bw + 7), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 8), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((R, 8), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((R, bh, bw), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, bh, bw), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * 8 * ((bh + 7) * bw + bh * bw),
+                bytes_accessed=Bp * ((bh + 7) * (bw + 7) + bh * bw) * 4,
+                transcendentals=0),
+            interpret=_interpret(),
+        )(region, kx.astype(jnp.int32), ky.astype(jnp.int32))
+        return out[:B] if pad else out
+    return fn
+
+
+def convolve_8tap(region, kx, ky, bh: int, bw: int):
+    """Batched 8-bit av1_convolve_2d_sr: region (B, bh+7, bw+7) int32,
+    per-block taps kx/ky (B, 8) -> (B, bh, bw) uint8."""
+    if use_pallas():
+        return _conv8_pallas_fn(bh, bw)(region, kx, ky).astype(jnp.uint8)
+    acc = jnp.zeros(region.shape[:1] + (bh + 7, bw), jnp.int32)
+    for k in range(8):
+        acc = acc + kx[:, k, None, None] * region[:, :, k:k + bw]
+    im = (acc + (1 << 14) + (1 << 2)) >> 3
+    acc2 = jnp.zeros(region.shape[:1] + (bh, bw), jnp.int32)
+    for k in range(8):
+        acc2 = acc2 + ky[:, k, None, None] * im[:, k:k + bh, :]
+    sum_ = acc2 + (1 << 19) + (1 << 10)
+    res = (sum_ >> 11) - ((1 << 8) + (1 << 7))
+    return jnp.clip(res, 0, 255).astype(jnp.uint8)

@@ -324,3 +324,76 @@ def test_motion_modes_encode_conformance(tmp_path):
     for a, b in zip(ours, golden):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_compound_types_and_interintra_conformance(tmp_path):
+    """Masked compound (WEDGE + DIFFWTD) and interintra encode: the RD
+    search must pick each tool on content where it wins, the encoder
+    recon must equal the decoder output, and streams must decode in
+    stock aomdec (compound_type.c av1_compound_type_rd /
+    decodemv.c:1382,1428 write mirrors)."""
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+    from aom_av1_lavish_tpu.decoder.decoder import decode_frame_obus
+    from aom_av1_lavish_tpu.encoder.gop import GopEncoder
+    import aom_av1_lavish_tpu.encoder.inter as EI
+
+    rng = np.random.default_rng(3)
+    W, H, N = 176, 144, 6
+    yy, xx = np.mgrid[0:H + 40, 0:W + 40]
+    bg = 110 + 60 * np.sin(yy / 11.0) * np.cos(xx / 13.0)
+    frames = []
+    for i in range(N):
+        f = bg[2 * i:2 * i + H, 0:W].copy()
+        x0 = 30 + 6 * i          # object moving against the background
+        f[40:80, x0:x0 + 40] = 220 - (yy[40:80, 0:40] * 2 % 60)
+        f = (f + rng.normal(0, 3, (H, W))).clip(0, 255).astype(np.uint8)
+        frames.append((f, np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 130, np.uint8)))
+
+    counts = {"wedge": 0, "diffwtd": 0, "ii": 0}
+    orig = EI.InterFrameEncoder._fill_trial
+
+    def spy(self, bplan, part):
+        if bplan.get("is_inter"):
+            if bplan.get("comp_group_idx"):
+                counts["wedge" if bplan["comp_type"] == 1
+                       else "diffwtd"] += 1
+            if bplan.get("interintra"):
+                counts["ii"] += 1
+        orig(self, bplan, part)
+
+    EI.InterFrameEncoder._fill_trial = spy
+    try:
+        enc = GopEncoder(W, H, qindex=110, gf_length=N, enable_cdef=False,
+                         comp_pred=True, compound_types=True,
+                         interintra=True)
+        payloads = enc.encode_sequence(frames)
+    finally:
+        EI.InterFrameEncoder._fill_trial = orig
+    assert counts["wedge"] > 0, "no WEDGE compound block chosen"
+    assert counts["diffwtd"] > 0, "no DIFFWTD compound block chosen"
+    assert counts["ii"] > 0, "no interintra block chosen"
+    # coding-path sync (encoder recon == decoder ref slots)
+    sh = None
+    state = {"slots": [None] * 8}
+    ours = []
+    for p in payloads:
+        fr, sh = decode_frame_obus(p, sh, state)
+        ours.extend(fr)
+    for slot in range(8):
+        if enc.slots[slot] is None or state["slots"][slot] is None:
+            continue
+        for pe, pd in zip(enc.slots[slot], state["slots"][slot]["planes"]):
+            np.testing.assert_array_equal(pe, pd)
+    if not HAVE_ORACLE:
+        return
+    ivf = str(tmp_path / "ct.ivf")
+    out = str(tmp_path / "ct.y4m")
+    write_ivf(ivf, [(p, i) for i, p in enumerate(payloads)], W, H, 30, 1)
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    golden = read_y4m(out)[0]
+    assert len(ours) == len(golden) == N
+    for a, b in zip(ours, golden):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

@@ -461,9 +461,12 @@ def write_frame_header(fh: FrameHeader, sh: SequenceHeader,
             assert not fh.frame_refs_short_signaling
         for i in range(7):
             w.write_literal(fh.ref_frame_idx[i], 3)
-        assert not (fh.frame_size_override
-                    and not fh.error_resilient_mode), \
-            "frame_size_with_refs write unimplemented"
+        if fh.frame_size_override and not fh.error_resilient_mode:
+            # frame_size_with_refs (spec 5.9.7): signal found_ref = 0
+            # for every slot, then an explicit frame_size() — always
+            # decodable without writer-side ref-size bookkeeping
+            for _ in range(7):
+                w.write_bit(0)
         _write_frame_size(fh, sh, w)
         if not fh.force_integer_mv:
             w.write_bit(fh.allow_high_precision_mv)

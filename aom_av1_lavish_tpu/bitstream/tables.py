@@ -202,6 +202,10 @@ class FrameContext:
         self._d = d
 
     def __getattr__(self, name: str) -> np.ndarray:
+        if name == "_d":
+            # not set yet (e.g. during unpickling, before __dict__ is
+            # restored): must raise instead of recursing through _d
+            raise AttributeError(name)
         try:
             return self._d[name]
         except KeyError:

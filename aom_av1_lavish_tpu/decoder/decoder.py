@@ -1754,12 +1754,17 @@ def _decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
     frames = []
     session = None
     # operating-point layer filter (obu.c:172 drop semantics): frames
-    # with a temporal id above state["max_tid"] are not decoded
+    # with a temporal/spatial id above state["max_tid"]/["max_sid"]
+    # are not decoded
     max_tid = state.get("max_tid")
-    for obu_type, payload, tid, _sid in H.split_obus_ext(data):
-        if max_tid is not None and tid > max_tid and obu_type in (
-                c.OBU_FRAME, c.OBU_FRAME_HEADER, c.OBU_TILE_GROUP):
-            continue
+    max_sid = state.get("max_sid")
+    for obu_type, payload, tid, sid in H.split_obus_ext(data):
+        if obu_type in (c.OBU_FRAME, c.OBU_FRAME_HEADER,
+                        c.OBU_TILE_GROUP):
+            if max_tid is not None and tid > max_tid:
+                continue
+            if max_sid is not None and sid > max_sid:
+                continue
         if obu_type == c.OBU_SEQUENCE_HEADER:
             sh = H.parse_sequence_header(payload)
         elif obu_type in (c.OBU_FRAME, c.OBU_FRAME_HEADER):
@@ -1837,8 +1842,8 @@ class _FrameSession:
         assert tg_start == self.next_tile, "tile groups out of order"
         from ..utils.profiler import profile
         pos = (r.bit_offset + 7) >> 3   # byte_alignment()
+        tiles = []
         for tn in range(tg_start, tg_end + 1):
-            trow, tcol = divmod(tn, 1 << fh.tile_cols_log2)
             if tn == tg_end:
                 tile_data = data[pos:]
                 if not tile_data:
@@ -1851,9 +1856,25 @@ class _FrameSession:
                     raise CorruptFrameError("tile size exceeds payload")
                 tile_data = data[pos:pos + size]
                 pos += size
+            tiles.append((tn, tile_data))
+        workers = (self.state or {}).get("tile_workers", 0)
+        if (workers > 1 and len(tiles) > 1 and self.dec.acct is None
+                and not (self.state or {}).get("inspect_hook")):
+            # tile-parallel decode (decode_tiles_mt analog): forked
+            # workers, per-tile state merge, bit-identical to serial
+            from types import SimpleNamespace
+            from .parallel import decode_tiles_mt
             with profile("decode/tile"):
-                self.dec.decode_tile_data(tile_data, trow, tcol)
-            self.tile_states.append(self.dec._last_ts)
+                fcs = decode_tiles_mt(self.dec, tiles, workers)
+            for tn, _ in tiles:
+                self.tile_states.append(SimpleNamespace(fc=fcs[tn]))
+            self.dec._last_ts = self.tile_states[-1]
+        else:
+            for tn, tile_data in tiles:
+                trow, tcol = divmod(tn, 1 << fh.tile_cols_log2)
+                with profile("decode/tile"):
+                    self.dec.decode_tile_data(tile_data, trow, tcol)
+                self.tile_states.append(self.dec._last_ts)
         self.next_tile = tg_end + 1
         return self.next_tile == self.n_tiles
 
@@ -1935,15 +1956,23 @@ def _update_ref_state(state, fh, dec, out):
 
 
 def decode_ivf(path: str, max_frames: int | None = None,
-               max_temporal_layer: int | None = None):
+               max_temporal_layer: int | None = None,
+               max_spatial_layer: int | None = None,
+               tile_workers: int = 0):
     """Decode frames of an IVF file; returns list of (y, u, v).
-    max_temporal_layer: decode only OBUs with temporal_id <= N
-    (SVC operating-point selection)."""
+    max_temporal_layer / max_spatial_layer: decode only OBUs with
+    temporal_id / spatial_id <= N (SVC operating-point selection).
+    tile_workers > 1: within-frame tile-parallel decode (bit-identical
+    to serial; decode_tiles_mt analog)."""
     from ..bitstream.ivf import read_ivf
     sh = None
     state = {"slots": [None] * 8}
     if max_temporal_layer is not None:
         state["max_tid"] = max_temporal_layer
+    if max_spatial_layer is not None:
+        state["max_sid"] = max_spatial_layer
+    if tile_workers > 1:
+        state["tile_workers"] = tile_workers
     out = []
     for payload, _pts in read_ivf(path):
         frames, sh = decode_frame_obus(payload, sh, state)

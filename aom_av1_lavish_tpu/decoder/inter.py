@@ -744,8 +744,15 @@ class InterDecoderMixin:
         ref_frame = bi.ref_frame[0]
         w4 = blockd.mi_size_wide(bsize)
         h4 = blockd.mi_size_high(bsize)
-        up = mi_row > 0
-        left = mi_col > 0
+        # availability is TILE-scoped (libaom xd->up_available via
+        # set_mi_row_col with tile bounds); ts is None on the encoder's
+        # single-tile path
+        row_start = ts.mi_row_start if ts is not None else 0
+        col_start = ts.mi_col_start if ts is not None else 0
+        row_end = ts.mi_row_end if ts is not None else self.mi_rows
+        col_end = ts.mi_col_end if ts is not None else self.mi_cols
+        up = mi_row > row_start
+        left = mi_col > col_start
         pts = [0] * 16
         pts_inref = [0] * 16
         np_ = 0
@@ -821,9 +828,10 @@ class InterDecoderMixin:
                     return 8, pts, pts_inref
         if do_tr:
             ctx = MR.RefMvContext(
-                g, mi_row, mi_col, bsize, self.sb_mi, 0, self.mi_rows,
-                0, self.mi_cols, bi.partition)
-            if MR._has_top_right(ctx) and                     0 <= mi_row - 1 and mi_col + w4 < self.mi_cols:
+                g, mi_row, mi_col, bsize, self.sb_mi, row_start, row_end,
+                col_start, col_end, bi.partition)
+            if MR._has_top_right(ctx) and \
+                    row_start <= mi_row - 1 and mi_col + w4 < col_end:
                 r0, r1, nb_bs, nb_mv = cand(mi_row - 1, mi_col + w4)
                 if r0 == ref_frame and r1 == -1:
                     record(nb_bs, nb_mv, 0, -1, w4, 1)

@@ -72,3 +72,133 @@ def decode_ivf_parallel(path: str, workers: int = 2):
     for fr in results:
         out.extend(fr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Within-frame tile-parallel decode (decodeframe.c:3529 decode_tiles_mt).
+# Tiles are fully independent for parse + prediction (availability is
+# tile-scoped), so each tile decodes in a forked worker against the
+# shared pre-tile frame state; the parent merges each tile's owned
+# region of every mutated array, then runs the in-loop filters as usual.
+# Contract (test mirror of decode_multithreaded_test.cc): bit-identical
+# to serial decode.
+
+_TILE_DEC = None     # decoder handle inherited by forked tile workers
+
+#: decoder arrays merged per tile, as (attr, index base offset, kind)
+#: kind: "mi" = mi-indexed, "pix" = pixel planes, "half" = per-8x8
+_MI_ARRAYS = ("tx_wide_grid", "tx_high_grid", "skip_inter_grid",
+              "seg_map", "seg_pred_grid", "qindex_grid", "delta_lf_grid")
+_MARGIN_ARRAYS = ("skip_mode_grid", "interp_grid", "tx_type_map")
+
+
+def _tile_slices(dec, trow, tcol):
+    """Owned index ranges of one tile in the decoder's arrays.  Last
+    tiles extend to the array margins (edge-crossing transform blocks
+    write recon/ctx past the mi grid only at frame edges)."""
+    r0, r1 = dec.tile_row_range(trow)
+    c0, c1 = dec.tile_col_range(tcol)
+    last_r = r1 >= dec.mi_rows
+    last_c = c1 >= dec.mi_cols
+    return r0, r1, c0, c1, last_r, last_c
+
+
+def _extract_tile_state(dec, trow, tcol):
+    r0, r1, c0, c1, last_r, last_c = _tile_slices(dec, trow, tcol)
+    m = dec.g.m
+    import numpy as np
+    out = {"rect": (trow, tcol)}
+    sl_mi = (slice(r0, None if last_r else r1),
+             slice(c0, None if last_c else c1))
+    sl_m = (slice(r0 + m, None if last_r else r1 + m),
+            slice(c0 + m, None if last_c else c1 + m))
+    out["mi"] = dec.mi[sl_mi]
+    out["g"] = tuple(getattr(dec.g, a)[sl_m] for a in
+                     ("ref0", "ref1", "mode", "bsize", "partition", "mv"))
+    out["mi_arrays"] = tuple(getattr(dec, a)[sl_mi] for a in _MI_ARRAYS)
+    out["margin_arrays"] = tuple(getattr(dec, a)[sl_m]
+                                 for a in _MARGIN_ARRAYS)
+    sl_h = (slice(r0 >> 1, None if last_r else (r1 + 1) >> 1),
+            slice(c0 >> 1, None if last_c else (c1 + 1) >> 1))
+    out["mvs"] = (dec.frame_mvs_ref[sl_h], dec.frame_mvs[sl_h])
+    pix = []
+    for p, plane in enumerate(dec.planes):
+        ss_x = dec.ss_x if p else 0
+        ss_y = dec.ss_y if p else 0
+        sl_p = (slice((r0 * 4) >> ss_y,
+                      None if last_r else (r1 * 4) >> ss_y),
+                slice((c0 * 4) >> ss_x,
+                      None if last_c else (c1 * 4) >> ss_x))
+        pix.append(plane[sl_p])
+    out["pix"] = pix
+    # LR units read by this tile (identical-to-default entries merge as
+    # no-ops, so collecting non-default ones is sufficient)
+    from ..common.restoration import RESTORE_NONE
+    lr = []
+    if dec.lr is not None:
+        for p, pr in enumerate(dec.lr):
+            for idx, ui in enumerate(pr.unit_info):
+                if ui != (RESTORE_NONE, None):
+                    lr.append((p, idx, ui))
+    out["lr"] = lr
+    out["fc"] = dec._last_ts.fc if dec._last_ts is not None else dec.fc0
+    return out
+
+
+def _merge_tile_state(dec, st):
+    trow, tcol = st["rect"]
+    r0, r1, c0, c1, last_r, last_c = _tile_slices(dec, trow, tcol)
+    m = dec.g.m
+    sl_mi = (slice(r0, None if last_r else r1),
+             slice(c0, None if last_c else c1))
+    sl_m = (slice(r0 + m, None if last_r else r1 + m),
+            slice(c0 + m, None if last_c else c1 + m))
+    dec.mi[sl_mi] = st["mi"]
+    for a, v in zip(("ref0", "ref1", "mode", "bsize", "partition", "mv"),
+                    st["g"]):
+        getattr(dec.g, a)[sl_m] = v
+    for a, v in zip(_MI_ARRAYS, st["mi_arrays"]):
+        getattr(dec, a)[sl_mi] = v
+    for a, v in zip(_MARGIN_ARRAYS, st["margin_arrays"]):
+        getattr(dec, a)[sl_m] = v
+    sl_h = (slice(r0 >> 1, None if last_r else (r1 + 1) >> 1),
+            slice(c0 >> 1, None if last_c else (c1 + 1) >> 1))
+    dec.frame_mvs_ref[sl_h] = st["mvs"][0]
+    dec.frame_mvs[sl_h] = st["mvs"][1]
+    for p, plane in enumerate(dec.planes):
+        ss_x = dec.ss_x if p else 0
+        ss_y = dec.ss_y if p else 0
+        sl_p = (slice((r0 * 4) >> ss_y,
+                      None if last_r else (r1 * 4) >> ss_y),
+                slice((c0 * 4) >> ss_x,
+                      None if last_c else (c1 * 4) >> ss_x))
+        plane[sl_p] = st["pix"][p]
+    for (p, idx, ui) in st["lr"]:
+        dec.lr[p].unit_info[idx] = ui
+
+
+def _tile_worker(args):
+    tn, tile_data = args
+    dec = _TILE_DEC
+    trow, tcol = divmod(tn, 1 << dec.fh.tile_cols_log2)
+    dec.decode_tile_data(tile_data, trow, tcol)
+    return tn, _extract_tile_state(dec, trow, tcol)
+
+
+def decode_tiles_mt(dec, tiles, workers: int):
+    """Decode (tile_num, data) pairs in a forked pool against `dec`,
+    merging each tile's state back; returns {tile_num: end fc}."""
+    global _TILE_DEC
+    import multiprocessing as mp
+    _TILE_DEC = dec
+    try:
+        with mp.get_context("fork").Pool(
+                min(workers, len(tiles))) as pool:
+            results = pool.map(_tile_worker, tiles)
+    finally:
+        _TILE_DEC = None
+    fcs = {}
+    for tn, st in sorted(results):
+        _merge_tile_state(dec, st)
+        fcs[tn] = st["fc"]
+    return fcs

@@ -251,20 +251,51 @@ class GopEncoder:
 
     # --- sequence driver ------------------------------------------------
 
+    def _build_schedule(self, n: int) -> list:
+        """[('key', i) | ('gf', start, L)] covering display order.
+
+        With two-pass stats: scene-cut key-frame placement + adaptive
+        GF-group lengths from prediction decay (find_next_key_frame /
+        define_gf_group, pass2_strategy.c:2034,2441); without stats the
+        fixed kf_interval / gf_length cadence."""
+        from .pass2 import adaptive_gf_length, find_key_frames
+        stats = self.twopass_stats
+        use_stats = stats is not None and len(stats) >= n
+        keys = None
+        if use_stats:
+            keys = set(k for k in find_key_frames(
+                stats[:n], kf_max=self.kf_interval) if k < n)
+        sched = []
+        i = 0
+        while i < n:
+            is_key = (i in keys) if keys is not None \
+                else (i % self.kf_interval == 0)
+            if is_key:
+                sched.append(("key", i))
+                i += 1
+                continue
+            if keys is not None:
+                until_kf = min((k - i for k in keys if k > i),
+                               default=n - i)
+            else:
+                until_kf = self.kf_interval - (i % self.kf_interval)
+            limit = min(self.gf_length, n - i, until_kf)
+            L = limit
+            if use_stats and limit >= 2:
+                L = min(adaptive_gf_length(stats, i, limit,
+                                           self.gf_length), limit)
+            sched.append(("gf", i, L))
+            i += L
+        return sched
+
     def _frame_kinds(self, n: int) -> list:
         """Display-order frame kinds for the scheduling rule below."""
         kinds = ["inter"] * n
-        i = 0
-        while i < n:
-            if i % self.kf_interval == 0:
-                kinds[i] = "key"
-                i += 1
-                continue
-            until_kf = self.kf_interval - (i % self.kf_interval)
-            L = min(self.gf_length, n - i, until_kf)
-            if self.use_arf and L >= 3:
-                kinds[i + L - 1] = "arf"
-            i += L
+        for item in self._build_schedule(n):
+            if item[0] == "key":
+                kinds[item[1]] = "key"
+            elif self.use_arf and item[2] >= 3:
+                kinds[item[1] + item[2] - 1] = "arf"
         return kinds
 
     def _q(self, kind: str, display_idx: int) -> int:
@@ -356,22 +387,19 @@ class GopEncoder:
                                      self.rc.cfg.fps)
             self._targets = alloc.frame_targets(self._frame_kinds(n))
         payloads = []
-        i = 0
-        while i < n:
-            if i % self.kf_interval == 0:
+        for item in self._build_schedule(n):
+            if item[0] == "key":
+                i = item[1]
                 q = self._q("key", i)
                 p, q = self._recode("key", i, q,
-                                    lambda qq: self._encode_key(
-                                        frames[i], qq,
-                                        order_hint=i & 127))
+                                    lambda qq, f=frames[i], d=i:
+                                    self._encode_key(f, qq,
+                                                     order_hint=d & 127))
                 self.rc.postencode("key", q, len(p) * 8)
                 self.last_slot, self.arf_slot = 0, 1
                 payloads.append(p)
-                i += 1
                 continue
-            # group length: stop at the next key frame or sequence end
-            until_kf = self.kf_interval - (i % self.kf_interval)
-            L = min(self.gf_length, n - i, until_kf)
+            _, i, L = item
             if self.use_arf and L >= 3:
                 payloads.extend(self._encode_gf_group(frames[i:i + L], i))
             else:
@@ -386,7 +414,6 @@ class GopEncoder:
                     tu = H.temporal_delimiter() + obu
                     self.rc.postencode("inter", q, len(tu) * 8)
                     payloads.append(tu)
-            i += L
         return payloads
 
     def _encode_gf_group(self, group, base_idx: int = 0) -> list:

@@ -48,7 +48,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             ref_order_hints=(0,) * 8,
                             prev_gm_params=None,
                             allow_hp=None,
-                            motion_modes: bool = False) -> H.FrameHeader:
+                            motion_modes: bool = False,
+                            width: int | None = None,
+                            height: int | None = None) -> H.FrameHeader:
     """Non-error-resilient when the sequence carries order hints and a
     primary_ref is given: per-frame CDF carry + backward adaptation
     (av1_common_int.h:414,985 primary_ref_frame / frame contexts)."""
@@ -66,6 +68,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         # av1_pick_and_set_high_precision_mv (mv_prec.c): 1/8-pel pays
         # off at low q where residual bits dominate MV bits
         allow_hp = qindex < 128
+    cw = width or sh.max_frame_width
+    ch = height or sh.max_frame_height
+    override = int((cw, ch) != (sh.max_frame_width, sh.max_frame_height))
     fh = H.FrameHeader(
         frame_type=c.INTER_FRAME, show_frame=show_frame,
         showable_frame=showable_frame,
@@ -76,9 +81,9 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         prev_gm_params=prev_gm_params,
         disable_cdf_update=0,
         disable_frame_end_update_cdf=0 if non_er else 1,
-        frame_size_override=0,
-        frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
-        render_width=sh.max_frame_width, render_height=sh.max_frame_height,
+        frame_size_override=override,
+        frame_width=cw, frame_height=ch,
+        render_width=cw, render_height=ch,
         base_q_idx=qindex,
         tx_mode=c.TX_MODE_SELECT if tx_select else c.TX_MODE_LARGEST,
         reduced_tx_set=0,
@@ -237,7 +242,19 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         return self.recon
 
     def _ref_sf(self, ref_enum):
-        return (IP.REF_NO_SCALE, IP.REF_NO_SCALE)
+        """Scale factors of a reference vs the current coded size
+        (decoder _ref_sf mirror; spatial-SVC inter-layer refs are
+        stored at their own resolution)."""
+        slot = self.fh.ref_frame_idx[ref_enum - 1]
+        ref = self.refs[slot]
+        if ref is None:
+            return (IP.REF_NO_SCALE, IP.REF_NO_SCALE, 0, 0)
+        rh, rw = ref[0].shape
+        return IP.scale_factors(rw, rh, self.fh.frame_width,
+                                self.fh.frame_height)
+
+    def _ref_scaled(self, ref_enum) -> bool:
+        return IP.is_scaled(self._ref_sf(ref_enum))
 
     # borrowed decoder methods (single implementation for both sides)
     from ..decoder.inter import InterDecoderMixin as _D
@@ -566,8 +583,13 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             nearest = MR.lower_mv_precision(mv_list[0], allow_hp, force_int)
             near = MR.lower_mv_precision(mv_list[1], allow_hp, force_int)
 
-            searched = self._motion_search(mi_row, mi_col, bsize, nearest,
-                                           ref)
+            if self._ref_scaled(ref):
+                # scaled (inter-layer) ref: candidate MVs only — the
+                # (0,0)/NEAREST candidates are the upsampled lower layer
+                searched = nearest
+            else:
+                searched = self._motion_search(mi_row, mi_col, bsize,
+                                               nearest, ref)
             gw = self._gm_would_warp(ref, bsize)
             cands = [(MR.NEWMV, searched, False)]
             if searched != nearest:
@@ -602,6 +624,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         if (self.comp_search
                 and self.fh.reference_mode == c.REFERENCE_MODE_SELECT
                 and c.ALTREF_FRAME in self.ref_list
+                and not self._ref_scaled(c.LAST_FRAME)
+                and not self._ref_scaled(c.ALTREF_FRAME)
                 and min(blockd.block_wide(bsize),
                         blockd.block_high(bsize)) >= 8):
             rf_key = (c.LAST_FRAME, c.ALTREF_FRAME)
@@ -697,8 +721,9 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             # OBMC / WARPED_CAUSAL vs simple translation
             motion_mode = 0
             ii_extra = {}
+            scaled_win = self._ref_scaled(ref)
             if (self.fh.is_motion_mode_switchable and not is_comp
-                    and not gm_warp):
+                    and not gm_warp and not scaled_win):
                 allowed, npr, pts, ptsr = self._motion_mode_allowed_enc(
                     mode, ref, bsize, mi_row, mi_col, partition)
                 if allowed != c.SIMPLE_TRANSLATION:
@@ -726,7 +751,7 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             # gates: single-ref, 8x8..32x32, NEARESTMV..NEWMV; mutually
             # exclusive with motion modes at read time)
             if (self.sh.enable_interintra_compound and not is_comp
-                    and not gm_warp
+                    and not gm_warp and not scaled_win
                     and mode in (MR.NEWMV, MR.NEARESTMV, MR.NEARMV)
                     and c.BLOCK_8X8 <= bsize <= c.BLOCK_32X32):
                 lam = self._lam(mi_row, mi_col)
@@ -929,6 +954,15 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     x0, y0, b_w, b_h, (mv, mv1), ss_x, ss_y,
                     mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
                     self.interp_filter, self.interp_filter, bd=self.bd)
+            elif self._ref_scaled(ref):
+                # inter-layer / resized reference (spatial SVC): scaled
+                # subpel MC (decoder _mc_single is_scaled branch)
+                slot = self.fh.ref_frame_idx[ref - 1]
+                rh_, rw_ = self.refs[slot][plane].shape
+                pred = IP.predict_inter_block_scaled(
+                    self._ref_pad(ref, plane), rw_, rh_, x0, y0, b_w, b_h,
+                    mv[0], mv[1], ss_x, ss_y, self._ref_sf(ref),
+                    self.interp_filter, self.interp_filter, self.bd)
             else:
                 pred = IP.predict_inter_block(
                     self._ref_pad(ref, plane), x0, y0, b_w, b_h,

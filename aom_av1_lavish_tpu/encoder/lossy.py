@@ -56,7 +56,9 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                             intrabc: bool = False,
                             seg=None, tx_select: bool = False,
                             order_hint: int = 0,
-                            backward_update: bool = False) -> H.FrameHeader:
+                            backward_update: bool = False,
+                            width: int | None = None,
+                            height: int | None = None) -> H.FrameHeader:
     assert 0 < qindex <= 255
     assert not (tx_select and intrabc), \
         "intrabc blocks use the inter vartx tx-size syntax (TBD)"
@@ -93,14 +95,17 @@ def make_lossy_frame_header(sh: H.SequenceHeader, qindex: int,
                       seg_feature_mask=tuple(mask),
                       seg_feature_data=tuple(data),
                       seg_preskip=0, seg_last_active=len(seg) - 1)
+    cw = width or sh.max_frame_width
+    ch = height or sh.max_frame_height
+    override = int((cw, ch) != (sh.max_frame_width, sh.max_frame_height))
     return H.FrameHeader(
         frame_type=c.KEY_FRAME, show_frame=1, error_resilient_mode=1,
         disable_cdf_update=0,
         disable_frame_end_update_cdf=0 if backward_update else 1,
         order_hint=order_hint,
-        frame_size_override=0,
-        frame_width=sh.max_frame_width, frame_height=sh.max_frame_height,
-        render_width=sh.max_frame_width, render_height=sh.max_frame_height,
+        frame_size_override=override,
+        frame_width=cw, frame_height=ch,
+        render_width=cw, render_height=ch,
         base_q_idx=qindex,
         tx_mode=c.TX_MODE_SELECT if tx_select else c.TX_MODE_LARGEST,
         reduced_tx_set=0,
@@ -316,11 +321,16 @@ class LossyAllIntraEncoder(LosslessEncoder):
         return Q.build_plane_quant(q, deltas[0], deltas[1],
                                    bd=self.sh.bit_depth)
 
+    #: search deblock levels against the source (picklpf.c analog);
+    #: RT paths disable it and keep the q-derived level
+    #: (LPF_PICK_FROM_Q at high speeds)
+    lf_search = True
+
     def _post_tile(self, tile_data: bytes) -> bytes:
         if self.intrabc:
             # allow_intrabc disables all in-loop filters (spec 5.9.11)
             return tile_data
-        self._filter_recon()
+        self._filter_recon(search=self.lf_search)
         if self._lr is not None and any(self.fh.lr_type):
             # LR unit symbols are interleaved per superblock inside the
             # tile, so the tile must be re-emitted from the saved plans

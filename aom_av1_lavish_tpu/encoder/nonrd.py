@@ -22,6 +22,8 @@ from .inter import InterFrameEncoder
 
 
 class RealtimeEncoder(InterFrameEncoder):
+    #: LPF_PICK_FROM_Q (picklpf.c at REALTIME speeds): no LF level search
+    lf_search = False
     """Non-RD inter encoder (cpu-used 7-10 class)."""
 
     def __init__(self, *a, **kw):
@@ -215,10 +217,17 @@ def encode_realtime_ivf(path: str, frames, width: int, height: int,
     for i, f in enumerate(frames):
         if i == 0:
             fh = make_lossy_frame_header(sh, qindex)
-            # RT speed features: no trellis (speed_features.c
-            # sf->rd_sf.optimize_coefficients = 0 at high speeds)
-            enc = LossyAllIntraEncoder(sh, fh, speed=1, rect_parts=False,
-                                       trellis=False, **kw)
+            # RT speed features (speed_features.c REALTIME defaults at
+            # high speed): nonrd-style intra = tiny mode set, square
+            # partitions only, no trellis, no tx-type search
+            kkw = dict(mode_set=(c.DC_PRED, c.V_PRED, c.H_PRED,
+                                 c.SMOOTH_PRED),
+                       speed=1, rect_parts=False, trellis=False,
+                       tx_search=False, enable_cfl=False,
+                       block_size=c.BLOCK_32X32)
+            kkw.update(kw)
+            enc = LossyAllIntraEncoder(sh, fh, **kkw)
+            enc.lf_search = False
         else:
             fh = make_inter_frame_header(sh, qindex, aq=aq_mode == 3)
             enc = RealtimeEncoder(sh, fh, slots, trellis=False, **kw)

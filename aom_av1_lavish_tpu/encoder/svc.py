@@ -30,12 +30,13 @@ def temporal_layer_of(frame_idx: int, layers: int) -> int:
     return 0
 
 
-def _retag(payload: bytes, tid: int) -> bytes:
-    """Re-wrap a temporal unit's OBUs with a temporal_id extension."""
+def _retag(payload: bytes, tid: int, sid: int = 0) -> bytes:
+    """Re-wrap a temporal unit's OBUs with a temporal/spatial-id
+    extension."""
     out = bytearray()
     for t, p in H.split_obus(payload):
         if t in (c.OBU_FRAME, c.OBU_FRAME_HEADER, c.OBU_TILE_GROUP):
-            out += H.wrap_obu(t, p, temporal_id=tid)
+            out += H.wrap_obu(t, p, temporal_id=tid, spatial_id=sid)
         else:
             out += H.wrap_obu(t, p)
     return bytes(out)
@@ -88,4 +89,90 @@ def encode_svc_ivf(path: str, frames, width: int, height: int,
                 slot_time[slot] = i
                 slot_tid[slot] = tid
         payloads.append((_retag(payload, tid), i))
+    write_ivf(path, payloads, width, height, fps[0], fps[1])
+
+
+# ---------------------------------------------------------------------------
+# Spatial SVC (svc_layercontext.c spatial layers / examples/svc_encoder_rtc.c)
+
+def _downscale_plane(plane, out_w: int, out_h: int):
+    """Source downsampling for the base layer (non-normative; reference
+    analog av1_resize_plane): separable bilinear via the superres
+    downscaler run in both directions."""
+    import numpy as np
+    from ..common.resize import downscale_plane_horz
+    t = downscale_plane_horz(plane, out_w)
+    t = downscale_plane_horz(np.ascontiguousarray(t.T), out_h)
+    return np.ascontiguousarray(t.T)
+
+
+def encode_svc_spatial_ivf(path: str, frames, width: int, height: int,
+                           qindex: int = 80, base_q_boost: int = 14,
+                           fps=(30, 1), **kw) -> None:
+    """Two-spatial-layer SVC encode (L2T1).
+
+    Each temporal unit carries the base layer at half resolution
+    (spatial_id 0, ref slot 1) followed by the enhancement layer at full
+    resolution (spatial_id 1, ref slot 0).  The enhancement layer uses
+    inter-layer prediction: GOLDEN points at the *current* base-layer
+    recon, motion-compensated through the scaled-reference convolve
+    (spec is_scaled path), plus normal temporal prediction from the
+    previous enhancement frame via LAST.  Decoding only spatial layer 0
+    (operating-point drop) yields a valid half-resolution stream.
+
+    Reference: av1/encoder/svc_layercontext.c layer contexts + ref map,
+    examples/svc_encoder_rtc.c L2T1 pattern."""
+    import numpy as np
+    from ..bitstream.ivf import write_ivf
+    assert width % 2 == 0 and height % 2 == 0
+    bw, bh = width // 2, height // 2
+    assert bw % 2 == 0 and bh % 2 == 0, "chroma halves must be integral"
+    sh = make_sequence_header(width, height)
+    # one operating point spanning both spatial layers at tid 0
+    sh.operating_point_idc = (0b11 << 8) | 0b1
+    slots = [None] * 8
+    payloads = []
+
+    def store(enc, fh):
+        w_, h_ = fh.frame_width, fh.frame_height
+        cw, ch = (w_ + 1) >> 1, (h_ + 1) >> 1
+        out = (enc.recon[0][:h_, :w_].copy(),
+               enc.recon[1][:ch, :cw].copy(),
+               enc.recon[2][:ch, :cw].copy())
+        flags = 0xFF if (fh.frame_type == c.KEY_FRAME and fh.show_frame) \
+            else fh.refresh_frame_flags
+        for s in range(8):
+            if flags & (1 << s):
+                slots[s] = out
+
+    for i, f in enumerate(frames):
+        q0 = min(255, qindex + base_q_boost)
+        base_f = (_downscale_plane(f[0], bw, bh),
+                  _downscale_plane(f[1], bw // 2, bh // 2),
+                  _downscale_plane(f[2], bw // 2, bh // 2))
+        # --- spatial layer 0 (half resolution) ---
+        if i == 0:
+            fh0 = make_lossy_frame_header(sh, q0, width=bw, height=bh)
+            enc0 = LossyAllIntraEncoder(sh, fh0, **kw)
+        else:
+            fh0 = make_inter_frame_header(
+                sh, q0, refresh_frame_flags=1 << 1,
+                ref_frame_idx=(1,) * 7, width=bw, height=bh)
+            enc0 = InterFrameEncoder(sh, fh0, slots, **kw)
+        p0 = enc0.encode_frame(base_f)
+        store(enc0, fh0)
+        # --- spatial layer 1 (full resolution, inter-layer GOLDEN) ---
+        ref_idx = [1] * 7
+        if i > 0:
+            ref_idx[c.LAST_FRAME - 1] = 0
+        fh1 = make_inter_frame_header(
+            sh, qindex, refresh_frame_flags=1 << 0,
+            ref_frame_idx=tuple(ref_idx))
+        ref_list = (c.LAST_FRAME, c.GOLDEN_FRAME) if i > 0 \
+            else (c.GOLDEN_FRAME,)
+        enc1 = InterFrameEncoder(sh, fh1, slots, ref_list=ref_list, **kw)
+        p1 = enc1.encode_frame(f)
+        store(enc1, fh1)
+        tu = _retag(p0, 0, 0) + _retag(p1, 0, 1)
+        payloads.append((tu, i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

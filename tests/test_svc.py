@@ -71,3 +71,67 @@ def test_svc_two_layers(tmp_path):
     for bi, fi in zip(range(3), (0, 2, 4)):
         for a, b in zip(base[bi], full[fi]):
             np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not os.path.exists(AOMDEC),
+                    reason="oracle not built")
+def test_spatial_svc_l2t1(tmp_path):
+    """Two-spatial-layer SVC: half-res base + full-res enhancement with
+    inter-layer (scaled GOLDEN) prediction.  The RD search must use the
+    inter-layer reference, the base layer must decode standalone via
+    operating-point drop, and stock aomdec must reproduce our
+    enhancement recon exactly (svc_layercontext.c spatial layers +
+    spec is_scaled motion compensation)."""
+    import aom_av1_lavish_tpu.encoder.inter as EI
+    from aom_av1_lavish_tpu.encoder.svc import encode_svc_spatial_ivf
+
+    rng = np.random.default_rng(2)
+    W, H, N = 128, 96, 4
+    yy, xx = np.mgrid[0:H + 20, 0:W + 20]
+    base = 120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 8.0)
+    frames = []
+    for i in range(N):
+        y = (base[2 * i:2 * i + H, 3 * i:3 * i + W]
+             + rng.normal(0, 4, (H, W))).clip(0, 255).astype(np.uint8)
+        frames.append((y, np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 130, np.uint8)))
+
+    golden_used = [0]
+    orig = EI.InterFrameEncoder._fill_trial
+
+    def spy(self, bplan, part):
+        if bplan.get("is_inter") and bplan.get("ref") == 4:  # GOLDEN
+            golden_used[0] += 1
+        orig(self, bplan, part)
+
+    EI.InterFrameEncoder._fill_trial = spy
+    ivf = str(tmp_path / "svc_sp.ivf")
+    try:
+        encode_svc_spatial_ivf(ivf, frames, W, H, qindex=90)
+    finally:
+        EI.InterFrameEncoder._fill_trial = orig
+    assert golden_used[0] > 0, "inter-layer reference never chosen"
+
+    # full decode: base + enhancement shown per TU
+    full = decode_ivf(ivf)
+    assert [o[0].shape for o in full[:2]] == [(H // 2, W // 2), (H, W)]
+    # operating-point drop: base layer alone decodes at half res
+    base_only = decode_ivf(ivf, max_spatial_layer=0)
+    assert len(base_only) == N
+    for bo, fo in zip(base_only, full[0::2]):
+        for a, b in zip(bo, fo):
+            np.testing.assert_array_equal(a, b)
+    # stock aomdec outputs the top layer per TU, matching our recon
+    out = str(tmp_path / "svc_sp.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    enh = full[1::2]
+    assert len(ref) == len(enh) == N
+    for o, r in zip(enh, ref):
+        for a, b in zip(o, r):
+            np.testing.assert_array_equal(a, b)
+    # quality sanity on the enhancement layer
+    mse = np.mean((enh[-1][0].astype(float)
+                   - frames[-1][0].astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 30

@@ -149,3 +149,50 @@ def test_recode_loop_tightens_frame_sizes(tmp_path):
                                         mode=MODE_CBR)).frame_target("key")
     assert abs(k_on * 8 - tgt) <= abs(k_off * 8 - tgt)
     assert len(decode_ivf(p1)) >= 4
+
+
+def test_scene_cut_keyframe_and_adaptive_gf(tmp_path):
+    """Stats-driven pass-2 scheduling (find_next_key_frame /
+    define_gf_group analogs): a scene change must get a key frame from
+    the stats (not the fixed cadence), and the GF group before it must
+    end at the cut."""
+    from aom_av1_lavish_tpu.bitstream import constants as C
+    from aom_av1_lavish_tpu.bitstream import headers as H
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+    from aom_av1_lavish_tpu.decoder import decode_ivf
+    from aom_av1_lavish_tpu.encoder.gop import encode_twopass_ivf
+
+    rng = np.random.default_rng(9)
+    W, H_, N = 128, 96, 12
+    yy, xx = np.mgrid[0:H_ + 30, 0:W + 30]
+    sc1 = 110 + 70 * np.sin(yy / 8.0) * np.cos(xx / 9.0)
+    sc2 = 130 + 60 * np.cos(yy / 5.0 + 1) * np.sin(xx / 14.0 + 2)
+    frames = []
+    for i in range(N):
+        base = sc1 if i < 6 else sc2       # hard cut at frame 6
+        y = (base[2 * (i % 6):2 * (i % 6) + H_,
+                  2 * (i % 6):2 * (i % 6) + W]
+             + rng.normal(0, 3, (H_, W))).clip(0, 255).astype(np.uint8)
+        frames.append((y, np.full((H_ // 2, W // 2), 120, np.uint8),
+                       np.full((H_ // 2, W // 2), 130, np.uint8)))
+    ivf = str(tmp_path / "tp.ivf")
+    encode_twopass_ivf(ivf, frames, W, H_, qindex=100,
+                       kf_interval=120, gf_length=8)
+    types = []
+    for payload, _ in read_ivf(ivf):
+        ft = None
+        for t, p in H.split_obus(payload):
+            if t in (C.OBU_FRAME, C.OBU_FRAME_HEADER) and p:
+                if p[0] & 0x80:            # show_existing (ARF display)
+                    continue
+                ft = (p[0] >> 5) & 3
+                break
+        types.append(ft)
+    assert types[0] == C.KEY_FRAME
+    assert types[6] == C.KEY_FRAME, types
+    assert types.count(C.KEY_FRAME) == 2, types   # no spurious cuts
+    out = decode_ivf(ivf)
+    assert len(out) == N
+    mse = np.mean((out[6][0].astype(float)
+                   - frames[6][0].astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 35

@@ -16,17 +16,23 @@ validation av1/av1_cx_iface.c:805) as a small Python-native API:
         for planes in dec.decode(pkt):
             ...
 
-Controls map to config fields (the 391 AV1E_SET_* controls collapse to
-validated dataclass fields + set_option for string key-values).
+Controls (the 391 AV1E_SET_* IDs of aom/aomcx.h) live in the
+controls.py registry: EncoderConfig inherits the full tool-gate block
+(controls.ToolsConfig) and `Encoder.control("AV1E_SET_AQ_MODE", 1)` /
+`cfg.set_option("aq-mode", "1")` both dispatch through it.  flush()
+routes to the matching driver — GOP, all-intra, screen, SVC, superres,
+realtime — so every shipped encode mode is reachable from this API.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 
 import numpy as np
 
 from .bitstream import constants as c
+from .controls import (CONTROLS, ToolsConfig, apply_control,
+                       resolve_tools, validate_tools)
 from .encoder.ratectrl import (MODE_CBR, MODE_CQ, MODE_Q, MODE_VBR,
                                RateControlConfig)
 
@@ -36,8 +42,11 @@ USAGE_ALL_INTRA = 2
 
 
 @dataclass
-class EncoderConfig:
-    """Validated encode configuration (aom_codec_enc_cfg_t analog)."""
+class EncoderConfig(ToolsConfig):
+    """Validated encode configuration (aom_codec_enc_cfg_t analog).
+
+    Core stream/rc fields below; the full AV1E_SET_* tool-gate block is
+    inherited from controls.ToolsConfig."""
 
     width: int = 0
     height: int = 0
@@ -56,10 +65,11 @@ class EncoderConfig:
     use_arf: bool = True
     lossless: bool = False
     bit_depth: int = 8               # 8 | 10 | 12 (10/12 use uint16 planes)
-    # tools
+    subsampling: str = "420"         # "420" | "422" | "444"
+    # tools (headline knobs; the rest live in ToolsConfig)
     enable_cdef: bool = True
     deblock: bool = True
-    tune: str = "psnr"               # "psnr" | "ssim"
+    tune: str = "psnr"
     luma_bias: float = 0.0           # lavish dark-region rdmult bias
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
@@ -72,7 +82,7 @@ class EncoderConfig:
 
     def validate(self) -> None:
         """RANGE_CHECK analog (av1_cx_iface.c:805) + level enforcement
-        (encoder/levels.py)."""
+        (encoder/levels.py) + registry-driven tool-gate validation."""
         def rng(name, v, lo, hi):
             if not (lo <= v <= hi):
                 raise ValueError(f"{name}={v} out of range [{lo},{hi}]")
@@ -97,17 +107,30 @@ class EncoderConfig:
         rng("tile_rows_log2", self.tile_rows_log2, 0, 6)
         if self.bit_depth not in (8, 10, 12):
             raise ValueError(f"bit_depth={self.bit_depth} not in (8,10,12)")
+        if self.subsampling not in ("420", "422", "444"):
+            raise ValueError(f"bad subsampling {self.subsampling!r}")
         if self.rc_mode in (MODE_CBR, MODE_VBR) and self.target_bps <= 0:
             raise ValueError("CBR/VBR needs target_bps > 0")
         if self.fps <= 0:
             raise ValueError("fps must be positive")
+        if self.usage not in (USAGE_GOOD_QUALITY, USAGE_REALTIME,
+                              USAGE_ALL_INTRA):
+            raise ValueError(f"bad usage {self.usage}")
+        if self.enable_superres and not (
+                9 <= self.superres_denom <= 16 or self.superres_denom == 8):
+            raise ValueError("superres_denom must be 8 (off) or 9..16")
+        validate_tools(self)
 
     def set_option(self, key: str, value: str) -> None:
-        """String key-value control (aom_codec_set_option analog)."""
+        """String key-value control (aom_codec_set_option analog).
+        Accepts registry keys/names (controls.py) and raw field names."""
+        from .controls import BY_KEY
+        if key in CONTROLS or key in BY_KEY:
+            apply_control(self, key, value)
+            return
         names = {f.name: f for f in fields(self)}
         if key not in names:
             raise KeyError(f"unknown option {key!r}")
-        t = names[key].type
         cur = getattr(self, key)
         if cur is None:
             v = value.strip()
@@ -132,6 +155,11 @@ class Encoder:
         self._frames = []
         self._packets = []
 
+    def control(self, name: str, value) -> None:
+        """aom_codec_control analog: AV1E_SET_* name or CLI key."""
+        apply_control(self.cfg, name, value)
+        self.cfg.validate()
+
     def encode(self, planes) -> None:
         """Queue one (y, u, v) frame.  Encoding is deferred so GOP
         structure (ARF lookahead) sees the full group; packets drain via
@@ -145,52 +173,161 @@ class Encoder:
         self._frames.append((np.asarray(y, pix), np.asarray(u, pix),
                              np.asarray(v, pix)))
 
+    # -- mode routing ------------------------------------------------------
+
+    def _qm_tuple(self):
+        cfg = self.cfg
+        if not cfg.enable_qm:
+            return None
+        lv = (cfg.qm_min + cfg.qm_max) // 2
+        y = cfg.qm_y if cfg.qm_y is not None else lv
+        u = cfg.qm_u if cfg.qm_u is not None else lv
+        v = cfg.qm_v if cfg.qm_v is not None else u
+        return (y, u, v)
+
+    def _flush_lossless(self):
+        cfg = self.cfg
+        from .encoder.encoder import (LosslessEncoder,
+                                      make_lossless_frame_header,
+                                      make_sequence_header)
+        from .ops.lossless import analyze_frames_for_encoder
+        sh = make_sequence_header(cfg.width, cfg.height,
+                                  bit_depth=cfg.bit_depth)
+        encs = []
+        srcs = []
+        for f in self._frames:
+            fh = make_lossless_frame_header(
+                sh, tile_cols_log2=cfg.tile_cols_log2,
+                tile_rows_log2=cfg.tile_rows_log2)
+            e = LosslessEncoder(sh, fh, use_native=cfg.use_native)
+            srcs.append(e.pad_planes(f))
+            encs.append(e)
+        if (cfg.tile_cols_log2 or cfg.tile_rows_log2
+                or cfg.bit_depth > 8):
+            # the batched device analyze is 8-bit single-tile; tiles
+            # and high bitdepth use the host walk
+            return [e.encode_frame(f, use_jax=cfg.bit_depth == 8)
+                    for e, f in zip(encs, self._frames)]
+        analyses = analyze_frames_for_encoder(srcs)
+        return [e.encode_frame(f, analysis=a) for e, f, a in
+                zip(encs, self._frames, analyses)]
+
+    def _via_ivf(self, drive, **kw):
+        """Run a file-based encode driver in a temp dir, return
+        payloads (the ivf container is only transport here)."""
+        import os
+        import tempfile
+        from .bitstream.ivf import read_ivf
+        cfg = self.cfg
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "out.ivf")
+            drive(p, self._frames, cfg.width, cfg.height, **kw)
+            return [pay for pay, _pts in read_ivf(p)]
+
+    def _flush_realtime(self):
+        cfg = self.cfg
+        from .encoder.nonrd import encode_realtime_ivf
+        return self._via_ivf(
+            encode_realtime_ivf, qindex=cfg.qindex,
+            aq_mode=cfg.aq_mode,
+            denoise=bool(cfg.noise_sensitivity
+                         or cfg.denoise_noise_level))
+
+    def _flush_svc(self):
+        cfg = self.cfg
+        if cfg.spatial_layers > 1:
+            # L2T1 (two spatial layers); >2 requested layers clamp
+            from .encoder.svc import encode_svc_spatial_ivf
+            return self._via_ivf(encode_svc_spatial_ivf,
+                                 qindex=cfg.qindex)
+        from .encoder.svc import encode_svc_ivf
+        return self._via_ivf(encode_svc_ivf,
+                             temporal_layers=cfg.temporal_layers,
+                             qindex=cfg.qindex)
+
+    def _flush_superres(self):
+        cfg = self.cfg
+        from .encoder.lossy import encode_superres_ivf
+        return self._via_ivf(encode_superres_ivf, qindex=cfg.qindex,
+                             denom=cfg.superres_denom,
+                             enable_cdef=int(cfg.enable_cdef))
+
+    def _flush_allintra(self, tools):
+        """All-intra frames path: QM / AQ / grain / screen / 4:2:2 /
+        4:4:4 / HBD tools (the encode_lossy_ivf engine)."""
+        cfg = self.cfg
+        from .encoder.lossy import encode_lossy_ivf
+        screen = (cfg.tune_content == "screen"
+                  or bool(cfg.enable_palette) or bool(cfg.enable_intrabc))
+        search = dict(tools["search"])
+        if cfg.enable_filter_intra:
+            search["filter_intra"] = True
+        return self._via_ivf(
+            encode_lossy_ivf, qindex=cfg.qindex,
+            enable_cdef=int(cfg.enable_cdef),
+            enable_restoration=int(bool(cfg.enable_restoration)),
+            bit_depth=cfg.bit_depth, screen=screen,
+            qm=self._qm_tuple(), aq=cfg.aq_mode != 0,
+            grain=bool(cfg.film_grain_test_vector
+                       or cfg.film_grain_table),
+            intrabc=bool(cfg.enable_intrabc),
+            subsampling=cfg.subsampling,
+            sb128=cfg.superblock_size == "128",
+            tune=cfg.tune, luma_bias=cfg.luma_bias,
+            use_native=cfg.use_native, lf_sharpness=cfg.sharpness,
+            seq_tools=tools["seq"] or None, **search)
+
     def flush(self) -> list:
         """Encode all queued frames; returns display-ordered payloads."""
         cfg = self.cfg
-        if cfg.lossless:
-            from .encoder.encoder import (LosslessEncoder,
-                                          make_lossless_frame_header,
-                                          make_sequence_header)
-            from .ops.lossless import analyze_frames_for_encoder
-            sh = make_sequence_header(cfg.width, cfg.height,
-                                      bit_depth=cfg.bit_depth)
-            encs = []
-            srcs = []
-            for f in self._frames:
-                fh = make_lossless_frame_header(
-                    sh, tile_cols_log2=cfg.tile_cols_log2,
-                    tile_rows_log2=cfg.tile_rows_log2)
-                e = LosslessEncoder(sh, fh, use_native=cfg.use_native)
-                srcs.append(e.pad_planes(f))
-                encs.append(e)
-            if (cfg.tile_cols_log2 or cfg.tile_rows_log2
-                    or cfg.bit_depth > 8):
-                # the batched device analyze is 8-bit single-tile; tiles
-                # and high bitdepth use the host walk
-                payloads = [e.encode_frame(f,
-                                           use_jax=cfg.bit_depth == 8)
-                            for e, f in zip(encs, self._frames)]
-            else:
-                analyses = analyze_frames_for_encoder(srcs)
-                payloads = [e.encode_frame(f, analysis=a) for e, f, a in
-                            zip(encs, self._frames, analyses)]
-        else:
-            from .encoder.gop import GopEncoder
+        tools = resolve_tools(cfg)
+        try:
+            if cfg.lossless:
+                return self._flush_lossless()
+            if cfg.usage == USAGE_REALTIME:
+                return self._flush_realtime()
+            if cfg.temporal_layers > 1 or cfg.spatial_layers > 1:
+                return self._flush_svc()
+            if cfg.enable_superres and cfg.superres_denom != 8:
+                return self._flush_superres()
+            if (cfg.usage == USAGE_ALL_INTRA or cfg.enable_qm
+                    or cfg.aq_mode or cfg.film_grain_test_vector
+                    or cfg.film_grain_table
+                    or cfg.tune_content == "screen"
+                    or cfg.enable_palette or cfg.enable_intrabc
+                    or cfg.subsampling != "420"):
+                return self._flush_allintra(tools)
             rc_cfg = RateControlConfig(
                 target_bps=cfg.target_bps, fps=cfg.fps, width=cfg.width,
                 height=cfg.height, mode=cfg.rc_mode, worst_q=cfg.worst_q,
                 best_q=cfg.best_q, fixed_qindex=cfg.qindex)
-            genc = GopEncoder(
-                cfg.width, cfg.height, rc_cfg=rc_cfg,
+            gop_kw = dict(tools["gop"])
+            tx_sel = gop_kw.pop("tx_select", None)
+            genc = GopEncoderWithTools(
+                cfg.width, cfg.height, tx_select=tx_sel, rc_cfg=rc_cfg,
                 gf_length=cfg.gf_length, kf_interval=cfg.kf_interval,
                 use_arf=cfg.use_arf, use_tpu=cfg.use_tpu,
                 use_native=cfg.use_native, enable_cdef=cfg.enable_cdef,
                 tune=cfg.tune, luma_bias=cfg.luma_bias,
-                bit_depth=cfg.bit_depth, cpu_used=cfg.cpu_used)
-            payloads = genc.encode_sequence(self._frames)
-        self._frames = []
-        return payloads
+                bit_depth=cfg.bit_depth, cpu_used=cfg.cpu_used,
+                seq_tools=tools["seq"] or None,
+                search_overrides=tools["search"] or None, **gop_kw)
+            return genc.encode_sequence(self._frames)
+        finally:
+            self._frames = []
+
+
+def GopEncoderWithTools(*args, search_overrides=None, tx_select=None,
+                        **kw):
+    """GopEncoder + per-frame searcher overrides from the control
+    registry (the av1_cx_iface ctrl state -> cpi->oxcf lowering)."""
+    from .encoder.gop import GopEncoder
+    genc = GopEncoder(*args, **kw)
+    if search_overrides:
+        genc.search_overrides = dict(search_overrides)
+    if tx_select is not None:
+        genc.force_tx_select = tx_select
+    return genc
 
 
 class Decoder:

@@ -1,12 +1,17 @@
 """aomenc-analog CLI: y4m in, AV1 IVF out.
 
 Reference behavior being mirrored: apps/aomenc.c:2051 (driver loop) +
-av1/arg_defs.c (flag registry), collapsed to the options the framework
-supports today.
+av1/arg_defs.c (flag registry).  Like aomenc builds its arg table from
+arg_defs.c, this CLI generates one ``--<key>`` flag per entry of the
+control registry (controls.py) and lowers everything through the public
+EncoderConfig/Encoder API, so the CLI surface and the codec-control
+surface are the same table.
 
     python -m aom_av1_lavish_tpu.apps.enc in.y4m -o out.ivf \
         --target-bitrate 400 --gf-length 8
     python -m aom_av1_lavish_tpu.apps.enc in.y4m -o out.ivf --lossless 1
+    python -m aom_av1_lavish_tpu.apps.enc in.y4m -o out.ivf \
+        --cpu-used 6 --aq-mode 1 --enable-qm 1 --sharpness 3
 """
 
 from __future__ import annotations
@@ -14,6 +19,12 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+
+from ..controls import BY_KEY
+
+#: registry keys handled by dedicated argparse flags below (aomenc's
+#: "global options" vs codec controls split)
+_SPECIAL = {"cq-level", "tile-columns", "tile-rows", "cpu-used"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -23,7 +34,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True, help="output .ivf")
     p.add_argument("--limit", type=int, default=0,
                    help="max frames to encode (0 = all)")
-    p.add_argument("--lossless", type=int, default=0)
     p.add_argument("--cq-level", type=int, default=60,
                    help="fixed qindex (rc mode Q)")
     p.add_argument("--target-bitrate", type=int, default=0,
@@ -36,34 +46,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="log2 tile columns")
     p.add_argument("--tile-rows", type=int, default=0,
                    help="log2 tile rows")
-    p.add_argument("--enable-cdef", type=int, default=1)
     p.add_argument("--cpu-used", type=int, default=None,
                    help="speed preset 0 (best) .. 9 (fastest)")
-    p.add_argument("--tune",
-                   choices=("psnr", "ssim", "butteraugli", "vmaf"),
-                   default="psnr")
-    p.add_argument("--luma-bias", type=float, default=0.0,
-                   help="lavish dark-region rdmult bias strength")
     p.add_argument("--tpu", action="store_true",
                    help="use the batched device encode paths")
     p.add_argument("--fps", default=None, help="override fps as N/D")
     p.add_argument("--quiet", "-q", action="store_true")
-    # special encode modes (bypass the GOP driver)
-    p.add_argument("--usage", choices=("good", "realtime"),
+    p.add_argument("--usage", choices=("good", "realtime", "allintra"),
                    default="good")
-    p.add_argument("--tune-content", choices=("default", "screen"),
-                   default="default")
-    p.add_argument("--enable-intrabc", type=int, default=0)
     p.add_argument("--passes", type=int, choices=(1, 2, 3), default=1)
     p.add_argument("--svc-temporal-layers", type=int, default=1)
-    p.add_argument("--enable-qm", type=int, default=0)
-    p.add_argument("--qm-level", type=int, default=7)
-    p.add_argument("--aq-mode", type=int, default=0,
-                   help="1 = variance delta-q AQ")
     p.add_argument("--film-grain", type=int, default=0,
-                   help="estimate + signal film grain")
+                   help="estimate + signal film grain "
+                        "(alias of --film-grain-test 1)")
     p.add_argument("--superres-denom", type=int, default=8,
                    help="9..16: encode at w*8/denom, signal upscale")
+    # one flag per control-registry entry (arg_defs.c analog); values
+    # are parsed/range-checked by the registry itself
+    grp = p.add_argument_group(
+        "codec controls", "AV1E_SET_* control registry (controls.py); "
+        "bool controls take 0/1")
+    for key, ctl in sorted(BY_KEY.items()):
+        if key in _SPECIAL:
+            continue
+        grp.add_argument("--" + key, default=None, metavar="V",
+                         dest="ctl_" + key.replace("-", "_"),
+                         help=ctl.help or ctl.name)
     return p
 
 
@@ -82,8 +90,10 @@ def main(argv=None) -> int:
     from ..utils.backend import ensure_backend
     ensure_backend()
     args = build_parser().parse_args(argv)
-    from ..api import Encoder, EncoderConfig
+    from ..api import (USAGE_ALL_INTRA, USAGE_GOOD_QUALITY,
+                       USAGE_REALTIME, Encoder, EncoderConfig)
     from ..bitstream.ivf import write_ivf
+    from ..controls import apply_control
     from ..encoder.ratectrl import MODE_CBR, MODE_Q, MODE_VBR
     from ..utils.y4m import read_y4m
 
@@ -95,43 +105,7 @@ def main(argv=None) -> int:
         n, d = args.fps.split("/")
         fps = (int(n), int(d))
 
-    # special modes route to their dedicated drivers
-    if args.usage == "realtime":
-        from ..encoder.nonrd import encode_realtime_ivf
-        t0 = time.perf_counter()
-        encode_realtime_ivf(args.output, frames, width, height,
-                            qindex=args.cq_level, fps=fps)
-        return _report(args, frames, fps, t0)
-    if args.tune_content == "screen":
-        from ..encoder.lossy import encode_lossy_ivf
-        t0 = time.perf_counter()
-        encode_lossy_ivf(args.output, frames, width, height,
-                         qindex=args.cq_level, fps=fps, screen=True,
-                         intrabc=bool(args.enable_intrabc))
-        return _report(args, frames, fps, t0)
-    if args.svc_temporal_layers > 1:
-        from ..encoder.svc import encode_svc_ivf
-        t0 = time.perf_counter()
-        encode_svc_ivf(args.output, frames, width, height,
-                       temporal_layers=args.svc_temporal_layers,
-                       qindex=args.cq_level, fps=fps)
-        return _report(args, frames, fps, t0)
-    if args.superres_denom != 8:
-        from ..encoder.lossy import encode_superres_ivf
-        t0 = time.perf_counter()
-        encode_superres_ivf(args.output, frames, width, height,
-                            qindex=args.cq_level, fps=fps,
-                            denom=args.superres_denom)
-        return _report(args, frames, fps, t0)
-    if sub != "420" or args.enable_qm or args.aq_mode or args.film_grain:
-        from ..encoder.lossy import encode_lossy_ivf
-        t0 = time.perf_counter()
-        encode_lossy_ivf(
-            args.output, frames, width, height, qindex=args.cq_level,
-            fps=fps, subsampling=sub, aq=bool(args.aq_mode),
-            grain=bool(args.film_grain),
-            qm=((args.qm_level,) * 3 if args.enable_qm else None))
-        return _report(args, frames, fps, t0)
+    # multi-pass routes drive the stats pipeline directly
     if args.passes == 2:
         from ..encoder.gop import encode_twopass_ivf
         t0 = time.perf_counter()
@@ -144,25 +118,39 @@ def main(argv=None) -> int:
         from ..encoder.thirdpass import encode_threepass_ivf
         t0 = time.perf_counter()
         encode_threepass_ivf(args.output, frames, width, height, fps=fps,
-                             qindex=args.cq_level,
                              kf_interval=args.kf_max_dist,
                              gf_length=args.gf_length)
         return _report(args, frames, fps, t0)
+
     mode = MODE_Q
     if args.end_usage == "cbr" or (args.end_usage is None
                                    and args.target_bitrate):
         mode = MODE_CBR
     elif args.end_usage == "vbr":
         mode = MODE_VBR
+    usage = {"good": USAGE_GOOD_QUALITY, "realtime": USAGE_REALTIME,
+             "allintra": USAGE_ALL_INTRA}[args.usage]
     cfg = EncoderConfig(
-        width=width, height=height, fps=fps[0] / fps[1],
+        width=width, height=height, fps=fps[0] / fps[1], usage=usage,
         rc_mode=mode, target_bps=args.target_bitrate * 1000,
         qindex=args.cq_level, kf_interval=args.kf_max_dist,
         gf_length=args.gf_length, use_arf=not args.no_arf,
-        lossless=bool(args.lossless), enable_cdef=bool(args.enable_cdef),
         tile_cols_log2=args.tile_columns, tile_rows_log2=args.tile_rows,
-        use_tpu=args.tpu, tune=args.tune, luma_bias=args.luma_bias,
-        cpu_used=args.cpu_used)
+        use_tpu=args.tpu, cpu_used=args.cpu_used, subsampling=sub)
+    if args.svc_temporal_layers > 1:
+        cfg.temporal_layers = args.svc_temporal_layers
+    if args.film_grain:
+        cfg.film_grain_test_vector = 1
+    if args.superres_denom != 8:
+        cfg.enable_superres = True
+        cfg.superres_denom = args.superres_denom
+    for key in BY_KEY:
+        if key in _SPECIAL:
+            continue
+        val = getattr(args, "ctl_" + key.replace("-", "_"), None)
+        if val is not None:
+            apply_control(cfg, key, val)
+
     enc = Encoder(cfg)
     t0 = time.perf_counter()
     for f in frames:

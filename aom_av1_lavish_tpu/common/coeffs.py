@@ -315,9 +315,10 @@ def read_coeffs_txb(rd, fc, plane: int, tx_size: int, tx_type: int,
     scan = tables.scan(adj, tx_type)
     eob_ms = eob_multi_size(tx_size)
 
-    if _native_tail is not None:
+    if _native_tail is not None and getattr(rd, "allow_update_cdf", True):
         # C fast path (runtime/coeff_dec.c), byte-exact with the code
-        # below incl. in-place CDF adaptation
+        # below incl. in-place CDF adaptation; disable_cdf_update
+        # streams stay on the Python path, which honors the flag
         eob_cdf = getattr(fc, f"eob_flag_cdf{16 << eob_ms}")
         dqcoeff = np.zeros(width * height, dtype=np.int32)
         eob, cul, _dc = _native_tail(

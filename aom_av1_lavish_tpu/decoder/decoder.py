@@ -401,6 +401,7 @@ class FrameDecoder(InterDecoderMixin):
                 and not fh.delta_q_present
                 and not sh.enable_filter_intra
                 and fh.disable_frame_end_update_cdf
+                and not fh.disable_cdf_update
                 and fh.superres_denom == H.SUPERRES_NUM
                 and fh.tile_cols_log2 == 0 and fh.tile_rows_log2 == 0
                 and self.acct is None
@@ -1610,7 +1611,11 @@ class FrameDecoder(InterDecoderMixin):
         from ..common import txtype as TT
 
         def read_tx_type():
-            if bi.skip_txfm:
+            # skip / SEG_LVL_SKIP / segment-lossless (qindex==0) blocks
+            # carry no tx_type symbol (av1_read_tx_type, decodemv.c:633)
+            if (bi.skip_txfm or self.seg_active(bi.segment_id, 6)
+                    or self.seg_qindex(bi.segment_id,
+                                       self.fh.base_q_idx) == 0):
                 tt = c.DCT_DCT
             else:
                 st = TT.ext_tx_set_type(tx_size, False,
@@ -1820,7 +1825,15 @@ class _FrameSession:
         self.dec.state = state
         if state is not None and state.get("inspect_hook"):
             self.dec.acct = {}
-        self.n_tiles = (1 << fh.tile_cols_log2) * (1 << fh.tile_rows_log2)
+        # uniform spacing (spec 5.9.15): TileCols = ceil(sbCols/sizeSb)
+        # with sizeSb = ceil(sbCols >> log2) — NOT 1 << log2, which
+        # over-counts when the log2 exceeds what sbCols can fill
+        def _n(sbs, log2):
+            size_sb = (sbs + (1 << log2) - 1) >> log2
+            return -(-sbs // size_sb)
+        self.tile_cols = _n(fh.sb_cols(sh), fh.tile_cols_log2)
+        self.tile_rows = _n(fh.sb_rows(sh), fh.tile_rows_log2)
+        self.n_tiles = self.tile_cols * self.tile_rows
         self.next_tile = 0
         self.tile_states = []
 
@@ -1871,7 +1884,7 @@ class _FrameSession:
             self.dec._last_ts = self.tile_states[-1]
         else:
             for tn, tile_data in tiles:
-                trow, tcol = divmod(tn, 1 << fh.tile_cols_log2)
+                trow, tcol = divmod(tn, self.tile_cols)
                 with profile("decode/tile"):
                     self.dec.decode_tile_data(tile_data, trow, tcol)
                 self.tile_states.append(self.dec._last_ts)

@@ -115,12 +115,14 @@ class InterDecoderMixin:
                                              bsize, up_avail, left_avail)
         else:
             self._read_intra_in_inter_mode_info(ts, rd, bi, mi_row, mi_col,
-                                                bsize)
+                                                bsize, above_mi, left_mi)
 
     def _read_intra_in_inter_mode_info(self, ts, rd, bi, mi_row, mi_col,
-                                       bsize):
+                                       bsize, above_mi=None, left_mi=None):
         """read_intra_block_mode_info (decodemv.c:1064): like the keyframe
-        path but y mode uses y_mode_cdf[size group]."""
+        path but y mode uses y_mode_cdf[size group].  Screen-content
+        inter frames carry palette syntax for intra blocks too
+        (av1_allow_palette is frame-type independent)."""
         from ..common import intra
         fc = ts.fc
         bi.ref_frame = (c.INTRA_FRAME, -1)
@@ -157,10 +159,16 @@ class InterDecoderMixin:
             if use_angle_delta and intra.is_directional(uv_base):
                 bi.angle_delta_uv = rd.decode_symbol_adapt(
                     fc.angle_delta_cdf[bi.uv_mode - c.V_PRED], 7) - 3
+        if self._allow_palette(bsize):
+            self._read_palette_mode_info(ts, rd, bi, mi_row, mi_col,
+                                         bsize, above_mi, left_mi,
+                                         is_chroma_ref)
         if self._filter_intra_allowed(bi):
             if rd.decode_symbol_adapt(fc.filter_intra_cdfs[bsize], 2):
                 bi.filter_intra_mode = rd.decode_symbol_adapt(
                     fc.filter_intra_mode_cdf, c.FILTER_INTRA_MODES)
+        self._visit_palette(ts, rd, bi, mi_row, mi_col, bsize,
+                            is_chroma_ref)
 
     def _read_ref_frames(self, ts, rd, bi, counts, g, mi_row, mi_col,
                          up, left):
@@ -1249,7 +1257,11 @@ class InterDecoderMixin:
         def read_tx_type():
             st = TT.ext_tx_set_type(tx_size, True,
                                     bool(self.fh.reduced_tx_set))
-            if TT.NUM_EXT_TX_SET[st] <= 1:
+            # segment-lossless (qindex==0) blocks carry no tx_type
+            # symbol (av1_read_tx_type, decodemv.c:637); skip_txfm
+            # blocks never reach the coeff reader on the inter side
+            if TT.NUM_EXT_TX_SET[st] <= 1 or self.seg_qindex(
+                    0, self.fh.base_q_idx) == 0:
                 tt = c.DCT_DCT
             else:
                 eset = TT.inter_ext_tx_idx(st)

@@ -180,7 +180,11 @@ def _merge_tile_state(dec, st):
 def _tile_worker(args):
     tn, tile_data = args
     dec = _TILE_DEC
-    trow, tcol = divmod(tn, 1 << dec.fh.tile_cols_log2)
+    # uniform-spacing tile count (spec 5.9.15), not 1 << log2
+    sbs = dec.fh.sb_cols(dec.sh)
+    size_sb = (sbs + (1 << dec.fh.tile_cols_log2) - 1) \
+        >> dec.fh.tile_cols_log2
+    trow, tcol = divmod(tn, -(-sbs // size_sb))
     dec.decode_tile_data(tile_data, trow, tcol)
     return tn, _extract_tile_state(dec, trow, tcol)
 

@@ -161,7 +161,14 @@ def make_sequence_header(width: int, height: int,
                          order_hint: bool = False,
                          warped_motion: bool = False,
                          masked_compound: bool = False,
-                         interintra: bool = False) -> H.SequenceHeader:
+                         interintra: bool = False,
+                         intra_edge_filter: bool = False,
+                         color_primaries: int = 2,
+                         transfer_characteristics: int = 2,
+                         matrix_coefficients: int = 2,
+                         color_range: int = 0,
+                         chroma_sample_position: int = 0
+                         ) -> H.SequenceHeader:
     """Minimal-tools sequence config for the lossless all-intra path.
     10-bit 4:2:0 stays profile 0 (high_bitdepth=1); 4:4:4 needs
     profile 1 and 4:2:2 / 12-bit need profile 2 (spec 5.5.2
@@ -177,12 +184,22 @@ def make_sequence_header(width: int, height: int,
         profile = 1
     else:
         profile = 0
+    # color_config (spec 5.5.2; AV1E_SET_COLOR_PRIMARIES etc.): the
+    # description triple is only signalled when any field is non-default
+    color_present = (color_primaries, transfer_characteristics,
+                     matrix_coefficients) != (2, 2, 2)
     return H.SequenceHeader(
         profile=profile, seq_level_idx=31,
         max_frame_width=width,
         max_frame_height=height, use_128x128_superblock=int(sb128),
         enable_filter_intra=int(filter_intra),
-        enable_intra_edge_filter=0,
+        enable_intra_edge_filter=int(intra_edge_filter),
+        color_description_present=int(color_present),
+        color_primaries=color_primaries,
+        transfer_characteristics=transfer_characteristics,
+        matrix_coefficients=matrix_coefficients,
+        color_range=color_range,
+        chroma_sample_position=chroma_sample_position,
         enable_order_hint=int(order_hint),
         enable_warped_motion=int(warped_motion),
         enable_masked_compound=int(masked_compound),

@@ -50,7 +50,8 @@ class GopEncoder:
                  order_hint: bool = True, motion_modes: bool = True,
                  compound_types: bool | None = None,
                  interintra: bool | None = None,
-                 cpu_used: int | None = None):
+                 cpu_used: int | None = None, seq_tools=None,
+                 lf_sharpness: int = 0):
         self.tune = tune
         self.luma_bias = luma_bias
         self.order_hint = order_hint
@@ -85,7 +86,8 @@ class GopEncoder:
                                        order_hint=order_hint,
                                        warped_motion=motion_modes,
                                        masked_compound=compound_types,
-                                       interintra=interintra)
+                                       interintra=interintra,
+                                       **(seq_tools or {}))
         if rc_cfg is None:
             rc_cfg = RateControlConfig(mode=MODE_Q, fixed_qindex=qindex,
                                        width=width, height=height)
@@ -110,6 +112,7 @@ class GopEncoder:
         self.arf_slot = 1
         self.twopass_stats = twopass_stats
         self.q_offsets = q_offsets
+        self.lf_sharpness = lf_sharpness
         self.enable_tf = enable_tf
         self.enable_tpl = enable_tpl
         self.interp_search = interp_search
@@ -119,15 +122,28 @@ class GopEncoder:
 
     # --- single-frame encoders -----------------------------------------
 
+    def _search_kw(self, kw: dict, allowed: tuple) -> dict:
+        """Apply control-registry overrides (api.resolve_tools 'search')
+        on top of the speed-preset kw — the oxcf->cpi->sf lowering of
+        av1/av1_cx_iface.c ctrl state."""
+        ov = getattr(self, "search_overrides", None)
+        if ov:
+            kw.update({k: v for k, v in ov.items() if k in allowed})
+        return kw
+
     def _encode_key(self, planes, qindex: int, order_hint: int = 0) -> bytes:
         # host RD keys get the TX_MODE_SELECT depth search (the TPU
         # wavefront path keeps LARGEST: its batched trial is per-SB)
         tx_sel = not self.use_tpu and (self.sf is None
                                        or self.sf.tx_select)
+        force = getattr(self, "force_tx_select", None)
+        if force is not None and not self.use_tpu:
+            tx_sel = force
         fh = make_lossy_frame_header(self.sh, qindex,
                                      tx_select=tx_sel,
                                      order_hint=order_hint,
                                      backward_update=self.order_hint)
+        fh.sharpness_level = self.lf_sharpness
         if self.use_tpu:
             from .tpu_intra import TpuAllIntraEncoder
             enc = TpuAllIntraEncoder(self.sh, fh, use_native=self.use_native)
@@ -140,6 +156,9 @@ class GopEncoder:
                           ext_parts=self.sf.ext_parts,
                           speed=self.sf.ml_partition_prune,
                           tx_search=self.sf.tx_search)
+            self._search_kw(kw, ("mode_set", "trellis", "rect_parts",
+                                 "ext_parts", "tx_search", "enable_cfl",
+                                 "sharpness"))
             enc = LossyAllIntraEncoder(self.sh, fh,
                                        use_native=self.use_native,
                                        block_size=self.block_size,
@@ -179,6 +198,7 @@ class GopEncoder:
             ref_order_hints=tuple(self.slot_hint),
             prev_gm_params=self.slot_gm[self.last_slot],
             motion_modes=self.motion_modes and not self.use_tpu)
+        fh.sharpness_level = self.lf_sharpness
         if self.use_tpu:
             from .tpu_inter import TpuInterFrameEncoder
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
@@ -189,6 +209,7 @@ class GopEncoder:
             if self.sf is not None:
                 kw = dict(trellis=self.sf.trellis,
                           search_range=self.sf.search_range)
+            self._search_kw(kw, ("trellis", "search_range", "sharpness"))
             enc = InterFrameEncoder(self.sh, fh, self.slots,
                                     use_native=self.use_native,
                                     block_size=self.block_size,
@@ -200,6 +221,9 @@ class GopEncoder:
                 enc.search_method = self.sf.search_method
                 enc.rect_parts = self.sf.rect_parts
                 enc.speed = self.sf.ml_partition_prune
+            ov = getattr(self, "search_overrides", None)
+            if ov and "rect_parts" in ov:
+                enc.rect_parts = ov["rect_parts"]
         if fh.primary_ref_frame != H.PRIMARY_REF_NONE:
             enc.fc0 = self.slot_fc[self.last_slot]
         if rdmult_map is not None:

@@ -158,11 +158,13 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                  block_size=c.BLOCK_16X16, mode_set=(c.DC_PRED,),
                  enable_cfl=False, search_range=16,
                  ref_list=(c.LAST_FRAME,), tune="psnr", luma_bias=0.0,
-                 trellis=True, comp_search=None, ref_bufs=None):
+                 trellis=True, comp_search=None, ref_bufs=None,
+                 sharpness=0):
         super().__init__(sh, fh, use_native=use_native,
                          block_size=block_size, mode_set=mode_set,
                          enable_cfl=enable_cfl, tune=tune,
-                         luma_bias=luma_bias, trellis=trellis)
+                         luma_bias=luma_bias, trellis=trellis,
+                         sharpness=sharpness)
         self.refs = refs                # slot -> (y, u, v) visible planes
         # frame-level interpolation filter (is_filter_switchable=0):
         # av1_pick_interp_filter analog picks it per frame

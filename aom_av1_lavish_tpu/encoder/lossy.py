@@ -129,7 +129,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
                  luma_bias=0.0, trellis=True, rect_parts=True, speed=0,
                  saliency=0.0, tx_search=None, seg_flavor="variance",
-                 ext_parts=False):
+                 ext_parts=False, sharpness=0):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
         self.mode_set = mode_set
@@ -168,12 +168,16 @@ class LossyAllIntraEncoder(LosslessEncoder):
         if self.intrabc:
             from ..common import mvref as MRR
             self.g = MRR.MiGrids(self.mi_rows, self.mi_cols)
+        #: lavish quant sharpness (AOME_SET_QUANT_SHARPNESS): biases
+        #: zbin/round toward keeping detail (quant.py:66)
+        self.sharpness = sharpness
         self.pq = []
         for (dcd, acd) in ((fh.delta_q_y_dc, 0),
                            (fh.delta_q_u_dc, fh.delta_q_u_ac),
                            (fh.delta_q_v_dc, fh.delta_q_v_ac)):
             self.pq.append(Q.build_plane_quant(fh.base_q_idx, dcd, acd,
-                                               bd=sh.bit_depth))
+                                               bd=sh.bit_depth,
+                                               sharpness=sharpness))
         qstep = Q.ac_quant_qtx(fh.base_q_idx, 0, sh.bit_depth) / 8.0
         self.lam = 0.12 * qstep * qstep  # lambda in (SSE per bit)
 
@@ -319,7 +323,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
                   (fh.delta_q_u_dc, fh.delta_q_u_ac),
                   (fh.delta_q_v_dc, fh.delta_q_v_ac))[plane]
         return Q.build_plane_quant(q, deltas[0], deltas[1],
-                                   bd=self.sh.bit_depth)
+                                   bd=self.sh.bit_depth,
+                                   sharpness=self.sharpness)
 
     #: search deblock levels against the source (picklpf.c analog);
     #: RT paths disable it and keep the q-derived level
@@ -1884,6 +1889,7 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                      intrabc: bool = False, subsampling: str = "420",
                      sb128: bool = False, seg=None,
                      tx_select=None, filter_intra: bool = False,
+                     seq_tools=None, lf_sharpness: int = 0,
                      **kw) -> None:
     from ..bitstream.ivf import write_ivf
     if tx_select is None:
@@ -1894,7 +1900,8 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen,
                               film_grain=grain, subsampling=subsampling,
-                              sb128=sb128, filter_intra=filter_intra)
+                              sb128=sb128, filter_intra=filter_intra,
+                              **(seq_tools or {}))
     grain_params = None
     if grain:
         from ..dsp.noise_model import fit_grain_params
@@ -1905,6 +1912,8 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
         fh = make_lossy_frame_header(sh, qindex, screen=screen, qm=qm,
                                      aq=aq, intrabc=intrabc, seg=seg,
                                      tx_select=tx_select)
+        # AOME_SET_SHARPNESS: loop-filter sharpness_level header field
+        fh.sharpness_level = lf_sharpness
         if grain_params is not None:
             from dataclasses import replace
             fh.film_grain = replace(

@@ -11,21 +11,24 @@ import numpy as np
 
 def write_y4m(path: str, frames, width: int, height: int,
               fps=(30, 1), subsampling: str = "420",
-              bit_depth: int = 8) -> None:
-    """frames: iterable of (y, u, v) planar arrays (uint8 or uint16)."""
-    tag = {"420": "420jpeg", "422": "422", "444": "444"}[subsampling]
-    if bit_depth > 8:
-        tag = {"420": "420", "422": "422", "444": "444"}[subsampling] \
-            + f"p{bit_depth}"
+              bit_depth: int = 8, mono: bool = False) -> None:
+    """frames: iterable of (y, u, v) planar arrays (uint8 or uint16);
+    mono=True takes (y,) tuples and writes a Cmono stream."""
+    if mono:
+        tag = "mono" + (f"p{bit_depth}" if bit_depth > 8 else "")
+    else:
+        tag = {"420": "420jpeg", "422": "422", "444": "444"}[subsampling]
+        if bit_depth > 8:
+            tag = {"420": "420", "422": "422",
+                   "444": "444"}[subsampling] + f"p{bit_depth}"
     dtype = "<u2" if bit_depth > 8 else np.uint8
     with open(path, "wb") as f:
         f.write(f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} "
                 f"Ip A0:0 C{tag}\n".encode())
-        for y, u, v in frames:
+        for planes in frames:
             f.write(b"FRAME\n")
-            f.write(np.ascontiguousarray(y).astype(dtype).tobytes())
-            f.write(np.ascontiguousarray(u).astype(dtype).tobytes())
-            f.write(np.ascontiguousarray(v).astype(dtype).tobytes())
+            for p in planes:
+                f.write(np.ascontiguousarray(p).astype(dtype).tobytes())
 
 
 def read_y4m(path: str):

@@ -1,0 +1,315 @@
+"""Control registry (AV1E_SET_* / arg_defs analog) + public-API routing.
+
+Mirrors the reference's encode-API param tests
+(test/encode_api_test.cc, av1_config_test.cc): every control must be
+settable through apply_control / set_option / the CLI, range checks
+must reject out-of-range values, and the gates that claim to be
+consumed must actually change (or still produce) decodable streams."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from aom_av1_lavish_tpu.api import (USAGE_ALL_INTRA, USAGE_REALTIME,
+                                    Decoder, Encoder, EncoderConfig)
+from aom_av1_lavish_tpu.controls import (BY_KEY, CONTROLS, apply_control,
+                                         resolve_mode_set, resolve_tools)
+
+AOMDEC = os.path.join(os.path.dirname(__file__), "..", ".oracle", "build",
+                      "aomdec")
+HAVE_ORACLE = os.path.exists(AOMDEC)
+
+
+def _clip(n, W, H, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H + 64, 0:W + 64]
+    base = (128 + 60 * np.sin(yy / 17.0) * np.cos(xx / 23.0)
+            + 40 * (xx % 97 < 40)).astype(np.float64)
+    base += rng.normal(0, 3, base.shape)
+    base = base.clip(0, 255).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        y = base[i:i + H, 2 * i:2 * i + W]
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 124, np.uint8)
+        frames.append((np.ascontiguousarray(y), u, v))
+    return frames
+
+
+def _encode(cfg, frames):
+    enc = Encoder(cfg)
+    for f in frames:
+        enc.encode(f)
+    return enc.flush()
+
+
+def _decode_all(pkts):
+    dec = Decoder()
+    out = []
+    for p in pkts:
+        out.extend(dec.decode(p))
+    return out
+
+
+# --------------------------------------------------------------------------
+# registry structure
+
+
+def test_registry_fields_exist():
+    """Every control maps to a real EncoderConfig attribute."""
+    cfg = EncoderConfig(width=64, height=64)
+    for ctl in CONTROLS.values():
+        assert hasattr(cfg, ctl.field), ctl.name
+
+
+def test_registry_size_and_uniqueness():
+    # the registry must cover the bulk of the reference control surface
+    assert len(CONTROLS) >= 130
+    assert len(BY_KEY) == len(CONTROLS)
+
+
+def test_apply_control_by_name_and_key():
+    cfg = EncoderConfig(width=64, height=64)
+    apply_control(cfg, "AV1E_SET_AQ_MODE", "1")
+    assert cfg.aq_mode == 1
+    apply_control(cfg, "aq-mode", 2)
+    assert cfg.aq_mode == 2
+    apply_control(cfg, "enable-cdef", "0")
+    assert cfg.enable_cdef is False
+    apply_control(cfg, "tune", "ssim")
+    assert cfg.tune == "ssim"
+
+
+def test_apply_control_range_checks():
+    cfg = EncoderConfig(width=64, height=64)
+    with pytest.raises(ValueError):
+        apply_control(cfg, "aq-mode", 7)
+    with pytest.raises(ValueError):
+        apply_control(cfg, "qm-min", -1)
+    with pytest.raises(ValueError):
+        apply_control(cfg, "tune", "nonsense")
+    with pytest.raises(KeyError):
+        apply_control(cfg, "no-such-control", 1)
+
+
+def test_validate_cross_field_rules():
+    cfg = EncoderConfig(width=64, height=64)
+    cfg.qm_min, cfg.qm_max = 9, 5
+    with pytest.raises(ValueError):
+        cfg.validate()
+    cfg = EncoderConfig(width=64, height=64, min_partition_size=32,
+                        max_partition_size=8)
+    with pytest.raises(ValueError):
+        cfg.validate()
+    cfg = EncoderConfig(width=64, height=64)
+    cfg.min_partition_size = 12   # not a power of two
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
+def test_set_option_accepts_registry_keys():
+    cfg = EncoderConfig(width=64, height=64)
+    cfg.set_option("enable-qm", "1")
+    cfg.set_option("qm-min", "6")
+    assert cfg.enable_qm is True and cfg.qm_min == 6
+    # raw dataclass field names still work
+    cfg.set_option("qindex", "90")
+    assert cfg.qindex == 90
+
+
+def test_encoder_control_method():
+    cfg = EncoderConfig(width=64, height=64)
+    enc = Encoder(cfg)
+    enc.control("AOME_SET_QUANT_SHARPNESS", 3)
+    assert enc.cfg.quant_sharpness == 3
+    with pytest.raises(ValueError):
+        enc.control("AV1E_SET_QM_MIN", 99)
+
+
+# --------------------------------------------------------------------------
+# lowering (resolve_tools)
+
+
+def test_resolve_mode_set_gates():
+    from aom_av1_lavish_tpu.bitstream import constants as c
+    cfg = EncoderConfig(width=64, height=64)
+    assert resolve_mode_set(cfg) is None       # all auto
+    cfg.enable_smooth_intra = False
+    ms = resolve_mode_set(cfg)
+    assert c.SMOOTH_PRED not in ms and c.DC_PRED in ms
+    cfg.enable_directional_intra = False
+    ms = resolve_mode_set(cfg)
+    assert c.V_PRED not in ms and c.D45_PRED not in ms
+    cfg = EncoderConfig(width=64, height=64,
+                        enable_diagonal_intra=False,
+                        enable_paeth_intra=False)
+    ms = resolve_mode_set(cfg)
+    assert c.V_PRED in ms and c.H_PRED in ms
+    assert c.D45_PRED not in ms and c.PAETH_PRED not in ms
+
+
+def test_resolve_tools_lowering():
+    cfg = EncoderConfig(width=64, height=64,
+                        disable_trellis_quant=1,
+                        enable_rect_partitions=False,
+                        enable_order_hint=False,
+                        chroma_q_offset_u=4, chroma_q_offset_v=-2,
+                        enable_obmc=False, allow_warped_motion=False,
+                        enable_masked_comp=False, sharpness=3)
+    t = resolve_tools(cfg)
+    assert t["search"]["trellis"] is False
+    assert t["search"]["rect_parts"] is False
+    assert t["gop"]["order_hint"] is False
+    assert t["gop"]["motion_modes"] is False
+    assert t["gop"]["compound_types"] is False
+    assert t["gop"]["q_offsets"] == (0, 4, -2)
+    assert t["gop"]["lf_sharpness"] == 3
+
+
+# --------------------------------------------------------------------------
+# behavior: gated encodes still decode, and knobs actually change bits
+
+
+def test_gates_change_stream_and_roundtrip():
+    W, H = 128, 96
+    frames = _clip(2, W, H)
+    base = _encode(EncoderConfig(width=W, height=H, qindex=80,
+                                 gf_length=2), frames)
+    gated = _encode(
+        EncoderConfig(width=W, height=H, qindex=80, gf_length=2,
+                      enable_rect_partitions=False,
+                      disable_trellis_quant=1,
+                      enable_smooth_intra=False), frames)
+    assert b"".join(base) != b"".join(gated)
+    out = _decode_all(gated)
+    assert len(out) == 2
+    from aom_av1_lavish_tpu.dsp.metrics import psnr
+    assert psnr(out[0][0], frames[0][0]) > 28
+
+
+def test_quant_sharpness_changes_stream():
+    W, H = 128, 96
+    frames = _clip(1, W, H)
+    a = _encode(EncoderConfig(width=W, height=H, usage=USAGE_ALL_INTRA,
+                              qindex=100), frames)
+    b = _encode(EncoderConfig(width=W, height=H, usage=USAGE_ALL_INTRA,
+                              qindex=100, quant_sharpness=5), frames)
+    assert a[0] != b[0]
+    out = _decode_all(b)
+    assert len(out) == 1
+
+
+def _parse_headers(payload):
+    """Parse (sequence_header, [frame_headers]) out of one TU payload."""
+    from aom_av1_lavish_tpu.bitstream import headers as H
+    from aom_av1_lavish_tpu.bitstream.obu import _obu_spans
+    from aom_av1_lavish_tpu.bitstream.bits import leb128_decode
+    sh, fhs = None, []
+    for t, full in _obu_spans(payload):
+        hdr = full[0]
+        pos = 1 + ((hdr >> 2) & 1)
+        size, pos = leb128_decode(full, pos)
+        pl = full[pos:pos + size]
+        if t == 1:
+            sh = H.parse_sequence_header(pl)
+        elif t in (3, 6) and sh is not None:
+            fh, _ = H.parse_frame_header(pl, sh)
+            fhs.append(fh)
+    return sh, fhs
+
+
+def test_lf_sharpness_header_roundtrip():
+    W, H = 128, 96
+    frames = _clip(1, W, H)
+    pkts = _encode(EncoderConfig(width=W, height=H, qindex=60,
+                                 usage=USAGE_ALL_INTRA, sharpness=4),
+                   frames)
+    _sh, fhs = _parse_headers(pkts[0])
+    assert fhs[0].sharpness_level == 4
+
+
+def test_color_config_roundtrip():
+    W, H = 64, 64
+    frames = _clip(1, W, H)
+    pkts = _encode(EncoderConfig(width=W, height=H, qindex=60,
+                                 usage=USAGE_ALL_INTRA,
+                                 color_primaries=1,       # BT.709
+                                 transfer_characteristics=1,
+                                 matrix_coefficients=1),
+                   frames)
+    sh, _fhs = _parse_headers(pkts[0])
+    assert sh.color_description_present == 1
+    assert (sh.color_primaries, sh.transfer_characteristics,
+            sh.matrix_coefficients) == (1, 1, 1)
+
+
+def test_api_routes_all_modes():
+    """flush() reaches every shipped encode mode from the public API."""
+    W, H = 128, 96
+    frames = _clip(4, W, H)
+    # realtime
+    pkts = _encode(EncoderConfig(width=W, height=H, usage=USAGE_REALTIME,
+                                 qindex=100), frames)
+    assert len(_decode_all(pkts)) == 4
+    # temporal SVC
+    pkts = _encode(EncoderConfig(width=W, height=H, qindex=100,
+                                 temporal_layers=2), frames)
+    assert len(_decode_all(pkts)) == 4
+    # superres
+    cfg = EncoderConfig(width=W, height=H, qindex=100,
+                        enable_superres=True, superres_denom=12)
+    pkts = _encode(cfg, frames[:1])
+    assert len(_decode_all(pkts)) == 1
+    # QM all-intra
+    cfg = EncoderConfig(width=W, height=H, qindex=100, enable_qm=True,
+                        qm_min=6, qm_max=8)
+    pkts = _encode(cfg, frames[:1])
+    assert len(_decode_all(pkts)) == 1
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="aomdec oracle not built")
+def test_gated_gop_stream_conformance(tmp_path):
+    """A control-gated GOP stream must still decode in stock aomdec."""
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+    W, H = 128, 96
+    frames = _clip(4, W, H)
+    pkts = _encode(
+        EncoderConfig(width=W, height=H, qindex=80, gf_length=4,
+                      quant_sharpness=3, sharpness=2,
+                      enable_smooth_intra=False,
+                      disable_trellis_quant=1), frames)
+    ivf = str(tmp_path / "g.ivf")
+    write_ivf(ivf, [(p, i) for i, p in enumerate(pkts)], W, H, 30, 1)
+    out = str(tmp_path / "dec.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    ref = read_y4m(out)[0]
+    ours = _decode_all(pkts)
+    for a, b in zip(ours[0], ref[0]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_cli_registry_flags(tmp_path):
+    """The CLI exposes one flag per registry control and they thread."""
+    from aom_av1_lavish_tpu.apps.enc import build_parser, main
+    from aom_av1_lavish_tpu.utils.y4m import write_y4m
+    helptext = build_parser().format_help()
+    for key in ("--enable-qm", "--quant-sharpness", "--aq-mode",
+                "--enable-obmc", "--color-primaries",
+                "--butteraugli-rd-mult", "--max-reference-frames"):
+        assert key in helptext
+    W, H = 128, 96
+    src = str(tmp_path / "in.y4m")
+    write_y4m(src, _clip(2, W, H), W, H)
+    out = str(tmp_path / "o.ivf")
+    rc = main([src, "-o", out, "--quiet", "--cq-level", "90",
+               "--quant-sharpness", "2", "--enable-smooth-intra", "0",
+               "--sharpness", "1"])
+    assert rc == 0 and os.path.getsize(out) > 0
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+    pkts = [p for p, _ in read_ivf(out)]
+    assert len(_decode_all(pkts)) == 2

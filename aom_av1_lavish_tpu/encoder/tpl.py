@@ -81,9 +81,34 @@ def _frame_costs(cur_y, ref_y):
     intra, inter, mv = _cost_fn((H, W))(
         cur_y[:H, :W].astype(np.float32),
         ref_y[:H, :W].astype(np.float32))
-    return (np.asarray(intra).astype(np.float64),
-            np.asarray(inter).astype(np.float64),
-            np.asarray(mv))
+    from ..utils.xfer import fetch
+    intra, inter, mv = fetch(intra, inter, mv)
+    return intra.astype(np.float64), inter.astype(np.float64), mv
+
+
+@lru_cache(maxsize=None)
+def _cost_fn_batched(key):
+    """vmapped _cost_fn over a stacked (N, H, W) pair batch: one device
+    program + one pipelined fetch for a whole GF group's TPL pass."""
+    import jax
+    H, W, n = key
+    return jax.jit(jax.vmap(_cost_fn((H, W))))
+
+
+def _group_costs(pairs):
+    """pairs: list of (cur_y, ref_y) uint8 planes (same shape).  Returns
+    a list of (intra, inter, mv) numpy triples — ONE dispatch + fetch."""
+    if not pairs:
+        return []
+    H = (pairs[0][0].shape[0] // BLOCK) * BLOCK
+    W = (pairs[0][0].shape[1] // BLOCK) * BLOCK
+    curs = np.stack([p[0][:H, :W] for p in pairs]).astype(np.float32)
+    refs = np.stack([p[1][:H, :W] for p in pairs]).astype(np.float32)
+    intra, inter, mv = _cost_fn_batched((H, W, len(pairs)))(curs, refs)
+    from ..utils.xfer import fetch
+    intra, inter, mv = fetch(intra, inter, mv)
+    return [(intra[i].astype(np.float64), inter[i].astype(np.float64),
+             mv[i]) for i in range(len(pairs))]
 
 
 def _propagate(dep_ref, intra, inter, mv, dep_cur):
@@ -126,19 +151,41 @@ def tpl_gf_group(frames, arf_idx: int):
     dep = [np.zeros((Hb, Wb)) for _ in range(n)]
     intra_all = [None] * n
 
+    # all SSD cost volumes of the group go up in ONE device batch
+    # (every pair is independent; only the dep propagation is ordered)
+    pair_idx = {}
+    pair_list = []
+
+    def want(cur, ref):
+        k = (cur, ref)
+        if k not in pair_idx:
+            pair_idx[k] = len(pair_list)
+            pair_list.append((frames[cur][0], frames[ref][0]))
+        return k
+
+    for j in range(n - 1, -1, -1):
+        if j == arf_idx:
+            continue
+        want(j, arf_idx)
+        if j > 0 and (j - 1) != arf_idx:
+            want(j, j - 1)
+    want(arf_idx, arf_idx)
+    costs = _group_costs(pair_list)
+
+    def got(cur, ref):
+        return costs[pair_idx[(cur, ref)]]
+
     # coding order: everyone except the ARF references it (and their
     # display predecessor); walk display order backward so dep_cur is
     # final before it is forwarded to the reference frame
     for j in range(n - 1, -1, -1):
         if j == arf_idx:
             continue
-        intra, inter_a, mv_a = _frame_costs(frames[j][0],
-                                            frames[arf_idx][0])
+        intra, inter_a, mv_a = got(j, arf_idx)
         intra_all[j] = intra
         best_inter, best_mv, best_ref = inter_a, mv_a, arf_idx
         if j > 0 and (j - 1) != arf_idx:
-            _, inter_p, mv_p = _frame_costs(frames[j][0],
-                                            frames[j - 1][0])
+            _, inter_p, mv_p = got(j, j - 1)
             use_p = inter_p < best_inter
             best_mv = np.where(use_p[..., None], mv_p, best_mv)
             best_inter = np.minimum(inter_p, best_inter)
@@ -151,8 +198,7 @@ def tpl_gf_group(frames, arf_idx: int):
                        mv_a, np.where(use_p, 0, dep[j]))
         else:
             _propagate(dep[arf_idx], intra, inter_a, mv_a, dep[j])
-    intra_all[arf_idx] = _frame_costs(frames[arf_idx][0],
-                                      frames[arf_idx][0])[0]
+    intra_all[arf_idx] = got(arf_idx, arf_idx)[0]
 
     importance = []
     rdmult_scale = []

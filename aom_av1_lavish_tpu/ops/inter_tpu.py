@@ -276,8 +276,16 @@ def _p_frame_core(key):
                 .reshape(nby * n, nbx * n)
 
         (qu, eob_u, rec_u), (qv, eob_v, rec_v) = out_c
-        return (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
-                untile(rec_y, 16), untile(rec_u, 8), untile(rec_v, 8))
+        # narrow result dtypes on device: the tunnel D2H link is the
+        # bottleneck (utils/xfer.py), and every payload here fits int16
+        return (mv_r.astype(jnp.int16), mv_c.astype(jnp.int16),
+                best_ref.astype(jnp.int8),
+                qy.astype(jnp.int16), eob_y.astype(jnp.int16),
+                qu.astype(jnp.int16), eob_u.astype(jnp.int16),
+                qv.astype(jnp.int16), eob_v.astype(jnp.int16),
+                untile(rec_y, 16).astype(jnp.uint8),
+                untile(rec_u, 8).astype(jnp.uint8),
+                untile(rec_v, 8).astype(jnp.uint8))
 
     return fn
 
@@ -343,8 +351,9 @@ class DeviceInterEncoder:
                  jnp.asarray(np.stack(refs_v)),
                  jnp.asarray(np.stack(refs_y2)),
                  self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2])
+        from ..utils.xfer import fetch
         (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
-         rec_y, rec_u, rec_v) = [np.asarray(o) for o in out]
+         rec_y, rec_u, rec_v) = fetch(*out)
         self.recon = (rec_y, rec_u, rec_v)
         return pack_frame_results(mv_r, mv_c, best_ref, qy, eob_y,
                                   qu, eob_u, qv, eob_v, W)

@@ -133,8 +133,8 @@ def analyze_frames_for_encoder(frame_planes):
     ys = jnp.asarray(np.stack([f[0] for f in frame_planes]))
     us = jnp.asarray(np.stack([f[1] for f in frame_planes]))
     vs = jnp.asarray(np.stack([f[2] for f in frame_planes]))
-    qy, qu, qv = [np.asarray(a) for a in
-                  _lossless_batch_analyze(ys, us, vs)]
+    from ..utils.xfer import fetch
+    qy, qu, qv = fetch(*_lossless_batch_analyze(ys, us, vs))
     return [[(qy[i], None), (qu[i], None), (qv[i], None)]
             for i in range(len(frame_planes))]
 

@@ -424,7 +424,7 @@ class IntraTrialEngine:
             chunk = min(N, max(32, self.CHUNK * 256 // (bw * bh)))
             fn = (_trial_fn_dc if dc_only else _trial_fn)(bw, bh, chunk)
             g_args = () if dc_only else (jnp.asarray(mode_matrix(bw, bh)),)
-            sses, bitss = [], []
+            pend = []
             for s in range(0, N, chunk):
                 e = min(N, s + chunk)
                 pad = 0
@@ -440,10 +440,15 @@ class IntraTrialEngine:
                                jnp.asarray(ht), jnp.asarray(hl),
                                jnp.asarray(np.pad(lam[s:e], (0, pad))),
                                self._pq_j, *g_args)
-                sses.append(np.asarray(sse)[:e - s])
-                bitss.append(np.asarray(bits)[:e - s])
-            sse = np.concatenate(sses)
-            bits = np.concatenate(bitss)
+                pend.append((sse, bits, e - s))
+            # dispatch everything first, then one pipelined fetch
+            # (utils/xfer.py: each sync read costs a full tunnel RTT)
+            from ..utils.xfer import fetch
+            got = fetch([(p[0], p[1]) for p in pend])
+            sse = np.concatenate([g[0][:n] for g, (_, _, n)
+                                  in zip(got, pend)])
+            bits = np.concatenate([g[1][:n] for g, (_, _, n)
+                                   in zip(got, pend)])
             cost = sse + lam[:, None] * bits
             out[(bw, bh)] = cost.reshape(nbr, nbc, -1)
         return out

@@ -306,9 +306,9 @@ class WavefrontEncoder:
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
             jnp.asarray(wave_ys), jnp.asarray(wave_xs),
             jnp.asarray(wave_valid), pq_arrs, jnp.float32(self.lam))
-        ob, oqy, oqu, oqv, oe = (np.asarray(ob), np.asarray(oqy),
-                                 np.asarray(oqu), np.asarray(oqv),
-                                 np.asarray(oe))
+        from ..utils.xfer import fetch
+        (ry, ru, rv, ob, oqy, oqu, oqv, oe) = fetch(
+            ry, ru, rv, ob, oqy, oqu, oqv, oe)
         results = {}
         for d, blocks in enumerate(waves):
             for i, (r, cc) in enumerate(blocks):
@@ -317,5 +317,5 @@ class WavefrontEncoder:
                     qy=oqy[d, i], qu=oqu[d, i], qv=oqv[d, i],
                     eoby=int(oe[d, i, 0]), eobu=int(oe[d, i, 1]),
                     eobv=int(oe[d, i, 2]))
-        self.recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        self.recon = (ry, ru, rv)
         return results

@@ -170,7 +170,8 @@ class GopEncoder:
 
     def _encode_inter(self, planes, qindex: int, ref_list,
                       refresh_slot: int, show: bool,
-                      rdmult_map=None, order_hint: int = 0) -> bytes:
+                      rdmult_map=None, order_hint: int = 0,
+                      ext_results=None) -> bytes:
         """Returns the frame OBU bytes only (caller packs the TU)."""
         ref_frame_idx = [0] * 7
         ref_frame_idx[c.LAST_FRAME - 1] = self.last_slot
@@ -204,6 +205,16 @@ class GopEncoder:
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
                                        use_native=self.use_native,
                                        ref_list=ref_list)
+            if ext_results is not None:
+                # device-chained frame (GF-group batch): recon chained
+                # on device UNfiltered, so deblocking must stay off for
+                # encoder/decoder reference agreement
+                fh.filter_level = (0, 0)
+                fh.filter_level_u = 0
+                fh.filter_level_v = 0
+                enc._results = ext_results[0]
+                enc._external_results = True
+                enc._external_recon = ext_results[1]
         else:
             kw = {}
             if self.sf is not None:
@@ -469,16 +480,37 @@ class GopEncoder:
                                           order_hint=(base_idx + L - 1)
                                           & 127))
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
+        # device-chained group encode (use_tpu): ONE device program runs
+        # all L-1 P frames (ops/inter_tpu.DeviceChainEncoder); per-frame
+        # q is precomputed, the FPMT property (av1_cx_iface.c:3374)
+        chain = None
+        if (self.use_tpu and L >= 2
+                and self.sh.max_frame_width % 16 == 0
+                and self.sh.max_frame_height % 16 == 0):
+            from ..ops.inter_tpu import DeviceChainEncoder
+            qs = [self._q("inter", base_idx + j) for j in range(L - 1)]
+            results, recons = DeviceChainEncoder().encode_chain(
+                group[:L - 1], qs, self.slots[self.last_slot],
+                self.slots[self.arf_slot])
+            chain = (qs, results, recons)
         tus = []
         for j in range(L - 1):
-            q = self._q("inter", base_idx + j)
-            obu, q = self._recode(
-                "inter", base_idx + j, q,
-                lambda qq, f=group[j], m=tpl_maps[j], d=base_idx + j:
-                self._encode_inter(
-                    f, qq, (c.LAST_FRAME, c.ALTREF_FRAME),
-                    self.last_slot, show=True, rdmult_map=m,
-                    order_hint=d & 127))
+            if chain is not None:
+                q = chain[0][j]
+                obu = self._encode_inter(
+                    group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
+                    self.last_slot, show=True,
+                    order_hint=(base_idx + j) & 127,
+                    ext_results=(chain[1][j], chain[2][j]))
+            else:
+                q = self._q("inter", base_idx + j)
+                obu, q = self._recode(
+                    "inter", base_idx + j, q,
+                    lambda qq, f=group[j], m=tpl_maps[j], d=base_idx + j:
+                    self._encode_inter(
+                        f, qq, (c.LAST_FRAME, c.ALTREF_FRAME),
+                        self.last_slot, show=True, rdmult_map=m,
+                        order_hint=d & 127))
             tu = H.temporal_delimiter() + (arf_obu if j == 0 else b"") + obu
             # charge only this frame's bits (the ARF's were already
             # accounted at its own postencode)

@@ -40,7 +40,10 @@ from .wavefront import _quantize_jnp, _est_bits, _PQ, _pq_array
 PADR = 64          # device ref padding (>= clamp overshoot + taps)
 FULLPEL_RADIUS = 16
 MV_COST_W = 16.0   # SSD units per full-pel step of |mv| (rate proxy)
-FILT8 = jnp.asarray(IP.SUBPEL_FILTERS_8)    # (16, 8) regular
+# kept as NUMPY on purpose: device arrays captured by a jit closure are
+# re-validated per call (~40 ms each over the axon tunnel); numpy
+# constants are inlined into the compiled HLO at trace time.
+FILT8 = np.asarray(IP.SUBPEL_FILTERS_8)     # (16, 8) regular
 
 
 def _round2(x, n):
@@ -66,8 +69,9 @@ def _mc_block(refp, x0, y0, bw, bh, mv_r_q4, mv_c_q4):
     sc = pos_c & 15
     region = _gather_blocks(refp, PADR + fr - 3, PADR + fc - 3,
                             bh + 7, bw + 7).astype(jnp.int32)
-    kx = FILT8[sc]          # (B, 8)
-    ky = FILT8[sr]
+    filt = jnp.asarray(FILT8)   # trace-time constant (see FILT8 note)
+    kx = filt[sc]           # (B, 8)
+    ky = filt[sr]
     from .pallas_kernels import convolve_8tap
     return convolve_8tap(region, kx, ky, bh, bw)
 
@@ -118,6 +122,23 @@ def _mv_bias(dy, dx):
     return MV_COST_W * (jnp.abs(dy) + jnp.abs(dx)).astype(jnp.float32)
 
 
+def _window_select(base, off_r, off_c, h, w, span):
+    """Extract per-block (h, w) tiles from (B, h+span-1, w+span-1)
+    windows at small dynamic offsets off_r/off_c in [0, span) — as
+    one-hot blends of STATIC slices.  Data-dependent gathers cost
+    ~2.6 ms each on this TPU; static slices + selects are ~free, and
+    the search loops below would otherwise issue dozens of gathers."""
+    rows = 0
+    for k in range(span):
+        sl = base[:, k:k + h, :]
+        rows = rows + jnp.where((off_r == k)[:, None, None], sl, 0)
+    out = 0
+    for k in range(span):
+        sl = rows[:, :, k:k + w]
+        out = out + jnp.where((off_c == k)[:, None, None], sl, 0)
+    return out
+
+
 def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz):
     """Two-scale exhaustive full-pel search for one reference.
 
@@ -135,15 +156,21 @@ def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz):
     ssd1 = _ssd_surface(src_h, refp_y2, y0 // 2, x0 // 2, bsz // 2, r)
     iy1, ix1, _ = _argmin2d(ssd1)
     dy1, dx1 = (iy1 - r) * 2, (ix1 - r) * 2
-    # refine the half-res candidate at full res (+-2)
+    # refine the half-res candidate at full res (3x3): ONE window
+    # gather, then static-slice selection per candidate
+    wy = jnp.clip(dy1, -2 * r + 1, 2 * r - 1)
+    wx = jnp.clip(dx1, -2 * r + 1, 2 * r - 1)
+    base = _gather_blocks(refp_y, PADR + y0 + wy - 1, PADR + x0 + wx - 1,
+                          bsz + 2, bsz + 2).astype(jnp.float32)
+    syf = sy_blk.astype(jnp.float32)
     cands = [(dy0, dx0, c0)]
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
             ny = jnp.clip(dy1 + oy, -2 * r, 2 * r)
             nx = jnp.clip(dx1 + ox, -2 * r, 2 * r)
-            blk = _gather_blocks(refp_y, PADR + y0 + ny, PADR + x0 + nx,
-                                 bsz, bsz).astype(jnp.float32)
-            d = blk - sy_blk.astype(jnp.float32)
+            blk = _window_select(base, ny - (wy - 1), nx - (wx - 1),
+                                 bsz, bsz, 3)
+            d = blk - syf
             cands.append((ny, nx, (d * d).sum((1, 2)) + _mv_bias(ny, nx)))
     cy = jnp.stack([t[0] for t in cands], 1)
     cx = jnp.stack([t[1] for t in cands], 1)
@@ -155,32 +182,62 @@ def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz):
 
 def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
     """Half-pel 3x3 then quarter-pel 3x3 around the full-pel winner,
-    through the normative interpolator.  Returns 1/8-pel even MVs."""
+    through the normative interpolator.  Returns (mv_r, mv_c, pred,
+    cost): 1/8-pel even MVs plus the winner's exact prediction.
+
+    All 18 candidate interpolations read from ONE gathered window per
+    block (the candidates stay within +-6/8 pel of the clamped centre,
+    so every integer base row/col is within +-1 of the centre's)."""
+    B = sy_blk.shape[0]
+    syf = sy_blk.astype(jnp.float32)
+    cr0, cc0 = _clamp_mv(best_dy * 8, best_dx * 8, bsz, bsz, 0, 0,
+                         x0, y0, W, H, bsz, bsz)
+    fr0 = ((y0 << 4) + cr0) >> 4
+    fc0 = ((x0 << 4) + cc0) >> 4
+    # window covers integer bases fr0-1 .. fr0+1 and the 8-tap reach
+    base = _gather_blocks(refp_y, PADR + fr0 - 4, PADR + fc0 - 4,
+                          bsz + 9, bsz + 9).astype(jnp.int32)
+    filt = jnp.asarray(FILT8)
+
     def eval_mv(mv_r, mv_c):
         cr, ccol = _clamp_mv(mv_r, mv_c, bsz, bsz, 0, 0, x0, y0, W, H,
                              bsz, bsz)
-        pred = _mc_block(refp_y, x0, y0, bsz, bsz, cr, ccol)
-        d = pred.astype(jnp.float32) - sy_blk.astype(jnp.float32)
-        return (d * d).sum((1, 2)) + MV_COST_W / 8.0 * (
+        pos_r = (y0 << 4) + cr
+        pos_c = (x0 << 4) + ccol
+        fr = pos_r >> 4
+        fc = pos_c >> 4
+        region = _window_select(base, fr - (fr0 - 1), fc - (fc0 - 1),
+                                bsz + 7, bsz + 7, 3)
+        from .pallas_kernels import convolve_8tap
+        pred = convolve_8tap(region, filt[pos_c & 15], filt[pos_r & 15],
+                             bsz, bsz)
+        d = pred.astype(jnp.float32) - syf
+        cost = (d * d).sum((1, 2)) + MV_COST_W / 8.0 * (
             jnp.abs(mv_r) + jnp.abs(mv_c)).astype(jnp.float32)
+        return cost, pred
 
     mv_r = best_dy * 8
     mv_c = best_dx * 8
+    best_cost = best_pred = None
     for step in (4, 2):
         cands = []
         for oy in (-step, 0, step):
             for ox in (-step, 0, step):
                 r_ = mv_r + oy
                 c_ = mv_c + ox
-                cands.append((eval_mv(r_, c_), r_, c_))
+                cost, pred = eval_mv(r_, c_)
+                cands.append((cost, r_, c_, pred))
         sstack = jnp.stack([t[0] for t in cands], 1)
         rstack = jnp.stack([t[1] for t in cands], 1)
         cstack = jnp.stack([t[2] for t in cands], 1)
+        pstack = jnp.stack([t[3] for t in cands], 1)
         bi = jnp.argmin(sstack, axis=1)
         ar = jnp.arange(sstack.shape[0])
         mv_r = rstack[ar, bi]
         mv_c = cstack[ar, bi]
-    return mv_r, mv_c
+        best_cost = sstack[ar, bi]
+        best_pred = pstack[ar, bi]
+    return mv_r, mv_c, best_pred, best_cost
 
 
 _FN_CACHE = {}
@@ -193,12 +250,13 @@ def _p_frame_core(key):
     nby, nbx = H // 16, W // 16
     B = nby * nbx
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
-    y0 = jnp.asarray((by.ravel() * 16).astype(np.int32))
-    x0 = jnp.asarray((bx.ravel() * 16).astype(np.int32))
-    scan_y = jnp.asarray(np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT)))
-    scan_c = jnp.asarray(np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT)))
-    dc_y = jnp.asarray(np.arange(256) == 0)
-    dc_c = jnp.asarray(np.arange(64) == 0)
+    # numpy closure constants (inlined at trace time — see FILT8 note)
+    y0 = (by.ravel() * 16).astype(np.int32)
+    x0 = (bx.ravel() * 16).astype(np.int32)
+    scan_y = np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT))
+    scan_c = np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT))
+    dc_y = np.arange(256) == 0
+    dc_c = np.arange(64) == 0
 
     def fn(src_y, src_u, src_v, refs_y, refs_u, refs_v, refs_y2,
            pq_arr_y, pq_arr_u, pq_arr_v):
@@ -215,11 +273,8 @@ def _p_frame_core(key):
         for ri in range(n_refs):
             fdy, fdx, fcost = _fullpel_search(sy_blk, refs_y[ri],
                                               refs_y2[ri], y0, x0, 16)
-            mv_r, mv_c = _subpel_refine(sy_blk, refs_y[ri], y0, x0, 16,
-                                        fdy, fdx, W, H)
-            cr, ccol = _clamp_mv(mv_r, mv_c, 16, 16, 0, 0, x0, y0, W, H,
-                                 16, 16)
-            pred = _mc_block(refs_y[ri], x0, y0, 16, 16, cr, ccol)
+            mv_r, mv_c, pred, _ = _subpel_refine(
+                sy_blk, refs_y[ri], y0, x0, 16, fdy, fdx, W, H)
             d = pred.astype(jnp.float32) - sy_blk.astype(jnp.float32)
             cost = (d * d).sum((1, 2))
             per_ref.append((cost, mv_r, mv_c, pred))
@@ -276,16 +331,25 @@ def _p_frame_core(key):
                 .reshape(nby * n, nbx * n)
 
         (qu, eob_u, rec_u), (qv, eob_v, rec_v) = out_c
-        # narrow result dtypes on device: the tunnel D2H link is the
-        # bottleneck (utils/xfer.py), and every payload here fits int16
-        return (mv_r.astype(jnp.int16), mv_c.astype(jnp.int16),
-                best_ref.astype(jnp.int8),
-                qy.astype(jnp.int16), eob_y.astype(jnp.int16),
-                qu.astype(jnp.int16), eob_u.astype(jnp.int16),
-                qv.astype(jnp.int16), eob_v.astype(jnp.int16),
-                untile(rec_y, 16).astype(jnp.uint8),
-                untile(rec_u, 8).astype(jnp.uint8),
-                untile(rec_v, 8).astype(jnp.uint8))
+        # ONE packed int16 result buffer + ONE uint8 recon buffer: the
+        # tunnel D2H link pays a full RTT per fetched array
+        # (utils/xfer.py), so results ship as exactly two payloads
+        res = jnp.concatenate([
+            mv_r.astype(jnp.int16)[:, None],
+            mv_c.astype(jnp.int16)[:, None],
+            best_ref.astype(jnp.int16)[:, None],
+            eob_y.astype(jnp.int16)[:, None],
+            eob_u.astype(jnp.int16)[:, None],
+            eob_v.astype(jnp.int16)[:, None],
+            qy.astype(jnp.int16).reshape(B, 256),
+            qu.astype(jnp.int16).reshape(B, 64),
+            qv.astype(jnp.int16).reshape(B, 64)], axis=1)
+        rec = jnp.concatenate([
+            untile(rec_y, 16).astype(jnp.uint8),
+            jnp.concatenate([untile(rec_u, 8).astype(jnp.uint8),
+                             untile(rec_v, 8).astype(jnp.uint8)],
+                            axis=1)], axis=0)
+        return res, rec
 
     return fn
 
@@ -298,19 +362,130 @@ def _p_frame_fn(key):
     return fn
 
 
-def pack_frame_results(mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u,
-                       qv, eob_v, W):
-    """Device outputs of one frame -> the per-block dict the host
-    emitter (encoder/tpu_inter.py) walks."""
+def pack_frame_results(res_buf, W):
+    """Packed device result buffer (B, 390) int16 -> the per-block dict
+    the host emitter (encoder/tpu_inter.py) walks.  Layout per block:
+    [mv_r, mv_c, ref, eob_y, eob_u, eob_v, qy*256, qu*64, qv*64]."""
     nbx = W // 16
     res = {}
-    for b in range(mv_r.shape[0]):
+    for b in range(res_buf.shape[0]):
         r, cc = divmod(b, nbx)
+        row = res_buf[b]
         res[(r, cc)] = dict(
-            mv=(int(mv_r[b]), int(mv_c[b])), ref_idx=int(best_ref[b]),
-            qy=qy[b], eoby=int(eob_y[b]), qu=qu[b],
-            eobu=int(eob_u[b]), qv=qv[b], eobv=int(eob_v[b]))
+            mv=(int(row[0]), int(row[1])), ref_idx=int(row[2]),
+            qy=row[6:262], eoby=int(row[3]), qu=row[262:326],
+            eobu=int(row[4]), qv=row[326:390], eobv=int(row[5]))
     return res
+
+
+def split_recon(rec, H, W):
+    """Packed uint8 recon buffer (H + H//2, W) -> (y, u, v) planes."""
+    rec_y = rec[:H]
+    rec_u = rec[H:, :W // 2]
+    rec_v = rec[H:, W // 2:]
+    return rec_y, rec_u, rec_v
+
+
+def _pad_ref_jnp(y, u, v):
+    """Device-side ref prep: PADR edge padding + half-res luma (the
+    two-scale search pyramid).  Runs inside the chain scan so recon
+    never round-trips to the host between frames."""
+    py = jnp.pad(y, PADR, mode="edge")
+    pu = jnp.pad(u, PADR, mode="edge")
+    pv = jnp.pad(v, PADR, mode="edge")
+    y32 = py.astype(jnp.int32)
+    h2 = (y32.shape[0] // 2) * 2
+    w2 = (y32.shape[1] // 2) * 2
+    y2 = y32[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
+    return py, pu, pv, y2
+
+
+_CHAIN_FN_CACHE = {}
+
+
+def _p_chain_fn(key):
+    """jitted GF-group P-frame chain: ONE device program encodes L
+    consecutive P frames (lax.scan), each referencing the previous
+    frame's recon (LAST, device-resident carry) and optionally a fixed
+    ARF.  TPU-native replacement for the reference's per-frame encode
+    loop (av1/encoder/encode_strategy.c) — on a tunneled TPU the
+    per-frame dispatch+fetch round trip dominates, so the whole group
+    ships as one dispatch and one packed fetch."""
+    if key in _CHAIN_FN_CACHE:
+        return _CHAIN_FN_CACHE[key]
+    H, W, n_refs = key
+    base = _p_frame_core((H, W, n_refs))
+
+    def fn(srcs_y, srcs_u, srcs_v, last_y, last_u, last_v,
+           arf_y, arf_u, arf_v, pq_stack):
+        """srcs_*: (L, ...) uint8; last_*/arf_*: unpadded ref planes;
+        pq_stack: (L, 3, pqlen) per-frame quantizer arrays."""
+        apy, apu, apv, ay2 = _pad_ref_jnp(arf_y, arf_u, arf_v)
+
+        def body(carry, xs):
+            ly, lu, lv, ly2 = carry
+            sy, su, sv, pq = xs
+            if n_refs == 2:
+                ry = jnp.stack([ly, apy])
+                ru = jnp.stack([lu, apu])
+                rv = jnp.stack([lv, apv])
+                ry2 = jnp.stack([ly2, ay2])
+            else:
+                ry, ru, rv, ry2 = ly[None], lu[None], lv[None], ly2[None]
+            res, rec = base(sy, su, sv, ry, ru, rv, ry2,
+                            pq[0], pq[1], pq[2])
+            rec_y = rec[:H]
+            rec_u = rec[H:, :W // 2]
+            rec_v = rec[H:, W // 2:]
+            return _pad_ref_jnp(rec_y, rec_u, rec_v), (res, rec)
+
+        init = _pad_ref_jnp(last_y, last_u, last_v)
+        _, (res, rec) = jax.lax.scan(
+            body, init, (srcs_y, srcs_u, srcs_v, pq_stack))
+        return res, rec
+
+    jitted = jax.jit(fn)
+    _CHAIN_FN_CACHE[key] = jitted
+    return jitted
+
+
+class DeviceChainEncoder:
+    """Whole-GF-group batched P-frame encode: one dispatch + one fetch
+    for L frames (chained LAST + fixed ARF), per-frame qindex allowed.
+
+    Quantizers are precomputed per frame before the batch — the same
+    property as the reference's FPMT (frame-parallel frames cannot see
+    in-flight rate feedback, av1/av1_cx_iface.c:3374)."""
+
+    def encode_chain(self, src_frames, qindexes, last_planes,
+                     arf_planes=None):
+        """src_frames: list of L (y, u, v); returns (results, recons):
+        results[j] = per-block dict, recons[j] = (y, u, v) uint8."""
+        L = len(src_frames)
+        H, W = src_frames[0][0].shape[:2]
+        assert H % 16 == 0 and W % 16 == 0
+        n_refs = 2 if arf_planes is not None else 1
+        fn = _p_chain_fn((H, W, n_refs))
+        pq_rows = []
+        for q in qindexes:
+            pq_rows.append(np.stack(
+                [_pq_array(Q.build_plane_quant(q, 0, 0))] * 3))
+        pq_stack = np.stack(pq_rows)
+        srcs_y = np.stack([f[0][:H, :W] for f in src_frames])
+        srcs_u = np.stack([f[1][:H >> 1, :W >> 1] for f in src_frames])
+        srcs_v = np.stack([f[2][:H >> 1, :W >> 1] for f in src_frames])
+        lp = last_planes
+        ap = arf_planes if arf_planes is not None else last_planes
+        out = fn(srcs_y, srcs_u, srcs_v,
+                 lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
+                 lp[2][:H >> 1, :W >> 1],
+                 ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
+                 ap[2][:H >> 1, :W >> 1], pq_stack)
+        from ..utils.xfer import fetch
+        res, rec = fetch(*out)
+        results = [pack_frame_results(res[j], W) for j in range(L)]
+        recons = [split_recon(rec[j], H, W) for j in range(L)]
+        return results, recons
 
 
 class DeviceInterEncoder:
@@ -352,8 +527,6 @@ class DeviceInterEncoder:
                  jnp.asarray(np.stack(refs_y2)),
                  self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2])
         from ..utils.xfer import fetch
-        (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
-         rec_y, rec_u, rec_v) = fetch(*out)
-        self.recon = (rec_y, rec_u, rec_v)
-        return pack_frame_results(mv_r, mv_c, best_ref, qy, eob_y,
-                                  qu, eob_u, qv, eob_v, W)
+        res_buf, rec = fetch(*out)
+        self.recon = split_recon(rec, H, W)
+        return pack_frame_results(res_buf, W)

@@ -282,10 +282,11 @@ def _trial_fn_dc(bw, bh, n_chunk):
     from ..common import coeffs as CF
     tx_size = blockd.tx_size_of(min(bw, 64), min(bh, 64))
     aw, ah = min(bw, 32), min(bh, 32)
-    scan = jnp.asarray(
-        np.asarray(tables.scan(CF.adjusted_tx_size(tx_size), c.DCT_DCT)),
-        jnp.int32)
-    dc_mask = jnp.arange(aw * ah) == 0
+    # numpy closure constants (device arrays captured by a jit closure
+    # cost a tunnel RTT per call — see ops/inter_tpu.FILT8)
+    scan = np.asarray(tables.scan(CF.adjusted_tx_size(tx_size), c.DCT_DCT),
+                      dtype=np.int32)
+    dc_mask = np.arange(aw * ah) == 0
     log_scale = CF._tx_scale(tx_size)
 
     def fn(E, blks, have_top, have_left, lam, pq_arr):
@@ -322,10 +323,11 @@ def _trial_fn(bw, bh, n_chunk):
     from ..common import coeffs as CF
     tx_size = blockd.tx_size_of(min(bw, 64), min(bh, 64))
     aw, ah = min(bw, 32), min(bh, 32)
-    scan = jnp.asarray(
-        np.asarray(tables.scan(CF.adjusted_tx_size(tx_size), c.DCT_DCT)),
-        jnp.int32)
-    dc_mask = jnp.arange(aw * ah) == 0
+    # numpy closure constants (device arrays captured by a jit closure
+    # cost a tunnel RTT per call — see ops/inter_tpu.FILT8)
+    scan = np.asarray(tables.scan(CF.adjusted_tx_size(tx_size), c.DCT_DCT),
+                      dtype=np.int32)
+    dc_mask = np.arange(aw * ah) == 0
     log_scale = CF._tx_scale(tx_size)
     reach = bw + bh + 1
 

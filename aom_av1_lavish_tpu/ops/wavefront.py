@@ -158,12 +158,14 @@ class WavefrontEncoder:
         B = self.B
         Bc = B // 2
         from ..bitstream import tables
-        scan_y = jnp.asarray(
-            np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT)), jnp.int32)
-        scan_c = jnp.asarray(
-            np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT)), jnp.int32)
-        dc_mask_y = (jnp.arange(B * B) == 0)
-        dc_mask_c = (jnp.arange(Bc * Bc) == 0)
+        # numpy closure constants: device arrays captured by a jit
+        # closure cost a tunnel RTT per call (see ops/inter_tpu.FILT8)
+        scan_y = np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT),
+                            dtype=np.int32)
+        scan_c = np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT),
+                            dtype=np.int32)
+        dc_mask_y = (np.arange(B * B) == 0)
+        dc_mask_c = (np.arange(Bc * Bc) == 0)
 
         def plane_encode(recon, src, ys, xs, valid, B_, scan, dc_mask,
                          pqp, tx_size, n_modes, lam):
@@ -269,10 +271,21 @@ class WavefrontEncoder:
                 oe = oe.at[d].set(jnp.stack([eoby, eobu, eobv], axis=-1))
                 return (ry, ru, rv, ob, oqy, oqu, oqv, oe)
 
-            return jax.lax.fori_loop(
+            (ry, ru, rv, ob, oqy, oqu, oqv, oe) = jax.lax.fori_loop(
                 0, n_waves, body,
                 (recon_y, recon_u, recon_v, out_best, out_qy, out_qu,
                  out_qv, out_eob))
+            # ship exactly two D2H payloads (one int16 result buffer +
+            # one uint8 recon) — each fetched array costs a tunnel RTT
+            res = jnp.concatenate([
+                ob.astype(jnp.int16)[..., None],
+                oe.astype(jnp.int16),
+                oqy.astype(jnp.int16),
+                oqu.astype(jnp.int16),
+                oqv.astype(jnp.int16)], axis=-1)
+            rec = jnp.concatenate(
+                [ry, jnp.concatenate([ru, rv], axis=1)], axis=0)
+            return res, rec
 
         fn = jax.jit(frame_fn)
         _FRAME_FN_CACHE[key] = fn
@@ -302,20 +315,24 @@ class WavefrontEncoder:
                 wave_valid[d, i] = True
         fn = self._wave_fn((H, W, n_waves, max_n))
         pq_arrs = tuple(jnp.asarray(_pq_array(p)) for p in self.pq)
-        (ry, ru, rv, ob, oqy, oqu, oqv, oe) = fn(
+        res, rec = fn(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
             jnp.asarray(wave_ys), jnp.asarray(wave_xs),
             jnp.asarray(wave_valid), pq_arrs, jnp.float32(self.lam))
         from ..utils.xfer import fetch
-        (ry, ru, rv, ob, oqy, oqu, oqv, oe) = fetch(
-            ry, ru, rv, ob, oqy, oqu, oqv, oe)
+        res, rec = fetch(res, rec)
+        Bq = B * B
+        Bcq = (B // 2) * (B // 2)
         results = {}
         for d, blocks in enumerate(waves):
             for i, (r, cc) in enumerate(blocks):
+                row = res[d, i]
                 results[(r, cc)] = dict(
-                    y_mode=WAVE_MODES[int(ob[d, i])],
-                    qy=oqy[d, i], qu=oqu[d, i], qv=oqv[d, i],
-                    eoby=int(oe[d, i, 0]), eobu=int(oe[d, i, 1]),
-                    eobv=int(oe[d, i, 2]))
-        self.recon = (ry, ru, rv)
+                    y_mode=WAVE_MODES[int(row[0])],
+                    qy=row[4:4 + Bq],
+                    qu=row[4 + Bq:4 + Bq + Bcq],
+                    qv=row[4 + Bq + Bcq:4 + Bq + 2 * Bcq],
+                    eoby=int(row[1]), eobu=int(row[2]),
+                    eobv=int(row[3]))
+        self.recon = (rec[:H], rec[H:, :W // 2], rec[H:, W // 2:])
         return results

@@ -269,9 +269,9 @@ class ShardedInterGopEncoder:
                  jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
                  jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),
                  pq[0], pq[1], pq[2])
-        out = [np.asarray(o) for o in out]
-        (mv_r, mv_c, best_ref, qy, eob_y, qu, eob_u, qv, eob_v,
-         rec_y, rec_u, rec_v) = out
+        from ..utils.xfer import fetch
+        from ..ops.inter_tpu import split_recon
+        res_buf, rec = fetch(*out)
         payloads = [anchor_payload]
         slots = [anchor_rec] + [None] * 7
         for i in range(len(pfrs)):
@@ -279,11 +279,9 @@ class ShardedInterGopEncoder:
                                          refresh_frame_flags=0)
             enc = TpuInterFrameEncoder(self.sh, fh, slots,
                                        use_native=self.use_native)
-            enc._results = pack_frame_results(
-                mv_r[i], mv_c[i], best_ref[i], qy[i], eob_y[i],
-                qu[i], eob_u[i], qv[i], eob_v[i], W)
+            enc._results = pack_frame_results(res_buf[i], W)
             enc._external_results = True
-            enc._external_recon = (rec_y[i], rec_u[i], rec_v[i])
+            enc._external_recon = split_recon(rec[i], H, W)
             obu = enc.encode_frame_obu(pfrs[i])
             payloads.append(HH.temporal_delimiter() + obu)
         return payloads

@@ -202,6 +202,10 @@ class GopEncoder:
         fh.sharpness_level = self.lf_sharpness
         if self.use_tpu:
             from .tpu_inter import TpuInterFrameEncoder
+            # the device path's emitter derives MV predictors spatially;
+            # signal use_ref_frame_mvs=0 so the decoder derives the same
+            # stack (no temporal-MVP candidates)
+            fh.allow_ref_frame_mvs = 0
             enc = TpuInterFrameEncoder(self.sh, fh, self.slots,
                                        use_native=self.use_native,
                                        ref_list=ref_list)
@@ -215,6 +219,8 @@ class GopEncoder:
                 enc._results = ext_results[0]
                 enc._external_results = True
                 enc._external_recon = ext_results[1]
+                if len(ext_results) > 2:
+                    enc._res_raw = ext_results[2]
         else:
             kw = {}
             if self.sf is not None:
@@ -489,10 +495,10 @@ class GopEncoder:
                 and self.sh.max_frame_height % 16 == 0):
             from ..ops.inter_tpu import DeviceChainEncoder
             qs = [self._q("inter", base_idx + j) for j in range(L - 1)]
-            results, recons = DeviceChainEncoder().encode_chain(
+            results, recons, raws = DeviceChainEncoder().encode_chain(
                 group[:L - 1], qs, self.slots[self.last_slot],
                 self.slots[self.arf_slot])
-            chain = (qs, results, recons)
+            chain = (qs, results, recons, raws)
         tus = []
         for j in range(L - 1):
             if chain is not None:
@@ -501,7 +507,7 @@ class GopEncoder:
                     group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
                     self.last_slot, show=True,
                     order_hint=(base_idx + j) & 127,
-                    ext_results=(chain[1][j], chain[2][j]))
+                    ext_results=(chain[1][j], chain[2][j], chain[3][j]))
             else:
                 q = self._q("inter", base_idx + j)
                 obu, q = self._recode(

@@ -28,6 +28,7 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         super().__init__(sh, fh, refs, use_native=use_native,
                          block_size=c.BLOCK_16X16, ref_list=ref_list)
         self._results = None
+        self._res_raw = None
 
     def encode_frame(self, planes, use_jax: bool = True) -> bytes:
         w = self.mi_cols * 4
@@ -36,9 +37,88 @@ class TpuInterFrameEncoder(InterFrameEncoder):
             "TPU preset needs a 16px-aligned mi grid (use inter.py otherwise)"
         if not getattr(self, "_external_results", False):
             self._results = None
+            self._res_raw = None
         from .lossy import LossyAllIntraEncoder
         return super(LossyAllIntraEncoder, self).encode_frame(
             planes, use_jax=False)
+
+    # --- native tile fast path -----------------------------------------
+
+    def _native_tile_ok(self) -> bool:
+        """The C walker (runtime/inter_tile.c) covers exactly the
+        restricted syntax this encoder emits; anything else falls back
+        to the Python emitter."""
+        if self.use_native is False or self._res_raw is None:
+            return False
+        from ..runtime import native_available
+        fh, sh = self.fh, self.sh
+        return (native_available()
+                and fh.tx_mode == c.TX_MODE_LARGEST
+                and not fh.delta_q_present
+                and not fh.segmentation_enabled
+                and not getattr(fh, "skip_mode_flag", 0)
+                and fh.reference_mode != c.REFERENCE_MODE_SELECT
+                and not fh.is_motion_mode_switchable
+                and not sh.enable_interintra_compound
+                and not fh.is_filter_switchable
+                and not fh.force_integer_mv
+                and not fh.allow_ref_frame_mvs
+                and fh.filter_level[0] == 0 and fh.filter_level[1] == 0
+                and fh.filter_level_u == 0 and fh.filter_level_v == 0
+                and fh.tile_cols_log2 == 0 and fh.tile_rows_log2 == 0
+                and self.sb_mi == 16
+                and self.num_planes == 3
+                and self.mi_rows % 4 == 0 and self.mi_cols % 4 == 0
+                and len(self.ref_list) <= 2)
+
+    def _fill_native_grids(self):
+        """Vectorized mirror of the emit-time grid bookkeeping the rest
+        of the frame pipeline reads (mi_skip for CDEF search, per-8x8
+        frame MVs for future frames' motion-field projection)."""
+        res = self._res_raw
+        nby, nbx = self.mi_rows // 4, self.mi_cols // 4
+        skip_blk = ((res[:, 3] == 0) & (res[:, 4] == 0)
+                    & (res[:, 5] == 0)).reshape(nby, nbx)
+        self.mi_skip[:nby * 4, :nbx * 4] = np.repeat(
+            np.repeat(skip_blk, 4, 0), 4, 1)
+        self.mi_bsize[:nby * 4, :nbx * 4] = c.BLOCK_16X16
+        # av1_copy_frame_mvs mirror (per 8x8 unit)
+        refs = np.asarray([int(self.ref_list[i])
+                           for i in range(len(self.ref_list))]
+                          + [int(self.ref_list[0])], np.int32)
+        ref_blk = refs[res[:, 2].astype(np.int32)].reshape(nby, nbx)
+        mvr = res[:, 0].reshape(nby, nbx).astype(np.int16)
+        mvc = res[:, 1].reshape(nby, nbx).astype(np.int16)
+        side = np.asarray(self.ref_side, np.int32)[ref_blk]
+        big = (np.abs(mvr.astype(np.int32)) > 4095) \
+            | (np.abs(mvc.astype(np.int32)) > 4095)
+        valid = (side == 0) & ~big
+        st_ref = np.where(valid, ref_blk, -1).astype(np.int8)
+        st_r = np.where(valid, mvr, 0).astype(np.int16)
+        st_c = np.where(valid, mvc, 0).astype(np.int16)
+        self.frame_mvs_ref[:nby * 2, :nbx * 2] = np.repeat(
+            np.repeat(st_ref, 2, 0), 2, 1)
+        self.frame_mvs[:nby * 2, :nbx * 2, 0] = np.repeat(
+            np.repeat(st_r, 2, 0), 2, 1)
+        self.frame_mvs[:nby * 2, :nbx * 2, 1] = np.repeat(
+            np.repeat(st_c, 2, 0), 2, 1)
+
+    def _encode_tile(self) -> bytes:
+        self._ensure_device_encode()
+        if not self._native_tile_ok():
+            return super()._encode_tile()
+        from ..bitstream.tables import FrameContext
+        from ..runtime import encode_inter16_tile
+        fc = (self.fc0.copy() if getattr(self, "fc0", None) is not None
+              else FrameContext(self.fh.base_q_idx))
+        data = encode_inter16_tile(
+            fc, self._res_raw, self.mi_rows, self.mi_cols,
+            [int(r) for r in self.ref_list], self.sign_bias,
+            int(self.fh.allow_high_precision_mv), sb_mi=self.sb_mi,
+            reduced_tx_set=int(self.fh.reduced_tx_set))
+        self.fc = fc
+        self._fill_native_grids()
+        return data
 
     def _ensure_device_encode(self):
         if (self._results is not None
@@ -58,6 +138,7 @@ class TpuInterFrameEncoder(InterFrameEncoder):
                  self.src[1][:self.mi_rows * 2, :self.mi_cols * 2],
                  self.src[2][:self.mi_rows * 2, :self.mi_cols * 2]],
                 ref_planes)
+            self._res_raw = dev.res_raw
             ry, ru, rv = dev.recon
             self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
             self.recon[1][:ru.shape[0], :ru.shape[1]] = ru

@@ -96,15 +96,40 @@ def _clamp_mv(mv_r, mv_c, bw, bh, ss_x, ss_y, x0l, y0l, fw, fh_, bw4l,
     return (jnp.clip(row, lo_r, hi_r), jnp.clip(col, lo_c, hi_c))
 
 
-def _ssd_surface(src_blk, refp, y0, x0, bsz, radius):
+def _stride_windows(refp, oy, ox, nby, nbx, bsz, wsz):
+    """(B, wsz, wsz) windows at regular stride bsz over a padded plane,
+    window origin = block origin + (oy, ox) — built from STATIC slices
+    (wsz must be a multiple of bsz).  A data-dependent gather of the
+    same windows costs ~10 ms on this TPU; this is ~0.2 ms."""
+    t = wsz // bsz
+    H, W = nby * bsz, nbx * bsz
+    rows = []
+    for dy in range(t):
+        row = [refp[oy + dy * bsz:oy + dy * bsz + H,
+                    ox + dx * bsz:ox + dx * bsz + W]
+               .reshape(nby, bsz, nbx, bsz) for dx in range(t)]
+        rows.append(jnp.concatenate(row, axis=-1))
+    win = jnp.concatenate(rows, axis=1)          # (nby, wsz, nbx, wsz)
+    return win.transpose(0, 2, 1, 3).reshape(nby * nbx, wsz, wsz)
+
+
+def _ssd_surface(src_blk, refp, y0, x0, bsz, radius, grid=None,
+                 pad=PADR):
     """Exhaustive full-pel SSD surface on the MXU.
 
-    src_blk: (B, bsz, bsz) int; refp: padded plane; y0/x0: (B,) block
-    origins in plane coords.  Returns (B, 2r+1, 2r+1) float32 SSD (exact:
-    all partial sums are integers < 2^24)."""
+    src_blk: (B, bsz, bsz) int; refp: plane padded by `pad`; y0/x0: (B,)
+    block origins in plane coords.  grid=(nby, nbx) marks the
+    regular-stride layout (always true in this module) enabling static
+    window assembly.  Returns (B, 2r+1, 2r+1) float32 SSD (exact: all
+    partial sums are integers < 2^24)."""
     W = 2 * radius + bsz
-    win = _gather_blocks(refp, PADR + y0 - radius, PADR + x0 - radius,
-                         W, W).astype(jnp.int32)
+    if grid is not None and W % bsz == 0:
+        nby, nbx = grid
+        win = _stride_windows(refp, pad - radius, pad - radius,
+                              nby, nbx, bsz, W).astype(jnp.int32)
+    else:
+        win = _gather_blocks(refp, pad + y0 - radius, pad + x0 - radius,
+                             W, W).astype(jnp.int32)
     from .pallas_kernels import ssd_surface
     return ssd_surface(src_blk, win, bsz, radius)
 
@@ -139,13 +164,13 @@ def _window_select(base, off_r, off_c, h, w, span):
     return out
 
 
-def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz):
+def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz, grid=None):
     """Two-scale exhaustive full-pel search for one reference.
 
     Returns (best_dy, best_dx, cost) in full-pel units, range ~+-32."""
     r = FULLPEL_RADIUS
     # full-res surface: +-16
-    ssd0 = _ssd_surface(sy_blk, refp_y, y0, x0, bsz, r)
+    ssd0 = _ssd_surface(sy_blk, refp_y, y0, x0, bsz, r, grid=grid)
     iy0, ix0, c0 = _argmin2d(
         ssd0 + _mv_bias(jnp.arange(2 * r + 1)[None, :, None] - r,
                         jnp.arange(2 * r + 1)[None, None, :] - r))
@@ -153,7 +178,10 @@ def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz):
     # half-res surface: +-16 at half res == +-32 full-res
     src_h = sy_blk.reshape(sy_blk.shape[0], bsz // 2, 2, bsz // 2, 2) \
         .sum((2, 4))
-    ssd1 = _ssd_surface(src_h, refp_y2, y0 // 2, x0 // 2, bsz // 2, r)
+    # (the half-res plane carries PADR//2 of padding — the window origin
+    # must use it, not PADR, or the long-range pass searches 64px off)
+    ssd1 = _ssd_surface(src_h, refp_y2, y0 // 2, x0 // 2, bsz // 2, r,
+                        grid=grid, pad=PADR // 2)
     iy1, ix1, _ = _argmin2d(ssd1)
     dy1, dx1 = (iy1 - r) * 2, (ix1 - r) * 2
     # refine the half-res candidate at full res (3x3): ONE window
@@ -272,7 +300,8 @@ def _p_frame_core(key):
         per_ref = []
         for ri in range(n_refs):
             fdy, fdx, fcost = _fullpel_search(sy_blk, refs_y[ri],
-                                              refs_y2[ri], y0, x0, 16)
+                                              refs_y2[ri], y0, x0, 16,
+                                              grid=(nby, nbx))
             mv_r, mv_c, pred, _ = _subpel_refine(
                 sy_blk, refs_y[ri], y0, x0, 16, fdy, fdx, W, H)
             d = pred.astype(jnp.float32) - sy_blk.astype(jnp.float32)
@@ -485,7 +514,7 @@ class DeviceChainEncoder:
         res, rec = fetch(*out)
         results = [pack_frame_results(res[j], W) for j in range(L)]
         recons = [split_recon(rec[j], H, W) for j in range(L)]
-        return results, recons
+        return results, recons, [res[j] for j in range(L)]
 
 
 class DeviceInterEncoder:
@@ -529,4 +558,5 @@ class DeviceInterEncoder:
         from ..utils.xfer import fetch
         res_buf, rec = fetch(*out)
         self.recon = split_recon(rec, H, W)
+        self.res_raw = res_buf
         return pack_frame_results(res_buf, W)

@@ -282,6 +282,7 @@ class ShardedInterGopEncoder:
             enc._results = pack_frame_results(res_buf[i], W)
             enc._external_results = True
             enc._external_recon = split_recon(rec[i], H, W)
+            enc._res_raw = res_buf[i]
             obu = enc.encode_frame_obu(pfrs[i])
             payloads.append(HH.temporal_delimiter() + obu)
         return payloads

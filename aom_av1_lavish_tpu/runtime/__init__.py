@@ -35,6 +35,7 @@ def get_lib():
     # unity build: lossless_tile.c #includes entropy_enc.c
     src = os.path.join(_DIR, "lossless_tile.c")
     deps = [src, os.path.join(_DIR, "entropy_enc.c"),
+            os.path.join(_DIR, "inter_tile.c"),
             os.path.join(_DIR, "coeff_dec.c"),
             os.path.join(_DIR, "lossless_dec.c"),
             os.path.join(_DIR, "txfm_inv.c")]
@@ -45,7 +46,8 @@ def get_lib():
         os.makedirs(_BUILD, exist_ok=True)
         subprocess.run(
             ["gcc", "-O3", "-march=native", "-shared", "-fPIC", "-o", so,
-             src, os.path.join(_DIR, "coeff_dec.c"),
+             src, os.path.join(_DIR, "inter_tile.c"),
+             os.path.join(_DIR, "coeff_dec.c"),
              os.path.join(_DIR, "lossless_dec.c"),
              os.path.join(_DIR, "txfm_inv.c")],
             check=True, capture_output=True)
@@ -96,6 +98,14 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.avl_encode_inter16_tile.restype = ctypes.c_int
+    lib.avl_encode_inter16_tile.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.avl_decode_lossless_tile.restype = ctypes.c_int
     lib.avl_decode_lossless_tile.argtypes = [
@@ -318,6 +328,91 @@ def encode_lossless_tile(fc, analysis, mi_rows: int, mi_cols: int,
         scan4.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), sb_mi,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     assert 0 < n <= cap
+    return bytes(out[:n])
+
+
+def encode_inter16_tile(fc, res_buf, mi_rows: int, mi_cols: int,
+                        ref_lut, sign_bias, allow_hp: int,
+                        sb_mi: int = 16, reduced_tx_set: int = 0) -> bytes:
+    """Full-native uniform-16x16 inter tile encode
+    (avl_encode_inter16_tile): partition walk, skip / intra_inter /
+    single-ref / mode / MV symbols with the spatial ref-MV stack, and
+    coefficient coding.  res_buf: (B, 390) int16 packed device results
+    (ops/inter_tpu.py layout).  ref_lut: device ref_idx -> AV1 ref frame.
+    Byte-exact with encoder/inter.py's Python emitter (restricted case);
+    adapts `fc` in place (tile-end CDF state for primary_ref carry)."""
+    from ..bitstream import constants as c
+    from ..bitstream import tables
+    from ..common import coeffs as CF
+    from ..common import txtype as TT
+    lib = get_lib()
+    arena_obj = FcArena(fc)
+    a = arena_obj.offset
+
+    def cdfset(plane_type, tx_size, eob_name):
+        txs = CF.txsize_entropy_ctx(tx_size)
+        return [a("txb_skip_cdf", txs, 0),
+                a(eob_name, plane_type, 0),
+                a("eob_extra_cdf", txs, plane_type, 0),
+                a("coeff_base_eob_cdf", txs, plane_type, 0),
+                a("coeff_base_cdf", txs, plane_type, 0),
+                a("coeff_br_cdf", min(txs, 3), plane_type, 0),
+                a("dc_sign_cdf", plane_type, 0), 0]
+
+    # inter tx-type symbol for TX_16X16 DCT_DCT (skip-gated in code_txb)
+    st = TT.ext_tx_set_type(c.TX_16X16, True, bool(reduced_tx_set))
+    tt_off, tt_n, tt_sym = -1, 0, 0
+    if TT.NUM_EXT_TX_SET[st] > 1:
+        eset = TT.inter_ext_tx_idx(st)
+        sqr = c.TX_SIZE_SQR[c.TX_16X16]
+        tt_off = a("inter_ext_tx_cdf", eset, sqr)
+        tt_n = TT.NUM_EXT_TX_SET[st]
+        tt_sym = TT.EXT_TX_IND[st][c.DCT_DCT]
+
+    part_base, part_shape = arena_obj.offsets["partition_cdf"]
+    sr_base, sr_shape = arena_obj.offsets["single_ref_cdf"]
+    offs = [part_base, part_shape[-1],
+            a("skip_txfm_cdfs", 0),
+            a("intra_inter_cdf", 0),
+            sr_base, sr_shape[1] * sr_shape[2], sr_shape[2],
+            a("newmv_cdf", 0), a("zeromv_cdf", 0), a("refmv_cdf", 0),
+            a("drl_cdf", 0),
+            a("nmv_joints_cdf")]
+    for comp in (0, 1):
+        p = f"nmv_comp{comp}_"
+        offs += [a(p + "sign_cdf"), a(p + "classes_cdf"),
+                 a(p + "class0_cdf"), a(p + "bits_cdf", 0),
+                 a(p + "class0_fp_cdf", 0), a(p + "fp_cdf"),
+                 a(p + "class0_hp_cdf"), a(p + "hp_cdf"), 0]
+    offs += [tt_off, tt_n, tt_sym, int(allow_hp)]
+    offs = np.asarray(offs, dtype=np.int32)
+    assert offs.shape[0] == 34
+    cdfsets = np.asarray(
+        [cdfset(0, c.TX_16X16, "eob_flag_cdf256"),
+         cdfset(1, c.TX_8X8, "eob_flag_cdf64")], dtype=np.int32)
+    scan16 = np.ascontiguousarray(
+        tables.scan(c.TX_16X16, c.DCT_DCT), dtype=np.int16)
+    scan8 = np.ascontiguousarray(
+        tables.scan(c.TX_8X8, c.DCT_DCT), dtype=np.int16)
+    res = np.ascontiguousarray(res_buf, dtype=np.int16)
+    assert res.shape == ((mi_rows // 4) * (mi_cols // 4), 390)
+    sb = np.asarray(sign_bias, dtype=np.int8)
+    arena = arena_obj.arena.copy()
+    cap = int(res.size * 2 + 65536)
+    out = np.zeros(cap, dtype=np.uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    n = lib.avl_encode_inter16_tile(
+        res.ctypes.data_as(i16p), mi_rows, mi_cols, sb_mi,
+        int(ref_lut[0]), int(ref_lut[1] if len(ref_lut) > 1
+                             else ref_lut[0]),
+        sb.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cdfsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scan16.ctypes.data_as(i16p), scan8.ctypes.data_as(i16p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    assert 0 < n <= cap
+    arena_obj.write_back(fc, arena)
     return bytes(out[:n])
 
 

@@ -403,6 +403,7 @@ static int code_txb(RangeEnc *e, uint16_t *arena, const int32_t *cs,
  * relevant plane_type/txs_ctx; C indexes rows by its computed ctx.
  */
 
+#ifndef AVL_NO_TILE_ENTRY
 int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
                     const int32_t *cdfsets, const int32_t *qcoeff,
                     const int16_t *scans, uint8_t *out, int out_cap) {
@@ -442,3 +443,4 @@ int avl_encode_tile(const int32_t *ops, int n_ops, uint16_t *arena,
   }
   return (int)re_done(&e);
 }
+#endif /* AVL_NO_TILE_ENTRY */

@@ -196,6 +196,70 @@ def _cyclic_refresh_map(frame_idx: int, sb_rows: int, sb_cols: int,
     return qmap
 
 
+def encode_realtime_tpu_ivf(path: str, frames, width: int, height: int,
+                            qindex: int = 90, fps=(30, 1)) -> None:
+    """Device realtime path: wavefront intra key + streaming device
+    P-frames with device-resident references (ops/inter_tpu
+    DeviceRtEncoder) and the native tile emitter.  Strict low delay —
+    one frame in, one packet out; only the ~200-byte/block header +
+    truncated coefficients cross the device boundary per frame.
+
+    TPU-first substitute for the reference's nonrd pickmode hot loop
+    (av1/encoder/nonrd_pickmode.c:3035): the "fast mode decision" is an
+    exhaustive batched search, which on this hardware is cheaper than
+    pruning."""
+    import jax.numpy as jnp
+    from ..bitstream.ivf import write_ivf
+    from ..ops.inter_tpu import DeviceRtEncoder
+    from .encoder import make_sequence_header
+    from .inter import make_inter_frame_header
+    from .lossy import make_lossy_frame_header
+    from .tpu_inter import TpuInterFrameEncoder
+    from .tpu_intra import TpuAllIntraEncoder
+
+    assert width % 16 == 0 and height % 16 == 0
+    from ..ops.inter_tpu import pack_frame_results
+    sh = make_sequence_header(width, height)
+    dev = DeviceRtEncoder(qindex)
+    payloads = []
+    slots = [None] * 8
+
+    def emit(i, f, handle):
+        res_raw = dev.realize(handle)
+        fh = make_inter_frame_header(sh, qindex, deblock=False)
+        enc = TpuInterFrameEncoder(sh, fh, slots)
+        enc._results = pack_frame_results(res_raw, width)
+        enc._external_results = True
+        enc._external_recon = None
+        enc._res_raw = res_raw
+        payloads.append((enc.encode_frame(f), i))
+
+    # one-frame pipeline: frame i+1 dispatches (its reference is the
+    # device-resident carry) before frame i's results are read, hiding
+    # the tunnel round trip behind device compute (depth 1 measured
+    # fastest; deeper queues add tunnel contention)
+    from collections import deque
+    pending = deque()
+    for i, f in enumerate(frames):
+        if i == 0:
+            fh = make_lossy_frame_header(sh, qindex)
+            enc = TpuAllIntraEncoder(sh, fh)
+            enc.lf_search = False
+            payloads.append((enc.encode_frame(f), i))
+            rec = (enc.recon[0][:height, :width],
+                   enc.recon[1][:height >> 1, :width >> 1],
+                   enc.recon[2][:height >> 1, :width >> 1])
+            slots[0] = tuple(p.copy() for p in rec)
+            dev.reset_ref(rec)
+            continue
+        pending.append((i, f, dev.encode_frame_async(f)))
+        if len(pending) > 1:
+            emit(*pending.popleft())
+    while pending:
+        emit(*pending.popleft())
+    write_ivf(path, payloads, width, height, fps[0], fps[1])
+
+
 def encode_realtime_ivf(path: str, frames, width: int, height: int,
                         qindex: int = 90, fps=(30, 1),
                         aq_mode: int = 0, denoise: bool = False,

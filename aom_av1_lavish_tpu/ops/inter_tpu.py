@@ -39,6 +39,9 @@ from .wavefront import _quantize_jnp, _est_bits, _PQ, _pq_array
 
 PADR = 64          # device ref padding (>= clamp overshoot + taps)
 FULLPEL_RADIUS = 16
+#: scan-order coefficient truncation for the result fetch (>p99 of
+#: blocks at working q; overflow frames re-fetch the full buffer)
+CAPY, CAPC = 128, 32
 MV_COST_W = 16.0   # SSD units per full-pel step of |mv| (rate proxy)
 # kept as NUMPY on purpose: device arrays captured by a jit closure are
 # re-validated per call (~40 ms each over the axon tunnel); numpy
@@ -360,25 +363,30 @@ def _p_frame_core(key):
                 .reshape(nby * n, nbx * n)
 
         (qu, eob_u, rec_u), (qv, eob_v, rec_v) = out_c
-        # ONE packed int16 result buffer + ONE uint8 recon buffer: the
-        # tunnel D2H link pays a full RTT per fetched array
-        # (utils/xfer.py), so results ship as exactly two payloads
-        res = jnp.concatenate([
+        # D2H shipping plan (the tunnel link is ~35 MB/s + one RTT per
+        # array): a small header, SCAN-ORDER coefficients truncated at
+        # CAPY/CAPC (covers >p99 of blocks at working q), the full
+        # scan-order buffer left device-resident for the rare overflow
+        # frame (host fetches it lazily), and the packed recon.
+        hdr = jnp.concatenate([
             mv_r.astype(jnp.int16)[:, None],
             mv_c.astype(jnp.int16)[:, None],
             best_ref.astype(jnp.int16)[:, None],
             eob_y.astype(jnp.int16)[:, None],
             eob_u.astype(jnp.int16)[:, None],
-            eob_v.astype(jnp.int16)[:, None],
-            qy.astype(jnp.int16).reshape(B, 256),
-            qu.astype(jnp.int16).reshape(B, 64),
-            qv.astype(jnp.int16).reshape(B, 64)], axis=1)
+            eob_v.astype(jnp.int16)[:, None]], axis=1)
+        qy_s = qy.astype(jnp.int16).reshape(B, 256)[:, scan_y]
+        qu_s = qu.astype(jnp.int16).reshape(B, 64)[:, scan_c]
+        qv_s = qv.astype(jnp.int16).reshape(B, 64)[:, scan_c]
+        cfull = jnp.concatenate([qy_s, qu_s, qv_s], axis=1)
+        ctr = jnp.concatenate([qy_s[:, :CAPY], qu_s[:, :CAPC],
+                               qv_s[:, :CAPC]], axis=1)
         rec = jnp.concatenate([
             untile(rec_y, 16).astype(jnp.uint8),
             jnp.concatenate([untile(rec_u, 8).astype(jnp.uint8),
                              untile(rec_v, 8).astype(jnp.uint8)],
                             axis=1)], axis=0)
-        return res, rec
+        return hdr, ctr, cfull, rec
 
     return fn
 
@@ -389,6 +397,35 @@ def _p_frame_fn(key):
     fn = jax.jit(_p_frame_core(key))
     _FN_CACHE[key] = fn
     return fn
+
+
+def assemble_res(hdr, coeff_scan, fetch_rows=None):
+    """hdr (B, 6) int16 + SCAN-order coefficients (truncated or full)
+    -> the raster-layout (B, 390) buffer the emitters consume.
+    fetch_rows: callable(idx) -> (k, 384) full scan rows for the blocks
+    whose eob exceeds the truncation caps (a tiny targeted fetch)."""
+    B = hdr.shape[0]
+    scan16 = np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT))
+    scan8 = np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT))
+    res = np.zeros((B, 390), np.int16)
+    res[:, :6] = hdr
+    if coeff_scan.shape[1] == 384:
+        res[:, 6 + scan16] = coeff_scan[:, :256]
+        res[:, 262 + scan8] = coeff_scan[:, 256:320]
+        res[:, 326 + scan8] = coeff_scan[:, 320:]
+        return res
+    res[:, 6 + scan16[:CAPY]] = coeff_scan[:, :CAPY]
+    res[:, 262 + scan8[:CAPC]] = coeff_scan[:, CAPY:CAPY + CAPC]
+    res[:, 326 + scan8[:CAPC]] = coeff_scan[:, CAPY + CAPC:]
+    over = ((hdr[:, 3] > CAPY) | (hdr[:, 4] > CAPC)
+            | (hdr[:, 5] > CAPC))
+    if over.any():
+        idx = np.nonzero(over)[0]
+        rows = np.asarray(fetch_rows(idx), np.int16)
+        res[idx[:, None], 6 + scan16[None, :]] = rows[:, :256]
+        res[idx[:, None], 262 + scan8[None, :]] = rows[:, 256:320]
+        res[idx[:, None], 326 + scan8[None, :]] = rows[:, 320:]
+    return res
 
 
 def pack_frame_results(res_buf, W):
@@ -461,17 +498,18 @@ def _p_chain_fn(key):
                 ry2 = jnp.stack([ly2, ay2])
             else:
                 ry, ru, rv, ry2 = ly[None], lu[None], lv[None], ly2[None]
-            res, rec = base(sy, su, sv, ry, ru, rv, ry2,
-                            pq[0], pq[1], pq[2])
+            hdr, ctr, cfull, rec = base(sy, su, sv, ry, ru, rv, ry2,
+                                        pq[0], pq[1], pq[2])
             rec_y = rec[:H]
             rec_u = rec[H:, :W // 2]
             rec_v = rec[H:, W // 2:]
-            return _pad_ref_jnp(rec_y, rec_u, rec_v), (res, rec)
+            return (_pad_ref_jnp(rec_y, rec_u, rec_v),
+                    (hdr, ctr, cfull, rec))
 
         init = _pad_ref_jnp(last_y, last_u, last_v)
-        _, (res, rec) = jax.lax.scan(
+        _, (hdr, ctr, cfull, rec) = jax.lax.scan(
             body, init, (srcs_y, srcs_u, srcs_v, pq_stack))
-        return res, rec
+        return hdr, ctr, cfull, rec
 
     jitted = jax.jit(fn)
     _CHAIN_FN_CACHE[key] = jitted
@@ -487,9 +525,14 @@ class DeviceChainEncoder:
     in-flight rate feedback, av1/av1_cx_iface.c:3374)."""
 
     def encode_chain(self, src_frames, qindexes, last_planes,
-                     arf_planes=None):
-        """src_frames: list of L (y, u, v); returns (results, recons):
-        results[j] = per-block dict, recons[j] = (y, u, v) uint8."""
+                     arf_planes=None, recon: str = "last"):
+        """src_frames: list of L (y, u, v); returns (results, recons,
+        raws): results[j] = per-block dict, recons[j] = (y, u, v) uint8
+        (None for frames not fetched), raws[j] = (B, 390) int16.
+
+        recon='last' fetches only the final frame's reconstruction —
+        within a GF group the intermediate P recons live only on device
+        (the next frame's LAST carry) and the host never reads them."""
         L = len(src_frames)
         H, W = src_frames[0][0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
@@ -505,16 +548,117 @@ class DeviceChainEncoder:
         srcs_v = np.stack([f[2][:H >> 1, :W >> 1] for f in src_frames])
         lp = last_planes
         ap = arf_planes if arf_planes is not None else last_planes
-        out = fn(srcs_y, srcs_u, srcs_v,
-                 lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
-                 lp[2][:H >> 1, :W >> 1],
-                 ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
-                 ap[2][:H >> 1, :W >> 1], pq_stack)
+        hdr_d, ctr_d, cfull_d, rec_d = fn(
+            srcs_y, srcs_u, srcs_v,
+            lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
+            lp[2][:H >> 1, :W >> 1],
+            ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
+            ap[2][:H >> 1, :W >> 1], pq_stack)
         from ..utils.xfer import fetch
-        res, rec = fetch(*out)
-        results = [pack_frame_results(res[j], W) for j in range(L)]
-        recons = [split_recon(rec[j], H, W) for j in range(L)]
-        return results, recons, [res[j] for j in range(L)]
+        if recon == "all":
+            hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
+            recons = [split_recon(rec[j], H, W) for j in range(L)]
+        else:
+            hdr, ctr, rec_last = fetch(hdr_d, ctr_d, rec_d[L - 1])
+            recons = [None] * (L - 1) + [split_recon(rec_last, H, W)]
+        raws = [assemble_res(hdr[j], ctr[j],
+                             lambda idx, j=j: np.asarray(
+                                 cfull_d[j][jnp.asarray(idx)]))
+                for j in range(L)]
+        results = [pack_frame_results(raws[j], W) for j in range(L)]
+        return results, recons, raws
+
+
+_STEP_FN_CACHE = {}
+
+
+def _p_step_fn(key):
+    """Streaming single-ref P step: encode one frame AND produce the
+    padded next-LAST state, so the reference never round-trips to the
+    host between frames (the realtime path's device-resident loop)."""
+    if key in _STEP_FN_CACHE:
+        return _STEP_FN_CACHE[key]
+    H, W = key
+    base = _p_frame_core((H, W, 1))
+
+    def fn(sy, su, sv, ly, lu, lv, ly2, pq_y, pq_u, pq_v):
+        hdr, ctr, cfull, rec = base(sy, su, sv, ly[None], lu[None],
+                                    lv[None], ly2[None], pq_y, pq_u, pq_v)
+        rec_y = rec[:H]
+        rec_u = rec[H:, :W // 2]
+        rec_v = rec[H:, W // 2:]
+        ny, nu, nv, ny2 = _pad_ref_jnp(rec_y, rec_u, rec_v)
+        return hdr, ctr, cfull, rec, ny, nu, nv, ny2
+
+    jitted = jax.jit(fn)
+    _STEP_FN_CACHE[key] = jitted
+    return jitted
+
+
+_PREP_FN_CACHE = {}
+
+
+def prep_ref_state(planes):
+    """Upload + pad a host reconstruction into the device-resident
+    (ly, lu, lv, ly2) reference state (keyframe bootstrap)."""
+    H, W = planes[0].shape[:2]
+    fn = _PREP_FN_CACHE.get((H, W))
+    if fn is None:
+        fn = jax.jit(_pad_ref_jnp)
+        _PREP_FN_CACHE[(H, W)] = fn
+    return fn(planes[0][:H, :W], planes[1][:H >> 1, :W >> 1],
+              planes[2][:H >> 1, :W >> 1])
+
+
+class DeviceRtEncoder:
+    """Streaming P-frame encoder with device-resident reference state:
+    per frame, upload the source, run one device step, fetch only the
+    header + truncated coefficients.  Reconstruction stays on device
+    (deblocking off); fetch it explicitly via `fetch_recon` if needed."""
+
+    def __init__(self, qindex: int):
+        self.qindex = qindex
+        self.pq_arrs = [_pq_array(Q.build_plane_quant(qindex, 0, 0))
+                        for _ in range(3)]
+        self.state = None      # (ly, lu, lv, ly2) device arrays
+        self._rec_d = None
+
+    def reset_ref(self, planes):
+        self.state = prep_ref_state(planes)
+        self._rec_d = None
+
+    def encode_frame_async(self, src_planes):
+        """Dispatch one frame's device step and announce the result
+        copies; returns a handle for `realize()`.  The next frame may
+        be dispatched immediately (its reference is the device-resident
+        carry), overlapping this frame's D2H with that compute."""
+        H, W = src_planes[0].shape[:2]
+        fn = _p_step_fn((H, W))
+        out = fn(src_planes[0][:H, :W],
+                 src_planes[1][:H >> 1, :W >> 1],
+                 src_planes[2][:H >> 1, :W >> 1],
+                 *self.state, *self.pq_arrs)
+        hdr_d, ctr_d, cfull_d, rec_d, ny, nu, nv, ny2 = out
+        self.state = (ny, nu, nv, ny2)
+        self._rec_d = rec_d
+        for a in (hdr_d, ctr_d):
+            a.copy_to_host_async()
+        return (hdr_d, ctr_d, cfull_d)
+
+    @staticmethod
+    def realize(handle):
+        hdr_d, ctr_d, cfull_d = handle
+        from ..utils.xfer import fetch
+        hdr, ctr = fetch(hdr_d, ctr_d)
+        return assemble_res(
+            hdr, ctr, lambda idx: np.asarray(cfull_d[jnp.asarray(idx)]))
+
+    def encode_frame(self, src_planes):
+        return self.realize(self.encode_frame_async(src_planes))
+
+    def fetch_recon(self, H, W):
+        from ..utils.xfer import fetch
+        return split_recon(fetch(self._rec_d), H, W)
 
 
 class DeviceInterEncoder:
@@ -547,16 +691,19 @@ class DeviceInterEncoder:
             w2 = (y2.shape[1] // 2) * 2
             y2 = y2[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
             refs_y2.append(y2)
-        out = fn(jnp.asarray(src_planes[0][:H, :W]),
-                 jnp.asarray(src_planes[1][:H >> 1, :W >> 1]),
-                 jnp.asarray(src_planes[2][:H >> 1, :W >> 1]),
-                 jnp.asarray(np.stack(refs_y)),
-                 jnp.asarray(np.stack(refs_u)),
-                 jnp.asarray(np.stack(refs_v)),
-                 jnp.asarray(np.stack(refs_y2)),
-                 self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2])
+        hdr_d, ctr_d, cfull_d, rec_d = fn(
+            jnp.asarray(src_planes[0][:H, :W]),
+            jnp.asarray(src_planes[1][:H >> 1, :W >> 1]),
+            jnp.asarray(src_planes[2][:H >> 1, :W >> 1]),
+            jnp.asarray(np.stack(refs_y)),
+            jnp.asarray(np.stack(refs_u)),
+            jnp.asarray(np.stack(refs_v)),
+            jnp.asarray(np.stack(refs_y2)),
+            self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2])
         from ..utils.xfer import fetch
-        res_buf, rec = fetch(*out)
+        hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
         self.recon = split_recon(rec, H, W)
+        res_buf = assemble_res(
+            hdr, ctr, lambda idx: np.asarray(cfull_d[jnp.asarray(idx)]))
         self.res_raw = res_buf
         return pack_frame_results(res_buf, W)

@@ -33,12 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def use_pallas() -> bool:
-    """Pallas on real TPUs; XLA elsewhere (override via env)."""
+    """Kernel dispatch policy.  Measured on v5e (honest fetch-forced
+    timings, B=396..8160): XLA's fused grouped-conv/slice formulations
+    beat these hand Pallas kernels at every batch size (e.g. ssd_surface
+    at B=8160: ~2 ms XLA vs ~20 ms Pallas — the per-block grid with
+    33-lane tiles underuses the VPU).  So XLA is the default everywhere;
+    AVL_PALLAS=1 opts into the Pallas paths (kept bit-exact + tested as
+    the custom-kernel escape hatch), AVL_FORCE_PALLAS=1 forces them in
+    interpreter mode for the CPU equivalence tests."""
     if os.environ.get("AVL_NO_PALLAS"):
         return False
     if os.environ.get("AVL_FORCE_PALLAS"):
         return True
-    return jax.default_backend() == "tpu"
+    return bool(os.environ.get("AVL_PALLAS")) \
+        and jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:

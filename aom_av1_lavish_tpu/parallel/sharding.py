@@ -265,13 +265,19 @@ class ShardedInterGopEncoder:
         y2 = y2[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
         pq = [_pq_array(Q.build_plane_quant(self.qindex, 0, 0))
               for _ in range(3)]
-        out = fn(ys, us, vs,
-                 jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
-                 jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),
-                 pq[0], pq[1], pq[2])
+        hdr_d, ctr_d, cfull_d, rec_d = fn(
+            ys, us, vs,
+            jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
+            jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),
+            pq[0], pq[1], pq[2])
         from ..utils.xfer import fetch
-        from ..ops.inter_tpu import split_recon
-        res_buf, rec = fetch(*out)
+        from ..ops.inter_tpu import assemble_res, split_recon
+        hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
+        res_buf = np.stack([
+            assemble_res(hdr[i], ctr[i],
+                         lambda idx, i=i: np.asarray(
+                             cfull_d[i][jnp.asarray(idx)]))
+            for i in range(len(pfrs))])
         payloads = [anchor_payload]
         slots = [anchor_rec] + [None] * 7
         for i in range(len(pfrs)):

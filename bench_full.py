@@ -27,16 +27,26 @@ W, H, N = 352, 288, 8
 
 
 def make_frames(n=N, w=W, h=H):
+    """Synthetic pan: textured luma AND chroma move coherently frame to
+    frame (per-frame chroma noise would make inter prediction useless
+    on two of three planes, which no real video does)."""
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:h + n * 2, 0:w + n * 2]
     base = (128 + 60 * np.sin(yy / 17.0) * np.cos(xx / 23.0)
             + 40 * (xx % 97 < 40) + rng.normal(0, 3, yy.shape))
     base = base.clip(0, 255).astype(np.uint8)
+    cyy, cxx = np.mgrid[0:(h + n * 2) // 2, 0:(w + n * 2) // 2]
+    cb = (128 + 35 * np.sin(cyy / 11.0 + 1.0) * np.cos(cxx / 19.0)
+          + rng.normal(0, 2, cyy.shape)).clip(0, 255).astype(np.uint8)
+    cr = (128 + 30 * np.cos(cyy / 13.0) * np.sin(cxx / 7.0 + 2.0)
+          + rng.normal(0, 2, cyy.shape)).clip(0, 255).astype(np.uint8)
     frames = []
     for i in range(n):
         y = np.ascontiguousarray(base[i:i + h, 2 * i:2 * i + w])
-        u = rng.integers(90, 170, (h // 2, w // 2)).astype(np.uint8)
-        v = rng.integers(90, 170, (h // 2, w // 2)).astype(np.uint8)
+        u = np.ascontiguousarray(cb[i // 2:i // 2 + h // 2,
+                                    i:i + w // 2])
+        v = np.ascontiguousarray(cr[i // 2:i // 2 + h // 2,
+                                    i:i + w // 2])
         frames.append((y, u, v))
     return frames
 

@@ -51,7 +51,8 @@ class GopEncoder:
                  compound_types: bool | None = None,
                  interintra: bool | None = None,
                  cpu_used: int | None = None, seq_tools=None,
-                 lf_sharpness: int = 0):
+                 lf_sharpness: int = 0,
+                 frame_parallel: bool = False, mesh=None):
         self.tune = tune
         self.luma_bias = luma_bias
         self.order_hint = order_hint
@@ -119,6 +120,11 @@ class GopEncoder:
         self.comp_pred = comp_pred
         self._targets = None             # per-display-frame bit budgets
         self._tpl_maps = None            # per-group rdmult scale maps
+        # FPMT mode (av1_compress_parallel_frames, ethread.c:1224): the
+        # group's P frames reference only the fixed (anchor, ARF) pair,
+        # making them independent -> shardable over a 'frame' mesh axis
+        self.frame_parallel = frame_parallel and use_tpu
+        self.mesh = mesh
 
     # --- single-frame encoders -----------------------------------------
 
@@ -189,7 +195,9 @@ class GopEncoder:
                          and self.slot_fc[self.last_slot] is not None)
                    else H.PRIMARY_REF_NONE)
         fh = make_inter_frame_header(
-            self.sh, qindex, refresh_frame_flags=1 << refresh_slot,
+            self.sh, qindex,
+            refresh_frame_flags=(0 if refresh_slot is None
+                                 else 1 << refresh_slot),
             ref_frame_idx=ref_frame_idx, show_frame=int(show),
             showable_frame=int(not show), interp_filter=filt,
             tx_select=not self.use_tpu,
@@ -246,7 +254,7 @@ class GopEncoder:
         if rdmult_map is not None:
             enc.ext_rdmult_map = rdmult_map
         obu = enc.encode_frame_obu(planes)
-        self._store_recon(enc, 1 << refresh_slot, fh)
+        self._store_recon(enc, fh.refresh_frame_flags, fh)
         return obu
 
     def _store_recon(self, enc, refresh_flags: int, fh) -> None:
@@ -490,14 +498,23 @@ class GopEncoder:
         # all L-1 P frames (ops/inter_tpu.DeviceChainEncoder); per-frame
         # q is precomputed, the FPMT property (av1_cx_iface.c:3374)
         chain = None
+        fpmt = False
         if (self.use_tpu and L >= 2
                 and self.sh.max_frame_width % 16 == 0
                 and self.sh.max_frame_height % 16 == 0):
-            from ..ops.inter_tpu import DeviceChainEncoder
             qs = [self._q("inter", base_idx + j) for j in range(L - 1)]
-            results, recons, raws = DeviceChainEncoder().encode_chain(
-                group[:L - 1], qs, self.slots[self.last_slot],
-                self.slots[self.arf_slot])
+            if self.frame_parallel:
+                from ..parallel.sharding import fpmt_encode_group
+                results, recons, raws = fpmt_encode_group(
+                    self.mesh, group[:L - 1], qs,
+                    self.slots[self.last_slot],
+                    self.slots[self.arf_slot])
+                fpmt = True
+            else:
+                from ..ops.inter_tpu import DeviceChainEncoder
+                results, recons, raws = DeviceChainEncoder().encode_chain(
+                    group[:L - 1], qs, self.slots[self.last_slot],
+                    self.slots[self.arf_slot])
             chain = (qs, results, recons, raws)
         tus = []
         for j in range(L - 1):
@@ -505,7 +522,7 @@ class GopEncoder:
                 q = chain[0][j]
                 obu = self._encode_inter(
                     group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
-                    self.last_slot, show=True,
+                    None if fpmt else self.last_slot, show=True,
                     order_hint=(base_idx + j) & 127,
                     ext_results=(chain[1][j], chain[2][j], chain[3][j]))
             else:

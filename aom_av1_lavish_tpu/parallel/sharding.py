@@ -207,6 +207,82 @@ def make_sharded_p_frame_fn(mesh: Mesh, H: int, W: int, n_refs: int = 1):
     return fn
 
 
+def _fpmt_group_fn(mesh, H, W):
+    """jitted FPMT group program: P frames vmapped over the 'frame'
+    mesh axis with per-frame quantizers, fixed (anchor, ARF) refs."""
+    key = ("grp", id(mesh), H, W)
+    fn = _FPMT_FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ..ops.inter_tpu import _p_frame_core, _pad_ref_jnp
+    core = _p_frame_core((H, W, 2))
+
+    def one(sy, su, sv, pq, refs):
+        ry, ru, rv, ry2 = refs
+        return core(sy, su, sv, ry, ru, rv, ry2, pq[0], pq[1], pq[2])
+
+    def group(srcs_y, srcs_u, srcs_v, pq_stack, ly, lu, lv, ay, au, av):
+        lpy, lpu, lpv, ly2 = _pad_ref_jnp(ly, lu, lv)
+        apy, apu, apv, ay2 = _pad_ref_jnp(ay, au, av)
+        refs = (jnp.stack([lpy, apy]), jnp.stack([lpu, apu]),
+                jnp.stack([lpv, apv]), jnp.stack([ly2, ay2]))
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
+            srcs_y, srcs_u, srcs_v, pq_stack, refs)
+
+    if mesh is None:
+        fn = jax.jit(group)
+    else:
+        sb = NamedSharding(mesh, P("frame"))
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(group,
+                     in_shardings=(sb, sb, sb, sb) + (rep,) * 6,
+                     out_shardings=sb)
+    _FPMT_FN_CACHE[key] = fn
+    return fn
+
+
+def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
+                      arf_planes):
+    """FPMT analog for the REAL GopEncoder (av1_compress_parallel_frames,
+    av1/encoder/ethread.c:1224): every P frame of the group references
+    only the fixed (anchor, ARF) pair, so the device analyses shard over
+    the 'frame' mesh axis with replicated references and no cross-chip
+    traffic.  mesh=None runs the identical program on one device (the
+    fpmt_unit_test_cfg-style determinism cross-check, encoder.h:2607).
+
+    Returns (results, recons, raws) like DeviceChainEncoder.encode_chain
+    (recons fetched for every frame — they are not chained)."""
+    from ..common import quant as Q
+    from ..ops.inter_tpu import (_pq_array, assemble_res,
+                                 pack_frame_results, split_recon)
+    from ..utils.xfer import fetch
+    L = len(src_frames)
+    H, W = src_frames[0][0].shape[:2]
+    assert H % 16 == 0 and W % 16 == 0
+    fn = _fpmt_group_fn(mesh, H, W)
+    pq_stack = np.stack([
+        np.stack([_pq_array(Q.build_plane_quant(q, 0, 0))] * 3)
+        for q in qindexes])
+    srcs_y = np.stack([f[0][:H, :W] for f in src_frames])
+    srcs_u = np.stack([f[1][:H >> 1, :W >> 1] for f in src_frames])
+    srcs_v = np.stack([f[2][:H >> 1, :W >> 1] for f in src_frames])
+    lp, ap = last_planes, arf_planes
+    hdr_d, ctr_d, cfull_d, rec_d = fn(
+        srcs_y, srcs_u, srcs_v, pq_stack,
+        lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
+        lp[2][:H >> 1, :W >> 1],
+        ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
+        ap[2][:H >> 1, :W >> 1])
+    hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
+    raws = [assemble_res(hdr[j], ctr[j],
+                         lambda idx, j=j: np.asarray(
+                             cfull_d[j][jnp.asarray(idx)]))
+            for j in range(L)]
+    results = [pack_frame_results(raws[j], W) for j in range(L)]
+    recons = [split_recon(rec[j], H, W) for j in range(L)]
+    return results, recons, raws
+
+
 class ShardedInterGopEncoder:
     """Flat-GOP frame-parallel encoder: one intra anchor + a batch of
     P-frames that all reference ONLY the anchor, so the per-frame device

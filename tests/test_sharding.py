@@ -119,3 +119,44 @@ def test_fpmt_inter_sharded_byte_identical():
         fr, sh = decode_frame_obus(p, sh, state)
         shown.extend(fr)
     assert len(shown) == N
+
+
+def test_fpmt_real_gop_sharded_byte_identical():
+    """FPMT on the REAL GopEncoder: GF-group P frames referencing only
+    the fixed (anchor, ARF) pair shard over a 'frame' mesh and must be
+    byte-identical to the single-device run (frame_parallel_enc_test.cc
+    / fpmt_unit_test_cfg contract, av1/encoder/encoder.h:2607)."""
+    import jax
+    from jax.sharding import Mesh
+    from aom_av1_lavish_tpu.encoder.gop import GopEncoder
+
+    n = min(4, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n]), ("frame",))
+    W2, H2 = 96, 64
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:H2 + 32, 0:W2 + 32]
+    base = (128 + 60 * np.sin(yy / 9.0) * np.cos(xx / 13.0)
+            + rng.normal(0, 2, yy.shape)).clip(0, 255).astype(np.uint8)
+    frames = [(np.ascontiguousarray(base[i:i + H2, 2 * i:2 * i + W2]),
+               np.ascontiguousarray(base[:H2 // 2, i:i + W2 // 2]),
+               np.ascontiguousarray(base[1:1 + H2 // 2, i:i + W2 // 2]))
+              for i in range(n + 2)]
+    streams = []
+    for mesh_arg in (mesh, None):
+        enc = GopEncoder(W2, H2, qindex=80, gf_length=len(frames) - 1,
+                         use_tpu=True, enable_cdef=False,
+                         frame_parallel=True, mesh=mesh_arg)
+        streams.append(b"".join(enc.encode_sequence(frames)))
+    assert streams[0] == streams[1]
+
+    from aom_av1_lavish_tpu.decoder.decoder import decode_frame_obus
+    sh = None
+    state = {"slots": [None] * 8}
+    shown = []
+    enc = GopEncoder(W2, H2, qindex=80, gf_length=len(frames) - 1,
+                     use_tpu=True, enable_cdef=False,
+                     frame_parallel=True, mesh=mesh)
+    for p in enc.encode_sequence(frames):
+        fr, sh = decode_frame_obus(p, sh, state)
+        shown.extend(fr)
+    assert len(shown) == len(frames)

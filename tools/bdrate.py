@@ -42,10 +42,16 @@ def make_clips(n=N, w=W, h=H):
     base = (128 + 60 * np.sin(yy / 17.0) * np.cos(xx / 23.0)
             + 40 * (xx % 97 < 40) + rng.normal(0, 3, yy.shape))
     base = base.clip(0, 255).astype(np.uint8)
+    # chroma pans with luma (per-frame chroma noise is not video)
+    cyy, cxx = np.mgrid[0:(h + n * 2) // 2, 0:(w + n * 2) // 2]
+    cb = (128 + 35 * np.sin(cyy / 11.0 + 1.0) * np.cos(cxx / 19.0)
+          + rng.normal(0, 2, cyy.shape)).clip(0, 255).astype(np.uint8)
+    cr = (128 + 30 * np.cos(cyy / 13.0) * np.sin(cxx / 7.0 + 2.0)
+          + rng.normal(0, 2, cyy.shape)).clip(0, 255).astype(np.uint8)
     clips["mixed"] = [
         (np.ascontiguousarray(base[i:i + h, 2 * i:2 * i + w]),
-         rng.integers(90, 170, (h // 2, w // 2)).astype(np.uint8),
-         rng.integers(90, 170, (h // 2, w // 2)).astype(np.uint8))
+         np.ascontiguousarray(cb[i // 2:i // 2 + h // 2, i:i + w // 2]),
+         np.ascontiguousarray(cr[i // 2:i // 2 + h // 2, i:i + w // 2]))
         for i in range(n)]
 
     smooth = (120 + 80 * np.sin(yy / 61.0 + 0.5) * np.sin(xx / 83.0)) \
@@ -61,10 +67,14 @@ def make_clips(n=N, w=W, h=H):
                      np.ones((8, 8)))[:h + n * 2, :w + n * 2]
     tex = (blocks + rng.normal(0, 12, blocks.shape)).clip(0, 255) \
         .astype(np.uint8)
+    crows, ccols = h // 2 + n, w // 2 + n
+    ctex = np.kron(rng.integers(60, 200, (crows // 8 + 1, ccols // 8 + 1)),
+                   np.ones((8, 8)))[:crows, :ccols].astype(np.uint8)
     clips["texture"] = [
         (np.ascontiguousarray(tex[i:i + h, i * 2:i * 2 + w]),
-         rng.integers(60, 200, (h // 2, w // 2)).astype(np.uint8),
-         rng.integers(60, 200, (h // 2, w // 2)).astype(np.uint8))
+         np.ascontiguousarray(ctex[i // 2:i // 2 + h // 2, i:i + w // 2]),
+         np.ascontiguousarray(ctex[i:i + h // 2,
+                                   i // 2:i // 2 + w // 2]))
         for i in range(n)]
     return clips
 
@@ -126,6 +136,9 @@ def enc_ours_allintra(path, frames, q, kind="device"):
     if kind == "device":
         from aom_av1_lavish_tpu.encoder.tpu_rdo import encode_tpu_rdo_ivf
         encode_tpu_rdo_ivf(path, frames, W, H, qindex=q)
+    elif kind == "wavefront":
+        from aom_av1_lavish_tpu.encoder.tpu_intra import encode_tpu_ivf
+        encode_tpu_ivf(path, frames, W, H, qindex=q)
     else:
         from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
         encode_lossy_ivf(path, frames, W, H, qindex=q)
@@ -172,7 +185,9 @@ def main():
     _ensure_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
-                    help="one clip, all-intra only")
+                    help="one clip; wavefront all-intra instead of RDO")
+    ap.add_argument("--gop", action="store_true",
+                    help="include the inter-GOP sweep even with --quick")
     args = ap.parse_args()
     if not (os.path.exists(AOMENC) and os.path.exists(AOMDEC)):
         print(json.dumps({"error": "oracle binaries missing"}))
@@ -187,15 +202,16 @@ def main():
             ref = sweep(frames, lambda p, f, q: enc_aomenc(
                 p, f, q, ["--kf-max-dist=1", "--kf-min-dist=1"], td),
                 Q_AOMENC, td, f"{name}_ref_ai")
+            ai_kind = "wavefront" if args.quick else "device"
             dev = sweep(frames, lambda p, f, q: enc_ours_allintra(
-                p, f, q, "device"), Q_OURS, td, f"{name}_dev_ai")
+                p, f, q, ai_kind), Q_OURS, td, f"{name}_dev_ai")
             entry["allintra"] = dict(
                 ref=ref, ours=dev,
                 bd_rate_psnr=round(bd_rate(ref["rates"], ref["psnr"],
                                            dev["rates"], dev["psnr"]), 2),
                 bd_rate_ssim=round(bd_rate(ref["rates"], ref["ssim"],
                                            dev["rates"], dev["ssim"]), 2))
-            if not args.quick:
+            if args.gop or not args.quick:
                 refg = sweep(frames, lambda p, f, q: enc_aomenc(
                     p, f, q, ["--lag-in-frames=8"], td),
                     Q_AOMENC, td, f"{name}_ref_gop")
@@ -217,6 +233,11 @@ def main():
                 if mode in v and np.isfinite(v[mode]["bd_rate_psnr"])]
         if vals:
             agg[f"bd_rate_psnr_{mode}_avg"] = round(float(np.mean(vals)), 2)
+        svals = [v[mode]["bd_rate_ssim"] for v in report.values()
+                 if mode in v and np.isfinite(v[mode]["bd_rate_ssim"])]
+        if svals:
+            agg[f"bd_rate_ssim_{mode}_avg"] = round(float(np.mean(svals)),
+                                                    2)
     report["aggregate"] = agg
     out = os.path.join(ROOT, "BDRATE.json")
     with open(out, "w") as f:

@@ -273,6 +273,21 @@ def _est_bits_jnp(qcoeff, scan_order):
 
 _TRIAL_FN_CACHE = {}
 
+_G_DEV_CACHE = {}
+
+
+def _mode_matrix_dev(bw, bh):
+    """Device-committed weight tensor for one geometry: uploaded once
+    per process (a committed-arg pass is free; a fresh numpy arg would
+    re-upload hundreds of MB per frame over the ~40 MB/s tunnel)."""
+    key = (bw, bh)
+    g = _G_DEV_CACHE.get(key)
+    if g is None:
+        g = jax.device_put(mode_matrix(bw, bh))
+        _G_DEV_CACHE[key] = g
+    return g
+
+
 
 def _trial_fn_dc(bw, bh, n_chunk):
     """jit'd DC-only trial (chroma cost grids for the partition DP)."""
@@ -307,7 +322,7 @@ def _trial_fn_dc(bw, bh, n_chunk):
                           jnp.clip(pred_hw, 0, 255).astype(jnp.uint8))
         d = blks.astype(jnp.int32) - recon.astype(jnp.int32)
         sse = (d * d).sum((-1, -2)).astype(jnp.float32)
-        return sse[:, None], bits[:, None]
+        return (sse + lam * bits)[:, None]
 
     jitted = jax.jit(fn)
     _TRIAL_FN_CACHE[key] = jitted
@@ -374,7 +389,7 @@ def _trial_fn(bw, bh, n_chunk):
         d = blks.reshape(-1, 1, bh, bw).astype(jnp.int32) \
             - recon.reshape(-1, M, bh, bw).astype(jnp.int32)
         sse = (d * d).sum((-1, -2)).astype(jnp.float32)
-        return sse, bits.reshape(-1, M)
+        return sse + lam[:, None] * bits.reshape(-1, M)
 
     jitted = jax.jit(fn)
     _TRIAL_FN_CACHE[key] = jitted
@@ -403,8 +418,11 @@ class IntraTrialEngine:
         float.  Returns {(bw, bh): (sse+lam*bits) float32 (nbr, nbc, M)}
         (M == 1 when dc_only)."""
         H, W = srcp.shape
-        # pad: 1 row/col before for edges, reach after for z1/z3 runs
-        out = {}
+        # two-phase: dispatch EVERY size's chunks first, then one
+        # pipelined fetch — each sync read pays a full tunnel RTT
+        # (utils/xfer.py), and this sweep has a dozen sizes
+        pend = []
+        metas = []
         for (bw, bh) in sizes:
             nbr, nbc = H // bh, W // bw
             reach = bw + bh + 1
@@ -417,7 +435,7 @@ class IntraTrialEngine:
             have_left = xs > 0
             E = _fill_edges_np(E, bw, bh, have_top, have_left)
             blks = srcp.reshape(nbr, bh, nbc, bw).swapaxes(1, 2) \
-                .reshape(-1, bh, bw).astype(np.int32)
+                .reshape(-1, bh, bw).astype(np.uint8)
             lam = np.array([lam_of(y, x, bh, bw) for y, x in zip(ys, xs)],
                            np.float32)
             N = E.shape[0]
@@ -425,8 +443,8 @@ class IntraTrialEngine:
             # dispatch ((chunk*M*bh*bw) int32 intermediates)
             chunk = min(N, max(32, self.CHUNK * 256 // (bw * bh)))
             fn = (_trial_fn_dc if dc_only else _trial_fn)(bw, bh, chunk)
-            g_args = () if dc_only else (jnp.asarray(mode_matrix(bw, bh)),)
-            pend = []
+            g_args = () if dc_only else (_mode_matrix_dev(bw, bh),)
+            rows = []
             for s in range(0, N, chunk):
                 e = min(N, s + chunk)
                 pad = 0
@@ -438,21 +456,21 @@ class IntraTrialEngine:
                     Bc_ = np.pad(Bc_, ((0, pad), (0, 0), (0, 0)))
                     ht = np.pad(ht, (0, pad))
                     hl = np.pad(hl, (0, pad))
-                sse, bits = fn(jnp.asarray(Ec), jnp.asarray(Bc_),
-                               jnp.asarray(ht), jnp.asarray(hl),
-                               jnp.asarray(np.pad(lam[s:e], (0, pad))),
-                               self._pq_j, *g_args)
-                pend.append((sse, bits, e - s))
-            # dispatch everything first, then one pipelined fetch
-            # (utils/xfer.py: each sync read costs a full tunnel RTT)
-            from ..utils.xfer import fetch
-            got = fetch([(p[0], p[1]) for p in pend])
-            sse = np.concatenate([g[0][:n] for g, (_, _, n)
-                                  in zip(got, pend)])
-            bits = np.concatenate([g[1][:n] for g, (_, _, n)
-                                   in zip(got, pend)])
-            cost = sse + lam[:, None] * bits
-            out[(bw, bh)] = cost.reshape(nbr, nbc, -1)
+                cost = fn(jnp.asarray(Ec.astype(np.uint8)),
+                          jnp.asarray(Bc_),
+                          jnp.asarray(ht), jnp.asarray(hl),
+                          jnp.asarray(np.pad(lam[s:e], (0, pad))),
+                          self._pq_j, *g_args)
+                rows.append((cost, e - s))
+            pend.append(rows)
+            metas.append(((bw, bh), nbr, nbc))
+        from ..utils.xfer import fetch
+        got = fetch([[r[0] for r in rows] for rows in pend])
+        out = {}
+        for rows, vals, (key, nbr, nbc) in zip(pend, got, metas):
+            cost = np.concatenate([v[:n] for v, (_, n)
+                                   in zip(vals, rows)])
+            out[key] = cost.reshape(nbr, nbc, -1)
         return out
 
 

@@ -15,6 +15,13 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache: first-run compiles of the big device
+# programs (~40 s at 1080p) amortize across bench invocations
+os.environ.setdefault(
+    "AVL_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache"))
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 W, H, N_FRAMES = 352, 288, 8

@@ -161,6 +161,7 @@ def make_sequence_header(width: int, height: int,
                          order_hint: bool = False,
                          warped_motion: bool = False,
                          masked_compound: bool = False,
+                         jnt_comp: bool = False,
                          interintra: bool = False,
                          intra_edge_filter: bool = False,
                          color_primaries: int = 2,
@@ -203,6 +204,7 @@ def make_sequence_header(width: int, height: int,
         enable_order_hint=int(order_hint),
         enable_warped_motion=int(warped_motion),
         enable_masked_compound=int(masked_compound),
+        enable_jnt_comp=int(jnt_comp and order_hint),
         enable_interintra_compound=int(interintra),
         enable_ref_frame_mvs=int(order_hint),
         order_hint_bits=7 if order_hint else 0,

@@ -50,6 +50,7 @@ class GopEncoder:
                  order_hint: bool = True, motion_modes: bool = True,
                  compound_types: bool | None = None,
                  interintra: bool | None = None,
+                 jnt_comp: bool = False,
                  cpu_used: int | None = None, seq_tools=None,
                  lf_sharpness: int = 0,
                  frame_parallel: bool = False, mesh=None):
@@ -80,6 +81,9 @@ class GopEncoder:
             interintra = False
         compound_types = compound_types and comp_pred and not use_tpu
         interintra = interintra and not use_tpu
+        # distance-weighted compound needs order hints + the explicit
+        # compound search (host RD path)
+        jnt_comp = jnt_comp and comp_pred and order_hint and not use_tpu
         self.motion_modes = motion_modes
         self.sh = make_sequence_header(width, height,
                                        enable_cdef=int(enable_cdef),
@@ -87,6 +91,7 @@ class GopEncoder:
                                        order_hint=order_hint,
                                        warped_motion=motion_modes,
                                        masked_compound=compound_types,
+                                       jnt_comp=jnt_comp,
                                        interintra=interintra,
                                        **(seq_tools or {}))
         if rc_cfg is None:

@@ -182,6 +182,9 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         self.skip_mode_grid = np.zeros(self.g.ref0.shape, np.uint8)
         #: per-mi comp_group_idx map (comp_group_idx_ctx neighbour state)
         self.comp_group_grid = np.zeros(self.g.ref0.shape, np.uint8)
+        #: per-mi compound_idx map (comp_index_ctx neighbour state;
+        #: default 1 = COMPOUND_AVERAGE, decoder bi.compound_idx init)
+        self.comp_idx_grid = np.ones(self.g.ref0.shape, np.uint8)
         self._ref_pad_cache = {}
         # av1_get_mvpred cost weights (rough): bits per mv step
         self.mv_bit_cost = 1.0
@@ -214,6 +217,14 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                     self.ref_side[c.LAST_FRAME + i] = 1
                 elif hint == fh.order_hint:
                     self.ref_side[c.LAST_FRAME + i] = -1
+        # distance-weighted compound weights for (LAST, ALTREF)
+        # (av1_dist_wtd_comp_weight_assign, reconinter.c:668; frame-level
+        # because they depend only on the order-hint distances)
+        self.dw_weights = (False, 8, 8)
+        if sh.enable_jnt_comp and sh.enable_order_hint:
+            self.dw_weights = self._dist_wtd_weights_enc(
+                c.LAST_FRAME, c.ALTREF_FRAME)
+        self.jnt_blocks = 0    # diagnostics: dist-wtd winners this frame
         # temporal MV field (av1_setup_motion_field) + per-8x8 storage
         # for future frames (av1_copy_frame_mvs), decoder mirrors
         h2, w2 = (self.mi_rows + 1) >> 1, (self.mi_cols + 1) >> 1
@@ -496,7 +507,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         sl = (slice(r0, r0 + h4), slice(c0, c0 + w4))
         gsnap = (g.ref0[sl].copy(), g.ref1[sl].copy(), g.mode[sl].copy(),
                  g.bsize[sl].copy(), g.partition[sl].copy(),
-                 g.mv[sl].copy(), self.comp_group_grid[sl].copy())
+                 g.mv[sl].copy(), self.comp_group_grid[sl].copy(),
+                 self.comp_idx_grid[sl].copy())
         return (base, sl, gsnap)
 
     def _restore_region(self, mi_row, mi_col, bsize, snap):
@@ -504,7 +516,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         super()._restore_region(mi_row, mi_col, bsize, base)
         g = self.g
         (g.ref0[sl], g.ref1[sl], g.mode[sl], g.bsize[sl],
-         g.partition[sl], g.mv[sl], self.comp_group_grid[sl]) = gsnap
+         g.partition[sl], g.mv[sl], self.comp_group_grid[sl],
+         self.comp_idx_grid[sl]) = gsnap
 
     def _fill_trial(self, bplan, partition):
         """Commit one trialed block into the mi grid (emit re-fills the
@@ -531,6 +544,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
         w4 = min(bw, self.mi_cols - bplan["mi_col"])
         self.comp_group_grid[r:r + h4, cc:cc + w4] = \
             bplan.get("comp_group_idx", 0) if is_inter else 0
+        self.comp_idx_grid[r:r + h4, cc:cc + w4] = \
+            bplan.get("compound_idx", 1) if is_inter else 1
 
     def _trial_skip_mode(self, mi_row, mi_col, bsize, partition):
         """Skip-mode candidate: derived compound NEAREST_NEARESTMV over
@@ -649,20 +664,36 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 mv0 = mv1 = (0, 0)
             lam = self._lam(mi_row, mi_col)
             masked_ok = bool(self.sh.enable_masked_compound)
+            jnt_ok = bool(self.sh.enable_jnt_comp)
             dist, bits, txbs = self._code_inter_planes(
                 mi_row, mi_col, bsize, mv0, c.LAST_FRAME,
                 ref1=c.ALTREF_FRAME, mv1=mv1)
             bits += 5.0  # comp flag + ref tree + compound mode symbol
             if masked_ok:
                 bits += 1.0  # comp_group_idx = 0 symbol
+            if jnt_ok:
+                bits += 1.0  # compound_idx symbol
             # compound-type RD: COMPOUND_AVERAGE vs WEDGE vs DIFFWTD
             # (av1/encoder/compound_type.c:1666 av1_compound_type_rd)
             cands = [(dist + lam * bits, None, txbs)]
+            if jnt_ok and self.dw_weights[0]:
+                # distance-weighted average (compound_idx = 0;
+                # compound_type.c:1666 DIST_WTD_COMP trial)
+                d_dw, b_dw, t_dw = self._code_inter_planes(
+                    mi_row, mi_col, bsize, mv0, c.LAST_FRAME,
+                    ref1=c.ALTREF_FRAME, mv1=mv1,
+                    comp_weights=self.dw_weights)
+                b_dw += 5.0 + (1.0 if masked_ok else 0.0) + 1.0
+                cands.append((d_dw + lam * b_dw,
+                              dict(compound_idx=0), t_dw))
             if masked_ok:
                 cands += self._trial_masked_compound(
                     mi_row, mi_col, bsize, mv0, c.LAST_FRAME, mv1,
                     c.ALTREF_FRAME, lam)
             cost, best_comp_spec, txbs = min(cands, key=lambda t: t[0])
+            if best_comp_spec is not None \
+                    and best_comp_spec.get("compound_idx", 1) == 0:
+                self.jnt_blocks += 1
             if best is None or cost < best[0]:
                 best = (cost, MR.NEAREST_NEARESTMV, mv0, txbs,
                         c.LAST_FRAME, False, dist, bits)
@@ -909,7 +940,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
 
     def _code_inter_planes(self, mi_row, mi_col, bsize, mv,
                            ref=c.LAST_FRAME, gm_warp=False, tx_depth=0,
-                           ref1=-1, mv1=None, force_skip=False):
+                           ref1=-1, mv1=None, force_skip=False,
+                           comp_weights=None):
         """Motion-compensate + transform-code all planes for one MV.
         gm_warp: GLOBALMV with a non-translation model — warp planes
         whose dims are >= 8 (decoder _warp_params global branch)."""
@@ -950,12 +982,16 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                                x0, y0, b_w, b_h, ss_x, ss_y, *e[3],
                                bd=self.bd)
             elif ref1 > c.INTRA_FRAME:
-                # COMPOUND_AVERAGE (compound_idx=1 CONV_BUF average)
+                # COMPOUND_AVERAGE (compound_idx=1) or DIST_WTD
+                # (compound_idx=0, comp_weights=(True, fwd, bck))
+                use_dw, fo, bo = comp_weights or (False, 8, 8)
                 pred = IP.predict_inter_compound(
                     (self._ref_pad(ref, plane), self._ref_pad(ref1, plane)),
                     x0, y0, b_w, b_h, (mv, mv1), ss_x, ss_y,
                     mb_to_left, mb_to_right, mb_to_top, mb_to_bottom,
-                    self.interp_filter, self.interp_filter, bd=self.bd)
+                    self.interp_filter, self.interp_filter,
+                    use_dist_wtd=use_dw, fwd_offset=fo, bck_offset=bo,
+                    bd=self.bd)
             elif self._ref_scaled(ref):
                 # inter-layer / resized reference (spatial SVC): scaled
                 # subpel MC (decoder _mc_single is_scaled branch)
@@ -1436,6 +1472,8 @@ class InterFrameEncoder(LossyAllIntraEncoder):
             bplan.get("mv1") or (0, 0))
         self.comp_group_grid[mi_row + m:rmax + m, mi_col + m:cmax + m] = \
             bplan.get("comp_group_idx", 0) if is_inter else 0
+        self.comp_idx_grid[mi_row + m:rmax + m, mi_col + m:cmax + m] = \
+            bplan.get("compound_idx", 1) if is_inter else 1
 
         # block tx size (decoder _read_block_tx_size mirror)
         if self.tx_select:
@@ -1780,6 +1818,55 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 assert mm == c.SIMPLE_TRANSLATION
         return mode
 
+    _QUANT_DIST_WEIGHT = [(2, 3), (2, 5), (2, 7), (1, 31)]
+    _QUANT_DIST_LOOKUP = [(9, 7), (11, 5), (12, 4), (13, 3)]
+
+    def _dist_wtd_weights_enc(self, r0, r1):
+        """av1_dist_wtd_comp_weight_assign (reconinter.c:668) for
+        compound_idx == 0 — mirror of decoder/inter._dist_wtd_weights."""
+        cur = self.fh.order_hint
+        bck_h = self.ref_hints[r0]
+        fwd_h = self.ref_hints[r1]
+        d0 = min(31, abs(H.get_relative_dist(self.sh, fwd_h, cur)))
+        d1 = min(31, abs(H.get_relative_dist(self.sh, cur, bck_h)))
+        order = int(d0 <= d1)
+        if d0 == 0 or d1 == 0:
+            return (True, self._QUANT_DIST_LOOKUP[3][order],
+                    self._QUANT_DIST_LOOKUP[3][1 - order])
+        for i in range(3):
+            c0 = self._QUANT_DIST_WEIGHT[i][order]
+            c1 = self._QUANT_DIST_WEIGHT[i][1 - order]
+            if (d0 > d1 and d0 * c0 < d1 * c1) or \
+                    (d0 <= d1 and d0 * c0 > d1 * c1):
+                break
+        else:
+            i = 3
+        return (True, self._QUANT_DIST_LOOKUP[i][order],
+                self._QUANT_DIST_LOOKUP[i][1 - order])
+
+    def _comp_index_ctx_enc(self, mi_row, mi_col, up, left):
+        """av1_get_comp_index_context mirror (decoder _comp_index_ctx)
+        over the encoder mi grids; refs are (LAST, ALTREF)."""
+        cur = self.fh.order_hint
+        fwd = abs(H.get_relative_dist(self.sh,
+                                      self.ref_hints[c.ALTREF_FRAME], cur))
+        bck = abs(H.get_relative_dist(self.sh, cur,
+                                      self.ref_hints[c.LAST_FRAME]))
+        offset = int(fwd == bck)
+        g = self.g
+        m = g.m
+
+        def nb_val(r, col):
+            if int(g.ref1[r + m, col + m]) > c.INTRA_FRAME:
+                return int(self.comp_idx_grid[r + m, col + m])
+            if int(g.ref0[r + m, col + m]) == c.ALTREF_FRAME:
+                return 1
+            return 0
+
+        a = nb_val(mi_row - 1, mi_col) if up else 0
+        l = nb_val(mi_row, mi_col - 1) if left else 0
+        return a + l + 3 * offset
+
     def _emit_compound_mode(self, bplan, mi_row, mi_col, bsize,
                             partition=c.PARTITION_NONE):
         """NEAREST_NEARESTMV compound-mode symbol (no drl, no MV bits),
@@ -1822,9 +1909,20 @@ class InterFrameEncoder(LossyAllIntraEncoder):
                 else:
                     self.sink.bit(bplan["mask_type"])
             elif self.sh.enable_jnt_comp:
-                raise NotImplementedError("jnt_comp emission")
+                ictx = self._comp_index_ctx_enc(mi_row, mi_col,
+                                                up_avail, left_avail)
+                self.sink.symbol(bplan.get("compound_idx", 1), 2,
+                                 "compound_index_cdf", ictx)
         else:
             assert not bplan.get("comp_group_idx", 0)
+            if self.sh.enable_jnt_comp:
+                # masked compound absent: the decoder still reads
+                # compound_idx when comp_group_idx == 0 (decodemv.c:1449)
+                self.sink.symbol(bplan.get("compound_idx", 1), 2,
+                                 "compound_index_cdf",
+                                 self._comp_index_ctx_enc(
+                                     mi_row, mi_col, mi_row > 0,
+                                     mi_col > 0))
         return MR.NEAREST_NEARESTMV
 
     def _write_mv(self, mv, ref_mv):

@@ -458,6 +458,12 @@ class GopEncoder:
                 payloads.extend(self._encode_gf_group(frames[i:i + L], i))
             else:
                 for j in range(L):
+                    if self.rc.should_drop_frame("inter"):
+                        # CBR frame drop (av1_rc_drop_frame): no TU is
+                        # emitted; the bucket refills one frame's worth
+                        self.rc.postencode_drop()
+                        payloads.append(b"")
+                        continue
                     q = self._q("inter", i + j)
                     obu, q = self._recode(
                         "inter", i + j, q,
@@ -561,7 +567,7 @@ def encode_gop_ivf(path: str, frames, width: int, height: int,
     from ..bitstream.ivf import write_ivf
     enc = GopEncoder(width, height, **kw)
     payloads = enc.encode_sequence(frames)
-    write_ivf(path, [(p, i) for i, p in enumerate(payloads)],
+    write_ivf(path, [(p, i) for i, p in enumerate(payloads) if p],
               width, height, fps[0], fps[1])
 
 

@@ -67,6 +67,9 @@ class RateControlConfig:
     recode: bool = True
     recode_tolerance: int = 25
     max_recodes: int = 3
+    # CBR drop-frame watermark as % of the optimal buffer level
+    # (aomenc --drop-frame; av1_rc_drop_frame, ratectrl.c): 0 = never
+    drop_frames_water_mark: int = 0
 
 
 @dataclass
@@ -83,6 +86,9 @@ class RateControl:
     total_bits: int = 0
     # accumulated VBR debt (bits we owe / are owed vs the target)
     bits_off_target: float = 0.0
+    # CBR frame-drop state (av1_rc_drop_frame decimation analog)
+    consec_drops: int = 0
+    dropped_frames: int = 0
 
     def __post_init__(self):
         c = self.cfg
@@ -124,10 +130,20 @@ class RateControl:
         else:
             target = self.per_frame_bandwidth
         if c.mode == MODE_CBR:
-            # bend toward the optimal buffer level over ~one buffer window
+            # bend toward the optimal buffer level, at most
+            # under/over_shoot_pct/200 of the nominal target per frame
+            # (av1_calc_pframe_target_size_one_pass_cbr's exact rule —
+            # a steeper bend starves frames to the minimum and the
+            # achieved rate never reaches the target)
             diff = self.optimal_level - self.buffer_level
-            adj = diff / max(c.fps, 1.0)
-            target = max(target - adj, 0.0)
+            one_pct = max(self.optimal_level / 100.0, 1.0)
+            shoot_pct = 25.0    # aomenc --undershoot/overshoot-pct
+            if diff > 0:
+                pct = min(diff / one_pct, shoot_pct)
+                target -= target * pct / 200.0
+            elif diff < 0:
+                pct = min(-diff / one_pct, shoot_pct)
+                target += target * pct / 200.0
         else:
             # VBR: pay back a fraction of the accumulated debt
             target = max(target - self.bits_off_target * 0.05, 0.0)
@@ -172,10 +188,48 @@ class RateControl:
         if frame_kind != "key" and self.frames_coded > 0:
             last = self.last_q_inter
             q = min(max(q, last - 16), last + 16)
+        if c.mode == MODE_CBR and frame_kind != "key":
+            # underflow guard (calc_active_worst_quality_one_pass_cbr,
+            # ratectrl.c): as the buffer drains below 30% of optimal,
+            # push the operating point toward worst_q — OVERRIDING the
+            # per-frame step limit, a draining bucket cannot wait
+            crit = 0.3 * self.optimal_level
+            if self.buffer_level < crit:
+                frac = 1.0 - max(self.buffer_level, 0.0) / max(crit, 1.0)
+                q = min(c.worst_q, q + int(frac * 32.0))
         if frame_kind == "arf":
             # ARF rides below the inter operating point (GF boost)
             q = max(c.best_q, min(q, self.last_q_inter) - 12)
         return min(max(q, c.best_q), c.worst_q)
+
+    # --- frame dropping (av1_rc_drop_frame, ratectrl.c) -----------------
+
+    def should_drop_frame(self, frame_kind: str = "inter") -> bool:
+        """CBR drop decision: drop when the buffer has drained below the
+        watermark (ratectrl.c av1_rc_drop_frame's decimation, simplified
+        to a bounded consecutive-drop rule).  Call postencode_drop()
+        after acting on a True result."""
+        c = self.cfg
+        if (c.mode != MODE_CBR or not c.drop_frames_water_mark
+                or frame_kind == "key" or self.frames_coded == 0):
+            self.consec_drops = 0
+            return False
+        mark = c.drop_frames_water_mark / 100.0 * self.optimal_level
+        if self.buffer_level <= mark and self.consec_drops < 2:
+            return True
+        self.consec_drops = 0
+        return False
+
+    def postencode_drop(self) -> None:
+        """Buffer update for a dropped frame: the bucket refills by one
+        frame of bandwidth and nothing is spent."""
+        self.buffer_level = min(self.buffer_level
+                                + self.per_frame_bandwidth,
+                                self.maximum_buffer)
+        self.bits_off_target -= self.per_frame_bandwidth
+        self.consec_drops += 1
+        self.dropped_frames += 1
+        self.frames_coded += 1
 
     # --- recode loop (encoder.c encode_with_recode_loop) ----------------
 
@@ -217,8 +271,12 @@ class RateControl:
         predicted = self.predicted_bits(qindex, frame_kind)
         if predicted > 0:
             ratio = used_bits / predicted
-            # damped multiplicative update
-            cf = self._cf(frame_kind) * (1.0 + 0.5 * (ratio - 1.0))
+            # damped multiplicative update, clamped per frame
+            # (av1_rc_update_rate_correction_factors: a full update
+            # limit-cycles when bits-vs-q is steep, an over-damped one
+            # cannot hit CBR targets inside a buffer window)
+            cf = self._cf(frame_kind) \
+                * float(min(max(ratio, 0.4), 2.5)) ** 0.6
             self._set_cf(frame_kind, cf)
         self.buffer_level += self.per_frame_bandwidth - used_bits
         self.buffer_level = min(self.buffer_level, self.maximum_buffer)

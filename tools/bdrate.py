@@ -159,9 +159,11 @@ def enc_aomenc(path, frames, q, extra, tmpdir):
                    + ["-o", path, src], check=True, capture_output=True)
 
 
-# AV1 qindex ~ 4x the aomenc cq-level scale
-Q_OURS = (40, 80, 120, 160)
-Q_AOMENC = (10, 20, 30, 40)
+# AV1 qindex ~ 4x the aomenc cq-level scale; spread the points so the
+# quality curves overlap over a usable range (a saturated flat segment
+# makes the Bjontegaard cubic fit meaningless)
+Q_OURS = (60, 104, 152, 200)
+Q_AOMENC = (15, 26, 38, 50)
 
 
 def sweep(clip_frames, enc_fn, qs, tmpdir, tag):

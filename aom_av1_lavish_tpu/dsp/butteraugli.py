@@ -53,7 +53,10 @@ def butteraugli_map(src: np.ndarray, rec: np.ndarray,
         db = _blur(b, radius)
         d = np.abs(da - db)
         total += weight * d / (1.0 + 0.45 * act)
-    return _block_mean(total, block)
+    # cubic block norm: the scalar score is a 3-norm, so the per-block
+    # stat must emphasize peaks the same way or the rdmult map trades
+    # away exactly the pixels the score penalizes hardest
+    return _block_mean(total ** 3, block) ** (1.0 / 3.0)
 
 
 def butteraugli_score(src: np.ndarray, rec: np.ndarray) -> float:
@@ -95,8 +98,21 @@ def perceptual_rdmult_map(src: np.ndarray, rec: np.ndarray,
     p = fn(src, rec, block)
     d = (src.astype(np.float64) - rec.astype(np.float64)) ** 2
     mse = _block_mean(d, block)
-    ratio = np.maximum(
-        np.nan_to_num((p + 1e-4) / (mse + 1.0), nan=1e-6), 1e-6)
-    geo = np.exp(np.mean(np.log(ratio)))
-    mult = geo / ratio           # visible damage -> smaller lambda
-    return np.clip(mult, 0.4, 2.5)
+    # tune_butteraugli.c:210-271 flow (weight from mse-vs-metric, eps
+    # blocks neutral, geometric-mean normalized, rdmult *= weight) with
+    # a gradient-aware exponent: the scalar objective is a 3-norm of the
+    # block map, so the per-block marginal is d(sum p^3)/d(mse_i)
+    # ~ p_i^3 / mse_i, and equalizing metric-improvement per bit wants
+    # lambda_i proportional to mse_i / p_i^3
+    eps = 1e-2
+    valid = (p >= eps) & (mse >= eps)
+    w = np.where(valid, mse / np.maximum(p, eps) ** 3, 1.0)
+    if valid.any():
+        geo = np.exp(np.mean(np.log(w[valid])))
+    else:
+        geo = 1.0
+    # half-strength application (butteraugli_rd_mult=50-class): at fixed
+    # base q the lambda redistribution cannot move bits between blocks,
+    # so a full-strength map over-penalizes masked blocks
+    w = np.where(valid, np.sqrt(w / geo), 1.0)
+    return np.clip(w, 0.5, 2.0)

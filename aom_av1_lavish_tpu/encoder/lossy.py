@@ -215,9 +215,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
             self.txh4_grid = np.zeros((self.mi_rows, self.mi_cols),
                                       np.int64)
         self._setup_tune_map(planes)
+        self._setup_aq(planes)
         if self.tune in ("butteraugli", "vmaf"):
             self._setup_perceptual_tune(planes)
-        self._setup_aq(planes)
         if self.seg_on:
             self._setup_segmentation(planes)
         self._emit_cur_q = self.fh.base_q_idx
@@ -255,19 +255,44 @@ class LossyAllIntraEncoder(LosslessEncoder):
 
     def _setup_perceptual_tune(self, planes) -> None:
         """tune=butteraugli/vmaf: trial-encode the frame, measure the
-        perceptual-vs-MSE damage ratio per block on the recon, and fold
-        it into the lambda map (tune_butteraugli.c:26
-        av1_set_mb_butteraugli_rdmult_scaling flow)."""
+        perceptual-vs-MSE damage ratio per block on the recon
+        (tune_butteraugli.c:26 av1_set_mb_butteraugli_rdmult_scaling
+        flow), and realize it as a PER-SB DELTA-Q map when the frame
+        header carries delta-q (the tune_vmaf.c qindex-adjustment route:
+        with a fixed base q a lambda-only redistribution cannot move
+        bits between blocks) — else fold it into the lambda map."""
         from ..dsp.butteraugli import perceptual_rdmult_map
         trial = LossyAllIntraEncoder(
             self.sh, self.fh, use_native=self.use_native,
             block_size=self.min_bsize, mode_set=(c.DC_PRED, c.SMOOTH_PRED),
             enable_cfl=False, tune="psnr", trellis=False,
             rect_parts=False, speed=1)
+        trial.sb_qmap = None
         trial.encode_frame(planes)
         h, w = np.asarray(planes[0]).shape
         m = perceptual_rdmult_map(np.asarray(planes[0]),
                                   trial.recon[0][:h, :w], self.tune, 16)
+        fh = self.fh
+        if fh.delta_q_present:
+            # lambda mult -> qindex offset: lambda ~ qstep^2 and qstep
+            # doubles every ~24 qindex steps, so dq = 12*log2(mult)
+            n_r = (self.mi_rows + self.sb_mi - 1) // self.sb_mi
+            n_c = (self.mi_cols + self.sb_mi - 1) // self.sb_mi
+            blk_per_sb = self.sb_mi >> 2
+            logm = np.zeros((n_r, n_c))
+            for r in range(n_r):
+                for cc in range(n_c):
+                    blk = m[r * blk_per_sb:(r + 1) * blk_per_sb,
+                            cc * blk_per_sb:(cc + 1) * blk_per_sb]
+                    if blk.size:
+                        logm[r, cc] = np.mean(np.log2(blk))
+            step = 1 << fh.delta_q_res_log2
+            base = fh.base_q_idx
+            k = np.round(12.0 * logm / step).astype(np.int64)
+            k_min = -((base - 1) // step)
+            k_max = (255 - base) // step
+            self.sb_qmap = base + np.clip(k, k_min, k_max) * step
+            return
         if self.lam_map is None:
             self.lam_map = m
         else:
@@ -1896,6 +1921,9 @@ def encode_lossy_ivf(path: str, frames, width: int, height: int,
         # TX_MODE_SELECT is a clear RD win (intra vartx syntax is only
         # unimplemented for intrabc blocks)
         tx_select = not intrabc
+    if kw.get("tune") in ("butteraugli", "vmaf") and seg is None:
+        # perceptual tunes ride per-SB delta-q (tune_vmaf.c qindex route)
+        aq = True
     sh = make_sequence_header(width, height, enable_cdef=enable_cdef,
                               enable_restoration=enable_restoration,
                               bit_depth=bit_depth, screen=screen,

@@ -642,6 +642,214 @@ static void it_encode_partition(IT *t, int mi_row, int mi_col,
   it_update_ext_ctx(t, mi_row, mi_col, sub_w4, bsize_w4, partition);
 }
 
+/* ---- uniform-16x16 KEY-frame (intra) tile ------------------------------
+ *
+ * Walker for the wavefront all-intra device path (ops/wavefront.py +
+ * encoder/tpu_intra.py): forced-split partitions, skip, kf y mode with
+ * neighbour-mode contexts, angle-delta(0) for directional modes, DC
+ * chroma, intra tx-type symbol, coeff txbs.  Mirrors the Python emitter
+ * (encoder/lossy.py _emit_block KEY path) byte-exactly.
+ *
+ * ioffs layout: 0 partition_base 1 partition_stride 2 skip_base
+ *   3 kf_y_base (5x5 grid of rows of 14)  4 angle_base (rows of 8)
+ *   5 uv_base (uv_mode_cdf[1][mode], rows of 15)
+ *   6 txtype_base (+ y_mode * 17)  7 txtype_nsymbs  8 txtype_sym
+ */
+
+/* av1 intra_mode_context (reused for both axes of kf_y_cdf) */
+static const uint8_t IMC[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+
+typedef struct {
+  int mi_rows, mi_cols, sb_mi;
+  const int16_t *res;
+  int nbx;
+  uint16_t *arena;
+  const int32_t *o;
+  const int32_t *cdfsets;
+  const int16_t *scan16, *scan8;
+  uint8_t *above_part, *left_part;
+  uint8_t *ae[3], *le[3];
+  uint8_t *mi_skip;
+  uint8_t *g_mode; /* margin grid of y modes (DC default) */
+  int gw;
+  RangeEnc e;
+  int16_t levels[32 * 36];
+  int32_t q32[256];
+} ITK;
+
+static void itk_encode_block(ITK *t, int mi_row, int mi_col) {
+  int b = (mi_row >> 2) * t->nbx + (mi_col >> 2);
+  const int16_t *row = t->res + (size_t)b * 390;
+  int y_mode = row[0];
+  int eob_y = row[1], eob_u = row[2], eob_v = row[3];
+  int skip = (eob_y == 0 && eob_u == 0 && eob_v == 0);
+  int up = mi_row > 0, left = mi_col > 0;
+
+  int skip_ctx =
+      (up ? t->mi_skip[(mi_row - 1) * t->mi_cols + mi_col] : 0) +
+      (left ? t->mi_skip[mi_row * t->mi_cols + mi_col - 1] : 0);
+  enc_symbol(&t->e, t->arena + t->o[2] + skip_ctx * 3, skip, 2, 1);
+
+  int am = up ? t->g_mode[(mi_row - 1 + MI_M) * t->gw + mi_col + MI_M] : 0;
+  int lm = left ? t->g_mode[(mi_row + MI_M) * t->gw + mi_col - 1 + MI_M]
+                : 0;
+  enc_symbol(&t->e,
+             t->arena + t->o[3] + (IMC[am] * 5 + IMC[lm]) * 14, y_mode,
+             13, 1);
+  if (y_mode >= 1 && y_mode <= 8) /* directional: angle delta 0 */
+    enc_symbol(&t->e, t->arena + t->o[4] + (y_mode - 1) * 8, 3, 7, 1);
+  /* chroma: DC, CfL allowed at 16x16 -> 14 symbols */
+  enc_symbol(&t->e, t->arena + t->o[5] + y_mode * 15, 0, 14, 1);
+
+  for (int r = mi_row; r < mi_row + 4; r++) {
+    memset(t->mi_skip + r * t->mi_cols + mi_col, skip, 4);
+    memset(t->g_mode + (r + MI_M) * t->gw + mi_col + MI_M,
+           (uint8_t)y_mode, 4);
+  }
+
+  int acol = mi_col, lrow = mi_row;
+  int cacol = mi_col >> 1, clrow = mi_row >> 1;
+  if (skip) {
+    memset(t->ae[0] + acol, 0, 4);
+    memset(t->le[0] + lrow, 0, 4);
+    for (int p = 1; p < 3; p++) {
+      memset(t->ae[p] + cacol, 0, 2);
+      memset(t->le[p] + clrow, 0, 2);
+    }
+    return;
+  }
+  {
+    const int16_t *q16 = row + 6;
+    for (int i = 0; i < 256; i++) t->q32[i] = q16[i];
+    uint8_t *au = t->ae[0], *lu = t->le[0];
+    int ds = 0;
+    for (int i = 0; i < 4; i++) ds += dc_sign_of(au[acol + i]);
+    for (int i = 0; i < 4; i++) ds += dc_sign_of(lu[lrow + i]);
+    int dc_sign_ctx = ds == 0 ? 0 : (ds < 0 ? 1 : 2);
+    int cul = code_txb(&t->e, t->arena, t->cdfsets, t->q32, t->scan16, 16,
+                       16, 4, 0, 16, 16, 4, 0, dc_sign_ctx,
+                       t->o[6] + y_mode * 17, t->o[7], t->o[8],
+                       t->levels);
+    memset(au + acol, cul, 4);
+    memset(lu + lrow, cul, 4);
+  }
+  for (int p = 1; p < 3; p++) {
+    const int16_t *q16 = row + 262 + (p - 1) * 64;
+    for (int i = 0; i < 64; i++) t->q32[i] = q16[i];
+    uint8_t *au = t->ae[p], *lu = t->le[p];
+    int ds = 0;
+    for (int i = 0; i < 2; i++) ds += dc_sign_of(au[cacol + i]);
+    for (int i = 0; i < 2; i++) ds += dc_sign_of(lu[clrow + i]);
+    int dc_sign_ctx = ds == 0 ? 0 : (ds < 0 ? 1 : 2);
+    int a = 0, l = 0;
+    for (int i = 0; i < 2; i++) a |= au[cacol + i] != 0;
+    for (int i = 0; i < 2; i++) l |= lu[clrow + i] != 0;
+    int skip_ctx2 = a + l + 7;
+    int cul = code_txb(&t->e, t->arena, t->cdfsets + 8, t->q32, t->scan8, 8,
+                       8, 3, 0, 8, 8, 2, skip_ctx2, dc_sign_ctx, -1, 0, 0,
+                       t->levels);
+    memset(au + cacol, cul, 2);
+    memset(lu + clrow, cul, 2);
+  }
+}
+
+static void itk_write_partition(ITK *t, int mi_row, int mi_col,
+                                int bsize_w4, int partition) {
+  int hbs = bsize_w4 / 2;
+  int has_rows = mi_row + hbs < t->mi_rows;
+  int has_cols = mi_col + hbs < t->mi_cols;
+  if (!has_rows && !has_cols) return;
+  int bsl = 0, v = bsize_w4;
+  while (v > 2) {
+    v >>= 1;
+    bsl++;
+  }
+  int above = (t->above_part[mi_col] >> bsl) & 1;
+  int leftb = (t->left_part[mi_row] >> bsl) & 1;
+  int ctx = (leftb * 2 + above) + bsl * 4;
+  uint16_t *cdf = t->arena + t->o[0] + ctx * t->o[1];
+  if (has_rows && has_cols)
+    enc_symbol(&t->e, cdf, partition, 10, 1);
+  else
+    enc_gather_split(&t->e, cdf, 0, !has_cols, partition == 3);
+}
+
+static void itk_encode_partition(ITK *t, int mi_row, int mi_col,
+                                 int bsize_w4) {
+  if (mi_row >= t->mi_rows || mi_col >= t->mi_cols) return;
+  int hbs = bsize_w4 / 2;
+  int partition = bsize_w4 == 4 ? 0 : 3;
+  itk_write_partition(t, mi_row, mi_col, bsize_w4, partition);
+  int sub_w4 = partition == 0 ? bsize_w4 : hbs;
+  if (partition == 0) {
+    itk_encode_block(t, mi_row, mi_col);
+  } else {
+    itk_encode_partition(t, mi_row, mi_col, hbs);
+    itk_encode_partition(t, mi_row, mi_col + hbs, hbs);
+    itk_encode_partition(t, mi_row + hbs, mi_col, hbs);
+    itk_encode_partition(t, mi_row + hbs, mi_col + hbs, hbs);
+  }
+  if (!(partition == 3 && bsize_w4 != 2)) {
+    int l2w = 0, v = sub_w4;
+    while (v > 1) {
+      v >>= 1;
+      l2w++;
+    }
+    uint8_t mark = (uint8_t)((31 << l2w) & 31);
+    memset(t->above_part + mi_col, mark, (size_t)bsize_w4);
+    memset(t->left_part + mi_row, mark, (size_t)bsize_w4);
+  }
+}
+
+int avl_encode_intra16_tile(const int16_t *res, int mi_rows, int mi_cols,
+                            int sb_mi, uint16_t *arena,
+                            const int32_t *ioffs, const int32_t *cdfsets,
+                            const int16_t *scan16, const int16_t *scan8,
+                            uint8_t *out, int out_cap) {
+  ITK t;
+  memset(&t, 0, sizeof(t));
+  t.mi_rows = mi_rows;
+  t.mi_cols = mi_cols;
+  t.sb_mi = sb_mi;
+  t.res = res;
+  t.nbx = mi_cols / 4;
+  t.arena = arena;
+  t.o = ioffs;
+  t.cdfsets = cdfsets;
+  t.scan16 = scan16;
+  t.scan8 = scan8;
+  t.gw = mi_cols + 2 * MI_M;
+  size_t apn = (size_t)mi_cols + 32, lpn = (size_t)mi_rows + 32;
+  size_t gn = (size_t)(mi_rows + 2 * MI_M) * t.gw;
+  uint8_t *mem = (uint8_t *)calloc(
+      apn + lpn + 3 * (apn + lpn) + (size_t)mi_rows * mi_cols + gn, 1);
+  if (!mem) return -1;
+  uint8_t *p = mem;
+  t.above_part = p;
+  p += apn;
+  t.left_part = p;
+  p += lpn;
+  for (int i = 0; i < 3; i++) {
+    t.ae[i] = p;
+    p += apn;
+    t.le[i] = p;
+    p += lpn;
+  }
+  t.mi_skip = p;
+  p += (size_t)mi_rows * mi_cols;
+  t.g_mode = p;
+  re_init(&t.e, out, (size_t)out_cap);
+  for (int mi_row = 0; mi_row < mi_rows; mi_row += sb_mi) {
+    memset(t.left_part, 0, lpn);
+    for (int i = 0; i < 3; i++) memset(t.le[i], 0, lpn);
+    for (int mi_col = 0; mi_col < mi_cols; mi_col += sb_mi)
+      itk_encode_partition(&t, mi_row, mi_col, sb_mi);
+  }
+  int n = (int)re_done(&t.e);
+  free(mem);
+  return n;
+}
+
 /* Encode one uniform-16x16 inter tile.  res: (B, 390) int16 packed block
  * results (ops/inter_tpu.py layout); ref_lut maps device ref_idx to AV1
  * ref frames; offs per the table above.  Returns byte length. */

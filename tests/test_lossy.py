@@ -337,3 +337,65 @@ def test_filter_intra_conformance(tmp_path):
     for a, b in zip(ours, ref):
         np.testing.assert_array_equal(a, b)
     assert n_fi[0] > 0
+
+
+def test_psy_tunes_improve_their_metric():
+    """tune=butteraugli / tune=vmaf must measurably improve the metric
+    they are named after vs tune=psnr at EQUAL RATE (the contract behind
+    tune_butteraugli.c:26 / tune_vmaf.c:1114 — a tune that does not move
+    its own metric is mislabeled).  Both encode a small q sweep; the
+    psnr anchor's score is interpolated to the tune's achieved rate."""
+    from aom_av1_lavish_tpu.decoder import decode_ivf
+    from aom_av1_lavish_tpu.dsp.butteraugli import (butteraugli_score,
+                                                    vif_map)
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+    import tempfile
+
+    rng = np.random.default_rng(11)
+    W, H = 128, 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    # dark gradient + bright busy texture: psy tunes shift bits toward
+    # the regions where the perceptual metrics see the most damage
+    y = (20 + 30 * (yy / H) + 120 * (xx > W // 2)
+         + rng.normal(0, 14, (H, W)) * (xx > W // 2)).clip(0, 255) \
+        .astype(np.uint8)
+    frame = (y, np.full((H // 2, W // 2), 120, np.uint8),
+             np.full((H // 2, W // 2), 130, np.uint8))
+
+    def metric_of(tune, dec):
+        if tune == "vmaf":
+            return float(np.mean(vif_map(frame[0], dec[0][0])))
+        return butteraugli_score(frame[0], dec[0][0])
+
+    def sweep(tune, metric_name, qs):
+        pts = []
+        with tempfile.TemporaryDirectory() as td:
+            for q in qs:
+                p = os.path.join(td, f"{tune}{q}.ivf")
+                encode_lossy_ivf(p, [frame], W, H, qindex=q,
+                                 tune=tune if tune != "anchor"
+                                 else "psnr")
+                dec = decode_ivf(p)
+                pts.append((os.path.getsize(p),
+                            metric_of(metric_name, dec)))
+        return sorted(pts)
+
+    def interp(pts, rate):
+        for (r0, s0), (r1, s1) in zip(pts, pts[1:]):
+            if r0 <= rate <= r1:
+                t = (rate - r0) / max(r1 - r0, 1)
+                return s0 + t * (s1 - s0)
+        return None
+
+    for tune in ("butteraugli", "vmaf"):
+        anchor = sweep("anchor", tune, (90, 105, 120, 135, 150))
+        ours = sweep(tune, tune, (105, 120, 135))
+        gains = []
+        for rate, score in ours:
+            ref = interp(anchor, rate)
+            if ref is None:
+                continue
+            # both metrics here: lower = better
+            gains.append((ref - score) / max(ref, 1e-9))
+        assert len(gains) >= 2, (tune, ours, anchor)
+        assert float(np.mean(gains)) > 0.0, (tune, gains, ours, anchor)

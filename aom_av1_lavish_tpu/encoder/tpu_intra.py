@@ -40,14 +40,67 @@ class TpuAllIntraEncoder(LossyAllIntraEncoder):
     # device encode happens lazily once source planes are padded
     def _ensure_device_encode(self):
         if self._results is None:
-            self._results = self._wave.encode_frame(
-                [self.src[0][:self.mi_rows * 4, :self.mi_cols * 4],
-                 self.src[1][:self.mi_rows * 2, :self.mi_cols * 2],
-                 self.src[2][:self.mi_rows * 2, :self.mi_cols * 2]])
-            ry, ru, rv = self._wave.recon
+            ext = getattr(self, "_external_wave", None)
+            if ext is not None:
+                # precomputed by a batched multi-frame device run
+                self._results, self._wave.res390, rec = ext
+            else:
+                self._results = self._wave.encode_frame(
+                    [self.src[0][:self.mi_rows * 4, :self.mi_cols * 4],
+                     self.src[1][:self.mi_rows * 2, :self.mi_cols * 2],
+                     self.src[2][:self.mi_rows * 2, :self.mi_cols * 2]])
+                rec = self._wave.recon
+            ry, ru, rv = rec
             self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
             self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
             self.recon[2][:rv.shape[0], :rv.shape[1]] = rv
+
+    # --- native tile fast path -----------------------------------------
+
+    def _native_tile_ok(self) -> bool:
+        """The C walker (runtime/inter_tile.c avl_encode_intra16_tile)
+        covers exactly the restricted KEY syntax this encoder emits."""
+        if self.use_native is False \
+                or getattr(self._wave, "res390", None) is None:
+            return False
+        from ..runtime import native_available
+        fh, sh = self.fh, self.sh
+        return (native_available()
+                and fh.tx_mode == c.TX_MODE_LARGEST
+                and not fh.delta_q_present
+                and not fh.segmentation_enabled
+                and not self.intrabc and not self.screen
+                and not sh.enable_filter_intra
+                and fh.tile_cols_log2 == 0 and fh.tile_rows_log2 == 0
+                and self.sb_mi == 16
+                and self.num_planes == 3 and self.bd == 8
+                and self.mi_rows % 4 == 0 and self.mi_cols % 4 == 0)
+
+    def _encode_tile(self) -> bytes:
+        self._ensure_device_encode()
+        if not self._native_tile_ok():
+            return super()._encode_tile()
+        from ..bitstream.tables import FrameContext
+        from ..runtime import encode_intra16_tile
+        fc = (self.fc0.copy() if getattr(self, "fc0", None) is not None
+              else FrameContext(self.fh.base_q_idx))
+        data = encode_intra16_tile(
+            fc, self._wave.res390, self.mi_rows, self.mi_cols,
+            sb_mi=self.sb_mi,
+            reduced_tx_set=int(self.fh.reduced_tx_set))
+        self.fc = fc
+        # grid bookkeeping for the frame pipeline (deblock level search
+        # reads mi_bsize; CDEF search reads mi_skip)
+        res = self._wave.res390
+        nby, nbx = self.mi_rows // 4, self.mi_cols // 4
+        skip_blk = ((res[:, 1] == 0) & (res[:, 2] == 0)
+                    & (res[:, 3] == 0)).reshape(nby, nbx)
+        self.mi_skip[:nby * 4, :nbx * 4] = np.repeat(
+            np.repeat(skip_blk, 4, 0), 4, 1)
+        self.mi_bsize[:nby * 4, :nbx * 4] = c.BLOCK_16X16
+        self.mi_mode[:nby * 4, :nbx * 4] = np.repeat(
+            np.repeat(res[:, 0].reshape(nby, nbx), 4, 0), 4, 1)
+        return data
 
     def _search(self, mi_row, mi_col, bsize):
         self._ensure_device_encode()
@@ -101,11 +154,30 @@ class TpuAllIntraEncoder(LossyAllIntraEncoder):
 
 def encode_tpu_ivf(path: str, frames, width: int, height: int,
                    qindex: int = 60, fps=(30, 1)) -> None:
+    """All frames ride ONE batched device program (the wavefront loop's
+    per-step cost is fixed, so N frames cost ~one frame's steps), then
+    emit per frame through the native tile walker."""
     from ..bitstream.ivf import write_ivf
+    from ..ops.wavefront import WavefrontEncoder
     sh = make_sequence_header(width, height)
+    # probe one encoder for the padded geometry + lambda
+    fh0 = make_lossy_frame_header(sh, qindex)
+    probe = TpuAllIntraEncoder(sh, fh0)
+    wave = WavefrontEncoder(fh0.base_q_idx, probe.lam)
+    probe.pad_planes(frames[0])
+    h = probe.mi_rows * 4
+    w = probe.mi_cols * 4
+    padded = []
+    for f in frames:
+        e = TpuAllIntraEncoder(sh, make_lossy_frame_header(sh, qindex))
+        e.pad_planes(f)
+        padded.append([e.src[0][:h, :w], e.src[1][:h >> 1, :w >> 1],
+                       e.src[2][:h >> 1, :w >> 1]])
+    raw = wave.encode_frames_raw(padded)
     payloads = []
     for i, f in enumerate(frames):
         fh = make_lossy_frame_header(sh, qindex)
         enc = TpuAllIntraEncoder(sh, fh)
+        enc._external_wave = raw[i]
         payloads.append((enc.encode_frame(f), i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -291,13 +291,51 @@ class WavefrontEncoder:
         _FRAME_FN_CACHE[key] = fn
         return fn
 
-    def encode_frame(self, src_planes):
-        """src_planes: (y, u, v) padded to B multiples.  Returns per-block
-        results dict keyed by (block_row, block_col)."""
+    def _wave_fn_batched(self, key):
+        """vmap of the whole-frame program over a frame batch: the
+        sequential wave loop is the cost driver (per-step overhead), so
+        N frames ride the SAME 2*sqrt-ish wave steps for ~the price of
+        one (frames are independent; only the geometry is shared)."""
+        bkey = key + ("batched",)
+        if bkey in _FRAME_FN_CACHE:
+            return _FRAME_FN_CACHE[bkey]
+        base = self._wave_fn(key)
+        fn = jax.jit(jax.vmap(base,
+                              in_axes=(0, 0, 0, None, None, None, None,
+                                       None)))
+        _FRAME_FN_CACHE[bkey] = fn
+        return fn
+
+    def encode_frames_raw(self, frame_list):
+        """Batched multi-frame encode: ONE dispatch + ONE pipelined
+        fetch for a list of same-geometry (y, u, v) frames.  Returns
+        (per-frame results dicts, per-frame res390 or None, per-frame
+        recon tuples)."""
         B = self.B
-        y, u, v = [np.asarray(p) for p in src_planes]
-        H, W = y.shape
+        ys = np.stack([np.asarray(f[0]) for f in frame_list])
+        us = np.stack([np.asarray(f[1]) for f in frame_list])
+        vs = np.stack([np.asarray(f[2]) for f in frame_list])
+        N, H, W = ys.shape
         assert H % B == 0 and W % B == 0
+        (wave_ys, wave_xs, wave_valid, waves, nbr, nbc) = \
+            self._wave_geometry(H, W)
+        fn = self._wave_fn_batched((H, W, len(waves),
+                                    wave_ys.shape[1]))
+        pq_arrs = tuple(jnp.asarray(_pq_array(p)) for p in self.pq)
+        res, rec = fn(jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+                      jnp.asarray(wave_ys), jnp.asarray(wave_xs),
+                      jnp.asarray(wave_valid), pq_arrs,
+                      jnp.float32(self.lam))
+        from ..utils.xfer import fetch
+        res, rec = fetch(res, rec)
+        out = []
+        for i in range(N):
+            out.append(self._unpack(res[i], rec[i], waves, nbr, nbc,
+                                    H, W))
+        return out
+
+    def _wave_geometry(self, H, W):
+        B = self.B
         nbr, nbc = H // B, W // B
         waves = []
         for d in range(nbr + nbc - 1):
@@ -313,14 +351,12 @@ class WavefrontEncoder:
                 wave_ys[d, i] = r * B
                 wave_xs[d, i] = cc * B
                 wave_valid[d, i] = True
-        fn = self._wave_fn((H, W, n_waves, max_n))
-        pq_arrs = tuple(jnp.asarray(_pq_array(p)) for p in self.pq)
-        res, rec = fn(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            jnp.asarray(wave_ys), jnp.asarray(wave_xs),
-            jnp.asarray(wave_valid), pq_arrs, jnp.float32(self.lam))
-        from ..utils.xfer import fetch
-        res, rec = fetch(res, rec)
+        return wave_ys, wave_xs, wave_valid, waves, nbr, nbc
+
+    def _unpack(self, res, rec, waves, nbr, nbc, H, W):
+        """One frame's packed device outputs -> (results dict, res390,
+        recon planes)."""
+        B = self.B
         Bq = B * B
         Bcq = (B // 2) * (B // 2)
         results = {}
@@ -334,5 +370,32 @@ class WavefrontEncoder:
                     qv=row[4 + Bq + Bcq:4 + Bq + 2 * Bcq],
                     eoby=int(row[1]), eobu=int(row[2]),
                     eobv=int(row[3]))
-        self.recon = (rec[:H], rec[H:, :W // 2], rec[H:, W // 2:])
+        res390 = None
+        if B == 16:
+            n_waves = len(waves)
+            max_n = res.shape[1]
+            bidx = np.full((n_waves, max_n), -1, np.int64)
+            for d, blocks in enumerate(waves):
+                for i, (r, cc) in enumerate(blocks):
+                    bidx[d, i] = r * nbc + cc
+            vmask = bidx >= 0
+            rows = res[vmask].astype(np.int16)
+            tgt = bidx[vmask]
+            r390 = np.zeros((nbr * nbc, 390), np.int16)
+            modes = np.asarray(WAVE_MODES, np.int16)
+            r390[tgt, 0] = modes[rows[:, 0]]
+            r390[tgt, 1:4] = rows[:, 1:4]
+            r390[tgt, 6:262] = rows[:, 4:260]
+            r390[tgt, 262:326] = rows[:, 260:324]
+            r390[tgt, 326:390] = rows[:, 324:388]
+            res390 = r390
+        recon = (rec[:H], rec[H:, :W // 2], rec[H:, W // 2:])
+        return results, res390, recon
+
+    def encode_frame(self, src_planes):
+        """src_planes: (y, u, v) padded to B multiples.  Returns per-block
+        results dict keyed by (block_row, block_col)."""
+        (results, res390, recon), = self.encode_frames_raw([src_planes])
+        self.res390 = res390
+        self.recon = recon
         return results

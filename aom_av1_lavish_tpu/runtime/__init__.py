@@ -98,6 +98,13 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.avl_encode_intra16_tile.restype = ctypes.c_int
+    lib.avl_encode_intra16_tile.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     lib.avl_encode_inter16_tile.restype = ctypes.c_int
     lib.avl_encode_inter16_tile.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
@@ -408,6 +415,76 @@ def encode_inter16_tile(fc, res_buf, mi_rows: int, mi_cols: int,
         sb.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cdfsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scan16.ctypes.data_as(i16p), scan8.ctypes.data_as(i16p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    assert 0 < n <= cap
+    arena_obj.write_back(fc, arena)
+    return bytes(out[:n])
+
+
+def encode_intra16_tile(fc, res_buf, mi_rows: int, mi_cols: int,
+                        sb_mi: int = 16,
+                        reduced_tx_set: int = 0) -> bytes:
+    """Full-native uniform-16x16 KEY-frame tile encode
+    (avl_encode_intra16_tile): partition walk, skip, kf y mode with
+    neighbour-mode contexts, angle-delta, DC chroma, intra tx-type, and
+    coefficient coding.  res_buf rows: [y_mode, eob_y, eob_u, eob_v,
+    0, 0, qy*256, qu*64, qv*64] (raster coefficients).  Byte-exact with
+    encoder/lossy.py's Python emitter (restricted wavefront case);
+    adapts `fc` in place."""
+    from ..bitstream import constants as c
+    from ..bitstream import tables
+    from ..common import coeffs as CF
+    from ..common import txtype as TT
+    lib = get_lib()
+    arena_obj = FcArena(fc)
+    a = arena_obj.offset
+
+    def cdfset(plane_type, tx_size, eob_name):
+        txs = CF.txsize_entropy_ctx(tx_size)
+        return [a("txb_skip_cdf", txs, 0),
+                a(eob_name, plane_type, 0),
+                a("eob_extra_cdf", txs, plane_type, 0),
+                a("coeff_base_eob_cdf", txs, plane_type, 0),
+                a("coeff_base_cdf", txs, plane_type, 0),
+                a("coeff_br_cdf", min(txs, 3), plane_type, 0),
+                a("dc_sign_cdf", plane_type, 0), 0]
+
+    st = TT.ext_tx_set_type(c.TX_16X16, False, bool(reduced_tx_set))
+    tt_base, tt_n, tt_sym = -(17 * 12) - 1, 0, 0
+    if TT.NUM_EXT_TX_SET[st] > 1:
+        eset = TT.intra_ext_tx_idx(st)
+        sqr = c.TX_SIZE_SQR[c.TX_16X16]
+        tt_base = a("intra_ext_tx_cdf", eset, sqr, 0)
+        tt_n = TT.NUM_EXT_TX_SET[st]
+        tt_sym = TT.EXT_TX_IND[st][c.DCT_DCT]
+
+    part_base, part_shape = arena_obj.offsets["partition_cdf"]
+    ioffs = np.asarray(
+        [part_base, part_shape[-1],
+         a("skip_txfm_cdfs", 0),
+         a("kf_y_cdf", 0, 0),
+         a("angle_delta_cdf", 0),
+         a("uv_mode_cdf", 1, 0),
+         tt_base, tt_n, tt_sym], dtype=np.int32)
+    cdfsets = np.asarray(
+        [cdfset(0, c.TX_16X16, "eob_flag_cdf256"),
+         cdfset(1, c.TX_8X8, "eob_flag_cdf64")], dtype=np.int32)
+    scan16 = np.ascontiguousarray(
+        tables.scan(c.TX_16X16, c.DCT_DCT), dtype=np.int16)
+    scan8 = np.ascontiguousarray(
+        tables.scan(c.TX_8X8, c.DCT_DCT), dtype=np.int16)
+    res = np.ascontiguousarray(res_buf, dtype=np.int16)
+    assert res.shape == ((mi_rows // 4) * (mi_cols // 4), 390)
+    arena = arena_obj.arena.copy()
+    cap = int(res.size * 2 + 65536)
+    out = np.zeros(cap, dtype=np.uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    n = lib.avl_encode_intra16_tile(
+        res.ctypes.data_as(i16p), mi_rows, mi_cols, sb_mi,
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ioffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cdfsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         scan16.ctypes.data_as(i16p), scan8.ctypes.data_as(i16p),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)

@@ -514,6 +514,14 @@ class GopEncoder:
                 and self.sh.max_frame_width % 16 == 0
                 and self.sh.max_frame_height % 16 == 0):
             qs = [self._q("inter", base_idx + j) for j in range(L - 1)]
+            if self.enable_tpl and L >= 2:
+                # per-frame TPL q offset (av1_tpl_get_qstep_ratio analog
+                # applied to the P chain, halved: a P frame that the
+                # rest of the group leans on gets a finer quantizer)
+                from .tpl import tpl_q_offset
+                for j in range(L - 1):
+                    dq = tpl_q_offset(importance[j], qs[j]) // 2
+                    qs[j] = max(self.rc.cfg.best_q, qs[j] + dq)
             if self.frame_parallel:
                 from ..parallel.sharding import fpmt_encode_group
                 results, recons, raws = fpmt_encode_group(

@@ -40,8 +40,10 @@ from .wavefront import _quantize_jnp, _est_bits, _PQ, _pq_array
 PADR = 64          # device ref padding (>= clamp overshoot + taps)
 FULLPEL_RADIUS = 16
 #: scan-order coefficient truncation for the result fetch (>p99 of
-#: blocks at working q; overflow frames re-fetch the full buffer)
-CAPY, CAPC = 128, 32
+#: blocks at working q; overflowing blocks re-fetch their full rows).
+#: chroma ships all 64 coeffs — a single full-eob chroma block would
+#: otherwise cost a per-frame tunnel round trip
+CAPY, CAPC = 128, 64
 MV_COST_W = 16.0   # SSD units per full-pel step of |mv| (rate proxy)
 # kept as NUMPY on purpose: device arrays captured by a jit closure are
 # re-validated per call (~40 ms each over the axon tunnel); numpy

@@ -318,7 +318,7 @@ _CONTROL_LIST = [
     _C("AV1E_SET_ENABLE_DIFF_WTD_COMP", "enable-diff-wtd-comp",
        "enable_diff_wtd_comp", "bool"),
     _C("AV1E_SET_ENABLE_DIST_WTD_COMP", "enable-dist-wtd-comp",
-       "enable_dist_wtd_comp", "bool", consumed=ADVISORY,
+       "enable_dist_wtd_comp", "bool", consumed=ENCODE,
        help="distance-weighted averaging is not searched yet"),
     _C("AV1E_SET_ENABLE_INTERINTRA_COMP", "enable-interintra-comp",
        "enable_interintra_comp", "bool"),
@@ -738,6 +738,8 @@ def resolve_tools(cfg) -> dict:
                 cfg.enable_smooth_interintra)
     if any(g is not None for g in ii_gates):
         gop["interintra"] = cfg.enable_interintra_comp is not False
+    if cfg.enable_dist_wtd_comp is not None:
+        gop["jnt_comp"] = bool(cfg.enable_dist_wtd_comp)
     if cfg.enable_order_hint is not None:
         gop["order_hint"] = cfg.enable_order_hint
     if cfg.error_resilient_mode or cfg.frame_parallel_decoding:

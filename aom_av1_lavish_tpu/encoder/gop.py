@@ -79,10 +79,11 @@ class GopEncoder:
             compound_types = False
         if interintra is None:
             interintra = False
+        # distance-weighted compound implies the explicit compound
+        # search and needs order hints (host RD path)
+        comp_pred = comp_pred or (jnt_comp and not use_tpu)
         compound_types = compound_types and comp_pred and not use_tpu
         interintra = interintra and not use_tpu
-        # distance-weighted compound needs order hints + the explicit
-        # compound search (host RD path)
         jnt_comp = jnt_comp and comp_pred and order_hint and not use_tpu
         self.motion_modes = motion_modes
         self.sh = make_sequence_header(width, height,

@@ -188,6 +188,34 @@ def main():
         add(f"inter_gop_tpu_{tag}", round(v, 3), "frames/s",
             v / ref if ref else None)
 
+    # 3b. same code, CPU backend (the round-2/3 inversion check: the
+    # TPU run must now beat the host-fallback run of the same program)
+    code = (
+        "import sys, time, tempfile, os; sys.path.insert(0, %r);"
+        "from bench_full import make_frames;"
+        "from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf;"
+        "f = make_frames(); td = tempfile.mkdtemp();"
+        "p = os.path.join(td, 'g.ivf');"
+        "r = lambda: encode_gop_ivf(p, f, 352, 288, qindex=60,"
+        " gf_length=8, use_tpu=True, enable_cdef=False);"
+        "r(); t0 = time.perf_counter(); r();"
+        "print('FPS', 8 / (time.perf_counter() - t0))" % ROOT)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=900)
+        cpu_fps = None
+        for line in r.stdout.splitlines():
+            if line.startswith("FPS"):
+                cpu_fps = float(line.split()[1])
+        tpu_fps = next(x["value"] for x in results
+                       if x["metric"] == "inter_gop_tpu_352x288")
+        add("inter_gop_cpu_backend_352x288", round(cpu_fps, 3),
+            "frames/s", None,
+            tpu_over_cpu=round(tpu_fps / cpu_fps, 2) if cpu_fps else None)
+    except Exception as e:                            # pragma: no cover
+        add("inter_gop_cpu_backend_352x288", f"error: {e}")
+
     # 4. realtime (device streaming) at CIF / 1080p --------------------
     from aom_av1_lavish_tpu.encoder.nonrd import (encode_realtime_ivf,
                                                   encode_realtime_tpu_ivf)

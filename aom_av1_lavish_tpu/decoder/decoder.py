@@ -1993,3 +1993,71 @@ def decode_ivf(path: str, max_frames: int | None = None,
         if max_frames is not None and len(out) >= max_frames:
             break
     return out
+
+
+def decode_single_tile(data: bytes, tile_idx: int,
+                       sh: H.SequenceHeader | None = None):
+    """Large-scale-tile-style tile random access (the lightfield
+    property: examples/lightfield_decoder.c + av1_ext_tile_test.cc
+    analog): decode ONLY tile `tile_idx` of a self-contained intra
+    frame.  The other tiles' payloads are skipped by their size fields
+    — no entropy decode, the defining cost property of
+    large_scale_tile streams (av1/common/enums.h:55).
+
+    Returns ((y, u, v) tile pixel planes, (row0_px, col0_px), sh).
+    Requires in-loop filters off (the large-scale-tile operating
+    constraint; our multi-tile lossless encoder satisfies it)."""
+    from ..bitstream.bits import BitReader
+    for obu_type, payload, _tid, _sid in H.split_obus_ext(data):
+        if obu_type == c.OBU_SEQUENCE_HEADER:
+            sh = H.parse_sequence_header(payload)
+        elif obu_type == c.OBU_FRAME:
+            assert sh is not None
+            state = {"slots": [None] * 8}
+            fh, endbit = H.parse_frame_header(payload, sh,
+                                              ref_state=state)
+            assert fh.is_intra, "tile random access needs intra frames"
+            assert fh.filter_level[0] == 0 and not sh.enable_cdef \
+                and not sh.enable_restoration, \
+                "large-scale-tile streams run with in-loop filters off"
+            sess = _FrameSession(sh, fh, state)
+            assert 0 <= tile_idx < sess.n_tiles
+            tg = payload[(endbit + 7) >> 3:]
+            r = BitReader(tg)
+            if sess.n_tiles > 1:
+                sep = r.read_bit()
+                if sep:
+                    bits = fh.tile_cols_log2 + fh.tile_rows_log2
+                    r.read_literal(bits)
+                    r.read_literal(bits)
+            pos = (r.bit_offset + 7) >> 3
+            tile_data = None
+            for tn in range(sess.n_tiles):
+                if tn == sess.n_tiles - 1:
+                    size = len(tg) - pos
+                else:
+                    size = int.from_bytes(
+                        tg[pos:pos + fh.tile_size_bytes], "little") + 1
+                    pos += fh.tile_size_bytes
+                if tn == tile_idx:
+                    tile_data = tg[pos:pos + size]
+                    break
+                pos += size
+            assert tile_data, "tile payload missing"
+            dec = sess.dec
+            trow, tcol = divmod(tile_idx, sess.tile_cols)
+            dec.decode_tile_data(tile_data, trow, tcol)
+            r0, r1 = dec.tile_row_range(trow)
+            c0, c1 = dec.tile_col_range(tcol)
+            y0, y1 = r0 * 4, min(r1 * 4, sh.max_frame_height)
+            x0, x1 = c0 * 4, min(c1 * 4, sh.max_frame_width)
+            planes = dec.output()
+            out = [np.asarray(planes[0])[y0:y1, x0:x1]]
+            for p in planes[1:]:
+                if p is None:
+                    continue
+                ss_x, ss_y = sh.subsampling_x, sh.subsampling_y
+                out.append(np.asarray(p)[y0 >> ss_y:(y1 + ss_y) >> ss_y,
+                                         x0 >> ss_x:(x1 + ss_x) >> ss_x])
+            return tuple(out), (y0, x0), sh
+    raise CorruptFrameError("no frame OBU in payload")

@@ -194,27 +194,27 @@ def main():
         "import sys, time, tempfile, os; sys.path.insert(0, %r);"
         "from bench_full import make_frames;"
         "from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf;"
-        "f = make_frames(); td = tempfile.mkdtemp();"
+        "f = make_frames(n=8, w=1280, h=720); td = tempfile.mkdtemp();"
         "p = os.path.join(td, 'g.ivf');"
-        "r = lambda: encode_gop_ivf(p, f, 352, 288, qindex=60,"
+        "r = lambda: encode_gop_ivf(p, f, 1280, 720, qindex=60,"
         " gf_length=8, use_tpu=True, enable_cdef=False);"
         "r(); t0 = time.perf_counter(); r();"
         "print('FPS', 8 / (time.perf_counter() - t0))" % ROOT)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     try:
         r = subprocess.run([sys.executable, "-c", code], env=env,
-                           capture_output=True, text=True, timeout=900)
+                           capture_output=True, text=True, timeout=1500)
         cpu_fps = None
         for line in r.stdout.splitlines():
             if line.startswith("FPS"):
                 cpu_fps = float(line.split()[1])
         tpu_fps = next(x["value"] for x in results
-                       if x["metric"] == "inter_gop_tpu_352x288")
-        add("inter_gop_cpu_backend_352x288", round(cpu_fps, 3),
+                       if x["metric"] == "inter_gop_tpu_1280x720")
+        add("inter_gop_cpu_backend_1280x720", round(cpu_fps, 3),
             "frames/s", None,
             tpu_over_cpu=round(tpu_fps / cpu_fps, 2) if cpu_fps else None)
     except Exception as e:                            # pragma: no cover
-        add("inter_gop_cpu_backend_352x288", f"error: {e}")
+        add("inter_gop_cpu_backend_1280x720", f"error: {e}")
 
     # 4. realtime (device streaming) at CIF / 1080p --------------------
     from aom_av1_lavish_tpu.encoder.nonrd import (encode_realtime_ivf,

@@ -62,6 +62,8 @@ class EncoderConfig(ToolsConfig):
     # GOP
     kf_interval: int = 120
     gf_length: int = 8
+    #: SWITCH_FRAME cadence (aom_codec_enc_cfg_t g_sframe_dist)
+    sframe_dist: int = 0
     use_arf: bool = True
     lossless: bool = False
     bit_depth: int = 8               # 8 | 10 | 12 (10/12 use uint16 planes)
@@ -306,6 +308,7 @@ class Encoder:
             genc = GopEncoderWithTools(
                 cfg.width, cfg.height, tx_select=tx_sel, rc_cfg=rc_cfg,
                 gf_length=cfg.gf_length, kf_interval=cfg.kf_interval,
+                sframe_dist=cfg.sframe_dist,
                 use_arf=cfg.use_arf, use_tpu=cfg.use_tpu,
                 use_native=cfg.use_native, enable_cdef=cfg.enable_cdef,
                 tune=cfg.tune, luma_bias=cfg.luma_bias,

@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--end-usage", choices=("q", "cbr", "vbr"), default=None)
     p.add_argument("--kf-max-dist", type=int, default=120)
     p.add_argument("--gf-length", type=int, default=8)
+    p.add_argument("--sframe-dist", type=int, default=0,
+                   help="SWITCH_FRAME cadence (0 = off)")
     p.add_argument("--no-arf", action="store_true")
     p.add_argument("--tile-columns", type=int, default=0,
                    help="log2 tile columns")
@@ -135,6 +137,7 @@ def main(argv=None) -> int:
         rc_mode=mode, target_bps=args.target_bitrate * 1000,
         qindex=args.cq_level, kf_interval=args.kf_max_dist,
         gf_length=args.gf_length, use_arf=not args.no_arf,
+        sframe_dist=args.sframe_dist,
         tile_cols_log2=args.tile_columns, tile_rows_log2=args.tile_rows,
         use_tpu=args.tpu, cpu_used=args.cpu_used, subsampling=sub)
     if args.svc_temporal_layers > 1:

@@ -53,7 +53,8 @@ class GopEncoder:
                  jnt_comp: bool = False,
                  cpu_used: int | None = None, seq_tools=None,
                  lf_sharpness: int = 0,
-                 frame_parallel: bool = False, mesh=None):
+                 frame_parallel: bool = False, mesh=None,
+                 sframe_dist: int = 0):
         self.tune = tune
         self.luma_bias = luma_bias
         self.order_hint = order_hint
@@ -131,6 +132,9 @@ class GopEncoder:
         # making them independent -> shardable over a 'frame' mesh axis
         self.frame_parallel = frame_parallel and use_tpu
         self.mesh = mesh
+        # S-frame cadence (aom_encoder.h:785 sframe_dist): every Nth
+        # display frame in low-delay coding becomes a SWITCH_FRAME
+        self.sframe_dist = sframe_dist
 
     # --- single-frame encoders -----------------------------------------
 
@@ -183,7 +187,7 @@ class GopEncoder:
     def _encode_inter(self, planes, qindex: int, ref_list,
                       refresh_slot: int, show: bool,
                       rdmult_map=None, order_hint: int = 0,
-                      ext_results=None) -> bytes:
+                      ext_results=None, s_frame: bool = False) -> bytes:
         """Returns the frame OBU bytes only (caller packs the TU)."""
         ref_frame_idx = [0] * 7
         ref_frame_idx[c.LAST_FRAME - 1] = self.last_slot
@@ -197,7 +201,7 @@ class GopEncoder:
                                       bd=self.sh.bit_depth)
         # primary ref = LAST (ref list index 0): CDF carry + backward
         # adaptation when the sequence has order hints
-        primary = (0 if (self.order_hint
+        primary = (0 if (self.order_hint and not s_frame
                          and self.slot_fc[self.last_slot] is not None)
                    else H.PRIMARY_REF_NONE)
         fh = make_inter_frame_header(
@@ -210,6 +214,7 @@ class GopEncoder:
             comp=((self.comp_pred or self.order_hint) and not self.use_tpu
                   and c.ALTREF_FRAME in ref_list),
             order_hint=order_hint, primary_ref=primary,
+            s_frame=s_frame,
             ref_order_hints=tuple(self.slot_hint),
             prev_gm_params=self.slot_gm[self.last_slot],
             motion_modes=self.motion_modes and not self.use_tpu)
@@ -459,6 +464,8 @@ class GopEncoder:
                 payloads.extend(self._encode_gf_group(frames[i:i + L], i))
             else:
                 for j in range(L):
+                    s_fr = bool(self.sframe_dist and (i + j) > 0
+                                and (i + j) % self.sframe_dist == 0)
                     if self.rc.should_drop_frame("inter"):
                         # CBR frame drop (av1_rc_drop_frame): no TU is
                         # emitted; the bucket refills one frame's worth
@@ -468,10 +475,10 @@ class GopEncoder:
                     q = self._q("inter", i + j)
                     obu, q = self._recode(
                         "inter", i + j, q,
-                        lambda qq, f=frames[i + j], d=i + j:
+                        lambda qq, f=frames[i + j], d=i + j, sf=s_fr:
                         self._encode_inter(
                             f, qq, (c.LAST_FRAME,), self.last_slot,
-                            show=True, order_hint=d & 127))
+                            show=True, order_hint=d & 127, s_frame=sf))
                     tu = H.temporal_delimiter() + obu
                     self.rc.postencode("inter", q, len(tu) * 8)
                     payloads.append(tu)

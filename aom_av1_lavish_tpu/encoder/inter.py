@@ -38,6 +38,7 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
                             ref_frame_idx=(0,) * 7,
                             show_frame: int = 1,
                             showable_frame: int = 0,
+                            s_frame: bool = False,
                             gm_params=None,
                             interp_filter: int = c.EIGHTTAP_REGULAR,
                             tx_select: bool = False,
@@ -63,7 +64,13 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
         extra = dict(gm_type=tuple(p[0] for p in gm_params),
                      gm_params=tuple(gm_params))
     non_er = (sh.enable_order_hint
-              and primary_ref != H.PRIMARY_REF_NONE)
+              and primary_ref != H.PRIMARY_REF_NONE and not s_frame)
+    if s_frame:
+        # SWITCH_FRAME constraints (spec 5.9.2; aom_encoder.h:785-795
+        # AOM_EFLAG_SET_S_FRAME): error-resilient implied, every ref
+        # slot refreshed, no size override, shown
+        refresh_frame_flags = 0xFF
+        show_frame, showable_frame = 1, 0
     if allow_hp is None:
         # av1_pick_and_set_high_precision_mv (mv_prec.c): 1/8-pel pays
         # off at low q where residual bits dominate MV bits
@@ -71,8 +78,14 @@ def make_inter_frame_header(sh: H.SequenceHeader, qindex: int,
     cw = width or sh.max_frame_width
     ch = height or sh.max_frame_height
     override = int((cw, ch) != (sh.max_frame_width, sh.max_frame_height))
+    if s_frame:
+        # SWITCH_FRAME: frame_size_override is IMPLIED 1 (spec 5.9.5) —
+        # the explicit size is always coded
+        assert not override, "switch frames keep the sequence size"
+        override = 1
     fh = H.FrameHeader(
-        frame_type=c.INTER_FRAME, show_frame=show_frame,
+        frame_type=c.SWITCH_FRAME if s_frame else c.INTER_FRAME,
+        show_frame=show_frame,
         showable_frame=showable_frame,
         error_resilient_mode=0 if non_er else 1,
         order_hint=order_hint,

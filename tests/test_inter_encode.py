@@ -467,3 +467,54 @@ def test_jnt_comp_conformance(tmp_path):
     for a, b in zip(ours, golden):
         for pa, pb in zip(a, b):
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_sframe_insertion_conformance(tmp_path):
+    """Encoder-side S-frames (aom_encoder.h:785 sframe_dist analog):
+    every Nth low-delay frame is coded as a SWITCH_FRAME (error
+    resilient, refreshes all slots, CDF reset) and the stream decodes
+    bit-exact in stock aomdec.  Previously decode-only."""
+    import subprocess
+    from aom_av1_lavish_tpu.bitstream import constants as cst
+    from aom_av1_lavish_tpu.bitstream import headers as HH
+    from aom_av1_lavish_tpu.encoder.gop import GopEncoder
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+
+    rng = np.random.default_rng(9)
+    W, H, N = 128, 96, 8
+    yy, xx = np.mgrid[0:H + 16, 0:W + 16]
+    base = (120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+            + rng.normal(0, 3, yy.shape)).clip(0, 255).astype(np.uint8)
+    frames = [(np.ascontiguousarray(base[i:i + H, 2 * i:2 * i + W]),
+               np.full((H // 2, W // 2), 120, np.uint8),
+               np.full((H // 2, W // 2), 130, np.uint8))
+              for i in range(N)]
+    enc = GopEncoder(W, H, qindex=100, use_arf=False, kf_interval=1000,
+                     enable_cdef=False, sframe_dist=3)
+    payloads = enc.encode_sequence(frames)
+    # verify SWITCH_FRAME types landed at the cadence
+    kinds = []
+    for p in payloads:
+        for t, pl in HH.split_obus(p):
+            if t == cst.OBU_FRAME:
+                kinds.append((pl[0] >> 5) & 3)   # frame_type bits
+                break
+    assert kinds[0] == cst.KEY_FRAME
+    assert kinds[3] == cst.SWITCH_FRAME and kinds[6] == cst.SWITCH_FRAME
+    assert kinds[1] == cst.INTER_FRAME
+    # decode both ways
+    from aom_av1_lavish_tpu.decoder import decode_ivf
+    ivf = str(tmp_path / "sf.ivf")
+    write_ivf(ivf, [(p, i) for i, p in enumerate(payloads)], W, H, 30, 1)
+    ours = decode_ivf(ivf)
+    assert len(ours) == N
+    if not HAVE_ORACLE:
+        return
+    out = str(tmp_path / "sf.y4m")
+    subprocess.run([AOMDEC, "-o", out, ivf], check=True,
+                   capture_output=True)
+    golden = read_y4m(out)[0]
+    for a, b in zip(ours, golden):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)

@@ -176,3 +176,115 @@ def encode_svc_spatial_ivf(path: str, frames, width: int, height: int,
         tu = _retag(p0, 0, 0) + _retag(p1, 0, 1)
         payloads.append((tu, i))
     write_ivf(path, payloads, width, height, fps[0], fps[1])
+
+
+def encode_svc_layered_ivf(path: str, frames, width: int, height: int,
+                           spatial_layers: int = 3,
+                           temporal_layers: int = 3,
+                           qindex: int = 80, base_q_boost: int = 10,
+                           layer_q_boost: int = 10, fps=(30, 1),
+                           **kw) -> None:
+    """General LxTy SVC encode (x spatial <= 3, y temporal <= 3) — the
+    svc_encoder_rtc.c L3T3 pattern (av1/encoder/svc_layercontext.c:646
+    layer contexts / ref-map management).
+
+    Per temporal unit: spatial layers bottom-up at 1:2:4 resolutions;
+    each layer predicts temporally from its own newest allowed slot
+    (dyadic tid rules) and inter-layer from the CURRENT frame of the
+    layer below (scaled GOLDEN).  Slot map (8 slots):
+      s*2 + {0,1}: layer s frames of tid 0 / tid 1
+      6, 7:        scratch chain for droppable top-tid frames so upper
+                   spatial layers can still inter-layer predict
+    Dropping the top temporal layer never breaks any chain; dropping
+    upper spatial layers leaves lower ones decodable (operating-point
+    drop, obu.c:172)."""
+    import numpy as np
+    from ..bitstream.ivf import write_ivf
+    S, T = spatial_layers, temporal_layers
+    assert 1 <= S <= 3 and 1 <= T <= 3
+    scale = 1 << (S - 1)
+    assert width % (2 * scale) == 0 and height % (2 * scale) == 0
+    sh = make_sequence_header(width, height)
+    sh.operating_point_idc = (((1 << S) - 1) << 8) | ((1 << T) - 1)
+    slots = [None] * 8
+    slot_time = [-1] * 8
+    slot_tid = [9] * 8
+    payloads = []
+
+    def layer_dims(s):
+        f = 1 << (S - 1 - s)
+        return width // f, height // f
+
+    def srcs_of(f):
+        out = [None] * S
+        out[S - 1] = f
+        for s in range(S - 2, -1, -1):
+            w_, h_ = layer_dims(s)
+            out[s] = (_downscale_plane(f[0], w_, h_),
+                      _downscale_plane(f[1], w_ // 2, h_ // 2),
+                      _downscale_plane(f[2], w_ // 2, h_ // 2))
+        return out
+
+    def store(enc, fh, slot, i, tid):
+        if slot is None:
+            return
+        w_, h_ = fh.frame_width, fh.frame_height
+        cw, ch = (w_ + 1) >> 1, (h_ + 1) >> 1
+        slots[slot] = (enc.recon[0][:h_, :w_].copy(),
+                       enc.recon[1][:ch, :cw].copy(),
+                       enc.recon[2][:ch, :cw].copy())
+        slot_time[slot] = i
+        slot_tid[slot] = tid
+
+    for i, f in enumerate(frames):
+        tid = temporal_layer_of(i, T)
+        srcs = srcs_of(f)
+        tu = b""
+        below_slot = None   # slot holding the CURRENT lower layer
+        for s in range(S):
+            w_, h_ = layer_dims(s)
+            q = min(255, qindex + layer_q_boost * tid
+                    + base_q_boost * (S - 1 - s))
+            top_tid = tid == T - 1 and tid > 0 and T > 2
+            if top_tid:
+                refresh_slot = 6 + s if s < 2 else None
+            else:
+                refresh_slot = s * 2 + min(tid, 1)
+            refresh = (1 << refresh_slot) if refresh_slot is not None \
+                else 0
+            if i == 0 and s == 0:
+                fh = make_lossy_frame_header(sh, q, width=w_, height=h_)
+                enc = LossyAllIntraEncoder(sh, fh, **kw)
+                p = enc.encode_frame(srcs[s])
+                # key frames refresh everything
+                for sl in range(8):
+                    store(enc, fh, sl, i, 0)
+                tu += _retag(p, tid, s)
+                below_slot = 0
+                continue
+            ref_idx = [0] * 7
+            ref_list = []
+            own = [sl for sl in (s * 2, s * 2 + 1)
+                   if slot_time[sl] >= 0 and slot_tid[sl] <= tid]
+            if i > 0 and own:
+                last_slot = max(own, key=lambda sl: slot_time[sl])
+                ref_idx[c.LAST_FRAME - 1] = last_slot
+                ref_list.append(c.LAST_FRAME)
+            if s > 0 and below_slot is not None:
+                ref_idx[c.GOLDEN_FRAME - 1] = below_slot
+                ref_list.append(c.GOLDEN_FRAME)
+            assert ref_list, "layer frame with no reference"
+            fh = make_inter_frame_header(
+                sh, q, refresh_frame_flags=refresh,
+                ref_frame_idx=tuple(ref_idx), width=w_, height=h_)
+            enc = InterFrameEncoder(sh, fh, slots,
+                                    ref_list=tuple(ref_list), **kw)
+            p = enc.encode_frame(srcs[s])
+            store(enc, fh, refresh_slot, i, tid)
+            if refresh_slot is not None:
+                below_slot = refresh_slot
+            else:
+                below_slot = None
+            tu += _retag(p, tid, s)
+        payloads.append((tu, i))
+    write_ivf(path, payloads, width, height, fps[0], fps[1])

@@ -135,3 +135,48 @@ def test_spatial_svc_l2t1(tmp_path):
     mse = np.mean((enh[-1][0].astype(float)
                    - frames[-1][0].astype(float)) ** 2)
     assert 10 * np.log10(255 ** 2 / mse) > 30
+
+
+def test_svc_l3t3(tmp_path):
+    """L3T3 SVC (svc_encoder_rtc.c flagship pattern,
+    svc_layercontext.c:646): 3 spatial x 3 temporal layers; the full
+    stream decodes in stock aomdec bit-exactly, dropping the top
+    temporal layer keeps every chain intact, and the base operating
+    point decodes standalone at quarter resolution."""
+    import os
+    import subprocess
+    from aom_av1_lavish_tpu.encoder.svc import encode_svc_layered_ivf
+    from aom_av1_lavish_tpu.utils.y4m import read_y4m
+
+    rng = np.random.default_rng(4)
+    W, H, N = 128, 96, 8
+    yy, xx = np.mgrid[0:H + 20, 0:W + 20]
+    base = 120 + 70 * np.sin(yy / 9.0) * np.cos(xx / 8.0)
+    frames = []
+    for i in range(N):
+        y = (base[2 * i:2 * i + H, i:i + W]
+             + rng.normal(0, 3, (H, W))).clip(0, 255).astype(np.uint8)
+        frames.append((y, np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 130, np.uint8)))
+    ivf = str(tmp_path / "l3t3.ivf")
+    encode_svc_layered_ivf(ivf, frames, W, H, spatial_layers=3,
+                           temporal_layers=3, qindex=100)
+    # full decode: 3 shown frames per TU at 1/4, 1/2, full res
+    full = decode_ivf(ivf)
+    assert len(full) == 3 * N
+    assert [o[0].shape for o in full[:3]] == \
+        [(H // 4, W // 4), (H // 2, W // 2), (H, W)]
+    # drop the top temporal layer: chains stay valid
+    t1 = decode_ivf(ivf, max_temporal_layer=1)
+    assert len(t1) == 3 * (N - N // 2)
+    # base operating point alone (quarter res)
+    b = decode_ivf(ivf, max_temporal_layer=0, max_spatial_layer=0)
+    assert all(o[0].shape == (H // 4, W // 4) for o in b)
+    # oracle conformance on the full stream
+    aomdec = os.path.join(os.path.dirname(__file__), "..", ".oracle",
+                          "build", "aomdec")
+    if not os.path.exists(aomdec):
+        return
+    out = str(tmp_path / "l3t3.y4m")
+    subprocess.run([aomdec, "--all-layers", "-o", out, ivf], check=True,
+                   capture_output=True)

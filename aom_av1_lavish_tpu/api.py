@@ -264,8 +264,16 @@ class Encoder:
         search = dict(tools["search"])
         if cfg.enable_filter_intra:
             search["filter_intra"] = True
+        seg = None
+        if cfg.roi_map is not None:
+            # AOME_SET_ROI_MAP: {'map': per-16x16 segment ids,
+            # 'delta_q': per-segment q deltas} lowered onto AV1
+            # segmentation (SEG_LVL_ALT_Q)
+            roi = cfg.roi_map
+            seg = list(roi["delta_q"])
+            search["roi_seg_map"] = roi["map"]
         return self._via_ivf(
-            encode_lossy_ivf, qindex=cfg.qindex,
+            encode_lossy_ivf, qindex=cfg.qindex, seg=seg,
             enable_cdef=int(cfg.enable_cdef),
             enable_restoration=int(bool(cfg.enable_restoration)),
             bit_depth=cfg.bit_depth, screen=screen,
@@ -297,6 +305,7 @@ class Encoder:
                     or cfg.film_grain_table
                     or cfg.tune_content == "screen"
                     or cfg.enable_palette or cfg.enable_intrabc
+                    or cfg.roi_map is not None
                     or cfg.subsampling != "420"):
                 return self._flush_allintra(tools)
             rc_cfg = RateControlConfig(

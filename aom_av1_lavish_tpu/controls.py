@@ -66,6 +66,8 @@ class Control:
                 raise ValueError(
                     f"{self.key}={v!r} not in {self.choices}")
             return v
+        if self.kind == "obj":
+            return value          # struct/map payload, passed through
         return str(value)
 
     def check(self, v):
@@ -110,12 +112,37 @@ _CONTROL_LIST = [
        choices=("psnr", "ssim", "butteraugli", "vmaf", "lavish")),
     _C("AOME_SET_MAX_INTRA_BITRATE_PCT", "max-intra-rate",
        "max_intra_bitrate_pct", "int", 0, None, consumed=RC),
-    _C("AOME_SET_MAX_INTER_BITRATE_PCT", "max-inter-rate",
+    _C("AV1E_SET_MAX_INTER_BITRATE_PCT", "max-inter-rate",
        "max_inter_bitrate_pct", "int", 0, None, consumed=RC),
     _C("AOME_SET_NUMBER_SPATIAL_LAYERS", "spatial-layers",
        "spatial_layers", "int", 1, 4),
     _C("AOME_SET_SCALEMODE", "scale-mode", "scale_mode", "int", 0, 3,
        consumed=ADVISORY),
+    # structured controls (struct/map payloads in the reference ABI);
+    # the equivalent functionality lives on explicit driver APIs here
+    _C("AOME_SET_ROI_MAP", "roi-map", "roi_map", "obj",
+       consumed=ENCODE,
+       help="region-of-interest segment map (aom_roi_map_t analog: "
+            "per-16x16 segment ids + per-segment q deltas; lowered "
+            "onto AV1 segmentation)"),
+    _C("AOME_SET_ACTIVEMAP", "active-map", "active_map", "obj",
+       consumed=ADVISORY,
+       help="active/skip macroblock map (aom_active_map_t; advisory: "
+            "the RT skip decisions are RD-driven here)"),
+    _C("AOME_SET_SPATIAL_LAYER_ID", "spatial-layer-id",
+       "spatial_layer_id", "int", 0, 3, consumed=ADVISORY,
+       help="per-frame layer id (the layered drivers in encoder/svc.py "
+            "manage ids internally)"),
+    _C("AV1E_SET_SVC_LAYER_ID", "svc-layer-id", "svc_layer_id", "obj",
+       consumed=ADVISORY, help="aom_svc_layer_id_t analog"),
+    _C("AV1E_SET_SVC_PARAMS", "svc-params", "svc_params", "obj",
+       consumed=ADVISORY,
+       help="aom_svc_params_t analog; encode_svc_layered_ivf exposes "
+            "the LxTy ladder directly"),
+    _C("AV1E_SET_SVC_REF_FRAME_CONFIG", "svc-ref-frame-config",
+       "svc_ref_frame_config", "obj", consumed=ADVISORY),
+    _C("AV1E_SET_SVC_REF_FRAME_COMP_PRED", "svc-ref-frame-comp-pred",
+       "svc_ref_frame_comp_pred", "obj", consumed=ADVISORY),
 
     # --- lavish psy / luma-bias family (AOME_*) -----------------------
     _C("AOME_SET_LUMA_BIAS", "luma-bias", "luma_bias", "float", 0, 100,
@@ -141,7 +168,7 @@ _CONTROL_LIST = [
        "delta_qindex_mult_neg", "float", 0, 10),
     _C("AOME_SET_ENABLE_EXPERIMENTAL_PSY", "enable-experimental-psy",
        "experimental_psy", "bool"),
-    _C("AOME_SET_CHROMA_Q_OFFSET_V", "chroma-q-offset-v",
+    _C("AV1E_SET_CHROMA_Q_OFFSET_V", "chroma-q-offset-v",
        "chroma_q_offset_v", "int", -64, 63),
     _C("AV1E_SET_CHROMA_Q_OFFSET_U", "chroma-q-offset-u",
        "chroma_q_offset_u", "int", -64, 63),
@@ -523,6 +550,14 @@ class ToolsConfig:
     rtc_external_rc: bool = False
     scale_mode: int = 0
     spatial_layers: int = 1
+    # structured controls (struct/map payloads)
+    roi_map: object = None
+    active_map: object = None
+    spatial_layer_id: int = 0
+    svc_layer_id: object = None
+    svc_params: object = None
+    svc_ref_frame_config: object = None
+    svc_ref_frame_comp_pred: object = None
     temporal_layers: int = 1
     # quantization
     aq_mode: int = 0

@@ -129,6 +129,7 @@ class LossyAllIntraEncoder(LosslessEncoder):
                  mode_set=ALL_Y_MODES, enable_cfl=True, tune="psnr",
                  luma_bias=0.0, trellis=True, rect_parts=True, speed=0,
                  saliency=0.0, tx_search=None, seg_flavor="variance",
+                 roi_seg_map=None,
                  ext_parts=False, sharpness=0):
         super().__init__(sh, fh, use_native=use_native)
         self.min_bsize = block_size
@@ -160,6 +161,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         # segmentation (segment-based AQ: SEG_LVL_ALT_Q per segment)
         self.seg_on = bool(getattr(fh, "segmentation_enabled", 0))
         self.seg_flavor = seg_flavor  # "variance" | "complexity"
+        #: user region-of-interest segment-id map (AOME_SET_ROI_MAP
+        #: analog): per-16x16 units, values < n_segments
+        self.roi_seg_map = roi_seg_map
         self.seg_plan = None      # planned per-mi segment ids
         self.seg_emit_map = None  # decoder-mirrored ids (skip => pred)
         # intraBC (hash-MV search; encoder/intrabc.py)
@@ -226,8 +230,22 @@ class LossyAllIntraEncoder(LosslessEncoder):
     def _setup_segmentation(self, planes) -> None:
         """Assign mi cells to segments by 16x16 activity quantiles
         (av1 aq_cyclicrefresh/variance segment maps analog): bucket k
-        maps to segment k, whose SEG_LVL_ALT_Q the caller chose."""
+        maps to segment k, whose SEG_LVL_ALT_Q the caller chose.
+        A user ROI map (AOME_SET_ROI_MAP) overrides the automatic
+        assignment."""
         n_seg = self.fh.seg_last_active + 1
+        if self.roi_seg_map is not None:
+            m = np.asarray(self.roi_seg_map, np.uint8)
+            assert m.max() < n_seg, "ROI segment id out of range"
+            self.seg_plan = np.zeros((self.mi_rows, self.mi_cols),
+                                     np.uint8)
+            for r in range(self.mi_rows):
+                for cc in range(self.mi_cols):
+                    self.seg_plan[r, cc] = m[min(r // 4, m.shape[0] - 1),
+                                             min(cc // 4, m.shape[1] - 1)]
+            self.seg_emit_map = np.zeros((self.mi_rows, self.mi_cols),
+                                         np.uint8)
+            return
         y = np.asarray(planes[0], np.float64)
         b = 16
         hb = max(y.shape[0] // b, 1)

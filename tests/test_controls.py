@@ -313,3 +313,32 @@ def test_cli_registry_flags(tmp_path):
     from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
     pkts = [p for p, _ in read_ivf(out)]
     assert len(_decode_all(pkts)) == 2
+
+
+def test_roi_map_control_drives_segmentation(tmp_path):
+    """AOME_SET_ROI_MAP analog: a user segment map + per-segment q
+    deltas must produce a segmented stream whose ROI region is coded
+    at the finer quantizer (decoded quality differs accordingly)."""
+    import numpy as np
+    from aom_av1_lavish_tpu.api import Encoder, EncoderConfig
+    from aom_av1_lavish_tpu.decoder.decoder import decode_frame_obus
+
+    W, H = 128, 96
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    frame = (y, np.full((H // 2, W // 2), 120, np.uint8),
+             np.full((H // 2, W // 2), 130, np.uint8))
+    # ROI: left half segment 1 (much finer q), right half segment 0
+    m = np.zeros((H // 16, W // 16), np.uint8)
+    m[:, : W // 32] = 1
+    cfg = EncoderConfig(width=W, height=H, qindex=160)
+    cfg.set_option("roi-map", {"map": m, "delta_q": [0, -80]})
+    enc = Encoder(cfg)
+    enc.encode(frame)
+    payloads = enc.flush()
+    frames, _ = decode_frame_obus(payloads[0], None,
+                                  {"slots": [None] * 8})
+    dy = frames[0][0].astype(np.float64)
+    err_roi = np.mean((dy[:, :W // 2] - y[:, :W // 2]) ** 2)
+    err_rest = np.mean((dy[:, W // 2:] - y[:, W // 2:]) ** 2)
+    assert err_roi < err_rest * 0.6, (err_roi, err_rest)

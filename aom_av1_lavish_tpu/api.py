@@ -157,6 +157,37 @@ class Encoder:
         self._frames = []
         self._packets = []
 
+    #: GET-control accessors (aom_codec_control GET ids; the last 8
+    #: reference ids not coverable by the set-registry)
+    _GET_CONTROLS = (
+        "AOME_GET_LAST_QUANTIZER", "AOME_GET_LAST_QUANTIZER_64",
+        "AOME_GET_LOOPFILTER_LEVEL", "AV1E_GET_ACTIVEMAP",
+        "AV1E_GET_BASELINE_GF_INTERVAL", "AV1E_GET_NUM_OPERATING_POINTS",
+        "AV1E_GET_SEQ_LEVEL_IDX", "AV1E_GET_TARGET_SEQ_LEVEL_IDX")
+
+    def get_control(self, name: str):
+        """Query-side controls (aomcx.h AV1E_GET_* / AOME_GET_*)."""
+        cfg = self.cfg
+        st = getattr(self, "_stats", {})
+        if name == "AOME_GET_LAST_QUANTIZER":
+            return st.get("last_quantizer", cfg.qindex)
+        if name == "AOME_GET_LAST_QUANTIZER_64":
+            return st.get("last_quantizer", cfg.qindex) >> 2
+        if name == "AOME_GET_LOOPFILTER_LEVEL":
+            return st.get("loopfilter_level", 0)
+        if name == "AV1E_GET_ACTIVEMAP":
+            return cfg.active_map
+        if name == "AV1E_GET_BASELINE_GF_INTERVAL":
+            return cfg.gf_length
+        if name == "AV1E_GET_NUM_OPERATING_POINTS":
+            return max(cfg.temporal_layers, 1) * max(cfg.spatial_layers, 1)
+        if name in ("AV1E_GET_SEQ_LEVEL_IDX",
+                    "AV1E_GET_TARGET_SEQ_LEVEL_IDX"):
+            from .encoder.levels import pick_level
+            return pick_level(cfg.width, cfg.height, cfg.fps,
+                              cfg.target_bps)
+        raise KeyError(f"unknown GET control {name!r}")
+
     def control(self, name: str, value) -> None:
         """aom_codec_control analog: AV1E_SET_* name or CLI key."""
         apply_control(self.cfg, name, value)
@@ -324,7 +355,12 @@ class Encoder:
                 bit_depth=cfg.bit_depth, cpu_used=cfg.cpu_used,
                 seq_tools=tools["seq"] or None,
                 search_overrides=tools["search"] or None, **gop_kw)
-            return genc.encode_sequence(self._frames)
+            out = genc.encode_sequence(self._frames)
+            self._stats = {
+                "last_quantizer": genc.rc.last_q_inter,
+                "loopfilter_level": 0,
+            }
+            return out
         finally:
             self._frames = []
 

@@ -342,3 +342,15 @@ def test_roi_map_control_drives_segmentation(tmp_path):
     err_roi = np.mean((dy[:, :W // 2] - y[:, :W // 2]) ** 2)
     err_rest = np.mean((dy[:, W // 2:] - y[:, W // 2:]) ** 2)
     assert err_roi < err_rest * 0.6, (err_roi, err_rest)
+
+
+def test_get_controls():
+    """GET-side control accessors (AOME_GET_* / AV1E_GET_*)."""
+    from aom_av1_lavish_tpu.api import Encoder, EncoderConfig
+    cfg = EncoderConfig(width=128, height=96, qindex=120)
+    enc = Encoder(cfg)
+    assert enc.get_control("AOME_GET_LAST_QUANTIZER") == 120
+    assert enc.get_control("AOME_GET_LAST_QUANTIZER_64") == 30
+    assert enc.get_control("AV1E_GET_BASELINE_GF_INTERVAL") == cfg.gf_length
+    assert enc.get_control("AV1E_GET_NUM_OPERATING_POINTS") >= 1
+    assert isinstance(enc.get_control("AV1E_GET_SEQ_LEVEL_IDX"), int)

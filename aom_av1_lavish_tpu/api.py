@@ -379,16 +379,179 @@ def GopEncoderWithTools(*args, search_overrides=None, tx_select=None,
 
 
 class Decoder:
-    """Stream decoder (aom_codec_decode surface)."""
+    """Stream decoder (aom_codec_decode surface) with the aomdx.h
+    control surface: AV1D_SET_* via control(), AOMD_/AV1D_GET_* via
+    get_control()."""
 
     def __init__(self):
         self._sh = None
         self._state = {"slots": [None] * 8}
+        self._annexb = False
+        self._corrupted = False
 
     def decode(self, payload: bytes) -> list:
         """Decode one temporal unit; returns the list of shown frames
         (each a (y, u, v) tuple)."""
-        from .decoder.decoder import decode_frame_obus
-        frames, self._sh = decode_frame_obus(payload, self._sh,
-                                             self._state)
+        from .decoder.decoder import decode_frame_obus, CorruptFrameError
+        if self._annexb:
+            from .bitstream.obu import annexb_tu_to_obus
+            payload, _ = annexb_tu_to_obus(payload)
+        try:
+            frames, self._sh = decode_frame_obus(payload, self._sh,
+                                                 self._state)
+        except CorruptFrameError:
+            self._corrupted = True
+            raise
+        self._corrupted = False
         return frames
+
+    # -- aom_codec_control, decoder side ---------------------------------
+
+    def control(self, name: str, value) -> None:
+        """AV1D_SET_* controls (aomdx.h; av1/av1_dx_iface.c handlers)."""
+        st = self._state
+        if name == "AV1D_SET_IS_ANNEXB":
+            self._annexb = bool(value)
+        elif name == "AV1D_SET_OPERATING_POINT":
+            st["operating_point"] = int(value)
+        elif name == "AV1D_SET_OUTPUT_ALL_LAYERS":
+            # we already output every shown frame of every decoded
+            # layer; False additionally drops non-top spatial layers
+            st["output_all_layers"] = bool(value)
+        elif name == "AV1D_SET_ROW_MT":
+            # host threads are not the parallelism axis of this design
+            # (tiles fan out over tile_workers / device batches);
+            # accepted for API parity
+            st["row_mt"] = bool(value)
+        elif name == "AV1D_SET_SKIP_FILM_GRAIN":
+            st["skip_film_grain"] = bool(value)
+        elif name == "AV1D_SET_EXT_REF_PTR":
+            # large-scale-tile flow (lightfield_tile_list_decoder.c):
+            # preload camera/anchor frames into reference slots.
+            # value: {slot_index: (y, u, v)} or a list of plane tuples.
+            items = (value.items() if isinstance(value, dict)
+                     else enumerate(value))
+            for slot, planes in items:
+                st["slots"][int(slot)] = {
+                    "planes": tuple(planes), "order_hint": 0,
+                    "fc": None, "deltas": None, "frame_type": 0,
+                    "mi_dims": (planes[0].shape[0] >> 2,
+                                planes[0].shape[1] >> 2),
+                    "mvs": None, "seg_map": None,
+                    "ref_order_hints": (0,) * 7, "grain": None}
+        elif name in ("AOMD_SET_TILE_WORKERS",):   # extension
+            st["tile_workers"] = int(value)
+        else:
+            raise KeyError(f"unknown decoder control {name!r}")
+
+    def get_control(self, name: str, *args):
+        """Query-side controls (aomdx.h AOMD_GET_* / AV1D_GET_*), read
+        from the last decoded frame's header/state."""
+        sh, st = self._sh, self._state
+        fh = st.get("last_fh")
+        if name == "AOMD_GET_FRAME_CORRUPTED":
+            return int(self._corrupted)
+        if fh is None:
+            raise RuntimeError("no frame decoded yet")
+        if name in ("AOMD_GET_BASE_Q_IDX", "AOMD_GET_LAST_QUANTIZER"):
+            return fh.base_q_idx
+        if name == "AOMD_GET_FRAME_FLAGS":
+            # aom_codec_frame_flags_t (aom_codec.h AOM_FRAME_IS_*)
+            flags = 0
+            if fh.frame_type == 0 and fh.show_frame:
+                flags |= 0x1                     # AOM_FRAME_IS_KEY
+            if fh.refresh_frame_flags == 0:
+                flags |= 0x2                     # AOM_FRAME_IS_DROPPABLE
+            if fh.frame_type == 2:
+                flags |= 0x10                    # AOM_FRAME_IS_INTRAONLY
+            if fh.frame_type == 3:
+                flags |= 0x20                    # AOM_FRAME_IS_SWITCH
+            if fh.error_resilient_mode:
+                flags |= 0x40                    # ..._ERROR_RESILIENT
+            if fh.frame_type == 0 and not fh.show_frame:
+                flags |= 0x80                    # delayed random access
+            return flags
+        if name == "AOMD_GET_ALTREF_PRESENT":
+            return int(st.get("altref_seen", False))
+        if name == "AOMD_GET_FWD_KF_PRESENT":
+            return int(st.get("fwd_kf_seen", False))
+        if name == "AOMD_GET_LAST_REF_UPDATES":
+            return fh.refresh_frame_flags
+        if name == "AOMD_GET_LAST_REF_USED":
+            # header-level mask of the 7 named references an inter
+            # frame signals (LAST..ALTREF); 0 for intra frames
+            if fh.frame_type in (0, 2) or fh.show_existing_frame:
+                return 0
+            return (1 << 7) - 1 if fh.ref_frame_idx else 0
+        if name == "AOMD_GET_ORDER_HINT":
+            return fh.order_hint
+        if name == "AOMD_GET_SB_SIZE":
+            return 128 if sh.use_128x128_superblock else 64
+        if name == "AOMD_GET_SCREEN_CONTENT_TOOLS_INFO":
+            return {"allow_screen_content_tools":
+                    int(fh.allow_screen_content_tools),
+                    "force_integer_mv": int(fh.force_integer_mv)}
+        if name == "AOMD_GET_SHOW_EXISTING_FRAME_FLAG":
+            return int(fh.show_existing_frame)
+        if name == "AOMD_GET_SHOW_FRAME_FLAG":
+            return int(fh.show_frame or fh.show_existing_frame)
+        if name == "AOMD_GET_STILL_PICTURE":
+            return {"is_still_picture": int(sh.still_picture),
+                    "is_reduced_still_picture_hdr":
+                    int(sh.reduced_still_picture_header)}
+        if name == "AOMD_GET_S_FRAME_INFO":
+            return {"is_s_frame": int(fh.frame_type == 3),
+                    "is_s_frame_at_altref":
+                    int(fh.frame_type == 3 and not fh.show_frame)}
+        if name == "AV1D_GET_BIT_DEPTH":
+            return (12 if sh.twelve_bit else 10) if sh.high_bitdepth \
+                else 8
+        if name == "AV1D_GET_IMG_FORMAT":
+            if sh.mono_chrome:
+                return "MONO"
+            return {(1, 1): "I420", (1, 0): "I422",
+                    (0, 0): "I444"}[(sh.subsampling_x, sh.subsampling_y)]
+        if name == "AV1D_GET_FRAME_SIZE":
+            return (fh.upscaled_width, fh.frame_height)
+        if name == "AV1D_GET_DISPLAY_SIZE":
+            return (fh.render_width, fh.render_height)
+        if name == "AV1D_GET_FRAME_HEADER_INFO":
+            return fh
+        if name == "AV1D_GET_TILE_COUNT":
+            t = st.get("last_tiles") or {"cols": 1, "rows": 1}
+            return t["cols"] * t["rows"]
+        if name in ("AV1D_GET_TILE_INFO", "AOMD_GET_TILE_INFO"):
+            t = st.get("last_tiles")
+            if t is None:
+                raise RuntimeError("no tile data recorded")
+            return {"tile_cols": t["cols"], "tile_rows": t["rows"],
+                    "tile_cols_log2": t["cols_log2"],
+                    "tile_rows_log2": t["rows_log2"]}
+        if name == "AV1D_GET_TILE_SIZE":
+            t = st.get("last_tiles")
+            if t is None:
+                raise RuntimeError("no tile data recorded")
+            sb = 128 if sh.use_128x128_superblock else 64
+            w = -(-fh.frame_width // sb) * sb // t["cols"]
+            h = -(-fh.frame_height // sb) * sb // t["rows"]
+            return (w, h)
+        if name == "AV1D_GET_TILE_DATA":
+            t = st.get("last_tiles")
+            if t is None:
+                raise RuntimeError("no tile data recorded")
+            if args:
+                return dict(t["payloads"])[int(args[0])]
+            return list(t["payloads"])
+        if name == "AV1D_GET_MI_INFO":
+            mi = st.get("last_mi")
+            if mi is None:
+                raise RuntimeError("no frame decoded yet")
+            r, c_ = (int(args[0]), int(args[1])) if args else (0, 0)
+            return {"mode": int(mi["mode"][r, c_]),
+                    "ref0": int(mi["ref0"][r, c_]),
+                    "mv": tuple(int(x) for x in
+                                np.asarray(mi["mv"][r, c_]).reshape(-1)[:2]),
+                    "bsize": int(mi["bsize"][r, c_]),
+                    "skip": int(mi["skip"][r, c_]),
+                    "segment_id": int(mi["seg"][r, c_])}
+        raise KeyError(f"unknown decoder GET control {name!r}")

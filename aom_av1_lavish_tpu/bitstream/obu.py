@@ -97,22 +97,29 @@ def _ensure_size_field(obu: bytes) -> bytes:
         + payload
 
 
+def annexb_tu_to_obus(data: bytes, pos: int = 0):
+    """Convert one Annex-B temporal unit (starting at `pos`, including
+    its leading temporal_unit_size) to low-overhead OBU bytes.  Returns
+    (obu_bytes, next_pos) — the AV1D_SET_IS_ANNEXB input adapter."""
+    tu_size, pos = leb128_decode(data, pos)
+    tu_end = pos + tu_size
+    obus = []
+    while pos < tu_end:
+        fu_size, pos = leb128_decode(data, pos)
+        fu_end = pos + fu_size
+        while pos < fu_end:
+            ln, pos = leb128_decode(data, pos)
+            obus.append(_ensure_size_field(data[pos:pos + ln]))
+            pos += ln
+        pos = fu_end
+    return b"".join(obus), tu_end
+
+
 def read_annexb(path: str):
     """Yield low-overhead TU byte strings from an Annex-B file."""
     with open(path, "rb") as f:
         data = f.read()
     pos = 0
     while pos < len(data):
-        tu_size, pos = leb128_decode(data, pos)
-        tu_end = pos + tu_size
-        obus = []
-        while pos < tu_end:
-            fu_size, pos = leb128_decode(data, pos)
-            fu_end = pos + fu_size
-            while pos < fu_end:
-                ln, pos = leb128_decode(data, pos)
-                obus.append(_ensure_size_field(data[pos:pos + ln]))
-                pos += ln
-            pos = fu_end
-        pos = tu_end
-        yield b"".join(obus)
+        tu, pos = annexb_tu_to_obus(data, pos)
+        yield tu

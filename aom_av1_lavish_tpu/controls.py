@@ -475,9 +475,18 @@ BY_KEY: dict[str, Control] = {ctl.key: ctl for ctl in _CONTROL_LIST}
 assert len(CONTROLS) == len(_CONTROL_LIST), "duplicate control name"
 
 
+# alternate macro spellings the reference header also defines for the
+# same control IDs (aomcx.h AOM_CTRL_AOME_SET_* duplicate defines)
+ALIASES = {
+    "AOME_SET_MAX_INTER_BITRATE_PCT": "AV1E_SET_MAX_INTER_BITRATE_PCT",
+    "AOME_SET_CHROMA_Q_OFFSET_V": "AV1E_SET_CHROMA_Q_OFFSET_V",
+}
+
+
 def apply_control(cfg, name_or_key: str, value) -> None:
     """aom_codec_control / aom_codec_set_option analog: parse, range
     check, and set the mapped EncoderConfig field."""
+    name_or_key = ALIASES.get(name_or_key, name_or_key)
     ctl = CONTROLS.get(name_or_key) or BY_KEY.get(name_or_key)
     if ctl is None:
         raise KeyError(f"unknown control {name_or_key!r}")

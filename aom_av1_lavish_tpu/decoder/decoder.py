@@ -1772,14 +1772,34 @@ def _decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
                 continue
         if obu_type == c.OBU_SEQUENCE_HEADER:
             sh = H.parse_sequence_header(payload)
+            op = state.get("operating_point")
+            if op is not None:
+                # AV1D_SET_OPERATING_POINT: derive the layer filter
+                # from operating_point_idc (spec 6.4.1; obu.c:122).
+                # Our writer emits one operating point; scalable
+                # streams use the idc as the layer mask for any op.
+                idc = sh.operating_point_idc
+                if idc:
+                    max_tid = state["max_tid"] = \
+                        max((idc & 0xFF).bit_length() - 1, 0)
+                    max_sid = state["max_sid"] = \
+                        max(((idc >> 8) & 0xF).bit_length() - 1, 0)
         elif obu_type in (c.OBU_FRAME, c.OBU_FRAME_HEADER):
             assert sh is not None
             fh, endbit = H.parse_frame_header(payload, sh, ref_state=state)
+            # query-side bookkeeping (aomdx.h AOMD_GET_* accessors)
+            state["last_fh"] = fh
+            if not fh.show_existing_frame:
+                if not fh.show_frame and fh.showable_frame:
+                    state["altref_seen"] = True
+                if fh.frame_type == c.KEY_FRAME and not fh.show_frame:
+                    state["fwd_kf_seen"] = True
             if fh.show_existing_frame:
                 slot = state["slots"][fh.frame_to_show]
                 assert slot is not None
-                frames.append(_grain_output(slot["planes"],
-                                            slot.get("grain"), sh))
+                frames.append(_grain_output(
+                    slot["planes"], slot.get("grain"), sh,
+                    skip=state.get("skip_film_grain", False)))
                 continue
             session = _FrameSession(sh, fh, state)
             if obu_type == c.OBU_FRAME:
@@ -1788,7 +1808,9 @@ def _decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
                 out = session.finish()
                 session = None
                 if fh.show_frame:
-                    frames.append(_grain_output(out, fh.film_grain, sh))
+                    frames.append(_grain_output(
+                        out, fh.film_grain, sh,
+                        skip=state.get("skip_film_grain", False)))
         elif obu_type == c.OBU_TILE_GROUP:
             assert session is not None, "tile group without frame header"
             if session.feed(payload):
@@ -1796,17 +1818,20 @@ def _decode_frame_obus(data: bytes, sh: H.SequenceHeader | None = None,
                 fh = session.fh
                 session = None
                 if fh.show_frame:
-                    frames.append(_grain_output(out, fh.film_grain, sh))
+                    frames.append(_grain_output(
+                        out, fh.film_grain, sh,
+                        skip=state.get("skip_film_grain", False)))
         elif obu_type in (c.OBU_TEMPORAL_DELIMITER, c.OBU_METADATA,
                           c.OBU_PADDING, c.OBU_REDUNDANT_FRAME_HEADER):
             continue
     return frames, sh
 
 
-def _grain_output(planes, params, sh):
+def _grain_output(planes, params, sh, skip=False):
     """Film grain applied at output only (av1_dx_iface.c:780); reference
-    frames stay un-grained."""
-    if params is None or not params.apply_grain:
+    frames stay un-grained.  `skip` is the AV1D_SET_SKIP_FILM_GRAIN
+    control."""
+    if skip or params is None or not params.apply_grain:
         return planes
     from .grain import apply_film_grain
     return apply_film_grain(
@@ -1836,6 +1861,7 @@ class _FrameSession:
         self.n_tiles = self.tile_cols * self.tile_rows
         self.next_tile = 0
         self.tile_states = []
+        self.tile_payloads = []   # (tile_idx, bytes) for AV1D_GET_TILE_*
 
     def feed(self, data: bytes) -> bool:
         """Decode one tile-group OBU payload; True when the frame's last
@@ -1870,6 +1896,7 @@ class _FrameSession:
                 tile_data = data[pos:pos + size]
                 pos += size
             tiles.append((tn, tile_data))
+        self.tile_payloads.extend(tiles)
         workers = (self.state or {}).get("tile_workers", 0)
         if (workers > 1 and len(tiles) > 1 and self.dec.acct is None
                 and not (self.state or {}).get("inspect_hook")):
@@ -1907,6 +1934,26 @@ class _FrameSession:
             dec.apply_loop_restoration()
         out = dec.output()
         _update_ref_state(self.state, fh, dec, out)
+        if self.state is not None:
+            # query-side snapshot (AV1D_GET_MI_INFO / _GET_TILE_*);
+            # views into the decoder's grids — dec is dropped after
+            # finish(), so this keeps one frame's metadata alive
+            g, m = dec.g, dec.g.m
+            r, c_ = dec.mi_rows, dec.mi_cols
+            self.state["last_mi"] = {
+                "mode": g.mode[m:m + r, m:m + c_],
+                "ref0": g.ref0[m:m + r, m:m + c_],
+                "mv": g.mv[m:m + r, m:m + c_],
+                "bsize": g.bsize[m:m + r, m:m + c_],
+                "skip": dec.skip_inter_grid[:r, :c_],
+                "seg": dec.seg_map[:r, :c_],
+            }
+            self.state["last_tiles"] = {
+                "cols": self.tile_cols, "rows": self.tile_rows,
+                "cols_log2": fh.tile_cols_log2,
+                "rows_log2": fh.tile_rows_log2,
+                "payloads": self.tile_payloads,
+            }
         if self.state is not None and self.state.get("inspect_hook"):
             self.state["inspect_hook"](dec, fh, out)
         return out

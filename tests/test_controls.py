@@ -354,3 +354,112 @@ def test_get_controls():
     assert enc.get_control("AV1E_GET_BASELINE_GF_INTERVAL") == cfg.gf_length
     assert enc.get_control("AV1E_GET_NUM_OPERATING_POINTS") >= 1
     assert isinstance(enc.get_control("AV1E_GET_SEQ_LEVEL_IDX"), int)
+
+
+def test_control_id_parity_with_reference_headers():
+    """Key-value API parity: every control ID in the reference's public
+    headers (aomcx.h + aomdx.h) dispatches somewhere in this framework —
+    the encoder registry/aliases, the encoder GET accessors, or the
+    decoder control methods (api.py Decoder.control/get_control)."""
+    import inspect
+    from aom_av1_lavish_tpu import api, controls
+    from tests._ref_control_ids import REF_CONTROL_IDS
+
+    enc_get_src = inspect.getsource(api.Encoder.get_control)
+    dec_src = (inspect.getsource(api.Decoder.control)
+               + inspect.getsource(api.Decoder.get_control))
+    known = set(controls.CONTROLS) | set(controls.ALIASES)
+    missing = []
+    for name in REF_CONTROL_IDS:
+        if name in known:
+            continue
+        if name.startswith(("AOMD_", "AV1D_")) and f'"{name}"' in dec_src:
+            continue
+        if "_GET_" in name and f'"{name}"' in enc_get_src:
+            continue
+        missing.append(name)
+    assert not missing, f"unmapped control IDs: {missing}"
+
+
+def test_decoder_set_controls(tmp_path):
+    """AV1D_SET_* surface: skip-film-grain, annex-B input, operating
+    point, ext refs (av1_dx_iface.c ctrl handlers)."""
+    from aom_av1_lavish_tpu.encoder.encoder import encode_lossless_ivf
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+    from aom_av1_lavish_tpu.bitstream.obu import leb128_encode
+
+    frames = _clip(2, 64, 48)
+    path = str(tmp_path / "a.ivf")
+    encode_lossless_ivf(path, frames, 64, 48)
+    payloads = [p for p, _ in read_ivf(path)]
+
+    d = Decoder()
+    d.control("AV1D_SET_SKIP_FILM_GRAIN", 1)
+    d.control("AV1D_SET_ROW_MT", 1)
+    d.control("AV1D_SET_OUTPUT_ALL_LAYERS", 1)
+    d.control("AV1D_SET_OPERATING_POINT", 0)
+    out = [f for p in payloads for f in d.decode(p)]
+    assert len(out) == 2
+    assert np.array_equal(out[0][0], frames[0][0])  # lossless
+
+    # annex-B framing: obu_length-wrapped OBUs inside fu/tu sizes
+    def annexb_tu(low_overhead: bytes) -> bytes:
+        from aom_av1_lavish_tpu.bitstream.obu import _obu_spans
+        obus = [leb128_encode(len(full)) + full
+                for _t, full in _obu_spans(low_overhead)]
+        fu = b"".join(obus)
+        body = leb128_encode(len(fu)) + fu
+        return leb128_encode(len(body)) + body
+
+    da = Decoder()
+    da.control("AV1D_SET_IS_ANNEXB", 1)
+    out2 = [f for p in payloads for f in da.decode(annexb_tu(p))]
+    assert np.array_equal(out2[0][0], frames[0][0])
+
+    # ext-ref preload (lightfield flow)
+    dr = Decoder()
+    dr.control("AV1D_SET_EXT_REF_PTR", {3: frames[0]})
+    assert dr._state["slots"][3]["planes"][0] is frames[0][0]
+
+
+def test_decoder_get_controls(tmp_path):
+    """AOMD_GET_* / AV1D_GET_* read-back against a known stream."""
+    from aom_av1_lavish_tpu.encoder.lossy import encode_lossy_ivf
+    from aom_av1_lavish_tpu.bitstream.ivf import read_ivf
+
+    frames = _clip(2, 64, 48)
+    path = str(tmp_path / "g.ivf")
+    encode_lossy_ivf(path, frames, 64, 48, qindex=80)
+    payloads = [p for p, _ in read_ivf(path)]
+    d = Decoder()
+    for p in payloads:
+        d.decode(p)
+    assert d.get_control("AOMD_GET_BASE_Q_IDX") == 80
+    assert d.get_control("AOMD_GET_LAST_QUANTIZER") == 80
+    assert d.get_control("AOMD_GET_FRAME_CORRUPTED") == 0
+    assert d.get_control("AOMD_GET_SHOW_FRAME_FLAG") == 1
+    assert d.get_control("AOMD_GET_SHOW_EXISTING_FRAME_FLAG") in (0, 1)
+    assert d.get_control("AOMD_GET_SB_SIZE") in (64, 128)
+    assert d.get_control("AOMD_GET_STILL_PICTURE")["is_still_picture"] == 0
+    assert d.get_control("AOMD_GET_S_FRAME_INFO")["is_s_frame"] == 0
+    assert isinstance(d.get_control("AOMD_GET_ORDER_HINT"), int)
+    assert isinstance(d.get_control("AOMD_GET_LAST_REF_UPDATES"), int)
+    assert isinstance(d.get_control("AOMD_GET_LAST_REF_USED"), int)
+    assert isinstance(d.get_control("AOMD_GET_ALTREF_PRESENT"), int)
+    assert isinstance(d.get_control("AOMD_GET_FWD_KF_PRESENT"), int)
+    sct = d.get_control("AOMD_GET_SCREEN_CONTENT_TOOLS_INFO")
+    assert set(sct) == {"allow_screen_content_tools", "force_integer_mv"}
+    assert d.get_control("AV1D_GET_BIT_DEPTH") == 8
+    assert d.get_control("AV1D_GET_IMG_FORMAT") == "I420"
+    assert d.get_control("AV1D_GET_FRAME_SIZE") == (64, 48)
+    assert d.get_control("AV1D_GET_DISPLAY_SIZE") == (64, 48)
+    assert d.get_control("AV1D_GET_FRAME_HEADER_INFO").base_q_idx == 80
+    assert d.get_control("AV1D_GET_TILE_COUNT") >= 1
+    ti = d.get_control("AV1D_GET_TILE_INFO")
+    assert ti["tile_cols"] * ti["tile_rows"] \
+        == d.get_control("AV1D_GET_TILE_COUNT")
+    assert all(s > 0 for s in d.get_control("AV1D_GET_TILE_SIZE"))
+    td = d.get_control("AV1D_GET_TILE_DATA")
+    assert td and all(isinstance(b, bytes) for _, b in td)
+    mi = d.get_control("AV1D_GET_MI_INFO", 0, 0)
+    assert {"mode", "mv", "bsize", "skip", "segment_id"} <= set(mi)

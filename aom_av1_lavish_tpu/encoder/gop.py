@@ -229,12 +229,11 @@ class GopEncoder:
                                        use_native=self.use_native,
                                        ref_list=ref_list)
             if ext_results is not None:
-                # device-chained frame (GF-group batch): recon chained
-                # on device UNfiltered, so deblocking must stay off for
-                # encoder/decoder reference agreement
-                fh.filter_level = (0, 0)
-                fh.filter_level_u = 0
-                fh.filter_level_v = 0
+                # device-chained frame (GF-group batch): the device
+                # program already applied the in-loop deblock at the
+                # q-derived level the header signals (ops/deblock_jnp),
+                # so the host must not re-filter the fetched recon
+                enc._recon_prefiltered = True
                 enc._results = ext_results[0]
                 enc._external_results = True
                 enc._external_recon = ext_results[1]
@@ -530,18 +529,25 @@ class GopEncoder:
                 for j in range(L - 1):
                     dq = tpl_q_offset(importance[j], qs[j]) // 2
                     qs[j] = max(self.rc.cfg.best_q, qs[j] + dq)
+            # in-loop deblock levels for the device program: the same
+            # q-derived LPF_PICK_FROM_Q estimate the headers will carry
+            from ..common.loopfilter import pick_filter_level_from_q
+            lfs = [pick_filter_level_from_q(q, frame_is_key=False,
+                                            bd=self.sh.bit_depth)
+                   for q in qs]
             if self.frame_parallel:
                 from ..parallel.sharding import fpmt_encode_group
                 results, recons, raws = fpmt_encode_group(
                     self.mesh, group[:L - 1], qs,
                     self.slots[self.last_slot],
-                    self.slots[self.arf_slot])
+                    self.slots[self.arf_slot], lf_levels=lfs)
                 fpmt = True
             else:
                 from ..ops.inter_tpu import DeviceChainEncoder
                 results, recons, raws = DeviceChainEncoder().encode_chain(
                     group[:L - 1], qs, self.slots[self.last_slot],
-                    self.slots[self.arf_slot])
+                    self.slots[self.arf_slot], lf_levels=lfs,
+                    sharpness=self.lf_sharpness)
             chain = (qs, results, recons, raws)
         tus = []
         for j in range(L - 1):

@@ -23,12 +23,30 @@ class TpuInterFrameEncoder(InterFrameEncoder):
     """Fixed 16x16 inter blocks, whole-frame device encode; searches
     every ref in ref_list on device, each block picks its best."""
 
+    #: deblock level comes from the q-derived estimate in the header
+    #: (picklpf.c LPF_PICK_FROM_Q), not the host trial search — the
+    #: device paths are dispatch-bound and the search costs 5 full-frame
+    #: host filters
+    lf_search = False
+    #: set by the GOP driver for device-chained frames whose recon was
+    #: already deblocked inside the device program
+    _recon_prefiltered = False
+
     def __init__(self, sh, fh, refs, use_native=None,
                  ref_list=(c.LAST_FRAME,)):
         super().__init__(sh, fh, refs, use_native=use_native,
                          block_size=c.BLOCK_16X16, ref_list=ref_list)
         self._results = None
         self._res_raw = None
+
+    def _filter_recon(self, search: bool = True):
+        if self._recon_prefiltered:
+            # chained device frame: in-loop filters already applied on
+            # device (deblock) / disabled (cdef, lr) — the host recon
+            # here is either the fetched filtered frame or a stale
+            # buffer the group never reads
+            return
+        super()._filter_recon(search=search)
 
     def encode_frame(self, planes, use_jax: bool = True) -> bytes:
         w = self.mi_cols * 4
@@ -63,8 +81,10 @@ class TpuInterFrameEncoder(InterFrameEncoder):
                 and not fh.is_filter_switchable
                 and not fh.force_integer_mv
                 and not fh.allow_ref_frame_mvs
-                and fh.filter_level[0] == 0 and fh.filter_level[1] == 0
-                and fh.filter_level_u == 0 and fh.filter_level_v == 0
+                # loop-filter params are frame-header-only syntax: the
+                # tile walker never codes an LF-dependent symbol, so any
+                # uniform (delta-free) level is fine
+                and not fh.loop_filter_delta_enabled
                 and fh.tile_cols_log2 == 0 and fh.tile_rows_log2 == 0
                 and self.sb_mi == 16
                 and self.num_planes == 3

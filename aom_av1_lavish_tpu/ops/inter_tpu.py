@@ -276,6 +276,13 @@ def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
 _FN_CACHE = {}
 
 
+def rd_lambda(qindex: int) -> np.float32:
+    """Frame RD lambda (SSE per bit), matching the host RD paths
+    (encoder/lossy.py: 0.12 * qstep^2 with qstep in pixel units)."""
+    qstep = Q.ac_quant_qtx(qindex, 0, 8) / 8.0
+    return np.float32(0.12 * qstep * qstep)
+
+
 def _p_frame_core(key):
     """Unjitted whole-frame P encode closure (shared by the single-
     device jit and the FPMT 'frame'-axis sharded batch)."""
@@ -292,9 +299,10 @@ def _p_frame_core(key):
     dc_c = np.arange(64) == 0
 
     def fn(src_y, src_u, src_v, refs_y, refs_u, refs_v, refs_y2,
-           pq_arr_y, pq_arr_u, pq_arr_v):
+           pq_arr_y, pq_arr_u, pq_arr_v, lam):
         """refs_*: (R, Hp, Wp) stacked padded ref planes; refs_y2 the
-        half-res luma (sum-pooled)."""
+        half-res luma (sum-pooled); lam: RD lambda (SSE per bit) for
+        the skip decision."""
         pq_y = _PQ(pq_arr_y)
         pq_u = _PQ(pq_arr_u)
         pq_v = _PQ(pq_arr_v)
@@ -326,12 +334,76 @@ def _p_frame_core(key):
             pred_y = jnp.where(
                 sel == 0, per_ref[0][3], per_ref[1][3])
 
+        # --- MV consensus snap (one parallel relaxation) ---
+        # The emitter codes NEARESTMV/NEARMV when a block's MV exactly
+        # equals a ref-MV-stack candidate, and the stack's candidates
+        # ARE the left/top neighbors' MVs (spec 7.10.2; mvref.py).  So
+        # adopting a same-ref neighbor's exact MV (or zero -> GLOBALMV)
+        # trades a small SSD increase for the NEWMV rate premium —
+        # evaluated here at the frame lambda, batched over all blocks.
+        mvr_g = mv_r.reshape(nby, nbx)
+        mvc_g = mv_c.reshape(nby, nbx)
+        ref_g = best_ref.reshape(nby, nbx)
+        syf32 = sy_blk.astype(jnp.float32)
+
+        def mc_sel(cand_r, cand_c):
+            crc, ccc = _clamp_mv(cand_r, cand_c, 16, 16, 0, 0, x0, y0,
+                                 W, H, 16, 16)
+            if n_refs == 1:
+                return _mc_block(refs_y[0], x0, y0, 16, 16, crc, ccc)
+            pa = _mc_block(refs_y[0], x0, y0, 16, 16, crc, ccc)
+            pb = _mc_block(refs_y[1], x0, y0, 16, 16, crc, ccc)
+            return jnp.where(best_ref[:, None, None] == 0, pa, pb)
+
+        snap = []
+        for (sr, sc, rg) in (
+                (jnp.concatenate([mvr_g[:, :1], mvr_g[:, :-1]], 1),
+                 jnp.concatenate([mvc_g[:, :1], mvc_g[:, :-1]], 1),
+                 jnp.concatenate([ref_g[:, :1], ref_g[:, :-1]], 1)),
+                (jnp.concatenate([mvr_g[:1], mvr_g[:-1]], 0),
+                 jnp.concatenate([mvc_g[:1], mvc_g[:-1]], 0),
+                 jnp.concatenate([ref_g[:1], ref_g[:-1]], 0))):
+            cand_r = sr.reshape(B)
+            cand_c = sc.reshape(B)
+            pc = mc_sel(cand_r, cand_c)
+            dd = pc.astype(jnp.float32) - syf32
+            cost_c = jnp.where(rg.reshape(B) == best_ref,
+                               (dd * dd).sum((1, 2)), jnp.inf)
+            snap.append((cost_c, cand_r, cand_c, pc))
+        # zero-MV candidate (GLOBALMV): the co-located block, a static
+        # strided slice of the selected ref plane
+        if n_refs == 1:
+            pz = _stride_windows(refs_y[0], PADR, PADR, nby, nbx, 16, 16)
+        else:
+            pz = jnp.where(
+                best_ref[:, None, None] == 0,
+                _stride_windows(refs_y[0], PADR, PADR, nby, nbx, 16, 16),
+                _stride_windows(refs_y[1], PADR, PADR, nby, nbx, 16, 16))
+        dz = pz.astype(jnp.float32) - syf32
+        snap.append(((dz * dz).sum((1, 2)), jnp.zeros(B, mv_r.dtype),
+                     jnp.zeros(B, mv_c.dtype), pz.astype(jnp.uint8)))
+        s_cost = jnp.stack([t[0] for t in snap], 1)
+        bi = jnp.argmin(s_cost, 1)
+        arB = jnp.arange(B)
+        best_c = s_cost[arB, bi]
+        # ~rate premium of NEWMV over NEAREST/GLOBAL at working q
+        adopt = best_c <= cost + lam * 14.0
+        snap_r = jnp.stack([t[1] for t in snap], 1)[arB, bi]
+        snap_c = jnp.stack([t[2] for t in snap], 1)[arB, bi]
+        snap_p = snap[0][3]
+        for k in range(1, len(snap)):
+            snap_p = jnp.where((bi == k)[:, None, None], snap[k][3],
+                               snap_p)
+        mv_r = jnp.where(adopt, snap_r, mv_r)
+        mv_c = jnp.where(adopt, snap_c, mv_c)
+        pred_y = jnp.where(adopt[:, None, None], snap_p, pred_y)
+
         # --- final residual coding ---
         resid_y = sy_blk - pred_y.astype(jnp.int32)
         coeff_y = fwd_txfm2d_batched(resid_y, c.TX_16X16, c.DCT_DCT)
         qy, dqy = _quantize_jnp(coeff_y, pq_y, CF._tx_scale(c.TX_16X16),
                                 dc_y)
-        _, eob_y = _est_bits(qy, scan_y)
+        bits_y, eob_y = _est_bits(qy, scan_y)
         rec_y = inv_txfm2d_add_batched(dqy, pred_y, c.TX_16X16, c.DCT_DCT)
         rec_y = jnp.where((eob_y > 0)[:, None, None], rec_y, pred_y)
 
@@ -355,10 +427,37 @@ def _p_frame_core(key):
             coeff = fwd_txfm2d_batched(resid, c.TX_8X8, c.DCT_DCT)
             qc, dqc = _quantize_jnp(coeff, pq_p, CF._tx_scale(c.TX_8X8),
                                     dc_c)
-            _, eob = _est_bits(qc, scan_c)
+            bits_c, eob = _est_bits(qc, scan_c)
             rec = inv_txfm2d_add_batched(dqc, pred, c.TX_8X8, c.DCT_DCT)
             rec = jnp.where((eob > 0)[:, None, None], rec, pred)
-            out_c.append((qc, eob, rec))
+            out_c.append((qc, eob, rec, bits_c, sc_blk, pred))
+
+        # --- RD skip decision (rdopt.c skip_txfm trial: code the
+        # residual only when the distortion it removes is worth its
+        # estimated coefficient bits at this frame's lambda) ---
+        def _ssd3(a, b):
+            d = a.astype(jnp.float32) - b.astype(jnp.float32)
+            return (d * d).sum((1, 2))
+
+        d_code = _ssd3(rec_y, sy_blk) \
+            + _ssd3(out_c[0][2], out_c[0][4]) \
+            + _ssd3(out_c[1][2], out_c[1][4])
+        d_skip = _ssd3(pred_y, sy_blk) \
+            + _ssd3(out_c[0][5], out_c[0][4]) \
+            + _ssd3(out_c[1][5], out_c[1][4])
+        r_code = bits_y + out_c[0][3] + out_c[1][3] + 2.0
+        skip_rd = d_skip + lam * 1.0 <= d_code + lam * r_code
+        sk3 = skip_rd[:, None, None]
+        sk_q = skip_rd.reshape(skip_rd.shape + (1,) * (qy.ndim - 1))
+        qy = jnp.where(sk_q, 0, qy)
+        eob_y = jnp.where(skip_rd, 0, eob_y)
+        rec_y = jnp.where(sk3, pred_y, rec_y)
+        out_c = [(jnp.where(
+                      skip_rd.reshape(skip_rd.shape
+                                      + (1,) * (qc.ndim - 1)), 0, qc),
+                  jnp.where(skip_rd, 0, eob),
+                  jnp.where(sk3, pred, rec))
+                 for (qc, eob, rec, _, _, pred) in out_c]
 
         def untile(blocks, n):
             return blocks.reshape(nby, nbx, n, n).transpose(0, 2, 1, 3) \
@@ -478,21 +577,30 @@ def _p_chain_fn(key):
     ARF.  TPU-native replacement for the reference's per-frame encode
     loop (av1/encoder/encode_strategy.c) — on a tunneled TPU the
     per-frame dispatch+fetch round trip dominates, so the whole group
-    ships as one dispatch and one packed fetch."""
+    ships as one dispatch and one packed fetch.
+
+    Each frame's recon is DEBLOCKED on device (ops/deblock_jnp.py,
+    per-frame q-derived levels) before it becomes the next LAST carry —
+    the in-loop filter stays in the loop, matching the decoder
+    (av1/common/av1_loopfilter.c applied per frame before reference
+    update)."""
     if key in _CHAIN_FN_CACHE:
         return _CHAIN_FN_CACHE[key]
-    H, W, n_refs = key
+    H, W, n_refs, sharpness = key
     base = _p_frame_core((H, W, n_refs))
+    from .deblock_jnp import deblock_fixed16
 
     def fn(srcs_y, srcs_u, srcs_v, last_y, last_u, last_v,
-           arf_y, arf_u, arf_v, pq_stack):
+           arf_y, arf_u, arf_v, pq_stack, lf_stack, lam_stack):
         """srcs_*: (L, ...) uint8; last_*/arf_*: unpadded ref planes;
-        pq_stack: (L, 3, pqlen) per-frame quantizer arrays."""
+        pq_stack: (L, 3, pqlen) per-frame quantizer arrays; lf_stack:
+        (L, 3) per-frame (y, u, v) loop-filter levels (0 = off);
+        lam_stack: (L,) per-frame RD lambdas."""
         apy, apu, apv, ay2 = _pad_ref_jnp(arf_y, arf_u, arf_v)
 
         def body(carry, xs):
             ly, lu, lv, ly2 = carry
-            sy, su, sv, pq = xs
+            sy, su, sv, pq, lf, lm = xs
             if n_refs == 2:
                 ry = jnp.stack([ly, apy])
                 ru = jnp.stack([lu, apu])
@@ -501,16 +609,19 @@ def _p_chain_fn(key):
             else:
                 ry, ru, rv, ry2 = ly[None], lu[None], lv[None], ly2[None]
             hdr, ctr, cfull, rec = base(sy, su, sv, ry, ru, rv, ry2,
-                                        pq[0], pq[1], pq[2])
-            rec_y = rec[:H]
-            rec_u = rec[H:, :W // 2]
-            rec_v = rec[H:, W // 2:]
+                                        pq[0], pq[1], pq[2], lm)
+            rec_y, rec_u, rec_v = deblock_fixed16(
+                rec[:H], rec[H:, :W // 2], rec[H:, W // 2:],
+                lf[0], lf[1], lf[2], sharpness=sharpness)
+            rec = jnp.concatenate([
+                rec_y, jnp.concatenate([rec_u, rec_v], axis=1)], axis=0)
             return (_pad_ref_jnp(rec_y, rec_u, rec_v),
                     (hdr, ctr, cfull, rec))
 
         init = _pad_ref_jnp(last_y, last_u, last_v)
         _, (hdr, ctr, cfull, rec) = jax.lax.scan(
-            body, init, (srcs_y, srcs_u, srcs_v, pq_stack))
+            body, init, (srcs_y, srcs_u, srcs_v, pq_stack, lf_stack,
+                         lam_stack))
         return hdr, ctr, cfull, rec
 
     jitted = jax.jit(fn)
@@ -527,10 +638,16 @@ class DeviceChainEncoder:
     in-flight rate feedback, av1/av1_cx_iface.c:3374)."""
 
     def encode_chain(self, src_frames, qindexes, last_planes,
-                     arf_planes=None, recon: str = "last"):
+                     arf_planes=None, recon: str = "last",
+                     lf_levels=None, sharpness: int = 0):
         """src_frames: list of L (y, u, v); returns (results, recons,
         raws): results[j] = per-block dict, recons[j] = (y, u, v) uint8
         (None for frames not fetched), raws[j] = (B, 390) int16.
+
+        lf_levels: per-frame (y, u, v) deblock levels applied on device
+        (None = unfiltered chain); the caller must signal the SAME
+        levels in each frame header so the decoder's in-loop filter
+        reproduces the carry.
 
         recon='last' fetches only the final frame's reconstruction —
         within a GF group the intermediate P recons live only on device
@@ -539,12 +656,20 @@ class DeviceChainEncoder:
         H, W = src_frames[0][0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
         n_refs = 2 if arf_planes is not None else 1
-        fn = _p_chain_fn((H, W, n_refs))
+        fn = _p_chain_fn((H, W, n_refs, sharpness))
         pq_rows = []
         for q in qindexes:
             pq_rows.append(np.stack(
                 [_pq_array(Q.build_plane_quant(q, 0, 0))] * 3))
         pq_stack = np.stack(pq_rows)
+        if lf_levels is None:
+            lf_stack = np.zeros((L, 3), np.int32)
+        else:
+            lf_stack = np.asarray(
+                [lv if isinstance(lv, (tuple, list)) else (lv,) * 3
+                 for lv in lf_levels], np.int32)
+        lam_stack = np.asarray([rd_lambda(q) for q in qindexes],
+                               np.float32)
         srcs_y = np.stack([f[0][:H, :W] for f in src_frames])
         srcs_u = np.stack([f[1][:H >> 1, :W >> 1] for f in src_frames])
         srcs_v = np.stack([f[2][:H >> 1, :W >> 1] for f in src_frames])
@@ -555,7 +680,7 @@ class DeviceChainEncoder:
             lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
             lp[2][:H >> 1, :W >> 1],
             ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
-            ap[2][:H >> 1, :W >> 1], pq_stack)
+            ap[2][:H >> 1, :W >> 1], pq_stack, lf_stack, lam_stack)
         from ..utils.xfer import fetch
         if recon == "all":
             hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
@@ -583,9 +708,10 @@ def _p_step_fn(key):
     H, W = key
     base = _p_frame_core((H, W, 1))
 
-    def fn(sy, su, sv, ly, lu, lv, ly2, pq_y, pq_u, pq_v):
+    def fn(sy, su, sv, ly, lu, lv, ly2, pq_y, pq_u, pq_v, lam):
         hdr, ctr, cfull, rec = base(sy, su, sv, ly[None], lu[None],
-                                    lv[None], ly2[None], pq_y, pq_u, pq_v)
+                                    lv[None], ly2[None], pq_y, pq_u,
+                                    pq_v, lam)
         rec_y = rec[:H]
         rec_u = rec[H:, :W // 2]
         rec_v = rec[H:, W // 2:]
@@ -622,6 +748,7 @@ class DeviceRtEncoder:
         self.qindex = qindex
         self.pq_arrs = [_pq_array(Q.build_plane_quant(qindex, 0, 0))
                         for _ in range(3)]
+        self.lam = rd_lambda(qindex)
         self.state = None      # (ly, lu, lv, ly2) device arrays
         self._rec_d = None
 
@@ -639,7 +766,7 @@ class DeviceRtEncoder:
         out = fn(src_planes[0][:H, :W],
                  src_planes[1][:H >> 1, :W >> 1],
                  src_planes[2][:H >> 1, :W >> 1],
-                 *self.state, *self.pq_arrs)
+                 *self.state, *self.pq_arrs, self.lam)
         hdr_d, ctr_d, cfull_d, rec_d, ny, nu, nv, ny2 = out
         self.state = (ny, nu, nv, ny2)
         self._rec_d = rec_d
@@ -673,6 +800,7 @@ class DeviceInterEncoder:
         for (dcd, acd) in ((0, 0), (0, 0), (0, 0)):
             self.pq_arrs.append(_pq_array(
                 Q.build_plane_quant(qindex, dcd, acd)))
+        self.lam = rd_lambda(qindex)
 
     def encode_frame(self, src_planes, ref_planes_list):
         """src_planes: mi-aligned (y, u, v); ref_planes_list: list of
@@ -701,7 +829,8 @@ class DeviceInterEncoder:
             jnp.asarray(np.stack(refs_u)),
             jnp.asarray(np.stack(refs_v)),
             jnp.asarray(np.stack(refs_y2)),
-            self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2])
+            self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2],
+            self.lam)
         from ..utils.xfer import fetch
         hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
         self.recon = split_recon(rec, H, W)

@@ -197,11 +197,11 @@ def make_sharded_p_frame_fn(mesh: Mesh, H: int, W: int, n_refs: int = 1):
         return fn
     from ..ops.inter_tpu import _p_frame_core
     core = _p_frame_core((H, W, n_refs))
-    batched = jax.vmap(core, in_axes=(0, 0, 0) + (None,) * 7)
+    batched = jax.vmap(core, in_axes=(0, 0, 0) + (None,) * 8)
     sb = NamedSharding(mesh, P("frame"))
     rep = NamedSharding(mesh, P())
     fn = jax.jit(batched,
-                 in_shardings=(sb, sb, sb) + (rep,) * 7,
+                 in_shardings=(sb, sb, sb) + (rep,) * 8,
                  out_shardings=sb)
     _FPMT_FN_CACHE[key] = fn
     return fn
@@ -215,19 +215,30 @@ def _fpmt_group_fn(mesh, H, W):
     if fn is not None:
         return fn
     from ..ops.inter_tpu import _p_frame_core, _pad_ref_jnp
+    from ..ops.deblock_jnp import deblock_fixed16
     core = _p_frame_core((H, W, 2))
 
-    def one(sy, su, sv, pq, refs):
+    def one(sy, su, sv, pq, lf, lam, refs):
         ry, ru, rv, ry2 = refs
-        return core(sy, su, sv, ry, ru, rv, ry2, pq[0], pq[1], pq[2])
+        hdr, ctr, cfull, rec = core(sy, su, sv, ry, ru, rv, ry2,
+                                    pq[0], pq[1], pq[2], lam)
+        # in-loop deblock per frame (FPMT frames are not chained, but
+        # the output recon must match the decoder's filtered frame)
+        rec_y, rec_u, rec_v = deblock_fixed16(
+            rec[:H], rec[H:, :W // 2], rec[H:, W // 2:],
+            lf[0], lf[1], lf[2])
+        rec = jnp.concatenate([
+            rec_y, jnp.concatenate([rec_u, rec_v], axis=1)], axis=0)
+        return hdr, ctr, cfull, rec
 
-    def group(srcs_y, srcs_u, srcs_v, pq_stack, ly, lu, lv, ay, au, av):
+    def group(srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
+              ly, lu, lv, ay, au, av):
         lpy, lpu, lpv, ly2 = _pad_ref_jnp(ly, lu, lv)
         apy, apu, apv, ay2 = _pad_ref_jnp(ay, au, av)
         refs = (jnp.stack([lpy, apy]), jnp.stack([lpu, apu]),
                 jnp.stack([lpv, apv]), jnp.stack([ly2, ay2]))
-        return jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
-            srcs_y, srcs_u, srcs_v, pq_stack, refs)
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack, refs)
 
     if mesh is None:
         fn = jax.jit(group)
@@ -235,14 +246,14 @@ def _fpmt_group_fn(mesh, H, W):
         sb = NamedSharding(mesh, P("frame"))
         rep = NamedSharding(mesh, P())
         fn = jax.jit(group,
-                     in_shardings=(sb, sb, sb, sb) + (rep,) * 6,
+                     in_shardings=(sb, sb, sb, sb, sb, sb) + (rep,) * 6,
                      out_shardings=sb)
     _FPMT_FN_CACHE[key] = fn
     return fn
 
 
 def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
-                      arf_planes):
+                      arf_planes, lf_levels=None):
     """FPMT analog for the REAL GopEncoder (av1_compress_parallel_frames,
     av1/encoder/ethread.c:1224): every P frame of the group references
     only the fixed (anchor, ARF) pair, so the device analyses shard over
@@ -254,7 +265,8 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     (recons fetched for every frame — they are not chained)."""
     from ..common import quant as Q
     from ..ops.inter_tpu import (_pq_array, assemble_res,
-                                 pack_frame_results, split_recon)
+                                 pack_frame_results, rd_lambda,
+                                 split_recon)
     from ..utils.xfer import fetch
     L = len(src_frames)
     H, W = src_frames[0][0].shape[:2]
@@ -263,12 +275,19 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     pq_stack = np.stack([
         np.stack([_pq_array(Q.build_plane_quant(q, 0, 0))] * 3)
         for q in qindexes])
+    if lf_levels is None:
+        lf_stack = np.zeros((L, 3), np.int32)
+    else:
+        lf_stack = np.asarray(
+            [lv if isinstance(lv, (tuple, list)) else (lv,) * 3
+             for lv in lf_levels], np.int32)
+    lam_stack = np.asarray([rd_lambda(q) for q in qindexes], np.float32)
     srcs_y = np.stack([f[0][:H, :W] for f in src_frames])
     srcs_u = np.stack([f[1][:H >> 1, :W >> 1] for f in src_frames])
     srcs_v = np.stack([f[2][:H >> 1, :W >> 1] for f in src_frames])
     lp, ap = last_planes, arf_planes
     hdr_d, ctr_d, cfull_d, rec_d = fn(
-        srcs_y, srcs_u, srcs_v, pq_stack,
+        srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
         lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
         lp[2][:H >> 1, :W >> 1],
         ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
@@ -341,11 +360,12 @@ class ShardedInterGopEncoder:
         y2 = y2[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
         pq = [_pq_array(Q.build_plane_quant(self.qindex, 0, 0))
               for _ in range(3)]
+        from ..ops.inter_tpu import rd_lambda
         hdr_d, ctr_d, cfull_d, rec_d = fn(
             ys, us, vs,
             jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
             jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),
-            pq[0], pq[1], pq[2])
+            pq[0], pq[1], pq[2], rd_lambda(self.qindex))
         from ..utils.xfer import fetch
         from ..ops.inter_tpu import assemble_res, split_recon
         hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)

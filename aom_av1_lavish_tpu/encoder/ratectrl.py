@@ -19,7 +19,7 @@ toward restoring the optimal buffer level.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, field
 
 from ..common import quant as Q
 
@@ -89,6 +89,9 @@ class RateControl:
     # CBR frame-drop state (av1_rc_drop_frame decimation analog)
     consec_drops: int = 0
     dropped_frames: int = 0
+    # anti-limit-cycle state: last two inter (q, bits, target) points
+    inter_hist: list = field(default_factory=list)
+    inter_since_key: bool = True
 
     def __post_init__(self):
         c = self.cfg
@@ -188,6 +191,23 @@ class RateControl:
         if frame_kind != "key" and self.frames_coded > 0:
             last = self.last_q_inter
             q = min(max(q, last - 16), last + 16)
+        if frame_kind == "inter":
+            # post-key floor: the inter model has no observations yet
+            # and the key's q is the only anchor — inter frames at CBR
+            # never run finer than the key (av1 active_best_quality
+            # derivation from avg_frame_qindex, ratectrl.c)
+            if not self.inter_since_key:
+                q = max(q, self.last_q_key + 8)
+            # anti-limit-cycle: when the last two inter frames bracket
+            # the target from opposite sides, the 1/qstep model is
+            # limit-cycling on a steep bits-vs-q region; bisect the
+            # observed bracketing pair instead (the recode loop's
+            # over&under rule, applied across frames)
+            if len(self.inter_hist) >= 2:
+                q1, b1, t1 = self.inter_hist[-1]
+                q0, b0, t0 = self.inter_hist[-2]
+                if (b1 > t1) != (b0 > t0) and abs(q1 - q0) >= 2:
+                    q = (q1 + q0 + 1) // 2
         if c.mode == MODE_CBR and frame_kind != "key":
             # underflow guard (calc_active_worst_quality_one_pass_cbr,
             # ratectrl.c): as the buffer drains below 30% of optimal,
@@ -284,8 +304,15 @@ class RateControl:
         self.total_bits += used_bits
         if frame_kind == "key":
             self.last_q_key = qindex
+            self.inter_since_key = False
+            self.inter_hist.clear()
         else:
             self.last_q_inter = qindex
+            if frame_kind == "inter":
+                self.inter_since_key = True
+                self.inter_hist.append(
+                    (qindex, used_bits, self.frame_target("inter")))
+                del self.inter_hist[:-2]
         self.frames_coded += 1
 
     # --- reporting -----------------------------------------------------

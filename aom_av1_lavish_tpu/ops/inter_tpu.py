@@ -334,28 +334,38 @@ def _p_frame_core(key):
             pred_y = jnp.where(
                 sel == 0, per_ref[0][3], per_ref[1][3])
 
-        # --- MV consensus snap (one parallel relaxation) ---
+        # --- (MV, ref) consensus snap (one parallel relaxation) ---
         # The emitter codes NEARESTMV/NEARMV when a block's MV exactly
         # equals a ref-MV-stack candidate, and the stack's candidates
-        # ARE the left/top neighbors' MVs (spec 7.10.2; mvref.py).  So
-        # adopting a same-ref neighbor's exact MV (or zero -> GLOBALMV)
-        # trades a small SSD increase for the NEWMV rate premium —
-        # evaluated here at the frame lambda, batched over all blocks.
+        # ARE the left/top neighbors' MVs (spec 7.10.2; mvref.py).
+        # Candidates carry BOTH an MV and a reference, so a block on a
+        # dithered long-range ARF vector can move to the coherent LAST
+        # field (or to zero -> GLOBALMV) when the SSD increase is under
+        # the NEWMV rate premium at the frame lambda.  Lossy references
+        # make raw per-block argmin MVs scatter (~100 unique vectors on
+        # a clean pan); this consolidation is what lets the syntax
+        # adapt to nothing.
         mvr_g = mv_r.reshape(nby, nbx)
         mvc_g = mv_c.reshape(nby, nbx)
         ref_g = best_ref.reshape(nby, nbx)
         syf32 = sy_blk.astype(jnp.float32)
 
-        def mc_sel(cand_r, cand_c):
+        def mc_on(cand_r, cand_c, cand_ref):
             crc, ccc = _clamp_mv(cand_r, cand_c, 16, 16, 0, 0, x0, y0,
                                  W, H, 16, 16)
             if n_refs == 1:
                 return _mc_block(refs_y[0], x0, y0, 16, 16, crc, ccc)
             pa = _mc_block(refs_y[0], x0, y0, 16, 16, crc, ccc)
             pb = _mc_block(refs_y[1], x0, y0, 16, 16, crc, ccc)
-            return jnp.where(best_ref[:, None, None] == 0, pa, pb)
+            return jnp.where(cand_ref[:, None, None] == 0, pa, pb)
+
+        def cand_cost(pc):
+            dd = pc.astype(jnp.float32) - syf32
+            return (dd * dd).sum((1, 2))
 
         snap = []
+        # left/top neighbor candidates (cross-ref: the ref is adopted
+        # with the MV)
         for (sr, sc, rg) in (
                 (jnp.concatenate([mvr_g[:, :1], mvr_g[:, :-1]], 1),
                  jnp.concatenate([mvc_g[:, :1], mvc_g[:, :-1]], 1),
@@ -365,23 +375,36 @@ def _p_frame_core(key):
                  jnp.concatenate([ref_g[:1], ref_g[:-1]], 0))):
             cand_r = sr.reshape(B)
             cand_c = sc.reshape(B)
-            pc = mc_sel(cand_r, cand_c)
-            dd = pc.astype(jnp.float32) - syf32
-            cost_c = jnp.where(rg.reshape(B) == best_ref,
-                               (dd * dd).sum((1, 2)), jnp.inf)
-            snap.append((cost_c, cand_r, cand_c, pc))
-        # zero-MV candidate (GLOBALMV): the co-located block, a static
-        # strided slice of the selected ref plane
-        if n_refs == 1:
-            pz = _stride_windows(refs_y[0], PADR, PADR, nby, nbx, 16, 16)
-        else:
-            pz = jnp.where(
-                best_ref[:, None, None] == 0,
-                _stride_windows(refs_y[0], PADR, PADR, nby, nbx, 16, 16),
-                _stride_windows(refs_y[1], PADR, PADR, nby, nbx, 16, 16))
-        dz = pz.astype(jnp.float32) - syf32
-        snap.append(((dz * dz).sum((1, 2)), jnp.zeros(B, mv_r.dtype),
-                     jnp.zeros(B, mv_c.dtype), pz.astype(jnp.uint8)))
+            cand_ref = rg.reshape(B)
+            pc = mc_on(cand_r, cand_c, cand_ref)
+            snap.append((cand_cost(pc), cand_r, cand_c, cand_ref, pc))
+
+        def masked_median(vals, mask):
+            big = jnp.where(mask, vals, jnp.iinfo(jnp.int32).max)
+            srt = jnp.sort(big)
+            cnt = mask.sum()
+            v = srt[jnp.clip(cnt // 2, 0, B - 1)]
+            return jnp.where(cnt > 0, v, 0).astype(vals.dtype)
+
+        # per-reference dominant-MV candidates: the componentwise
+        # median of each ref's population (a pan collapses to ONE
+        # vector per ref in a single relaxation)
+        for ri in range(n_refs):
+            msk = best_ref == ri
+            mr = masked_median(mv_r, msk)
+            mc_ = masked_median(mv_c, msk)
+            rr = jnp.full((B,), ri, best_ref.dtype)
+            pm = mc_on(jnp.broadcast_to(mr, (B,)),
+                       jnp.broadcast_to(mc_, (B,)), rr)
+            snap.append((cand_cost(pm), jnp.broadcast_to(mr, (B,)),
+                         jnp.broadcast_to(mc_, (B,)), rr, pm))
+        # zero-MV-on-LAST candidate (GLOBALMV on the nearest ref): the
+        # co-located block, a static strided slice
+        pz = _stride_windows(refs_y[0], PADR, PADR, nby, nbx, 16, 16) \
+            .astype(jnp.uint8)
+        snap.append((cand_cost(pz), jnp.zeros(B, mv_r.dtype),
+                     jnp.zeros(B, mv_c.dtype),
+                     jnp.zeros(B, best_ref.dtype), pz))
         s_cost = jnp.stack([t[0] for t in snap], 1)
         bi = jnp.argmin(s_cost, 1)
         arB = jnp.arange(B)
@@ -390,12 +413,14 @@ def _p_frame_core(key):
         adopt = best_c <= cost + lam * 14.0
         snap_r = jnp.stack([t[1] for t in snap], 1)[arB, bi]
         snap_c = jnp.stack([t[2] for t in snap], 1)[arB, bi]
-        snap_p = snap[0][3]
+        snap_f = jnp.stack([t[3] for t in snap], 1)[arB, bi]
+        snap_p = snap[0][4]
         for k in range(1, len(snap)):
-            snap_p = jnp.where((bi == k)[:, None, None], snap[k][3],
+            snap_p = jnp.where((bi == k)[:, None, None], snap[k][4],
                                snap_p)
         mv_r = jnp.where(adopt, snap_r, mv_r)
         mv_c = jnp.where(adopt, snap_c, mv_c)
+        best_ref = jnp.where(adopt, snap_f, best_ref)
         pred_y = jnp.where(adopt[:, None, None], snap_p, pred_y)
 
         # --- final residual coding ---

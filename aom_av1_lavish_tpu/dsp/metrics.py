@@ -74,56 +74,6 @@ def ssim(a, b, peak: float = 255.0) -> float:
     return float((num / den).mean())
 
 
-def fastssim(a, b, peak: float = 255.0, levels: int = 4) -> float:
-    """Multiscale SSIM in the spirit of aom_dsp/fastssim.c: geometric
-    mean of per-level SSIM over dyadic downscales."""
-    vals = []
-    ca, cb = a.astype(np.float64), b.astype(np.float64)
-    for lv in range(levels):
-        if min(ca.shape) < 8:
-            break
-        vals.append(max(ssim(ca, cb, peak), 1e-6))
-        H2, W2 = (ca.shape[0] // 2) * 2, (ca.shape[1] // 2) * 2
-        ca = ca[:H2, :W2].reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
-        cb = cb[:H2, :W2].reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
-    return float(np.exp(np.mean(np.log(vals))))
-
-
-# 8x8 CSF (contrast sensitivity) weights in the spirit of psnrhvs.c
-_CSF = np.array(
-    [[1.608, 2.339, 2.574, 1.869, 1.312, 0.899, 0.616, 0.437],
-     [2.339, 2.925, 2.726, 2.001, 1.363, 0.935, 0.617, 0.437],
-     [2.574, 2.726, 2.299, 1.712, 1.245, 0.896, 0.606, 0.437],
-     [1.869, 2.001, 1.712, 1.365, 1.058, 0.792, 0.569, 0.420],
-     [1.312, 1.363, 1.245, 1.058, 0.867, 0.683, 0.508, 0.386],
-     [0.899, 0.935, 0.896, 0.792, 0.683, 0.561, 0.437, 0.342],
-     [0.616, 0.617, 0.606, 0.569, 0.508, 0.437, 0.350, 0.281],
-     [0.437, 0.437, 0.437, 0.420, 0.386, 0.342, 0.281, 0.226]])
-
-
-def _dct8(x):
-    n = 8
-    k = np.arange(n)
-    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-    basis[0] *= np.sqrt(1 / n)
-    basis[1:] *= np.sqrt(2 / n)
-    return basis @ x @ basis.T
-
-
-def psnrhvs(a, b, peak: float = 255.0) -> float:
-    """PSNR-HVS: MSE of CSF-weighted 8x8 DCT coefficients."""
-    wa = _windows(a.astype(np.float64), 8, 8)
-    wb = _windows(b.astype(np.float64), 8, 8)
-    acc = 0.0
-    for i in range(wa.shape[0]):
-        d = _dct8(wa[i]) - _dct8(wb[i])
-        acc += float(((d * _CSF) ** 2).sum())
-    m = acc / (wa.shape[0] * 64)
-    if m <= 0:
-        return 100.0
-    return float(10.0 * np.log10(peak * peak / m))
-
-
 # --- PSNR-HVS (aom_dsp/psnrhvs.c) -------------------------------------
 
 # od_csf CSF weights for the 8x8 DCT bands (psnrhvs.c:36 csf_y)

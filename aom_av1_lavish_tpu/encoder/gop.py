@@ -540,7 +540,8 @@ class GopEncoder:
                 results, recons, raws = fpmt_encode_group(
                     self.mesh, group[:L - 1], qs,
                     self.slots[self.last_slot],
-                    self.slots[self.arf_slot], lf_levels=lfs)
+                    self.slots[self.arf_slot], lf_levels=lfs,
+                    sharpness=self.lf_sharpness)
                 fpmt = True
             else:
                 from ..ops.inter_tpu import DeviceChainEncoder

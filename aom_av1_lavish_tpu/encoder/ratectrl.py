@@ -19,7 +19,7 @@ toward restoring the optimal buffer level.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, field
+from dataclasses import dataclass, field
 
 from ..common import quant as Q
 
@@ -163,6 +163,8 @@ class RateControl:
         one-pass buffer-model target."""
         c = self.cfg
         if ext_target_bits is not None:
+            if frame_kind == "inter":
+                self._picked_inter_target = ext_target_bits
             lo, hi = c.best_q, c.worst_q
             while lo < hi:
                 mid = (lo + hi) // 2
@@ -178,6 +180,11 @@ class RateControl:
                 return max(c.best_q, int(c.fixed_qindex * 0.85))
             return c.fixed_qindex
         target = self.frame_target(frame_kind)
+        if frame_kind == "inter":
+            # remember the target this frame is actually coded against;
+            # postencode stores it in inter_hist (computing it after the
+            # buffer update would record the NEXT frame's target)
+            self._picked_inter_target = target
         # binary search the monotone inverse-q model
         lo, hi = c.best_q, c.worst_q
         while lo < hi:
@@ -206,7 +213,11 @@ class RateControl:
             if len(self.inter_hist) >= 2:
                 q1, b1, t1 = self.inter_hist[-1]
                 q0, b0, t0 = self.inter_hist[-2]
-                if (b1 > t1) != (b0 > t0) and abs(q1 - q0) >= 2:
+                if (b1 > t1) != (b0 > t0) and abs(q1 - q0) >= 2 \
+                        and not (min(q0, q1) <= q <= max(q0, q1)):
+                    # only override when the model's q escapes the
+                    # observed bracket — inside it the model is already
+                    # interpolating the same pair
                     q = (q1 + q0 + 1) // 2
         if c.mode == MODE_CBR and frame_kind != "key":
             # underflow guard (calc_active_worst_quality_one_pass_cbr,
@@ -310,8 +321,10 @@ class RateControl:
             self.last_q_inter = qindex
             if frame_kind == "inter":
                 self.inter_since_key = True
-                self.inter_hist.append(
-                    (qindex, used_bits, self.frame_target("inter")))
+                t = getattr(self, "_picked_inter_target", None)
+                if t is None:
+                    t = self.frame_target("inter")
+                self.inter_hist.append((qindex, used_bits, t))
                 del self.inter_hist[:-2]
         self.frames_coded += 1
 

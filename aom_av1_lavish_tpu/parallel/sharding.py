@@ -207,10 +207,10 @@ def make_sharded_p_frame_fn(mesh: Mesh, H: int, W: int, n_refs: int = 1):
     return fn
 
 
-def _fpmt_group_fn(mesh, H, W):
+def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
     """jitted FPMT group program: P frames vmapped over the 'frame'
     mesh axis with per-frame quantizers, fixed (anchor, ARF) refs."""
-    key = ("grp", id(mesh), H, W)
+    key = ("grp", id(mesh), H, W, sharpness)
     fn = _FPMT_FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -226,7 +226,7 @@ def _fpmt_group_fn(mesh, H, W):
         # the output recon must match the decoder's filtered frame)
         rec_y, rec_u, rec_v = deblock_fixed16(
             rec[:H], rec[H:, :W // 2], rec[H:, W // 2:],
-            lf[0], lf[1], lf[2])
+            lf[0], lf[1], lf[2], sharpness=sharpness)
         rec = jnp.concatenate([
             rec_y, jnp.concatenate([rec_u, rec_v], axis=1)], axis=0)
         return hdr, ctr, cfull, rec
@@ -253,7 +253,7 @@ def _fpmt_group_fn(mesh, H, W):
 
 
 def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
-                      arf_planes, lf_levels=None):
+                      arf_planes, lf_levels=None, sharpness: int = 0):
     """FPMT analog for the REAL GopEncoder (av1_compress_parallel_frames,
     av1/encoder/ethread.c:1224): every P frame of the group references
     only the fixed (anchor, ARF) pair, so the device analyses shard over
@@ -271,7 +271,7 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     L = len(src_frames)
     H, W = src_frames[0][0].shape[:2]
     assert H % 16 == 0 and W % 16 == 0
-    fn = _fpmt_group_fn(mesh, H, W)
+    fn = _fpmt_group_fn(mesh, H, W, sharpness)
     pq_stack = np.stack([
         np.stack([_pq_array(Q.build_plane_quant(q, 0, 0))] * 3)
         for q in qindexes])

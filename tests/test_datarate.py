@@ -64,9 +64,14 @@ def test_cbr_underflow_raises_q():
 def test_cbr_drop_frame_watermark():
     """With --drop-frame style watermark set, a draining buffer must
     produce dropped frames (empty TUs) and the bucket must recover."""
-    # tiny bucket + low rate on busy content forces drops
+    # tiny bucket + a rate below the worst-q floor of this content:
+    # even at q=255 the busy frames overshoot the per-frame budget, so
+    # the bucket drains through the watermark and drops must fire
+    # (60 kbps was NOT draining: worst-q frames cost ~800 bits against
+    # a 2000-bit budget and the bucket recovered — matching libaom,
+    # which would not drop there either)
     enc, payloads, achieved = _run_cbr(
-        60_000, n=24, drop_frames_water_mark=30,
+        16_000, n=24, drop_frames_water_mark=30,
         buf_initial_ms=500, buf_optimal_ms=600, buf_sz_ms=1000)
     assert enc.rc.dropped_frames > 0
     assert any(p == b"" for p in payloads)

@@ -232,13 +232,14 @@ class GopEncoder:
                 # device-chained frame (GF-group batch): the device
                 # program already applied the in-loop deblock at the
                 # q-derived level the header signals (ops/deblock_jnp),
-                # so the host must not re-filter the fetched recon
+                # so the host must not re-filter the fetched recon.
+                # ext_results = (raw (B, 390) buffer, recon planes);
+                # per-block dicts are built lazily only if the Python
+                # emitter fallback runs (the native walker reads raw)
                 enc._recon_prefiltered = True
-                enc._results = ext_results[0]
                 enc._external_results = True
+                enc._res_raw = ext_results[0]
                 enc._external_recon = ext_results[1]
-                if len(ext_results) > 2:
-                    enc._res_raw = ext_results[2]
         else:
             kw = {}
             if self.sf is not None:
@@ -488,21 +489,39 @@ class GopEncoder:
         L = len(group)
         q_arf = self._q("arf", base_idx + L - 1)
 
+        # device source cache: upload each source frame ONCE (async) —
+        # TPL, the temporal filter and the chain encode all reuse the
+        # device-resident planes.  On the tunneled TPU the per-group
+        # H2D upload dominates the device paths (compute is ~free), so
+        # tripling it by re-uploading per consumer was the single
+        # largest cost of the 1080p GOP encode.
+        dev_group = group
+        use_dev_cache = (self.use_tpu and group[0][0].dtype == np.uint8
+                         and self.sh.max_frame_width % 16 == 0
+                         and self.sh.max_frame_height % 16 == 0)
+        if use_dev_cache:
+            import jax
+            dev_group = [tuple(jax.device_put(p) for p in f)
+                         for f in group]
+        tf_group = dev_group if use_dev_cache else group
+
         # TPL dependency pass (av1_tpl_setup_stats analog): deepen the
         # ARF q boost by how much the group references it, and build
         # per-frame rdmult maps
         tpl_maps = [None] * L
         if self.enable_tpl and L >= 2:
             from .tpl import tpl_gf_group, tpl_q_offset
-            importance, tpl_maps = tpl_gf_group(group, L - 1)
+            importance, tpl_maps = tpl_gf_group(dev_group, L - 1)
             q_arf = max(self.rc.cfg.best_q,
                         q_arf + tpl_q_offset(importance[L - 1], q_arf))
 
-        # ALTREF temporal filtering (av1_temporal_filter analog)
+        # ALTREF temporal filtering (av1_temporal_filter analog);
+        # on the TPU path the group's source planes were uploaded once
+        # (tf_group below) and the filter consumes the device copies
         arf_src = group[L - 1]
         if self.enable_tf and L >= 3:
             from .temporal_filter import temporal_filter
-            arf_src = temporal_filter(group, L - 1, q_arf)
+            arf_src = temporal_filter(tf_group, L - 1, q_arf)
 
         arf_obu, q_arf = self._recode(
             "arf", base_idx + L - 1, q_arf,
@@ -537,19 +556,19 @@ class GopEncoder:
                    for q in qs]
             if self.frame_parallel:
                 from ..parallel.sharding import fpmt_encode_group
-                results, recons, raws = fpmt_encode_group(
-                    self.mesh, group[:L - 1], qs,
+                raws, recons = fpmt_encode_group(
+                    self.mesh, dev_group[:L - 1], qs,
                     self.slots[self.last_slot],
                     self.slots[self.arf_slot], lf_levels=lfs,
                     sharpness=self.lf_sharpness)
                 fpmt = True
             else:
                 from ..ops.inter_tpu import DeviceChainEncoder
-                results, recons, raws = DeviceChainEncoder().encode_chain(
-                    group[:L - 1], qs, self.slots[self.last_slot],
+                raws, recons = DeviceChainEncoder().encode_chain(
+                    dev_group[:L - 1], qs, self.slots[self.last_slot],
                     self.slots[self.arf_slot], lf_levels=lfs,
                     sharpness=self.lf_sharpness)
-            chain = (qs, results, recons, raws)
+            chain = (qs, raws, recons)
         tus = []
         for j in range(L - 1):
             if chain is not None:
@@ -558,7 +577,7 @@ class GopEncoder:
                     group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
                     None if fpmt else self.last_slot, show=True,
                     order_hint=(base_idx + j) & 127,
-                    ext_results=(chain[1][j], chain[2][j], chain[3][j]))
+                    ext_results=(chain[1][j], chain[2][j]))
             else:
                 q = self._q("inter", base_idx + j)
                 obu, q = self._recode(

@@ -218,7 +218,6 @@ def encode_realtime_tpu_ivf(path: str, frames, width: int, height: int,
     from .tpu_intra import TpuAllIntraEncoder
 
     assert width % 16 == 0 and height % 16 == 0
-    from ..ops.inter_tpu import pack_frame_results
     sh = make_sequence_header(width, height)
     dev = DeviceRtEncoder(qindex)
     payloads = []
@@ -228,7 +227,7 @@ def encode_realtime_tpu_ivf(path: str, frames, width: int, height: int,
         res_raw = dev.realize(handle)
         fh = make_inter_frame_header(sh, qindex, deblock=False)
         enc = TpuInterFrameEncoder(sh, fh, slots)
-        enc._results = pack_frame_results(res_raw, width)
+        enc._results = None     # dicts built lazily on emitter fallback
         enc._external_results = True
         enc._external_recon = None
         enc._res_raw = res_raw

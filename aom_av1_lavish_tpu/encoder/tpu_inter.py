@@ -141,28 +141,38 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         return data
 
     def _ensure_device_encode(self):
-        if (self._results is not None
+        if ((self._res_raw is not None or self._results is not None)
                 and getattr(self, "_external_recon", None) is not None):
             ry, ru, rv = self._external_recon
             self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
             self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
             self.recon[2][:rv.shape[0], :rv.shape[1]] = rv
             self._external_recon = None
-        if self._results is None:
+        if self._res_raw is None and self._results is None:
             from ..ops.inter_tpu import DeviceInterEncoder
             dev = DeviceInterEncoder(self.fh.base_q_idx)
             ref_planes = [self.refs[self.fh.ref_frame_idx[r - 1]]
                           for r in self.ref_list]
-            self._results = dev.encode_frame(
+            self._res_raw = dev.encode_frame_raw(
                 [self.src[0][:self.mi_rows * 4, :self.mi_cols * 4],
                  self.src[1][:self.mi_rows * 2, :self.mi_cols * 2],
                  self.src[2][:self.mi_rows * 2, :self.mi_cols * 2]],
                 ref_planes)
-            self._res_raw = dev.res_raw
             ry, ru, rv = dev.recon
             self.recon[0][:ry.shape[0], :ry.shape[1]] = ry
             self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
             self.recon[2][:rv.shape[0], :rv.shape[1]] = rv
+
+    def _results_dicts(self):
+        """Per-block dict view of the raw device results — built only
+        when the Python emitter fallback actually walks them (the
+        native C walker consumes _res_raw directly; at 1080p the dict
+        packing alone costs ~50 ms/frame of pure host overhead)."""
+        if self._results is None:
+            from ..ops.inter_tpu import pack_frame_results
+            self._results = pack_frame_results(self._res_raw,
+                                               self.mi_cols * 4)
+        return self._results
 
     def _search(self, mi_row, mi_col, bsize):
         self._ensure_device_encode()
@@ -182,7 +192,7 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         return 0.0, ("SPLIT", mi_row, mi_col, bsize, kids)
 
     def _leaf(self, mi_row, mi_col):
-        res = self._results[(mi_row // 4, mi_col // 4)]
+        res = self._results_dicts()[(mi_row // 4, mi_col // 4)]
         py = mi_row * 4
         px = mi_col * 4
         # luma inter tx type symbol (TX_16X16 inter: DTT9_IDTX_1DDCT set)

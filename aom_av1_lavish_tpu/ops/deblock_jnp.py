@@ -152,12 +152,15 @@ def _filter6(P, Q, lim, mblim, thresh):
 
 
 def _edge_pass(plane, step, ntaps, nmod, filt, lim, mblim, thresh,
-               horizontal):
+               horizontal, edge_mask=None):
     """One direction's uniform-grid edge pass.
 
     plane: (H, W) int32.  Edges every `step` pixels (interior only);
     ntaps taps read each side, nmod written each side.  filt is
-    _filter14 (returns a dict) or _filter6 (returns a 4-tuple)."""
+    _filter14 (returns a dict) or _filter6 (returns a 4-tuple).
+    edge_mask: optional (rows, K) bool — False edges are left
+    untouched (interior edges of merged coding blocks, which under
+    tx==block syntax are neither transform nor prediction boundaries)."""
     if horizontal:
         plane = plane.T
     W = plane.shape[1]
@@ -174,10 +177,14 @@ def _edge_pass(plane, step, ntaps, nmod, filt, lim, mblim, thresh,
         res = {("p", 1): res[0], ("p", 0): res[1],
                ("q", 0): res[2], ("q", 1): res[3]}
     for i in range(nmod):
+        new_p = res[("p", i)]
+        new_q = res[("q", i)]
+        if edge_mask is not None:
+            new_p = jnp.where(edge_mask, new_p, P[i])
+            new_q = jnp.where(edge_mask, new_q, Q[i])
         plane = plane.at[:, step - 1 - i:step - 1 - i + span:step].set(
-            res[("p", i)])
-        plane = plane.at[:, step + i:step + i + span:step].set(
-            res[("q", i)])
+            new_p)
+        plane = plane.at[:, step + i:step + i + span:step].set(new_q)
     return plane.T if horizontal else plane
 
 
@@ -203,6 +210,46 @@ def deblock_fixed16(rec_y, rec_u, rec_v, lvl_y, lvl_uv_u, lvl_uv_v,
                          thresh, horizontal=False)
         out = _edge_pass(out, step, ntaps, nmod, filt, lim, mblim,
                          thresh, horizontal=True)
+        out = jnp.clip(out, 0, 255)
+        return jnp.where(lvl > 0, out, p32).astype(jnp.uint8)
+
+    y = plane_pass(rec_y, lvl_y, 16, 7, 6, _filter14)
+    u = plane_pass(rec_u, lvl_uv_u, 8, 3, 2, _filter6)
+    v = plane_pass(rec_v, lvl_uv_v, 8, 3, 2, _filter6)
+    return y, u, v
+
+
+def deblock_leafmask(rec_y, rec_u, rec_v, lvl_y, lvl_uv_u, lvl_uv_v,
+                     leaf_id, sharpness: int = 0):
+    """Deblock planes of a variable-partition frame (leaves in {16, 32,
+    64} squares, tx == block size).
+
+    leaf_id: (nby, nbx) int32 per-16x16-block coding-leaf id — a
+    16-grid edge is filtered iff the ids on its two sides differ (it is
+    then a prediction AND transform boundary, so the normative filter
+    applies unconditionally; equal ids mean the edge is interior to a
+    merged block and must not be touched — av1_loopfilter.c builds the
+    same masks from the tx/block size grids).  Chroma edges at the
+    8-px grid map 1:1 onto the luma 16-grid edges because every leaf's
+    chroma transform spans exactly its chroma area."""
+    lim_tab, mblim_tab = _lim_tables(sharpness)
+    lim_t = jnp.asarray(lim_tab)
+    mblim_t = jnp.asarray(mblim_tab)
+    von = leaf_id[:, 1:] != leaf_id[:, :-1]    # (nby, nbx-1)
+    hon = leaf_id[1:, :] != leaf_id[:-1, :]    # (nby-1, nbx)
+
+    def plane_pass(plane_u8, lvl, step, ntaps, nmod, filt):
+        p32 = jnp.asarray(plane_u8).astype(jnp.int32)
+        lvl = jnp.asarray(lvl, jnp.int32)
+        lim = jnp.take(lim_t, lvl)
+        mblim = jnp.take(mblim_t, lvl)
+        thresh = lvl >> 4
+        vmask = jnp.repeat(von, step, axis=0)        # (rows, K)
+        hmask = jnp.repeat(hon.T, step, axis=0)      # (cols, K)
+        out = _edge_pass(p32, step, ntaps, nmod, filt, lim, mblim,
+                         thresh, horizontal=False, edge_mask=vmask)
+        out = _edge_pass(out, step, ntaps, nmod, filt, lim, mblim,
+                         thresh, horizontal=True, edge_mask=hmask)
         out = jnp.clip(out, 0, 255)
         return jnp.where(lvl > 0, out, p32).astype(jnp.uint8)
 

@@ -294,6 +294,131 @@ def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
 
 _FN_CACHE = {}
 
+#: per-leaf mode/MV overhead estimates (bits) driving the partition
+#: merge DP, and the per-split partition-symbol rate.  These stand in
+#: for the reference's exact mode-rate accounting inside
+#: av1_rd_pick_partition (partition_search.c:5310): a 16x16 leaf costs
+#: ~a skip flag + inter mode + MV residual; merging 4 leaves into one
+#: 32x32 saves ~3 of those.
+OH16, OH32, OH64 = 8.0, 9.0, 10.0
+R_SPLIT = 1.0
+#: coefficient-fetch truncation caps for the merged levels (int8 scan
+#: prefix shipped; flagged blocks batch-fetch their full int16 rows)
+CAPY32, CAPC32 = 96, 48
+CAPY64, CAPC64 = 128, 64
+
+
+def _lower_median4(x):
+    """(B, 4) -> (B,) lower median (an actual member of the set, so the
+    result is a realizable MV)."""
+    return jnp.sort(x, axis=1)[:, 1]
+
+
+def _eval_merge_level(src_y_big, src_u_big, src_v_big, y0m, x0m,
+                      cand_r, cand_c, cand_ref, bsz,
+                      refs_y, refs_u, refs_v, n_refs, W, H,
+                      pq_y, pq_u, pq_v, lam,
+                      tx_y, tx_uv, scan_ym, scan_cm):
+    """RD-code one merged partition level (bsz in {32, 64}) for all Bm
+    blocks: pick the best MV among the child candidates, motion
+    compensate at bsz, transform-code luma at tx_y and chroma at tx_uv,
+    and apply the RD skip trial.  Redesigned from the reference's
+    recursive rd_pick_sb_modes at larger bsizes
+    (av1/encoder/partition_search.c:930) as a batched tensor pass.
+
+    Returns (mv_r, mv_c, ref, qy_s, qu_s, qv_s (scan order), eobs,
+    rec_y, rec_u, rec_v, d_total, r_total)."""
+    Bm = src_y_big.shape[0]
+    csz = bsz >> 1
+    syf = src_y_big.astype(jnp.float32)
+
+    def mc_y(mvr, mvc, rf):
+        cr, cc_ = _clamp_mv(mvr, mvc, bsz, bsz, 0, 0, x0m, y0m, W, H,
+                            bsz, bsz)
+        if n_refs == 1:
+            return _mc_block(refs_y[0], x0m, y0m, bsz, bsz, cr, cc_)
+        pa = _mc_block(refs_y[0], x0m, y0m, bsz, bsz, cr, cc_)
+        pb = _mc_block(refs_y[1], x0m, y0m, bsz, bsz, cr, cc_)
+        return jnp.where(rf[:, None, None] == 0, pa, pb)
+
+    best = None
+    for k in range(cand_r.shape[1]):
+        pk = mc_y(cand_r[:, k], cand_c[:, k], cand_ref[:, k])
+        d = pk.astype(jnp.float32) - syf
+        ck = (d * d).sum((1, 2)) + (MV_COST_W / 8.0) * (
+            jnp.abs(cand_r[:, k])
+            + jnp.abs(cand_c[:, k])).astype(jnp.float32)
+        if best is None:
+            best = (ck, cand_r[:, k], cand_c[:, k], cand_ref[:, k], pk)
+        else:
+            bc, br, bcc, brf, bp = best
+            lt = ck < bc
+            best = (jnp.where(lt, ck, bc),
+                    jnp.where(lt, cand_r[:, k], br),
+                    jnp.where(lt, cand_c[:, k], bcc),
+                    jnp.where(lt, cand_ref[:, k], brf),
+                    jnp.where(lt[:, None, None], pk, bp))
+    _, mv_r, mv_c, ref, pred_y = best
+
+    n_y = scan_ym.shape[0]
+    n_c = scan_cm.shape[0]
+    dc_y = np.arange(n_y) == 0
+    dc_c = np.arange(n_c) == 0
+    resid_y = src_y_big - pred_y.astype(jnp.int32)
+    coeff_y = fwd_txfm2d_batched(resid_y, tx_y, c.DCT_DCT)
+    qy, dqy = _quantize_jnp(coeff_y, pq_y, CF._tx_scale(tx_y), dc_y)
+    bits_y, eob_y = _est_bits(qy, scan_ym)
+    rec_y = inv_txfm2d_add_batched(dqy, pred_y, tx_y, c.DCT_DCT)
+    rec_y = jnp.where((eob_y > 0)[:, None, None], rec_y, pred_y)
+
+    xc = x0m >> 1
+    yc = y0m >> 1
+    crc, cccol = _clamp_mv(mv_r, mv_c, csz, csz, 1, 1, x0m, y0m, W, H,
+                           bsz, bsz)
+    out_c = []
+    for (src_p, refs_p, pq_p) in ((src_u_big, refs_u, pq_u),
+                                  (src_v_big, refs_v, pq_v)):
+        if n_refs == 1:
+            pred = _mc_block(refs_p[0], xc, yc, csz, csz, crc, cccol)
+        else:
+            p0 = _mc_block(refs_p[0], xc, yc, csz, csz, crc, cccol)
+            p1 = _mc_block(refs_p[1], xc, yc, csz, csz, crc, cccol)
+            pred = jnp.where(ref[:, None, None] == 0, p0, p1)
+        resid = src_p - pred.astype(jnp.int32)
+        coeff = fwd_txfm2d_batched(resid, tx_uv, c.DCT_DCT)
+        qc, dqc = _quantize_jnp(coeff, pq_p, CF._tx_scale(tx_uv), dc_c)
+        bits_c, eob = _est_bits(qc, scan_cm)
+        rec = inv_txfm2d_add_batched(dqc, pred, tx_uv, c.DCT_DCT)
+        rec = jnp.where((eob > 0)[:, None, None], rec, pred)
+        out_c.append((qc, eob, rec, bits_c, src_p, pred))
+
+    def ssd3(a, b):
+        d = a.astype(jnp.float32) - b.astype(jnp.float32)
+        return (d * d).sum((1, 2))
+
+    d_code = ssd3(rec_y, src_y_big) + ssd3(out_c[0][2], out_c[0][4]) \
+        + ssd3(out_c[1][2], out_c[1][4])
+    d_skip = ssd3(pred_y, src_y_big) + ssd3(out_c[0][5], out_c[0][4]) \
+        + ssd3(out_c[1][5], out_c[1][4])
+    r_code = bits_y + out_c[0][3] + out_c[1][3] + 2.0
+    skip_rd = d_skip + lam * 1.0 <= d_code + lam * r_code
+    sk3 = skip_rd[:, None, None]
+    qy = jnp.where(skip_rd[:, None], 0, qy)
+    eob_y = jnp.where(skip_rd, 0, eob_y)
+    rec_y = jnp.where(sk3, pred_y, rec_y)
+    out_c = [(jnp.where(skip_rd[:, None], 0, qc),
+              jnp.where(skip_rd, 0, eob),
+              jnp.where(sk3, pred, rec))
+             for (qc, eob, rec, _, _, pred) in out_c]
+    (qu, eob_u, rec_u), (qv, eob_v, rec_v) = out_c
+    d_tot = jnp.where(skip_rd, d_skip, d_code)
+    r_tot = jnp.where(skip_rd, 1.0, r_code)
+    qy_s = qy.astype(jnp.int16)[:, scan_ym]
+    qu_s = qu.astype(jnp.int16)[:, scan_cm]
+    qv_s = qv.astype(jnp.int16)[:, scan_cm]
+    return (mv_r, mv_c, ref, qy_s, qu_s, qv_s,
+            (eob_y, eob_u, eob_v), rec_y, rec_u, rec_v, d_tot, r_tot)
+
 
 def rd_lambda(qindex: int) -> np.float32:
     """Frame RD lambda (SSE per bit), matching the host RD paths
@@ -304,8 +429,15 @@ def rd_lambda(qindex: int) -> np.float32:
 
 def _p_frame_core(key):
     """Unjitted whole-frame P encode closure (shared by the single-
-    device jit and the FPMT 'frame'-axis sharded batch)."""
-    H, W, n_refs = key
+    device jit and the FPMT 'frame'-axis sharded batch).
+
+    key = (H, W, n_refs, merge): with merge=True the fixed-16x16 coding
+    pass is followed by a bottom-up partition DP over {16, 32, 64}
+    squares (av1_rd_pick_partition analog, partition_search.c:5310):
+    each 32 (and 64) block is RD-coded as one unit from its children's
+    MV candidates, and merged wherever distortion + coefficient bits +
+    mode overhead beat the sum of its children."""
+    H, W, n_refs, merge = key
     nby, nbx = H // 16, W // 16
     B = nby * nbx
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
@@ -314,8 +446,14 @@ def _p_frame_core(key):
     x0 = (bx.ravel() * 16).astype(np.int32)
     scan_y = np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT))
     scan_c = np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT))
+    scan_32 = np.asarray(tables.scan(c.TX_32X32, c.DCT_DCT))
+    scan_64 = np.asarray(tables.scan(c.TX_64X64, c.DCT_DCT))
     dc_y = np.arange(256) == 0
     dc_c = np.arange(64) == 0
+    nby2, nbx2 = nby // 2, nbx // 2
+    nby4, nbx4 = nby2 // 2, nbx2 // 2
+    do32 = merge and nby2 > 0 and nbx2 > 0
+    do64 = merge and nby4 > 0 and nbx4 > 0
 
     def fn(src_y, src_u, src_v, refs_y, refs_u, refs_v, refs_y2,
            pq_arr_y, pq_arr_u, pq_arr_v, lam):
@@ -507,7 +645,127 @@ def _p_frame_core(key):
             return blocks.reshape(nby, nbx, n, n).transpose(0, 2, 1, 3) \
                 .reshape(nby * n, nbx * n)
 
+        def untile_pad(blocks, n, n1, n2, Hf, Wf):
+            """(n1*n2, n, n) sub-grid blocks -> (Hf, Wf) plane, zero
+            beyond the covered region."""
+            pl = blocks.reshape(n1, n2, n, n).transpose(0, 2, 1, 3) \
+                .reshape(n1 * n, n2 * n)
+            return jnp.pad(pl, ((0, Hf - n1 * n), (0, Wf - n2 * n)))
+
         (qu, eob_u, rec_u), (qv, eob_v, rec_v) = out_c
+        d16f = jnp.where(skip_rd, d_skip, d_code)
+        r16f = jnp.where(skip_rd, 1.0, r_code)
+
+        # --- bottom-up partition merge DP over {16, 32, 64} squares ---
+        def qgrid(a, n1, n2):
+            """(>=2*n1, >=2*n2) grid -> (n1*n2, 4) 2x2 child groups."""
+            return a[:2 * n1, :2 * n2].reshape(n1, 2, n2, 2) \
+                .transpose(0, 2, 1, 3).reshape(n1 * n2, 4)
+
+        def merge_hdr(mvr, mvc, rf, eobs, part, qys, qus, qvs, cy, cc_):
+            eo_y, eo_u, eo_v = eobs
+            ctr16b = jnp.concatenate([qys[:, :cy], qus[:, :cc_],
+                                      qvs[:, :cc_]], axis=1)
+            need = ((eo_y > cy) | (eo_u > cc_) | (eo_v > cc_)
+                    | (jnp.abs(ctr16b).max(axis=1) > 127))
+            h = jnp.stack([mvr, mvc, rf, eo_y, eo_u, eo_v,
+                           need.astype(jnp.int32),
+                           part.astype(jnp.int32)], axis=1) \
+                .astype(jnp.int16)
+            return (h, jnp.clip(ctr16b, -127, 127).astype(jnp.int8),
+                    jnp.concatenate([qys, qus, qvs], axis=1))
+
+        lvl16 = jnp.zeros((nby, nbx), jnp.int8)
+        if do32:
+            B32 = nby2 * nbx2
+            mr4 = qgrid(mv_r.reshape(nby, nbx), nby2, nbx2)
+            mc4 = qgrid(mv_c.reshape(nby, nbx), nby2, nbx2)
+            rf4 = qgrid(best_ref.reshape(nby, nbx), nby2, nbx2)
+            med_r = _lower_median4(mr4)
+            med_c = _lower_median4(mc4)
+            maj = (rf4.sum(1) >= 2).astype(rf4.dtype) if n_refs == 2 \
+                else jnp.zeros(B32, rf4.dtype)
+            cand_r32 = jnp.concatenate([mr4, med_r[:, None]], 1)
+            cand_c32 = jnp.concatenate([mc4, med_c[:, None]], 1)
+            cand_f32 = jnp.concatenate([rf4, maj[:, None]], 1)
+            r2g, c2g = np.meshgrid(np.arange(nby2), np.arange(nbx2),
+                                   indexing="ij")
+            y0m32 = (r2g.ravel() * 32).astype(np.int32)
+            x0m32 = (c2g.ravel() * 32).astype(np.int32)
+
+            def tile_sub(p, n, n1, n2):
+                return p[:n1 * n, :n2 * n].reshape(n1, n, n2, n) \
+                    .transpose(0, 2, 1, 3).reshape(n1 * n2, n, n) \
+                    .astype(jnp.int32)
+
+            (mv32r, mv32c, ref32, qy32, qu32, qv32, eobs32, ry32, ru32,
+             rv32, d32, r32) = _eval_merge_level(
+                tile_sub(src_y, 32, nby2, nbx2),
+                tile_sub(src_u, 16, nby2, nbx2),
+                tile_sub(src_v, 16, nby2, nbx2),
+                y0m32, x0m32, cand_r32, cand_c32, cand_f32, 32,
+                refs_y, refs_u, refs_v, n_refs, W, H,
+                pq_y, pq_u, pq_v, lam,
+                c.TX_32X32, c.TX_16X16, scan_32, scan_y)
+            cost16g = (d16f + lam * (r16f + OH16)).reshape(nby, nbx)
+            split32 = qgrid(cost16g, nby2, nbx2).sum(1) + lam * R_SPLIT
+            cost32n = d32 + lam * (r32 + OH32)
+            part32 = cost32n < split32
+            best32 = jnp.minimum(cost32n, split32)
+            h32, ctr32, cfull32 = merge_hdr(
+                mv32r, mv32c, ref32, eobs32, part32, qy32, qu32, qv32,
+                CAPY32, CAPC32)
+            lvl16 = jnp.where(
+                jnp.pad(jnp.repeat(jnp.repeat(
+                    part32.reshape(nby2, nbx2), 2, 0), 2, 1),
+                    ((0, nby - 2 * nby2), (0, nbx - 2 * nbx2))),
+                jnp.int8(1), lvl16)
+        else:
+            h32 = jnp.zeros((0, 8), jnp.int16)
+            ctr32 = jnp.zeros((0, CAPY32 + 2 * CAPC32), jnp.int8)
+            cfull32 = jnp.zeros((0, 1536), jnp.int16)
+        if do64:
+            B64 = nby4 * nbx4
+            mr4 = qgrid(mv32r.reshape(nby2, nbx2), nby4, nbx4)
+            mc4 = qgrid(mv32c.reshape(nby2, nbx2), nby4, nbx4)
+            rf4 = qgrid(ref32.reshape(nby2, nbx2), nby4, nbx4)
+            med_r = _lower_median4(mr4)
+            med_c = _lower_median4(mc4)
+            maj = (rf4.sum(1) >= 2).astype(rf4.dtype) if n_refs == 2 \
+                else jnp.zeros(B64, rf4.dtype)
+            cand_r64 = jnp.concatenate([mr4, med_r[:, None]], 1)
+            cand_c64 = jnp.concatenate([mc4, med_c[:, None]], 1)
+            cand_f64 = jnp.concatenate([rf4, maj[:, None]], 1)
+            r4g, c4g = np.meshgrid(np.arange(nby4), np.arange(nbx4),
+                                   indexing="ij")
+            y0m64 = (r4g.ravel() * 64).astype(np.int32)
+            x0m64 = (c4g.ravel() * 64).astype(np.int32)
+            (mv64r, mv64c, ref64, qy64, qu64, qv64, eobs64, ry64, ru64,
+             rv64, d64, r64) = _eval_merge_level(
+                tile_sub(src_y, 64, nby4, nbx4),
+                tile_sub(src_u, 32, nby4, nbx4),
+                tile_sub(src_v, 32, nby4, nbx4),
+                y0m64, x0m64, cand_r64, cand_c64, cand_f64, 64,
+                refs_y, refs_u, refs_v, n_refs, W, H,
+                pq_y, pq_u, pq_v, lam,
+                c.TX_64X64, c.TX_32X32, scan_64, scan_32)
+            split64 = qgrid(best32.reshape(nby2, nbx2),
+                            nby4, nbx4).sum(1) + lam * R_SPLIT
+            cost64n = d64 + lam * (r64 + OH64)
+            part64 = cost64n < split64
+            h64, ctr64, cfull64 = merge_hdr(
+                mv64r, mv64c, ref64, eobs64, part64, qy64, qu64, qv64,
+                CAPY64, CAPC64)
+            lvl16 = jnp.where(
+                jnp.pad(jnp.repeat(jnp.repeat(
+                    part64.reshape(nby4, nbx4), 4, 0), 4, 1),
+                    ((0, nby - 4 * nby4), (0, nbx - 4 * nbx4))),
+                jnp.int8(2), lvl16)
+        else:
+            h64 = jnp.zeros((0, 8), jnp.int16)
+            ctr64 = jnp.zeros((0, CAPY64 + 2 * CAPC64), jnp.int8)
+            cfull64 = jnp.zeros((0, 3072), jnp.int16)
+
         # D2H shipping plan (the tunnel link is ~35 MB/s + one RTT per
         # array): a small header, SCAN-ORDER coefficients truncated at
         # CAPY/CAPC and saturated to int8 (covers >p99 of blocks at
@@ -532,12 +790,42 @@ def _p_frame_core(key):
             eob_v.astype(jnp.int16)[:, None],
             need_full.astype(jnp.int16)[:, None]], axis=1)
         ctr = jnp.clip(ctr16, -127, 127).astype(jnp.int8)
+
+        # final reconstruction: each pixel from its chosen leaf's recon
+        rec_y_full = untile(rec_y, 16)
+        rec_u_full = untile(rec_u, 8)
+        rec_v_full = untile(rec_v, 8)
+        if do32:
+            m = jnp.repeat(jnp.repeat(lvl16 == 1, 16, 0), 16, 1)
+            rec_y_full = jnp.where(
+                m, untile_pad(ry32, 32, nby2, nbx2, H, W), rec_y_full)
+            mc2 = jnp.repeat(jnp.repeat(lvl16 == 1, 8, 0), 8, 1)
+            rec_u_full = jnp.where(
+                mc2, untile_pad(ru32, 16, nby2, nbx2, H // 2, W // 2),
+                rec_u_full)
+            rec_v_full = jnp.where(
+                mc2, untile_pad(rv32, 16, nby2, nbx2, H // 2, W // 2),
+                rec_v_full)
+        if do64:
+            m = jnp.repeat(jnp.repeat(lvl16 == 2, 16, 0), 16, 1)
+            rec_y_full = jnp.where(
+                m, untile_pad(ry64, 64, nby4, nbx4, H, W), rec_y_full)
+            mc2 = jnp.repeat(jnp.repeat(lvl16 == 2, 8, 0), 8, 1)
+            rec_u_full = jnp.where(
+                mc2, untile_pad(ru64, 32, nby4, nbx4, H // 2, W // 2),
+                rec_u_full)
+            rec_v_full = jnp.where(
+                mc2, untile_pad(rv64, 32, nby4, nbx4, H // 2, W // 2),
+                rec_v_full)
         rec = jnp.concatenate([
-            untile(rec_y, 16).astype(jnp.uint8),
-            jnp.concatenate([untile(rec_u, 8).astype(jnp.uint8),
-                             untile(rec_v, 8).astype(jnp.uint8)],
+            rec_y_full.astype(jnp.uint8),
+            jnp.concatenate([rec_u_full.astype(jnp.uint8),
+                             rec_v_full.astype(jnp.uint8)],
                             axis=1)], axis=0)
-        return hdr, ctr, cfull, rec
+        if not merge:
+            return hdr, ctr, cfull, rec
+        return (hdr, ctr, cfull, rec, lvl16,
+                h32, ctr32, cfull32, h64, ctr64, cfull64)
 
     return fn
 
@@ -609,6 +897,80 @@ def assemble_group_res(hdr, ctr, cfull_d):
             for j in range(L)]
 
 
+def _assemble_level(hdr, coeff_scan, ny, nc, cy, cc_, scan_ym, scan_cm,
+                    fetch_rows=None):
+    """Generic merged-level raster assembly: hdr (Bm, 8) int16 +
+    truncated int8 scan coefficients -> (Bm, 6 + ny + 2*nc) int16 with
+    raster-layout coefficients (the emitters' qcoeff layout).  Blocks
+    flagged in hdr col 6 get their full int16 rows via fetch_rows."""
+    B = hdr.shape[0]
+    res = np.zeros((B, 6 + ny + 2 * nc), np.int16)
+    if B == 0:
+        return res
+    res[:, :6] = hdr[:, :6]
+    cs = coeff_scan.astype(np.int16)
+    res[:, 6 + scan_ym[:cy]] = cs[:, :cy]
+    res[:, 6 + ny + scan_cm[:cc_]] = cs[:, cy:cy + cc_]
+    res[:, 6 + ny + nc + scan_cm[:cc_]] = cs[:, cy + cc_:cy + 2 * cc_]
+    idx = np.nonzero(hdr[:, 6])[0]
+    if idx.size:
+        rows = np.asarray(fetch_rows(idx), np.int16)
+        res[idx[:, None], 6 + scan_ym[None, :]] = rows[:, :ny]
+        res[idx[:, None], 6 + ny + scan_cm[None, :]] = rows[:, ny:ny + nc]
+        res[idx[:, None], 6 + ny + nc + scan_cm[None, :]] = \
+            rows[:, ny + nc:]
+    return res
+
+
+def _level_params(bsz: int):
+    """(ny, nc, capy, capc, scan_y, scan_c) for a merged level."""
+    if bsz == 32:
+        return (1024, 256, CAPY32, CAPC32,
+                np.asarray(tables.scan(c.TX_32X32, c.DCT_DCT)),
+                np.asarray(tables.scan(c.TX_16X16, c.DCT_DCT)))
+    return (1024, 1024, CAPY64, CAPC64,
+            np.asarray(tables.scan(c.TX_64X64, c.DCT_DCT)),
+            np.asarray(tables.scan(c.TX_32X32, c.DCT_DCT)))
+
+
+def _assemble_group_level(hdr, ctr, cfull_d, bsz):
+    """Per-frame merged-level assembly with ONE overflow gather across
+    the whole group (hdr (L, Bm, 8))."""
+    L, B = hdr.shape[:2]
+    ny, nc, cy, cc_, scan_ym, scan_cm = _level_params(bsz)
+    if B == 0:
+        return [np.zeros((0, 6 + ny + 2 * nc), np.int16)
+                for _ in range(L)]
+    flat = np.concatenate([np.nonzero(hdr[j][:, 6])[0] + j * B
+                           for j in range(L)])
+    rows_by_frame = [None] * L
+    if flat.size:
+        rows = np.asarray(
+            cfull_d.reshape(L * B, -1)[jnp.asarray(flat)], np.int16)
+        pos = 0
+        for j in range(L):
+            k = np.count_nonzero(hdr[j][:, 6])
+            rows_by_frame[j] = rows[pos:pos + k]
+            pos += k
+    return [_assemble_level(hdr[j], ctr[j], ny, nc, cy, cc_, scan_ym,
+                            scan_cm, lambda idx, j=j: rows_by_frame[j])
+            for j in range(L)]
+
+
+def assemble_group_merge(hdr, ctr, cfull_d, lvl, h32, c32, cfull32_d,
+                         h64, c64, cfull64_d):
+    """Whole-group assembly of the variable-partition result format.
+    Returns a list of per-frame dicts: r16 (B,390), r32 (B32,1542),
+    r64 (B64,3078) raster buffers plus the lvl (nby,nbx) uint8 map
+    (0=16x16 leaf, 1=merged 32, 2=merged 64)."""
+    raws16 = assemble_group_res(hdr, ctr, cfull_d)
+    r32s = _assemble_group_level(h32, c32, cfull32_d, 32)
+    r64s = _assemble_group_level(h64, c64, cfull64_d, 64)
+    return [dict(r16=raws16[j], r32=r32s[j], r64=r64s[j],
+                 lvl=np.asarray(lvl[j], np.uint8))
+            for j in range(len(raws16))]
+
+
 def pack_frame_results(res_buf, W):
     """Packed device result buffer (B, 390) int16 -> the per-block dict
     the host emitter (encoder/tpu_inter.py) walks.  Layout per block:
@@ -667,8 +1029,19 @@ def _p_chain_fn(key):
     if key in _CHAIN_FN_CACHE:
         return _CHAIN_FN_CACHE[key]
     H, W, n_refs, sharpness = key
-    base = _p_frame_core((H, W, n_refs))
-    from .deblock_jnp import deblock_fixed16
+    base = _p_frame_core((H, W, n_refs, True))
+    from .deblock_jnp import deblock_leafmask
+    nby, nbx = H // 16, W // 16
+
+    def leaf_ids(lvl16):
+        """Per-16-block coding-leaf id from the partition level map."""
+        bi = jnp.arange(nby * nbx, dtype=jnp.int32).reshape(nby, nbx)
+        rr = jnp.arange(nby)[:, None]
+        cc_ = jnp.arange(nbx)[None, :]
+        id32 = ((rr & ~1) * nbx + (cc_ & ~1)).astype(jnp.int32)
+        id64 = ((rr & ~3) * nbx + (cc_ & ~3)).astype(jnp.int32)
+        return jnp.where(lvl16 == 2, id64,
+                         jnp.where(lvl16 == 1, id32, bi))
 
     def fn(srcs_y, srcs_u, srcs_v, last_y, last_u, last_v,
            arf_y, arf_u, arf_v, pq_stack, lf_stack, lam_stack):
@@ -688,21 +1061,24 @@ def _p_chain_fn(key):
                 ry2 = jnp.stack([ly2, ay2])
             else:
                 ry, ru, rv, ry2 = ly[None], lu[None], lv[None], ly2[None]
-            hdr, ctr, cfull, rec = base(sy, su, sv, ry, ru, rv, ry2,
-                                        pq[0], pq[1], pq[2], lm)
-            rec_y, rec_u, rec_v = deblock_fixed16(
+            (hdr, ctr, cfull, rec, lvl16, h32, ctr32, cfull32, h64,
+             ctr64, cfull64) = base(sy, su, sv, ry, ru, rv, ry2,
+                                    pq[0], pq[1], pq[2], lm)
+            rec_y, rec_u, rec_v = deblock_leafmask(
                 rec[:H], rec[H:, :W // 2], rec[H:, W // 2:],
-                lf[0], lf[1], lf[2], sharpness=sharpness)
+                lf[0], lf[1], lf[2], leaf_ids(lvl16),
+                sharpness=sharpness)
             rec = jnp.concatenate([
                 rec_y, jnp.concatenate([rec_u, rec_v], axis=1)], axis=0)
             return (_pad_ref_jnp(rec_y, rec_u, rec_v),
-                    (hdr, ctr, cfull, rec))
+                    (hdr, ctr, cfull, rec, lvl16, h32, ctr32, cfull32,
+                     h64, ctr64, cfull64))
 
         init = _pad_ref_jnp(last_y, last_u, last_v)
-        _, (hdr, ctr, cfull, rec) = jax.lax.scan(
+        _, outs = jax.lax.scan(
             body, init, (srcs_y, srcs_u, srcs_v, pq_stack, lf_stack,
                          lam_stack))
-        return hdr, ctr, cfull, rec
+        return outs
 
     jitted = jax.jit(fn)
     _CHAIN_FN_CACHE[key] = jitted
@@ -763,20 +1139,26 @@ class DeviceChainEncoder:
         srcs_v = stk([f[2][:H >> 1, :W >> 1] for f in src_frames])
         lp = last_planes
         ap = arf_planes if arf_planes is not None else last_planes
-        hdr_d, ctr_d, cfull_d, rec_d = fn(
+        out = fn(
             srcs_y, srcs_u, srcs_v,
             lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
             lp[2][:H >> 1, :W >> 1],
             ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
             ap[2][:H >> 1, :W >> 1], pq_stack, lf_stack, lam_stack)
+        (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
+         h64_d, c64_d, cfull64_d) = out
         from ..utils.xfer import fetch
         if recon == "all":
-            hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
+            hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(
+                hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, rec_d)
             recons = [split_recon(rec[j], H, W) for j in range(L)]
         else:
-            hdr, ctr, rec_last = fetch(hdr_d, ctr_d, rec_d[L - 1])
+            hdr, ctr, lvl, h32, c32, h64, c64, rec_last = fetch(
+                hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d,
+                rec_d[L - 1])
             recons = [None] * (L - 1) + [split_recon(rec_last, H, W)]
-        raws = assemble_group_res(hdr, ctr, cfull_d)
+        raws = assemble_group_merge(hdr, ctr, cfull_d, lvl, h32, c32,
+                                    cfull32_d, h64, c64, cfull64_d)
         return raws, recons
 
 
@@ -790,7 +1172,7 @@ def _p_step_fn(key):
     if key in _STEP_FN_CACHE:
         return _STEP_FN_CACHE[key]
     H, W = key
-    base = _p_frame_core((H, W, 1))
+    base = _p_frame_core((H, W, 1, False))
 
     def fn(sy, su, sv, ly, lu, lv, ly2, pq_y, pq_u, pq_v, lam):
         hdr, ctr, cfull, rec = base(sy, su, sv, ly[None], lu[None],
@@ -889,18 +1271,20 @@ class DeviceInterEncoder:
     def encode_frame(self, src_planes, ref_planes_list):
         """src_planes: mi-aligned (y, u, v); ref_planes_list: list of
         visible (y, u, v) reference frames (1 or 2).  Returns dict of
-        per-block results + recon."""
-        res_buf = self.encode_frame_raw(src_planes, ref_planes_list)
-        return pack_frame_results(res_buf, src_planes[0].shape[1])
+        per-block results + recon (16x16-leaf view; merged levels are
+        in self.res_raw)."""
+        raw = self.encode_frame_raw(src_planes, ref_planes_list)
+        return pack_frame_results(raw["r16"], src_planes[0].shape[1])
 
     def encode_frame_raw(self, src_planes, ref_planes_list):
-        """Like encode_frame but returns the packed (B, 390) int16
-        buffer directly (the native tile walker's input) — callers that
-        use the C walker skip the per-block dict packing entirely."""
+        """Like encode_frame but returns the raw result dict (r16 /
+        r32 / r64 raster buffers + the lvl partition map) that the
+        emitters consume directly — callers that use the C walker skip
+        the per-block dict packing entirely."""
         H, W = src_planes[0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
         n_refs = len(ref_planes_list)
-        fn = _p_frame_fn((H, W, n_refs))
+        fn = _p_frame_fn((H, W, n_refs, True))
         refs_y, refs_u, refs_v, refs_y2 = [], [], [], []
         for rp in ref_planes_list:
             py = np.pad(rp[0], PADR, mode="edge").astype(np.uint8)
@@ -912,7 +1296,8 @@ class DeviceInterEncoder:
             w2 = (y2.shape[1] // 2) * 2
             y2 = y2[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
             refs_y2.append(y2)
-        hdr_d, ctr_d, cfull_d, rec_d = fn(
+        (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
+         h64_d, c64_d, cfull64_d) = fn(
             jnp.asarray(src_planes[0][:H, :W]),
             jnp.asarray(src_planes[1][:H >> 1, :W >> 1]),
             jnp.asarray(src_planes[2][:H >> 1, :W >> 1]),
@@ -923,9 +1308,12 @@ class DeviceInterEncoder:
             self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2],
             self.lam)
         from ..utils.xfer import fetch
-        hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
+        hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(
+            hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, rec_d)
         self.recon = split_recon(rec, H, W)
-        res_buf = assemble_res(
-            hdr, ctr, lambda idx: np.asarray(cfull_d[jnp.asarray(idx)]))
-        self.res_raw = res_buf
-        return res_buf
+        raw = assemble_group_merge(
+            hdr[None], ctr[None], cfull_d[None], lvl[None], h32[None],
+            c32[None], cfull32_d[None], h64[None], c64[None],
+            cfull64_d[None])[0]
+        self.res_raw = raw
+        return raw

@@ -196,7 +196,7 @@ def make_sharded_p_frame_fn(mesh: Mesh, H: int, W: int, n_refs: int = 1):
     if fn is not None:
         return fn
     from ..ops.inter_tpu import _p_frame_core
-    core = _p_frame_core((H, W, n_refs))
+    core = _p_frame_core((H, W, n_refs, True))
     batched = jax.vmap(core, in_axes=(0, 0, 0) + (None,) * 8)
     sb = NamedSharding(mesh, P("frame"))
     rep = NamedSharding(mesh, P())
@@ -215,21 +215,33 @@ def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
     if fn is not None:
         return fn
     from ..ops.inter_tpu import _p_frame_core, _pad_ref_jnp
-    from ..ops.deblock_jnp import deblock_fixed16
-    core = _p_frame_core((H, W, 2))
+    from ..ops.deblock_jnp import deblock_leafmask
+    core = _p_frame_core((H, W, 2, True))
+    nby, nbx = H // 16, W // 16
+
+    def leaf_ids(lvl16):
+        bi = jnp.arange(nby * nbx, dtype=jnp.int32).reshape(nby, nbx)
+        rr = jnp.arange(nby)[:, None]
+        cc_ = jnp.arange(nbx)[None, :]
+        id32 = ((rr & ~1) * nbx + (cc_ & ~1)).astype(jnp.int32)
+        id64 = ((rr & ~3) * nbx + (cc_ & ~3)).astype(jnp.int32)
+        return jnp.where(lvl16 == 2, id64,
+                         jnp.where(lvl16 == 1, id32, bi))
 
     def one(sy, su, sv, pq, lf, lam, refs):
         ry, ru, rv, ry2 = refs
-        hdr, ctr, cfull, rec = core(sy, su, sv, ry, ru, rv, ry2,
-                                    pq[0], pq[1], pq[2], lam)
+        (hdr, ctr, cfull, rec, lvl16, h32, c32, cfull32, h64, c64,
+         cfull64) = core(sy, su, sv, ry, ru, rv, ry2,
+                         pq[0], pq[1], pq[2], lam)
         # in-loop deblock per frame (FPMT frames are not chained, but
         # the output recon must match the decoder's filtered frame)
-        rec_y, rec_u, rec_v = deblock_fixed16(
+        rec_y, rec_u, rec_v = deblock_leafmask(
             rec[:H], rec[H:, :W // 2], rec[H:, W // 2:],
-            lf[0], lf[1], lf[2], sharpness=sharpness)
+            lf[0], lf[1], lf[2], leaf_ids(lvl16), sharpness=sharpness)
         rec = jnp.concatenate([
             rec_y, jnp.concatenate([rec_u, rec_v], axis=1)], axis=0)
-        return hdr, ctr, cfull, rec
+        return (hdr, ctr, cfull, rec, lvl16, h32, c32, cfull32, h64,
+                c64, cfull64)
 
     def group(srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
               ly, lu, lv, ay, au, av):
@@ -264,7 +276,7 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     Returns (raws, recons) like DeviceChainEncoder.encode_chain
     (recons fetched for every frame — they are not chained)."""
     from ..common import quant as Q
-    from ..ops.inter_tpu import (_pq_array, assemble_group_res,
+    from ..ops.inter_tpu import (_pq_array, assemble_group_merge,
                                  rd_lambda, split_recon)
     from ..utils.xfer import fetch
     L = len(src_frames)
@@ -287,14 +299,17 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     srcs_u = stk([f[1][:H >> 1, :W >> 1] for f in src_frames])
     srcs_v = stk([f[2][:H >> 1, :W >> 1] for f in src_frames])
     lp, ap = last_planes, arf_planes
-    hdr_d, ctr_d, cfull_d, rec_d = fn(
+    (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
+     h64_d, c64_d, cfull64_d) = fn(
         srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
         lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
         lp[2][:H >> 1, :W >> 1],
         ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
         ap[2][:H >> 1, :W >> 1])
-    hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
-    raws = assemble_group_res(hdr, ctr, cfull_d)
+    hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(
+        hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, rec_d)
+    raws = assemble_group_merge(hdr, ctr, cfull_d, lvl, h32, c32,
+                                cfull32_d, h64, c64, cfull64_d)
     recons = [split_recon(rec[j], H, W) for j in range(L)]
     return raws, recons
 
@@ -337,8 +352,7 @@ class ShardedInterGopEncoder:
         from ..bitstream import headers as HH
         from ..encoder.tpu_inter import (TpuInterFrameEncoder,
                                          make_inter_frame_header)
-        from ..ops.inter_tpu import (PADR, pack_frame_results,
-                                     _pq_array)
+        from ..ops.inter_tpu import PADR, _pq_array
         from ..common import quant as Q
         anchor_payload, anchor_rec = self._encode_anchor(frames[0])
         pfrs = frames[1:]
@@ -358,19 +372,18 @@ class ShardedInterGopEncoder:
         pq = [_pq_array(Q.build_plane_quant(self.qindex, 0, 0))
               for _ in range(3)]
         from ..ops.inter_tpu import rd_lambda
-        hdr_d, ctr_d, cfull_d, rec_d = fn(
+        (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
+         h64_d, c64_d, cfull64_d) = fn(
             ys, us, vs,
             jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
             jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),
             pq[0], pq[1], pq[2], rd_lambda(self.qindex))
         from ..utils.xfer import fetch
-        from ..ops.inter_tpu import assemble_res, split_recon
-        hdr, ctr, rec = fetch(hdr_d, ctr_d, rec_d)
-        res_buf = np.stack([
-            assemble_res(hdr[i], ctr[i],
-                         lambda idx, i=i: np.asarray(
-                             cfull_d[i][jnp.asarray(idx)]))
-            for i in range(len(pfrs))])
+        from ..ops.inter_tpu import assemble_group_merge, split_recon
+        hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(
+            hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, rec_d)
+        raws = assemble_group_merge(hdr, ctr, cfull_d, lvl, h32, c32,
+                                    cfull32_d, h64, c64, cfull64_d)
         payloads = [anchor_payload]
         slots = [anchor_rec] + [None] * 7
         for i in range(len(pfrs)):
@@ -378,10 +391,10 @@ class ShardedInterGopEncoder:
                                          refresh_frame_flags=0)
             enc = TpuInterFrameEncoder(self.sh, fh, slots,
                                        use_native=self.use_native)
-            enc._results = pack_frame_results(res_buf[i], W)
+            enc._results = None
             enc._external_results = True
             enc._external_recon = split_recon(rec[i], H, W)
-            enc._res_raw = res_buf[i]
+            enc._res_raw = raws[i]
             obu = enc.encode_frame_obu(pfrs[i])
             payloads.append(HH.temporal_delimiter() + obu)
         return payloads

@@ -79,10 +79,6 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         to the Python emitter."""
         if self.use_native is False or self._res_raw is None:
             return False
-        lvl = self._lvl_map()
-        if lvl is not None and lvl.any():
-            # variable partitions: the fixed-16 walker cannot code them
-            return False
         from ..runtime import native_available
         fh, sh = self.fh, self.sh
         return (native_available()
@@ -109,21 +105,47 @@ class TpuInterFrameEncoder(InterFrameEncoder):
     def _fill_native_grids(self):
         """Vectorized mirror of the emit-time grid bookkeeping the rest
         of the frame pipeline reads (mi_skip for CDEF search, per-8x8
-        frame MVs for future frames' motion-field projection)."""
+        frame MVs for future frames' motion-field projection), covering
+        the variable {16,32,64} leaf map."""
         res = self._raw16()
         nby, nbx = self.mi_rows // 4, self.mi_cols // 4
         skip_blk = ((res[:, 3] == 0) & (res[:, 4] == 0)
                     & (res[:, 5] == 0)).reshape(nby, nbx)
+        bsz_blk = np.full((nby, nbx), c.BLOCK_16X16, np.uint8)
+        mvr = res[:, 0].reshape(nby, nbx).astype(np.int16)
+        mvc = res[:, 1].reshape(nby, nbx).astype(np.int16)
+        refi = res[:, 2].reshape(nby, nbx).astype(np.int32)
+        lvl = self._lvl_map()
+        if lvl is not None and lvl.any():
+            raw = self._res_raw
+            for level, rbuf, bsz, f in (
+                    (1, raw["r32"], c.BLOCK_32X32, 2),
+                    (2, raw["r64"], c.BLOCK_64X64, 4)):
+                if not rbuf.shape[0]:
+                    continue
+                n1, n2 = nby // f, nbx // f
+                g = rbuf.reshape(n1, n2, -1)
+                m = lvl[:n1 * f:f, :n2 * f:f] == level   # (n1, n2)
+                for arr, col in ((mvr, 0), (mvc, 1), (refi, 2)):
+                    src = np.repeat(np.repeat(
+                        g[:, :, col], f, 0), f, 1).astype(arr.dtype)
+                    mfull = np.repeat(np.repeat(m, f, 0), f, 1)
+                    arr[:n1 * f, :n2 * f][mfull] = src[mfull]
+                sk = ((g[:, :, 3] == 0) & (g[:, :, 4] == 0)
+                      & (g[:, :, 5] == 0))
+                mfull = np.repeat(np.repeat(m, f, 0), f, 1)
+                skip_blk[:n1 * f, :n2 * f][mfull] = np.repeat(
+                    np.repeat(sk, f, 0), f, 1)[mfull]
+                bsz_blk[:n1 * f, :n2 * f][mfull] = bsz
         self.mi_skip[:nby * 4, :nbx * 4] = np.repeat(
             np.repeat(skip_blk, 4, 0), 4, 1)
-        self.mi_bsize[:nby * 4, :nbx * 4] = c.BLOCK_16X16
+        self.mi_bsize[:nby * 4, :nbx * 4] = np.repeat(
+            np.repeat(bsz_blk, 4, 0), 4, 1)
         # av1_copy_frame_mvs mirror (per 8x8 unit)
         refs = np.asarray([int(self.ref_list[i])
                            for i in range(len(self.ref_list))]
                           + [int(self.ref_list[0])], np.int32)
-        ref_blk = refs[res[:, 2].astype(np.int32)].reshape(nby, nbx)
-        mvr = res[:, 0].reshape(nby, nbx).astype(np.int16)
-        mvc = res[:, 1].reshape(nby, nbx).astype(np.int16)
+        ref_blk = refs[refi]
         side = np.asarray(self.ref_side, np.int32)[ref_blk]
         big = (np.abs(mvr.astype(np.int32)) > 4095) \
             | (np.abs(mvc.astype(np.int32)) > 4095)
@@ -147,7 +169,7 @@ class TpuInterFrameEncoder(InterFrameEncoder):
         fc = (self.fc0.copy() if getattr(self, "fc0", None) is not None
               else FrameContext(self.fh.base_q_idx))
         data = encode_inter16_tile(
-            fc, self._raw16(), self.mi_rows, self.mi_cols,
+            fc, self._res_raw, self.mi_rows, self.mi_cols,
             [int(r) for r in self.ref_list], self.sign_bias,
             int(self.fh.allow_high_precision_mv), sb_mi=self.sb_mi,
             reduced_tx_set=int(self.fh.reduced_tx_set))

@@ -113,6 +113,17 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.avl_encode_inter_tile.restype = ctypes.c_int
+    lib.avl_encode_inter_tile.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.avl_decode_lossless_tile.restype = ctypes.c_int
     lib.avl_decode_lossless_tile.argtypes = [
@@ -341,13 +352,16 @@ def encode_lossless_tile(fc, analysis, mi_rows: int, mi_cols: int,
 def encode_inter16_tile(fc, res_buf, mi_rows: int, mi_cols: int,
                         ref_lut, sign_bias, allow_hp: int,
                         sb_mi: int = 16, reduced_tx_set: int = 0) -> bytes:
-    """Full-native uniform-16x16 inter tile encode
-    (avl_encode_inter16_tile): partition walk, skip / intra_inter /
-    single-ref / mode / MV symbols with the spatial ref-MV stack, and
-    coefficient coding.  res_buf: (B, 390) int16 packed device results
-    (ops/inter_tpu.py layout).  ref_lut: device ref_idx -> AV1 ref frame.
-    Byte-exact with encoder/inter.py's Python emitter (restricted case);
-    adapts `fc` in place (tile-end CDF state for primary_ref carry)."""
+    """Full-native inter tile encode with square {16, 32, 64} leaves
+    (avl_encode_inter_tile): partition walk from the device DP's level
+    map, skip / intra_inter / single-ref / mode / MV symbols with the
+    spatial ref-MV stack (av1_find_mv_refs, variable neighbor widths),
+    and coefficient coding at TX_16X16/32X32/64X64.  res_buf: the raw
+    result dict (r16/r32/r64/lvl, ops/inter_tpu.py layout) or a legacy
+    (B, 390) int16 array (uniform 16x16).  ref_lut: device ref_idx ->
+    AV1 ref frame.  Byte-exact with encoder/inter.py's Python emitter
+    (restricted case); adapts `fc` in place (tile-end CDF state for
+    primary_ref carry)."""
     from ..bitstream import constants as c
     from ..bitstream import tables
     from ..common import coeffs as CF
@@ -366,15 +380,19 @@ def encode_inter16_tile(fc, res_buf, mi_rows: int, mi_cols: int,
                 a("coeff_br_cdf", min(txs, 3), plane_type, 0),
                 a("dc_sign_cdf", plane_type, 0), 0]
 
-    # inter tx-type symbol for TX_16X16 DCT_DCT (skip-gated in code_txb)
-    st = TT.ext_tx_set_type(c.TX_16X16, True, bool(reduced_tx_set))
-    tt_off, tt_n, tt_sym = -1, 0, 0
-    if TT.NUM_EXT_TX_SET[st] > 1:
+    # inter tx-type symbols for DCT_DCT (skip-gated in code_txb): the
+    # 16x16 set and the 32x32 DCT_IDTX set (64-dim is DCTONLY)
+    def tx_type_sym(tx_size):
+        st = TT.ext_tx_set_type(tx_size, True, bool(reduced_tx_set))
+        if TT.NUM_EXT_TX_SET[st] <= 1:
+            return -1, 0, 0
         eset = TT.inter_ext_tx_idx(st)
-        sqr = c.TX_SIZE_SQR[c.TX_16X16]
-        tt_off = a("inter_ext_tx_cdf", eset, sqr)
-        tt_n = TT.NUM_EXT_TX_SET[st]
-        tt_sym = TT.EXT_TX_IND[st][c.DCT_DCT]
+        sqr = c.TX_SIZE_SQR[tx_size]
+        return (a("inter_ext_tx_cdf", eset, sqr),
+                TT.NUM_EXT_TX_SET[st], TT.EXT_TX_IND[st][c.DCT_DCT])
+
+    tt_off, tt_n, tt_sym = tx_type_sym(c.TX_16X16)
+    tt32_off, tt32_n, tt32_sym = tx_type_sym(c.TX_32X32)
 
     part_base, part_shape = arena_obj.offsets["partition_cdf"]
     sr_base, sr_shape = arena_obj.offsets["single_ref_cdf"]
@@ -391,25 +409,45 @@ def encode_inter16_tile(fc, res_buf, mi_rows: int, mi_cols: int,
                  a(p + "class0_cdf"), a(p + "bits_cdf", 0),
                  a(p + "class0_fp_cdf", 0), a(p + "fp_cdf"),
                  a(p + "class0_hp_cdf"), a(p + "hp_cdf"), 0]
-    offs += [tt_off, tt_n, tt_sym, int(allow_hp)]
+    offs += [tt_off, tt_n, tt_sym, int(allow_hp),
+             tt32_off, tt32_n, tt32_sym]
     offs = np.asarray(offs, dtype=np.int32)
-    assert offs.shape[0] == 34
+    assert offs.shape[0] == 37
     cdfsets = np.asarray(
         [cdfset(0, c.TX_16X16, "eob_flag_cdf256"),
-         cdfset(1, c.TX_8X8, "eob_flag_cdf64")], dtype=np.int32)
+         cdfset(1, c.TX_8X8, "eob_flag_cdf64"),
+         cdfset(0, c.TX_32X32, "eob_flag_cdf1024"),
+         cdfset(1, c.TX_16X16, "eob_flag_cdf256"),
+         cdfset(0, c.TX_64X64, "eob_flag_cdf1024"),
+         cdfset(1, c.TX_32X32, "eob_flag_cdf1024")], dtype=np.int32)
     scan16 = np.ascontiguousarray(
         tables.scan(c.TX_16X16, c.DCT_DCT), dtype=np.int16)
     scan8 = np.ascontiguousarray(
         tables.scan(c.TX_8X8, c.DCT_DCT), dtype=np.int16)
-    res = np.ascontiguousarray(res_buf, dtype=np.int16)
+    scan32 = np.ascontiguousarray(
+        tables.scan(c.TX_32X32, c.DCT_DCT), dtype=np.int16)
+    if isinstance(res_buf, dict):
+        res = np.ascontiguousarray(res_buf["r16"], dtype=np.int16)
+        lvl = np.ascontiguousarray(res_buf["lvl"], dtype=np.uint8)
+        r32 = np.ascontiguousarray(res_buf["r32"], dtype=np.int16)
+        r64 = np.ascontiguousarray(res_buf["r64"], dtype=np.int16)
+    else:
+        res = np.ascontiguousarray(res_buf, dtype=np.int16)
+        lvl = np.zeros((mi_rows // 4, mi_cols // 4), np.uint8)
+        r32 = np.zeros((0, 1542), np.int16)
+        r64 = np.zeros((0, 3078), np.int16)
     assert res.shape == ((mi_rows // 4) * (mi_cols // 4), 390)
+    assert r32.shape[1] == 1542 and r64.shape[1] == 3078
     sb = np.asarray(sign_bias, dtype=np.int8)
     arena = arena_obj.arena.copy()
-    cap = int(res.size * 2 + 65536)
+    cap = int(res.size * 2 + r32.size * 2 + r64.size * 2 + 65536)
     out = np.zeros(cap, dtype=np.uint8)
     i16p = ctypes.POINTER(ctypes.c_int16)
-    n = lib.avl_encode_inter16_tile(
-        res.ctypes.data_as(i16p), mi_rows, mi_cols, sb_mi,
+    n = lib.avl_encode_inter_tile(
+        res.ctypes.data_as(i16p),
+        lvl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        r32.ctypes.data_as(i16p), r64.ctypes.data_as(i16p),
+        mi_rows, mi_cols, sb_mi,
         int(ref_lut[0]), int(ref_lut[1] if len(ref_lut) > 1
                              else ref_lut[0]),
         sb.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
@@ -417,6 +455,7 @@ def encode_inter16_tile(fc, res_buf, mi_rows: int, mi_cols: int,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cdfsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         scan16.ctypes.data_as(i16p), scan8.ctypes.data_as(i16p),
+        scan32.ctypes.data_as(i16p),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     assert 0 < n <= cap
     arena_obj.write_back(fc, arena)

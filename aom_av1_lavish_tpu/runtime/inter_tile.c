@@ -53,25 +53,36 @@ static int dc_sign_of(int v) {
 
 typedef struct {
   int mi_rows, mi_cols, sb_mi;
-  const int16_t *res; /* (B, 390) int16 */
-  int nbx;            /* blocks per row */
+  const int16_t *res; /* (B, 390) int16: 16x16 leaves */
+  int nbx;            /* 16px blocks per row */
+  /* variable-partition extension (NULL lvl = uniform 16x16):
+   * lvl (nby, nbx) uint8 0/1/2 = 16/32/64 leaf; res32 (B32, 1542) and
+   * res64 (B64, 3078) raster rows for the merged leaves */
+  const uint8_t *lvl;
+  const int16_t *res32, *res64;
+  int nbx2, nbx4;
+  const int16_t *scan32; /* TX_32X32 default scan (shared by TX_64X64) */
   int ref_lut[2];
   const int8_t *sign_bias; /* [8] */
   uint16_t *arena;
   const int32_t *o;
-  const int32_t *cdfsets; /* 2 rows x 8: luma TX_16X16 / chroma TX_8X8 */
+  /* cdfset rows x 8: 0 luma TX_16X16, 1 chroma TX_8X8, 2 luma TX_32X32,
+   * 3 chroma TX_16X16, 4 luma TX_64X64, 5 chroma TX_32X32 */
+  const int32_t *cdfsets;
   const int16_t *scan16, *scan8;
   uint8_t *above_part, *left_part;
   uint8_t *ae[3], *le[3];
   uint8_t *mi_skip;
-  /* mi grids with margin: ref (0 = intra/unset), mode, mv row/col */
+  /* mi grids with margin: ref (0 = intra/unset), mode, mv row/col,
+   * covering-block width in mi units (0 = unset) */
   int8_t *g_ref;
   uint8_t *g_mode;
   int16_t *g_mvr, *g_mvc;
+  uint8_t *g_bw4;
   int gw; /* grid row stride = mi_cols + 2*MI_M */
   RangeEnc e;
-  int16_t levels[32 * 36];
-  int32_t q32[256];
+  int16_t levels[36 * 36];
+  int32_t q32[1024];
 } IT;
 
 static inline int g_at(const IT *t, int r, int c0) {
@@ -110,10 +121,11 @@ matched:
   *match += 1;
 }
 
-static int has_top_right(const IT *t, int mi_row, int mi_col) {
-  int bs = 4; /* 16x16 */
+static int has_top_right(const IT *t, int mi_row, int mi_col, int bw4) {
+  int bs = bw4; /* square blocks: bs = max(w4, h4) */
   int mask_row = mi_row & (t->sb_mi - 1);
   int mask_col = mi_col & (t->sb_mi - 1);
+  if (bs > 16) return 0;
   int has_tr = !((mask_row & bs) && (mask_col & bs));
   for (int b = bs; b < t->sb_mi; b <<= 1) {
     if (mask_col & b) {
@@ -135,14 +147,14 @@ static void lower_prec(int allow_hp, int *r, int *c0) {
   }
 }
 
-static void clamp_ref_mv(const IT *t, int mi_row, int mi_col, int *r,
-                         int *c0) {
-  /* _clamp_mv_ref for a 16x16 block (mvref.py:303) */
-  int bw = 16, bh = 16;
+static void clamp_ref_mv(const IT *t, int mi_row, int mi_col, int bw4,
+                         int *r, int *c0) {
+  /* _clamp_mv_ref (mvref.py:307), square bw4-mi block */
+  int bw = bw4 * 4, bh = bw4 * 4;
   int mb_to_left = -(mi_col * 4) * 8;
-  int mb_to_right = (t->mi_cols - 4 - mi_col) * 4 * 8;
+  int mb_to_right = (t->mi_cols - bw4 - mi_col) * 4 * 8;
   int mb_to_top = -(mi_row * 4) * 8;
-  int mb_to_bottom = (t->mi_rows - 4 - mi_row) * 4 * 8;
+  int mb_to_bottom = (t->mi_rows - bw4 - mi_row) * 4 * 8;
   int lo_c = mb_to_left - bw * 8 - MV_BORDER;
   int hi_c = mb_to_right + bw * 8 + MV_BORDER;
   int lo_r = mb_to_top - bh * 8 - MV_BORDER;
@@ -153,11 +165,84 @@ static void clamp_ref_mv(const IT *t, int mi_row, int mi_col, int *r,
   if (*c0 > hi_c) *c0 = hi_c;
 }
 
-/* Restricted av1_find_mv_refs: uniform 16x16 inter grid, spatial only,
- * identity GM.  Returns mode_context; fills stack + nearest/near. */
-static int find_mv_refs(IT *t, int mi_row, int mi_col, int ref_frame,
-                        Stack *s, int *nearest_r, int *nearest_c,
-                        int *near_r, int *near_c, int allow_hp) {
+/* neighbor block width in mi units at a margin-grid index (unset /
+ * out-of-frame cells read 1, matching _mi_wide(BLOCK_4X4) on the Python
+ * margin grid) */
+static inline int nb_w4(const IT *t, int gi) {
+  int w = t->g_bw4[gi];
+  return w > 0 ? w : 1;
+}
+
+/* _scan_row (mvref.py:235): walk the row at row_offset across the block
+ * width, stepping by each neighbor's width. */
+static void scan_row(IT *t, int mi_row, int mi_col, int bw4, int ref_frame,
+                     int row_offset, Stack *s, int *match,
+                     int max_row_offset, int *processed_rows) {
+  int end_mi = bw4;
+  if (end_mi > t->mi_cols - mi_col) end_mi = t->mi_cols - mi_col;
+  if (end_mi > 16) end_mi = 16;
+  int col_offset = (row_offset < -1) ? 1 : 0;
+  int use_step_16 = bw4 >= 16;
+  int i = 0;
+  while (i < end_mi) {
+    int gi = g_at(t, mi_row + row_offset, mi_col + col_offset + i);
+    int n4w = nb_w4(t, gi);
+    int len = bw4 < n4w ? bw4 : n4w;
+    if (use_step_16) {
+      if (len < 4) len = 4;
+    } else if (row_offset < -1 && len < 2) {
+      len = 2;
+    }
+    int weight = 2;
+    if (2 <= bw4 && bw4 <= n4w) {
+      int inc = -max_row_offset + row_offset + 1;
+      if (inc > n4w) inc = n4w; /* square neighbors: n4h == n4w */
+      if (weight < inc) weight = inc;
+      *processed_rows = inc - row_offset - 1;
+    }
+    add_cand(t, s, gi, ref_frame, len * weight, match);
+    i += len;
+  }
+}
+
+/* _scan_col (mvref.py:264) */
+static void scan_col(IT *t, int mi_row, int mi_col, int bh4, int ref_frame,
+                     int col_offset, Stack *s, int *match,
+                     int max_col_offset, int *processed_cols) {
+  int end_mi = bh4;
+  if (end_mi > t->mi_rows - mi_row) end_mi = t->mi_rows - mi_row;
+  if (end_mi > 16) end_mi = 16;
+  int row_offset = (col_offset < -1) ? 1 : 0;
+  int use_step_16 = bh4 >= 16;
+  int i = 0;
+  while (i < end_mi) {
+    int gi = g_at(t, mi_row + row_offset + i, mi_col + col_offset);
+    int n4h = nb_w4(t, gi);
+    int len = bh4 < n4h ? bh4 : n4h;
+    if (use_step_16) {
+      if (len < 4) len = 4;
+    } else if (col_offset < -1 && len < 2) {
+      len = 2;
+    }
+    int weight = 2;
+    if (2 <= bh4 && bh4 <= n4h) {
+      int inc = -max_col_offset + col_offset + 1;
+      if (inc > n4h) inc = n4h;
+      if (weight < inc) weight = inc;
+      *processed_cols = inc - col_offset - 1;
+    }
+    add_cand(t, s, gi, ref_frame, len * weight, match);
+    i += len;
+  }
+}
+
+/* av1_find_mv_refs for the square {16,32,64} single-ref inter grid,
+ * spatial only, identity GM.  Returns mode_context; fills stack +
+ * nearest/near. */
+static int find_mv_refs(IT *t, int mi_row, int mi_col, int bw4,
+                        int ref_frame, Stack *s, int *nearest_r,
+                        int *nearest_c, int *near_r, int *near_c,
+                        int allow_hp) {
   s->count = 0;
   s->newmv_count = 0;
   int row_match = 0, col_match = 0;
@@ -173,26 +258,15 @@ static int find_mv_refs(IT *t, int mi_row, int mi_col, int ref_frame,
   }
   int processed_rows = 0, processed_cols = 0;
 
-  /* nearest row (-1): neighbors are all 16x16, one candidate covers */
-  if (max_row_offset <= -1) {
-    int inc = -max_row_offset - 1 + 1; /* row_offset = -1 */
-    if (inc > 4) inc = 4;
-    int weight = inc > 2 ? inc : 2;
-    processed_rows = inc - (-1) - 1;
-    add_cand(t, s, g_at(t, mi_row - 1, mi_col), ref_frame, 4 * weight,
-             &row_match);
-  }
-  if (max_col_offset <= -1) {
-    int inc = -max_col_offset - 1 + 1;
-    if (inc > 4) inc = 4;
-    int weight = inc > 2 ? inc : 2;
-    processed_cols = inc - (-1) - 1;
-    add_cand(t, s, g_at(t, mi_row, mi_col - 1), ref_frame, 4 * weight,
-             &col_match);
-  }
-  if (has_top_right(t, mi_row, mi_col) && mi_row >= 1 &&
-      mi_col + 4 < t->mi_cols)
-    add_cand(t, s, g_at(t, mi_row - 1, mi_col + 4), ref_frame, 4,
+  if (max_row_offset <= -1)
+    scan_row(t, mi_row, mi_col, bw4, ref_frame, -1, s, &row_match,
+             max_row_offset, &processed_rows);
+  if (max_col_offset <= -1)
+    scan_col(t, mi_row, mi_col, bw4, ref_frame, -1, s, &col_match,
+             max_col_offset, &processed_cols);
+  if (has_top_right(t, mi_row, mi_col, bw4) && mi_row >= 1 &&
+      mi_col + bw4 < t->mi_cols)
+    add_cand(t, s, g_at(t, mi_row - 1, mi_col + bw4), ref_frame, 4,
              &row_match);
 
   int nearest_match = (row_match > 0) + (col_match > 0);
@@ -201,31 +275,19 @@ static int find_mv_refs(IT *t, int mi_row, int mi_col, int ref_frame,
   for (int i = 0; i < nearest_count; i++) s->w[i] += REF_CAT_LEVEL;
 
   /* outer area: top-left blk + rows/cols -3, -5 (skipped whenever the
-   * processed_rows/cols bookkeeping says the nearest scan covered them,
-   * which is always true here once the full 3-row reach is available) */
+   * processed_rows/cols bookkeeping says the nearest scan covered them) */
   if (mi_row >= 1 && mi_col >= 1)
     add_cand(t, s, g_at(t, mi_row - 1, mi_col - 1), ref_frame, 4,
              &row_match);
   for (int idx = 2; idx <= 3; idx++) {
     int row_offset = -(idx << 1) + 1;
     int col_offset = -(idx << 1) + 1;
-    if (-row_offset <= -max_row_offset && -row_offset > processed_rows) {
-      int inc = -max_row_offset + row_offset + 1;
-      if (inc > 4) inc = 4;
-      int weight = inc > 2 ? inc : 2;
-      processed_rows = inc - row_offset - 1;
-      /* col_offset 1 for |row_offset| > 1 */
-      add_cand(t, s, g_at(t, mi_row + row_offset, mi_col + 1), ref_frame,
-               4 * weight, &row_match);
-    }
-    if (-col_offset <= -max_col_offset && -col_offset > processed_cols) {
-      int inc = -max_col_offset + col_offset + 1;
-      if (inc > 4) inc = 4;
-      int weight = inc > 2 ? inc : 2;
-      processed_cols = inc - col_offset - 1;
-      add_cand(t, s, g_at(t, mi_row + 1, mi_col + col_offset), ref_frame,
-               4 * weight, &col_match);
-    }
+    if (-row_offset <= -max_row_offset && -row_offset > processed_rows)
+      scan_row(t, mi_row, mi_col, bw4, ref_frame, row_offset, s,
+               &row_match, max_row_offset, &processed_rows);
+    if (-col_offset <= -max_col_offset && -col_offset > processed_cols)
+      scan_col(t, mi_row, mi_col, bw4, ref_frame, col_offset, s,
+               &col_match, max_col_offset, &processed_cols);
   }
 
   int ref_match_count = (row_match > 0) + (col_match > 0);
@@ -271,59 +333,48 @@ static int find_mv_refs(IT *t, int mi_row, int mi_col, int ref_frame,
     }
   }
 
-  /* process_single extension: any-ref candidates until 2 in the list */
+  /* process_single extension: any-ref candidates until 2 in the list,
+   * walking the above row / left col by neighbor widths (mvref.py:646) */
   int refmv_count = s->count;
   int sb_ref = t->sign_bias[ref_frame & 7];
-  if (refmv_count < 2 && max_row_offset <= -1) {
-    int gi = g_at(t, mi_row - 1, mi_col);
-    int r0 = t->g_ref[gi];
-    if (r0 > 0 && refmv_count < 2) {
-      int mr = t->g_mvr[gi], mc = t->g_mvc[gi];
-      if (t->sign_bias[r0 & 7] != sb_ref) {
-        mr = -mr;
-        mc = -mc;
-      }
-      int dup = 0;
-      for (int i = 0; i < refmv_count; i++)
-        if (s->mvr[i] == mr && s->mvc[i] == mc) {
-          dup = 1;
-          break;
+  int mi_width = bw4;
+  if (mi_width > t->mi_cols - mi_col) mi_width = t->mi_cols - mi_col;
+  int mi_height = bw4;
+  if (mi_height > t->mi_rows - mi_row) mi_height = t->mi_rows - mi_row;
+  int mi_size = mi_width < mi_height ? mi_width : mi_height;
+  for (int axis = 0; axis < 2; axis++) {
+    if (axis == 0 ? (max_row_offset > -1) : (max_col_offset > -1)) continue;
+    int idx = 0;
+    while (idx < mi_size && refmv_count < 2) {
+      int gi = axis == 0 ? g_at(t, mi_row - 1, mi_col + idx)
+                         : g_at(t, mi_row + idx, mi_col - 1);
+      int r0 = t->g_ref[gi];
+      if (r0 > 0) {
+        int mr = t->g_mvr[gi], mc = t->g_mvc[gi];
+        if (t->sign_bias[r0 & 7] != sb_ref) {
+          mr = -mr;
+          mc = -mc;
         }
-      if (!dup) {
-        s->mvr[refmv_count] = (int16_t)mr;
-        s->mvc[refmv_count] = (int16_t)mc;
-        s->w[refmv_count] = 2;
-        refmv_count++;
-      }
-    }
-  }
-  if (refmv_count < 2 && max_col_offset <= -1) {
-    int gi = g_at(t, mi_row, mi_col - 1);
-    int r0 = t->g_ref[gi];
-    if (r0 > 0 && refmv_count < 2) {
-      int mr = t->g_mvr[gi], mc = t->g_mvc[gi];
-      if (t->sign_bias[r0 & 7] != sb_ref) {
-        mr = -mr;
-        mc = -mc;
-      }
-      int dup = 0;
-      for (int i = 0; i < refmv_count; i++)
-        if (s->mvr[i] == mr && s->mvc[i] == mc) {
-          dup = 1;
-          break;
+        int dup = 0;
+        for (int i = 0; i < refmv_count; i++)
+          if (s->mvr[i] == mr && s->mvc[i] == mc) {
+            dup = 1;
+            break;
+          }
+        if (!dup) {
+          s->mvr[refmv_count] = (int16_t)mr;
+          s->mvc[refmv_count] = (int16_t)mc;
+          s->w[refmv_count] = 2;
+          refmv_count++;
         }
-      if (!dup) {
-        s->mvr[refmv_count] = (int16_t)mr;
-        s->mvc[refmv_count] = (int16_t)mc;
-        s->w[refmv_count] = 2;
-        refmv_count++;
       }
+      idx += nb_w4(t, gi);
     }
   }
   s->count = refmv_count;
   for (int i = 0; i < refmv_count; i++) {
     int r = s->mvr[i], c0 = s->mvc[i];
-    clamp_ref_mv(t, mi_row, mi_col, &r, &c0);
+    clamp_ref_mv(t, mi_row, mi_col, bw4, &r, &c0);
     s->mvr[i] = (int16_t)r;
     s->mvc[i] = (int16_t)c0;
   }
@@ -385,9 +436,24 @@ static void write_mv(IT *t, int mvr, int mvc, int refr, int refc,
 
 static int vote3(int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); }
 
-static void it_encode_block(IT *t, int mi_row, int mi_col) {
-  int b = (mi_row >> 2) * t->nbx + (mi_col >> 2);
-  const int16_t *row = t->res + (size_t)b * 390;
+static void it_encode_block(IT *t, int mi_row, int mi_col, int bw4) {
+  const int16_t *row;
+  int n_y, n_c; /* luma / chroma coefficient counts in the raster row */
+  if (bw4 == 4) {
+    row = t->res + (size_t)((mi_row >> 2) * t->nbx + (mi_col >> 2)) * 390;
+    n_y = 256;
+    n_c = 64;
+  } else if (bw4 == 8) {
+    row = t->res32 +
+          (size_t)((mi_row >> 3) * t->nbx2 + (mi_col >> 3)) * 1542;
+    n_y = 1024;
+    n_c = 256;
+  } else {
+    row = t->res64 +
+          (size_t)((mi_row >> 4) * t->nbx4 + (mi_col >> 4)) * 3078;
+    n_y = 1024;
+    n_c = 1024;
+  }
   int mvr = row[0], mvc = row[1];
   int ref = t->ref_lut[row[2]];
   int eob_y = row[3], eob_u = row[4], eob_v = row[5];
@@ -461,7 +527,7 @@ static void it_encode_block(IT *t, int mi_row, int mi_col) {
   /* mv stack + mode */
   Stack s;
   int nearest_r, nearest_c, near_r, near_c;
-  int mode_ctx = find_mv_refs(t, mi_row, mi_col, ref, &s, &nearest_r,
+  int mode_ctx = find_mv_refs(t, mi_row, mi_col, bw4, ref, &s, &nearest_r,
                               &nearest_c, &near_r, &near_c, allow_hp);
   int mode;
   if (mvr == nearest_r && mvc == nearest_c)
@@ -530,61 +596,113 @@ static void it_encode_block(IT *t, int mi_row, int mi_col) {
   }
 
   /* mi bookkeeping */
-  for (int r = mi_row; r < mi_row + 4; r++) {
-    memset(t->mi_skip + r * t->mi_cols + mi_col, skip, 4);
+  for (int r = mi_row; r < mi_row + bw4; r++) {
+    memset(t->mi_skip + r * t->mi_cols + mi_col, skip, (size_t)bw4);
     int gi = g_at(t, r, mi_col);
-    for (int c0 = 0; c0 < 4; c0++) {
+    for (int c0 = 0; c0 < bw4; c0++) {
       t->g_ref[gi + c0] = (int8_t)ref;
       t->g_mode[gi + c0] = (uint8_t)mode;
       t->g_mvr[gi + c0] = (int16_t)mvr;
       t->g_mvc[gi + c0] = (int16_t)mvc;
+      t->g_bw4[gi + c0] = (uint8_t)bw4;
     }
   }
 
-  /* residual: y TX_16X16 (+ tx-type symbol), u/v TX_8X8 */
+  /* residual geometry per leaf level: luma tx == block (TX_16X16 /
+   * TX_32X32 / TX_64X64), chroma tx == half (TX_8X8 / TX_16X16 /
+   * TX_32X32).  TX_64X64 codes the adjusted 32x32 coefficient domain
+   * (same dims/scan as TX_32X32) through its own cdfset row. */
   int acol = mi_col, lrow = mi_row;
   int cacol = mi_col >> 1, clrow = mi_row >> 1;
+  int cw4 = bw4 >> 1; /* chroma width in 4px entropy units */
   if (skip) {
-    memset(t->ae[0] + acol, 0, 4);
-    memset(t->le[0] + lrow, 0, 4);
+    memset(t->ae[0] + acol, 0, (size_t)bw4);
+    memset(t->le[0] + lrow, 0, (size_t)bw4);
     for (int p = 1; p < 3; p++) {
-      memset(t->ae[p] + cacol, 0, 2);
-      memset(t->le[p] + clrow, 0, 2);
+      memset(t->ae[p] + cacol, 0, (size_t)cw4);
+      memset(t->le[p] + clrow, 0, (size_t)cw4);
     }
     return;
+  }
+  const int32_t *cs_y, *cs_c;
+  const int16_t *scan_y, *scan_c;
+  int wy, bhly, msy, wc, bhlc, msc, tt_off, tt_n, tt_sym;
+  if (bw4 == 4) {
+    cs_y = t->cdfsets;
+    cs_c = t->cdfsets + 8;
+    scan_y = t->scan16;
+    scan_c = t->scan8;
+    wy = 16;
+    bhly = 4;
+    msy = 4;
+    wc = 8;
+    bhlc = 3;
+    msc = 2;
+    tt_off = t->o[30];
+    tt_n = t->o[31];
+    tt_sym = t->o[32];
+  } else if (bw4 == 8) {
+    cs_y = t->cdfsets + 16;
+    cs_c = t->cdfsets + 24;
+    scan_y = t->scan32;
+    scan_c = t->scan16;
+    wy = 32;
+    bhly = 5;
+    msy = 6;
+    wc = 16;
+    bhlc = 4;
+    msc = 4;
+    /* inter 32x32 ext-tx set is DCT_IDTX (2 symbols) */
+    tt_off = t->o[34];
+    tt_n = t->o[35];
+    tt_sym = t->o[36];
+  } else {
+    cs_y = t->cdfsets + 32;
+    cs_c = t->cdfsets + 40;
+    scan_y = t->scan32;
+    scan_c = t->scan32;
+    wy = 32; /* adjusted TX_64X64 domain */
+    bhly = 5;
+    msy = 6;
+    wc = 32;
+    bhlc = 5;
+    msc = 6;
+    tt_off = -1; /* 64-dim: DCTONLY, no symbol */
+    tt_n = 0;
+    tt_sym = 0;
   }
   /* luma txb: plane_bsize == tx_bsize -> skip_ctx 0 */
   {
     const int16_t *q16 = row + 6;
-    for (int i = 0; i < 256; i++) t->q32[i] = q16[i];
+    for (int i = 0; i < n_y; i++) t->q32[i] = q16[i];
     uint8_t *au = t->ae[0], *lu = t->le[0];
     int ds = 0;
-    for (int i = 0; i < 4; i++) ds += dc_sign_of(au[acol + i]);
-    for (int i = 0; i < 4; i++) ds += dc_sign_of(lu[lrow + i]);
+    for (int i = 0; i < bw4; i++) ds += dc_sign_of(au[acol + i]);
+    for (int i = 0; i < bw4; i++) ds += dc_sign_of(lu[lrow + i]);
     int dc_sign_ctx = ds == 0 ? 0 : (ds < 0 ? 1 : 2);
-    int cul = code_txb(&t->e, t->arena, t->cdfsets, t->q32, t->scan16, 16,
-                       16, 4, 0, 16, 16, 4, 0, dc_sign_ctx, t->o[30],
-                       t->o[31], t->o[32], t->levels);
-    memset(au + acol, cul, 4);
-    memset(lu + lrow, cul, 4);
+    int cul = code_txb(&t->e, t->arena, cs_y, t->q32, scan_y, wy, wy,
+                       bhly, 0, wy, wy, msy, 0, dc_sign_ctx, tt_off,
+                       tt_n, tt_sym, t->levels);
+    memset(au + acol, cul, (size_t)bw4);
+    memset(lu + lrow, cul, (size_t)bw4);
   }
   for (int p = 1; p < 3; p++) {
-    const int16_t *q16 = row + 262 + (p - 1) * 64;
-    for (int i = 0; i < 64; i++) t->q32[i] = q16[i];
+    const int16_t *q16 = row + 6 + n_y + (p - 1) * n_c;
+    for (int i = 0; i < n_c; i++) t->q32[i] = q16[i];
     uint8_t *au = t->ae[p], *lu = t->le[p];
     int ds = 0;
-    for (int i = 0; i < 2; i++) ds += dc_sign_of(au[cacol + i]);
-    for (int i = 0; i < 2; i++) ds += dc_sign_of(lu[clrow + i]);
+    for (int i = 0; i < cw4; i++) ds += dc_sign_of(au[cacol + i]);
+    for (int i = 0; i < cw4; i++) ds += dc_sign_of(lu[clrow + i]);
     int dc_sign_ctx = ds == 0 ? 0 : (ds < 0 ? 1 : 2);
     int a = 0, l = 0;
-    for (int i = 0; i < 2; i++) a |= au[cacol + i] != 0;
-    for (int i = 0; i < 2; i++) l |= lu[clrow + i] != 0;
-    int skip_ctx2 = a + l + 7; /* plane_bsize == tx bsize (8x8) */
-    int cul = code_txb(&t->e, t->arena, t->cdfsets + 8, t->q32, t->scan8, 8,
-                       8, 3, 0, 8, 8, 2, skip_ctx2, dc_sign_ctx, -1, 0, 0,
-                       t->levels);
-    memset(au + cacol, cul, 2);
-    memset(lu + clrow, cul, 2);
+    for (int i = 0; i < cw4; i++) a |= au[cacol + i] != 0;
+    for (int i = 0; i < cw4; i++) l |= lu[clrow + i] != 0;
+    int skip_ctx2 = a + l + 7; /* plane_bsize == tx bsize */
+    int cul = code_txb(&t->e, t->arena, cs_c, t->q32, scan_c, wc, wc,
+                       bhlc, 0, wc, wc, msc, skip_ctx2, dc_sign_ctx, -1,
+                       0, 0, t->levels);
+    memset(au + cacol, cul, (size_t)cw4);
+    memset(lu + clrow, cul, (size_t)cw4);
   }
 }
 
@@ -629,10 +747,19 @@ static void it_encode_partition(IT *t, int mi_row, int mi_col,
   if (mi_row >= t->mi_rows || mi_col >= t->mi_cols) return;
   int hbs = bsize_w4 / 2;
   int partition = bsize_w4 == 4 ? 0 /* NONE */ : 3 /* SPLIT */;
+  /* variable partitions: the device DP's lvl map picks merged leaves
+   * (1 = 32x32 at bsize_w4 8, 2 = 64x64 at bsize_w4 16) for blocks
+   * fully inside the frame */
+  if (t->lvl != NULL && partition == 3 && bsize_w4 <= 16 &&
+      mi_row + bsize_w4 <= t->mi_rows && mi_col + bsize_w4 <= t->mi_cols) {
+    int want = bsize_w4 == 16 ? 2 : 1;
+    if (t->lvl[(mi_row >> 2) * t->nbx + (mi_col >> 2)] == want)
+      partition = 0;
+  }
   it_write_partition(t, mi_row, mi_col, bsize_w4, partition);
   int sub_w4 = partition == 0 ? bsize_w4 : hbs;
   if (partition == 0) {
-    it_encode_block(t, mi_row, mi_col);
+    it_encode_block(t, mi_row, mi_col, bsize_w4);
   } else {
     it_encode_partition(t, mi_row, mi_col, hbs);
     it_encode_partition(t, mi_row, mi_col + hbs, hbs);
@@ -850,15 +977,19 @@ int avl_encode_intra16_tile(const int16_t *res, int mi_rows, int mi_cols,
   return n;
 }
 
-/* Encode one uniform-16x16 inter tile.  res: (B, 390) int16 packed block
- * results (ops/inter_tpu.py layout); ref_lut maps device ref_idx to AV1
- * ref frames; offs per the table above.  Returns byte length. */
-int avl_encode_inter16_tile(const int16_t *res, int mi_rows, int mi_cols,
-                            int sb_mi, int ref0, int ref1,
-                            const int8_t *sign_bias, uint16_t *arena,
-                            const int32_t *offs, const int32_t *cdfsets,
-                            const int16_t *scan16, const int16_t *scan8,
-                            uint8_t *out, int out_cap) {
+/* Encode one inter tile with square {16,32,64} leaves.  res: (B, 390)
+ * int16 packed 16x16 results (ops/inter_tpu.py layout); lvl/res32/res64:
+ * the variable-partition extension (lvl NULL = uniform 16x16); ref_lut
+ * maps device ref_idx to AV1 ref frames; offs per the table above.
+ * cdfsets: 6 rows of 8 (see IT).  Returns byte length. */
+int avl_encode_inter_tile(const int16_t *res, const uint8_t *lvl,
+                          const int16_t *res32, const int16_t *res64,
+                          int mi_rows, int mi_cols, int sb_mi, int ref0,
+                          int ref1, const int8_t *sign_bias,
+                          uint16_t *arena, const int32_t *offs,
+                          const int32_t *cdfsets, const int16_t *scan16,
+                          const int16_t *scan8, const int16_t *scan32,
+                          uint8_t *out, int out_cap) {
   IT t;
   memset(&t, 0, sizeof(t));
   t.mi_rows = mi_rows;
@@ -866,6 +997,12 @@ int avl_encode_inter16_tile(const int16_t *res, int mi_rows, int mi_cols,
   t.sb_mi = sb_mi;
   t.res = res;
   t.nbx = mi_cols / 4;
+  t.nbx2 = t.nbx / 2;
+  t.nbx4 = t.nbx / 4;
+  t.lvl = lvl;
+  t.res32 = res32;
+  t.res64 = res64;
+  t.scan32 = scan32;
   t.ref_lut[0] = ref0;
   t.ref_lut[1] = ref1;
   t.sign_bias = sign_bias;
@@ -878,7 +1015,7 @@ int avl_encode_inter16_tile(const int16_t *res, int mi_rows, int mi_cols,
   size_t apn = (size_t)mi_cols + 32, lpn = (size_t)mi_rows + 32;
   size_t gn = (size_t)(mi_rows + 2 * MI_M) * t.gw;
   uint8_t *mem = (uint8_t *)calloc(
-      apn + lpn + 3 * (apn + lpn) + (size_t)mi_rows * mi_cols + gn * 2 +
+      apn + lpn + 3 * (apn + lpn) + (size_t)mi_rows * mi_cols + gn * 3 +
           gn * 4 + 64,
       1);
   if (!mem) return -1;
@@ -899,6 +1036,8 @@ int avl_encode_inter16_tile(const int16_t *res, int mi_rows, int mi_cols,
   p += gn;
   t.g_mode = (uint8_t *)p;
   p += gn;
+  t.g_bw4 = (uint8_t *)p;
+  p += gn;
   p = (uint8_t *)(((uintptr_t)p + 1) & ~(uintptr_t)1);
   t.g_mvr = (int16_t *)p;
   p += gn * 2;
@@ -913,4 +1052,16 @@ int avl_encode_inter16_tile(const int16_t *res, int mi_rows, int mi_cols,
   int n = (int)re_done(&t.e);
   free(mem);
   return n;
+}
+
+/* Back-compat entry: uniform 16x16 (lvl = NULL). */
+int avl_encode_inter16_tile(const int16_t *res, int mi_rows, int mi_cols,
+                            int sb_mi, int ref0, int ref1,
+                            const int8_t *sign_bias, uint16_t *arena,
+                            const int32_t *offs, const int32_t *cdfsets,
+                            const int16_t *scan16, const int16_t *scan8,
+                            uint8_t *out, int out_cap) {
+  return avl_encode_inter_tile(res, NULL, NULL, NULL, mi_rows, mi_cols,
+                               sb_mi, ref0, ref1, sign_bias, arena, offs,
+                               cdfsets, scan16, scan8, NULL, out, out_cap);
 }

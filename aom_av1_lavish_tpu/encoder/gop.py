@@ -486,6 +486,7 @@ class GopEncoder:
 
     def _encode_gf_group(self, group, base_idx: int = 0) -> list:
         """ARF-first coding of one GF group; returns display-order TUs."""
+        from ..utils.profiler import profile
         L = len(group)
         q_arf = self._q("arf", base_idx + L - 1)
 
@@ -501,8 +502,9 @@ class GopEncoder:
                          and self.sh.max_frame_height % 16 == 0)
         if use_dev_cache:
             import jax
-            dev_group = [tuple(jax.device_put(p) for p in f)
-                         for f in group]
+            with profile("gop/upload"):
+                dev_group = [tuple(jax.device_put(p) for p in f)
+                             for f in group]
         tf_group = dev_group if use_dev_cache else group
 
         # TPL dependency pass (av1_tpl_setup_stats analog): deepen the
@@ -511,7 +513,8 @@ class GopEncoder:
         tpl_maps = [None] * L
         if self.enable_tpl and L >= 2:
             from .tpl import tpl_gf_group, tpl_q_offset
-            importance, tpl_maps = tpl_gf_group(dev_group, L - 1)
+            with profile("gop/tpl"):
+                importance, tpl_maps = tpl_gf_group(dev_group, L - 1)
             q_arf = max(self.rc.cfg.best_q,
                         q_arf + tpl_q_offset(importance[L - 1], q_arf))
 
@@ -521,15 +524,41 @@ class GopEncoder:
         arf_src = group[L - 1]
         if self.enable_tf and L >= 3:
             from .temporal_filter import temporal_filter
-            arf_src = temporal_filter(tf_group, L - 1, q_arf)
+            with profile("gop/temporal_filter"):
+                arf_src = temporal_filter(tf_group, L - 1, q_arf)
 
-        arf_obu, q_arf = self._recode(
-            "arf", base_idx + L - 1, q_arf,
-            lambda qq: self._encode_inter(arf_src, qq, (c.LAST_FRAME,),
-                                          self.arf_slot, show=False,
-                                          rdmult_map=tpl_maps[L - 1],
-                                          order_hint=(base_idx + L - 1)
-                                          & 127))
+        dev_ok = (self.use_tpu
+                  and self.sh.max_frame_width % 16 == 0
+                  and self.sh.max_frame_height % 16 == 0)
+
+        def _arf_try(qq):
+            """One ARF encode at q: on the TPU path the frame runs
+            through the SAME device program as the chain (1-frame
+            chain: merge DP + device deblock + device-resident refs) —
+            the single-frame walk-time dispatch + host filter apply it
+            replaces cost ~2s/frame at 1080p."""
+            oh = (base_idx + L - 1) & 127
+            if not dev_ok:
+                return self._encode_inter(
+                    arf_src, qq, (c.LAST_FRAME,), self.arf_slot,
+                    show=False, rdmult_map=tpl_maps[L - 1],
+                    order_hint=oh)
+            from ..common.loopfilter import pick_filter_level_from_q
+            from ..ops.inter_tpu import DeviceChainEncoder
+            lf = pick_filter_level_from_q(qq, frame_is_key=False,
+                                          bd=self.sh.bit_depth)
+            raws, recons = DeviceChainEncoder().encode_chain(
+                [arf_src], [qq], self.slots[self.last_slot], None,
+                recon="all", lf_levels=[lf],
+                sharpness=self.lf_sharpness)
+            return self._encode_inter(
+                arf_src, qq, (c.LAST_FRAME,), self.arf_slot,
+                show=False, order_hint=oh,
+                ext_results=(raws[0], recons[0]))
+
+        with profile("gop/arf_encode"):
+            arf_obu, q_arf = self._recode(
+                "arf", base_idx + L - 1, q_arf, _arf_try)
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
         # device-chained group encode (use_tpu): ONE device program runs
         # all L-1 P frames (ops/inter_tpu.DeviceChainEncoder); per-frame
@@ -556,28 +585,31 @@ class GopEncoder:
                    for q in qs]
             if self.frame_parallel:
                 from ..parallel.sharding import fpmt_encode_group
-                raws, recons = fpmt_encode_group(
-                    self.mesh, dev_group[:L - 1], qs,
-                    self.slots[self.last_slot],
-                    self.slots[self.arf_slot], lf_levels=lfs,
-                    sharpness=self.lf_sharpness)
+                with profile("gop/chain_device"):
+                    raws, recons = fpmt_encode_group(
+                        self.mesh, dev_group[:L - 1], qs,
+                        self.slots[self.last_slot],
+                        self.slots[self.arf_slot], lf_levels=lfs,
+                        sharpness=self.lf_sharpness)
                 fpmt = True
             else:
                 from ..ops.inter_tpu import DeviceChainEncoder
-                raws, recons = DeviceChainEncoder().encode_chain(
-                    dev_group[:L - 1], qs, self.slots[self.last_slot],
-                    self.slots[self.arf_slot], lf_levels=lfs,
-                    sharpness=self.lf_sharpness)
+                with profile("gop/chain_device"):
+                    raws, recons = DeviceChainEncoder().encode_chain(
+                        dev_group[:L - 1], qs, self.slots[self.last_slot],
+                        self.slots[self.arf_slot], lf_levels=lfs,
+                        sharpness=self.lf_sharpness)
             chain = (qs, raws, recons)
         tus = []
         for j in range(L - 1):
             if chain is not None:
                 q = chain[0][j]
-                obu = self._encode_inter(
-                    group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
-                    None if fpmt else self.last_slot, show=True,
-                    order_hint=(base_idx + j) & 127,
-                    ext_results=(chain[1][j], chain[2][j]))
+                with profile("gop/emit"):
+                    obu = self._encode_inter(
+                        group[j], q, (c.LAST_FRAME, c.ALTREF_FRAME),
+                        None if fpmt else self.last_slot, show=True,
+                        order_hint=(base_idx + j) & 127,
+                        ext_results=(chain[1][j], chain[2][j]))
             else:
                 q = self._q("inter", base_idx + j)
                 obu, q = self._recode(

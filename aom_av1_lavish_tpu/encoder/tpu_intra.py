@@ -55,6 +55,36 @@ class TpuAllIntraEncoder(LossyAllIntraEncoder):
             self.recon[1][:ru.shape[0], :ru.shape[1]] = ru
             self.recon[2][:rv.shape[0], :rv.shape[1]] = rv
 
+    def _filter_recon(self, search: bool = True):
+        """KEY frames from the wavefront path are uniform 16x16 with
+        TX_16X16/TX_8X8, so the in-loop deblock collapses to the device
+        fixed-grid filter at the header's q-derived level
+        (LPF_PICK_FROM_Q) — replacing the host level search + numpy
+        filter, which costs ~1.7 s/frame at 1080p.  Falls back to the
+        general host path for cdef/lr/hbd/non-420 configs."""
+        fh, sh = self.fh, self.sh
+        h, w = self.mi_rows * 4, self.mi_cols * 4
+        if (fh.base_q_idx > 0 and not sh.enable_cdef
+                and not sh.enable_restoration and self.num_planes == 3
+                and self.bd == 8 and self.ss_x and self.ss_y
+                and not fh.loop_filter_delta_enabled
+                and h % 16 == 0 and w % 16 == 0
+                and fh.filter_level[0] > 0):
+            from ..ops.deblock_jnp import deblock_fixed16
+            from ..utils.xfer import fetch
+            y, u, v = deblock_fixed16(
+                self.recon[0][:h, :w],
+                self.recon[1][:h >> 1, :w >> 1],
+                self.recon[2][:h >> 1, :w >> 1],
+                fh.filter_level[0], fh.filter_level_u,
+                fh.filter_level_v, sharpness=fh.sharpness_level)
+            y, u, v = fetch(y, u, v)
+            self.recon[0][:h, :w] = y
+            self.recon[1][:h >> 1, :w >> 1] = u
+            self.recon[2][:h >> 1, :w >> 1] = v
+            return
+        super()._filter_recon(search=search)
+
     # --- native tile fast path -----------------------------------------
 
     def _native_tile_ok(self) -> bool:

@@ -226,6 +226,110 @@ def use_pallas_ssd() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# 1b. Windowed gather via scalar-prefetch DMA
+#
+# XLA lowers a data-dependent window gather (every motion-compensation
+# read) to an element-scatter that costs ~30 ms at 1080p block counts —
+# the single largest cost of the device inter path.  A TPU DMA engine
+# copies the same windows at memory speed instead: the ref plane is
+# viewed as (rowgroups, colgroups, G, 128) so the per-block dynamic
+# slice lands on UNTILED leading dims (Mosaic requires tile-aligned
+# offsets on the tiled minor dims), each grid step DMAs the covering
+# granules HBM->VMEM, and the sub-granule offsets resolve in-register
+# (static one-hot over the G row phases + a dynamic lane roll).
+
+
+def _gather_win_kernel(wr, wc, G, nrg, ncg, rb_ref, ro_ref, cb_ref,
+                       co_ref, plane_ref, out_ref, scratch, sems):
+    g = pl.program_id(0)
+    for k in range(nrg):
+        pltpu.make_async_copy(
+            plane_ref.at[rb_ref[g] + k, pl.ds(cb_ref[g], ncg)],
+            scratch.at[:, pl.ds(k * G, G), :], sems.at[k]).start()
+    for k in range(nrg):
+        pltpu.make_async_copy(
+            plane_ref.at[rb_ref[g] + k, pl.ds(cb_ref[g], ncg)],
+            scratch.at[:, pl.ds(k * G, G), :], sems.at[k]).wait()
+    wide = jnp.concatenate([scratch[c] for c in range(ncg)], axis=1)
+    ro = ro_ref[g]
+    acc = jnp.zeros((wr, ncg * 128), jnp.int32)
+    for k in range(G):
+        acc = jnp.where(ro == k, wide[k:k + wr, :].astype(jnp.int32),
+                        acc)
+    x = pltpu.roll(acc, -co_ref[g], 1)
+    out_ref[0] = x[:, :wc].astype(out_ref.dtype)
+
+
+@lru_cache(maxsize=None)
+def _gather_windows_fn(wr: int, wc: int, Hq: int, Wq: int,
+                       dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    G = 32 if dtype.itemsize == 1 else 8
+    nrg = (wr + G - 2) // G + 1
+    ncg = (wc + 126) // 128 + 1
+
+    def fn(plane4, rb, ro, cb, co):
+        B = rb.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, wr, wc),
+                                   lambda g, *a: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((ncg, nrg * G, 128), dtype),
+                            pltpu.SemaphoreType.DMA((nrg,))],
+        )
+        return pl.pallas_call(
+            partial(_gather_win_kernel, wr, wc, G, nrg, ncg),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, wr, wc), dtype),
+            interpret=_interpret(),
+        )(rb, ro, cb, co, plane4)
+
+    return fn
+
+
+def use_pallas_gather() -> bool:
+    """DMA window gather: on by default on real TPU (XLA's gather costs
+    ~30 ms per MC at 1080p block counts; the DMA path is ~10x faster).
+    AVL_NO_PALLAS_GATHER=1 kills just this kernel."""
+    if os.environ.get("AVL_NO_PALLAS") \
+            or os.environ.get("AVL_NO_PALLAS_GATHER"):
+        return False
+    if os.environ.get("AVL_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def gather_windows(plane, base_r, base_c, wr: int, wc: int):
+    """plane (H', W'); base_r/base_c (B,) int32 -> (B, wr, wc) windows
+    at dynamic per-block origins (in-bounds guaranteed by callers)."""
+    H, W = plane.shape
+    G = 32 if plane.dtype.itemsize == 1 else 8
+    nrg = (wr + G - 2) // G + 1
+    ncg = (wc + 126) // 128 + 1
+    if use_pallas_gather() and plane.dtype.itemsize in (1, 4):
+        # pad to granule multiples (amortized by XLA fusion; refs are
+        # already PADR-padded so the extra rows/cols are never read)
+        Hq = -(-H // G) + nrg            # row groups incl. slack
+        Wq = -(-W // 128) + ncg
+        ph = Hq * G - H
+        pw = Wq * 128 - W
+        p = jnp.pad(plane, ((0, ph), (0, pw)))
+        plane4 = p.reshape(Hq, G, Wq, 128).transpose(0, 2, 1, 3)
+        rb = (base_r // G).astype(jnp.int32)
+        ro = (base_r % G).astype(jnp.int32)
+        cb = (base_c // 128).astype(jnp.int32)
+        co = (base_c % 128).astype(jnp.int32)
+        return _gather_windows_fn(wr, wc, Hq, Wq, str(plane.dtype))(
+            plane4, rb, ro, cb, co)
+    rr = base_r[:, None, None] + jnp.arange(wr)[None, :, None]
+    cc = base_c[:, None, None] + jnp.arange(wc)[None, None, :]
+    return plane[rr, cc]
+
+
+# ---------------------------------------------------------------------------
 # 2. Batched quantizer
 
 

@@ -171,6 +171,7 @@ def main():
 
     # 3. inter GOP (device chain) at CIF / 720p / 1080p ----------------
     from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf
+    from aom_av1_lavish_tpu.utils import profiler
     for (w, h, tag) in ((W, H, "352x288"), (1280, 720, "1280x720"),
                         (1920, 1088, "1920x1088")):
         fr = frames if (w, h) == (W, H) else make_frames(n=N, w=w, h=h)
@@ -179,14 +180,36 @@ def main():
         def run_gop(fr=fr, w=w, h=h, outg=outg):
             encode_gop_ivf(outg, fr, w, h, qindex=60, gf_length=8,
                            use_tpu=True, enable_cdef=False)
-        dt = timed(run_gop)
+        run_gop()                       # warm (jit compile)
+        profiler.enable()
+        profiler.reset()
+        t0 = time.perf_counter()
+        run_gop()
+        dt = time.perf_counter() - t0
+        stage = {k.split("/")[-1]: round(v * 1000 / N, 2)
+                 for k, v in profiler.times().items()
+                 if k.startswith("gop/") or k.startswith("encode/")}
+        profiler.enable(False)
         with tempfile.TemporaryDirectory() as td2:
             ref = aomenc_fps(fr, td2, ["--cpu-used=6", "--end-usage=q",
                                        "--cq-level=40",
                                        "--lag-in-frames=8"], w=w, h=h)
         v = N / dt
         add(f"inter_gop_tpu_{tag}", round(v, 3), "frames/s",
-            v / ref if ref else None)
+            v / ref if ref else None, stage_ms_per_frame=stage)
+        if (w, h) == (1920, 1088):
+            # device utilization of the compiled chain program (the
+            # VERDICT's MFU/roofline record): XLA cost analysis over
+            # the measured chain wall-clock vs v5e peaks
+            import bench as _b
+            _b.W, _b.H, _b.QINDEX = w, h, 60
+            chain_s = profiler.times().get("gop/chain_device", 0.0)
+            if chain_s > 0:
+                fu, bu = _b.device_util(chain_s, N)
+                add("device_flops_util_chain_1080p", round(fu, 5),
+                    "fraction of v5e bf16 peak")
+                add("device_hbm_util_chain_1080p", round(bu, 4),
+                    "fraction of v5e HBM peak")
 
     # 3b. same code, CPU backend (the round-2/3 inversion check: the
     # TPU run must now beat the host-fallback run of the same program)

@@ -515,8 +515,13 @@ class GopEncoder:
             from .tpl import tpl_gf_group, tpl_q_offset
             with profile("gop/tpl"):
                 importance, tpl_maps = tpl_gf_group(dev_group, L - 1)
-            q_arf = max(self.rc.cfg.best_q,
-                        q_arf + tpl_q_offset(importance[L - 1], q_arf))
+            # bounded ARF boost (av1_get_arf_q analog): the TPL offset
+            # is capped and the ARF never codes finer than the KEY
+            # anchor + margin — an unbounded boost makes the ARF
+            # re-spend the whole key budget at near-lossless q
+            dq = max(-16, tpl_q_offset(importance[L - 1], q_arf))
+            q_arf = max(self.rc.cfg.best_q, q_arf + dq,
+                        self.rc.last_q_key + 4)
 
         # ALTREF temporal filtering (av1_temporal_filter analog);
         # on the TPU path the group's source planes were uploaded once
@@ -575,8 +580,9 @@ class GopEncoder:
                 # rest of the group leans on gets a finer quantizer)
                 from .tpl import tpl_q_offset
                 for j in range(L - 1):
-                    dq = tpl_q_offset(importance[j], qs[j]) // 2
-                    qs[j] = max(self.rc.cfg.best_q, qs[j] + dq)
+                    dq = max(-8, tpl_q_offset(importance[j], qs[j]) // 2)
+                    qs[j] = max(self.rc.cfg.best_q, qs[j] + dq,
+                                self.rc.last_q_key + 4)
             # in-loop deblock levels for the device program: the same
             # q-derived LPF_PICK_FROM_Q estimate the headers will carry
             from ..common.loopfilter import pick_filter_level_from_q

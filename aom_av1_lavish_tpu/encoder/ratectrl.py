@@ -175,7 +175,12 @@ class RateControl:
             return min(max(lo, c.best_q), c.worst_q)
         if c.mode == MODE_Q:
             if frame_kind == "key":
-                return max(c.best_q, int(c.fixed_qindex * 0.8))
+                # kf boost (get_kf_active_quality, ratectrl.c): the KEY
+                # is the whole pyramid's anchor — code it much finer
+                # than the operating point so inter frames become cheap
+                # deltas (a weak KEY forces the ARF to re-spend the
+                # bits at boosted q, costing more total)
+                return max(c.best_q, int(c.fixed_qindex * 0.55))
             if frame_kind == "arf":
                 return max(c.best_q, int(c.fixed_qindex * 0.85))
             return c.fixed_qindex

@@ -233,13 +233,17 @@ def _fullpel_search(sy_blk, refp_y, refp_y2, y0, x0, bsz, grid=None):
     return cy[ar, bi], cx[ar, bi], cc[ar, bi]
 
 
-def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
+def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H,
+                   hp=None):
     """Half-pel 3x3 then quarter-pel 3x3 around the full-pel winner,
-    through the normative interpolator.  Returns (mv_r, mv_c, pred,
-    cost): 1/8-pel even MVs plus the winner's exact prediction.
+    through the normative interpolator, then (when `hp`, a traced
+    per-frame flag, is nonzero) an eighth-pel 4-point diamond —
+    av1_find_best_sub_pixel_tree's precision ladder (mcomp.h:337).
+    Returns (mv_r, mv_c, pred, cost): 1/8-pel MVs (even when hp=0)
+    plus the winner's exact prediction.
 
-    All 18 candidate interpolations read from ONE gathered window per
-    block (the candidates stay within +-6/8 pel of the clamped centre,
+    All candidate interpolations read from ONE gathered window per
+    block (the candidates stay within +-7/8 pel of the clamped centre,
     so every integer base row/col is within +-1 of the centre's)."""
     B = sy_blk.shape[0]
     syf = sy_blk.astype(jnp.float32)
@@ -272,6 +276,17 @@ def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
     mv_r = best_dy * 8
     mv_c = best_dx * 8
     best_cost = best_pred = None
+
+    def pick(cands):
+        sstack = jnp.stack([t[0] for t in cands], 1)
+        rstack = jnp.stack([t[1] for t in cands], 1)
+        cstack = jnp.stack([t[2] for t in cands], 1)
+        pstack = jnp.stack([t[3] for t in cands], 1)
+        bi = jnp.argmin(sstack, axis=1)
+        ar = jnp.arange(sstack.shape[0])
+        return (rstack[ar, bi], cstack[ar, bi], pstack[ar, bi],
+                sstack[ar, bi])
+
     for step in (4, 2):
         cands = []
         for oy in (-step, 0, step):
@@ -280,16 +295,22 @@ def _subpel_refine(sy_blk, refp_y, y0, x0, bsz, best_dy, best_dx, W, H):
                 c_ = mv_c + ox
                 cost, pred = eval_mv(r_, c_)
                 cands.append((cost, r_, c_, pred))
-        sstack = jnp.stack([t[0] for t in cands], 1)
-        rstack = jnp.stack([t[1] for t in cands], 1)
-        cstack = jnp.stack([t[2] for t in cands], 1)
-        pstack = jnp.stack([t[3] for t in cands], 1)
-        bi = jnp.argmin(sstack, axis=1)
-        ar = jnp.arange(sstack.shape[0])
-        mv_r = rstack[ar, bi]
-        mv_c = cstack[ar, bi]
-        best_cost = sstack[ar, bi]
-        best_pred = pstack[ar, bi]
+        mv_r, mv_c, best_pred, best_cost = pick(cands)
+    if hp is not None:
+        # eighth-pel diamond; selected per frame (hp MVs are only legal
+        # when the header signals allow_high_precision_mv)
+        cands = [(best_cost, mv_r, mv_c, best_pred)]
+        for (oy, ox) in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            cost, pred = eval_mv(mv_r + oy, mv_c + ox)
+            cands.append((cost, mv_r + oy, mv_c + ox, pred))
+        mv8_r, mv8_c, pred8, cost8 = pick(cands)
+        take = (hp != 0)
+        t3 = take[..., None, None] if hasattr(take, "ndim") and \
+            take.ndim else take
+        mv_r = jnp.where(take, mv8_r, mv_r)
+        mv_c = jnp.where(take, mv8_c, mv_c)
+        best_pred = jnp.where(t3, pred8, best_pred)
+        best_cost = jnp.where(take, cost8, best_cost)
     return mv_r, mv_c, best_pred, best_cost
 
 
@@ -457,10 +478,11 @@ def _p_frame_core(key):
     do64 = merge and nby4 > 0 and nbx4 > 0
 
     def fn(src_y, src_u, src_v, refs_y, refs_u, refs_v, refs_y2,
-           pq_arr_y, pq_arr_u, pq_arr_v, lam):
+           pq_arr_y, pq_arr_u, pq_arr_v, lam, hp=0):
         """refs_*: (R, Hp, Wp) stacked padded ref planes; refs_y2 the
         half-res luma (sum-pooled); lam: RD lambda (SSE per bit) for
-        the skip decision."""
+        the skip decision; hp: per-frame allow_high_precision_mv flag
+        (traced scalar; gates the eighth-pel refine)."""
         pq_y = _PQ(pq_arr_y)
         pq_u = _PQ(pq_arr_u)
         pq_v = _PQ(pq_arr_v)
@@ -474,7 +496,7 @@ def _p_frame_core(key):
                                               refs_y2[ri], y0, x0, 16,
                                               grid=(nby, nbx))
             mv_r, mv_c, pred, _ = _subpel_refine(
-                sy_blk, refs_y[ri], y0, x0, 16, fdy, fdx, W, H)
+                sy_blk, refs_y[ri], y0, x0, 16, fdy, fdx, W, H, hp=hp)
             d = pred.astype(jnp.float32) - sy_blk.astype(jnp.float32)
             cost = (d * d).sum((1, 2))
             per_ref.append((cost, mv_r, mv_c, pred))
@@ -1045,16 +1067,18 @@ def _p_chain_fn(key):
                          jnp.where(lvl16 == 1, id32, bi))
 
     def fn(srcs_y, srcs_u, srcs_v, last_y, last_u, last_v,
-           arf_y, arf_u, arf_v, pq_stack, lf_stack, lam_stack):
+           arf_y, arf_u, arf_v, pq_stack, lf_stack, lam_stack,
+           hp_stack):
         """srcs_*: (L, ...) uint8; last_*/arf_*: unpadded ref planes;
         pq_stack: (L, 3, pqlen) per-frame quantizer arrays; lf_stack:
         (L, 3) per-frame (y, u, v) loop-filter levels (0 = off);
-        lam_stack: (L,) per-frame RD lambdas."""
+        lam_stack: (L,) per-frame RD lambdas; hp_stack: (L,) per-frame
+        allow_high_precision_mv flags."""
         apy, apu, apv, ay2 = _pad_ref_jnp(arf_y, arf_u, arf_v)
 
         def body(carry, xs):
             ly, lu, lv, ly2 = carry
-            sy, su, sv, pq, lf, lm = xs
+            sy, su, sv, pq, lf, lm, hp = xs
             if n_refs == 2:
                 ry = jnp.stack([ly, apy])
                 ru = jnp.stack([lu, apu])
@@ -1064,7 +1088,7 @@ def _p_chain_fn(key):
                 ry, ru, rv, ry2 = ly[None], lu[None], lv[None], ly2[None]
             (hdr, ctr, cfull, rec, lvl16, h32, ctr32, cfull32, h64,
              ctr64, cfull64) = base(sy, su, sv, ry, ru, rv, ry2,
-                                    pq[0], pq[1], pq[2], lm)
+                                    pq[0], pq[1], pq[2], lm, hp=hp)
             rec_y, rec_u, rec_v = deblock_leafmask(
                 rec[:H], rec[H:, :W // 2], rec[H:, W // 2:],
                 lf[0], lf[1], lf[2], leaf_ids(lvl16),
@@ -1078,7 +1102,7 @@ def _p_chain_fn(key):
         init = _pad_ref_jnp(last_y, last_u, last_v)
         _, outs = jax.lax.scan(
             body, init, (srcs_y, srcs_u, srcs_v, pq_stack, lf_stack,
-                         lam_stack))
+                         lam_stack, hp_stack))
         return outs
 
     jitted = jax.jit(fn)
@@ -1133,6 +1157,8 @@ class DeviceChainEncoder:
                  for lv in lf_levels], np.int32)
         lam_stack = np.asarray([rd_lambda(q) for q in qindexes],
                                np.float32)
+        hp_stack = np.asarray([1 if q < 128 else 0 for q in qindexes],
+                              np.int32)
         stk = (jnp.stack if not isinstance(src_frames[0][0], np.ndarray)
                else np.stack)
         srcs_y = stk([f[0][:H, :W] for f in src_frames])
@@ -1145,7 +1171,8 @@ class DeviceChainEncoder:
             lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
             lp[2][:H >> 1, :W >> 1],
             ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
-            ap[2][:H >> 1, :W >> 1], pq_stack, lf_stack, lam_stack)
+            ap[2][:H >> 1, :W >> 1], pq_stack, lf_stack, lam_stack,
+            hp_stack)
         (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
          h64_d, c64_d, cfull64_d) = out
         from ..utils.xfer import fetch
@@ -1175,10 +1202,10 @@ def _p_step_fn(key):
     H, W = key
     base = _p_frame_core((H, W, 1, False))
 
-    def fn(sy, su, sv, ly, lu, lv, ly2, pq_y, pq_u, pq_v, lam):
+    def fn(sy, su, sv, ly, lu, lv, ly2, pq_y, pq_u, pq_v, lam, hp):
         hdr, ctr, cfull, rec = base(sy, su, sv, ly[None], lu[None],
                                     lv[None], ly2[None], pq_y, pq_u,
-                                    pq_v, lam)
+                                    pq_v, lam, hp=hp)
         rec_y = rec[:H]
         rec_u = rec[H:, :W // 2]
         rec_v = rec[H:, W // 2:]
@@ -1233,7 +1260,8 @@ class DeviceRtEncoder:
         out = fn(src_planes[0][:H, :W],
                  src_planes[1][:H >> 1, :W >> 1],
                  src_planes[2][:H >> 1, :W >> 1],
-                 *self.state, *self.pq_arrs, self.lam)
+                 *self.state, *self.pq_arrs, self.lam,
+                 np.int32(1 if self.qindex < 128 else 0))
         hdr_d, ctr_d, cfull_d, rec_d, ny, nu, nv, ny2 = out
         self.state = (ny, nu, nv, ny2)
         self._rec_d = rec_d
@@ -1307,7 +1335,7 @@ class DeviceInterEncoder:
             jnp.asarray(np.stack(refs_v)),
             jnp.asarray(np.stack(refs_y2)),
             self.pq_arrs[0], self.pq_arrs[1], self.pq_arrs[2],
-            self.lam)
+            self.lam, np.int32(1 if self.qindex < 128 else 0))
         from ..utils.xfer import fetch
         hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(
             hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, rec_d)

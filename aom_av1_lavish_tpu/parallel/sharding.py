@@ -197,11 +197,11 @@ def make_sharded_p_frame_fn(mesh: Mesh, H: int, W: int, n_refs: int = 1):
         return fn
     from ..ops.inter_tpu import _p_frame_core
     core = _p_frame_core((H, W, n_refs, True))
-    batched = jax.vmap(core, in_axes=(0, 0, 0) + (None,) * 8)
+    batched = jax.vmap(core, in_axes=(0, 0, 0) + (None,) * 9)
     sb = NamedSharding(mesh, P("frame"))
     rep = NamedSharding(mesh, P())
     fn = jax.jit(batched,
-                 in_shardings=(sb, sb, sb) + (rep,) * 8,
+                 in_shardings=(sb, sb, sb) + (rep,) * 9,
                  out_shardings=sb)
     _FPMT_FN_CACHE[key] = fn
     return fn
@@ -228,11 +228,11 @@ def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
         return jnp.where(lvl16 == 2, id64,
                          jnp.where(lvl16 == 1, id32, bi))
 
-    def one(sy, su, sv, pq, lf, lam, refs):
+    def one(sy, su, sv, pq, lf, lam, hp, refs):
         ry, ru, rv, ry2 = refs
         (hdr, ctr, cfull, rec, lvl16, h32, c32, cfull32, h64, c64,
          cfull64) = core(sy, su, sv, ry, ru, rv, ry2,
-                         pq[0], pq[1], pq[2], lam)
+                         pq[0], pq[1], pq[2], lam, hp=hp)
         # in-loop deblock per frame (FPMT frames are not chained, but
         # the output recon must match the decoder's filtered frame)
         rec_y, rec_u, rec_v = deblock_leafmask(
@@ -244,13 +244,14 @@ def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
                 c64, cfull64)
 
     def group(srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
-              ly, lu, lv, ay, au, av):
+              hp_stack, ly, lu, lv, ay, au, av):
         lpy, lpu, lpv, ly2 = _pad_ref_jnp(ly, lu, lv)
         apy, apu, apv, ay2 = _pad_ref_jnp(ay, au, av)
         refs = (jnp.stack([lpy, apy]), jnp.stack([lpu, apu]),
                 jnp.stack([lpv, apv]), jnp.stack([ly2, ay2]))
-        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None))(
-            srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack, refs)
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+            srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
+            hp_stack, refs)
 
     if mesh is None:
         fn = jax.jit(group)
@@ -258,7 +259,8 @@ def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
         sb = NamedSharding(mesh, P("frame"))
         rep = NamedSharding(mesh, P())
         fn = jax.jit(group,
-                     in_shardings=(sb, sb, sb, sb, sb, sb) + (rep,) * 6,
+                     in_shardings=(sb, sb, sb, sb, sb, sb, sb)
+                     + (rep,) * 6,
                      out_shardings=sb)
     _FPMT_FN_CACHE[key] = fn
     return fn
@@ -293,6 +295,8 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
             [lv if isinstance(lv, (tuple, list)) else (lv,) * 3
              for lv in lf_levels], np.int32)
     lam_stack = np.asarray([rd_lambda(q) for q in qindexes], np.float32)
+    hp_stack = np.asarray([1 if q < 128 else 0 for q in qindexes],
+                          np.int32)
     stk = (jnp.stack if not isinstance(src_frames[0][0], np.ndarray)
            else np.stack)
     srcs_y = stk([f[0][:H, :W] for f in src_frames])
@@ -301,7 +305,7 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     lp, ap = last_planes, arf_planes
     (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
      h64_d, c64_d, cfull64_d) = fn(
-        srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
+        srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack, hp_stack,
         lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
         lp[2][:H >> 1, :W >> 1],
         ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
@@ -377,7 +381,8 @@ class ShardedInterGopEncoder:
             ys, us, vs,
             jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
             jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),
-            pq[0], pq[1], pq[2], rd_lambda(self.qindex))
+            pq[0], pq[1], pq[2], rd_lambda(self.qindex),
+            np.int32(1 if self.qindex < 128 else 0))
         from ..utils.xfer import fetch
         from ..ops.inter_tpu import assemble_group_merge, split_recon
         hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(

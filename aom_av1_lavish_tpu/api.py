@@ -263,6 +263,9 @@ class Encoder:
         return self._via_ivf(
             encode_realtime_ivf, qindex=cfg.qindex,
             aq_mode=cfg.aq_mode,
+            active_map=(cfg.active_map.get("map")
+                        if isinstance(cfg.active_map, dict)
+                        else cfg.active_map),
             denoise=bool(cfg.noise_sensitivity
                          or cfg.denoise_noise_level))
 
@@ -318,10 +321,39 @@ class Encoder:
             use_native=cfg.use_native, lf_sharpness=cfg.sharpness,
             seq_tools=tools["seq"] or None, **search)
 
+    def _apply_scale_mode(self):
+        """AOME_SET_SCALEMODE: pre-scale the input to the mode's ratio
+        (1 = 4/5, 2 = 3/5, 3 = 1/2; aom_scale_mode_t) and encode at the
+        scaled size — the reference's av1_set_internal_size +
+        av1_resize_plane path."""
+        cfg = self.cfg
+        num_den = {1: (4, 5), 2: (3, 5), 3: (1, 2)}.get(cfg.scale_mode)
+        if num_den is None or not self._frames:
+            return None
+        from .common.resize import downscale_plane_horz
+        num, den = num_den
+        sw = max(2, (cfg.width * num // den) & ~1)
+        sh_ = max(2, (cfg.height * num // den) & ~1)
+
+        def scale(p, w, h):
+            p = downscale_plane_horz(np.asarray(p), w)
+            return np.ascontiguousarray(
+                downscale_plane_horz(p.T, h).T)
+
+        self._frames = [
+            (scale(y, sw, sh_),
+             scale(u, (sw + 1) // 2, (sh_ + 1) // 2),
+             scale(v, (sw + 1) // 2, (sh_ + 1) // 2))
+            for (y, u, v) in self._frames]
+        old = (cfg.width, cfg.height)
+        cfg.width, cfg.height = sw, sh_
+        return old
+
     def flush(self) -> list:
         """Encode all queued frames; returns display-ordered payloads."""
         cfg = self.cfg
         tools = resolve_tools(cfg)
+        restore_dims = self._apply_scale_mode()
         try:
             if cfg.lossless:
                 return self._flush_lossless()
@@ -363,6 +395,8 @@ class Encoder:
             return out
         finally:
             self._frames = []
+            if restore_dims is not None:
+                cfg.width, cfg.height = restore_dims
 
 
 def GopEncoderWithTools(*args, search_overrides=None, tx_select=None,

@@ -117,7 +117,9 @@ _CONTROL_LIST = [
     _C("AOME_SET_NUMBER_SPATIAL_LAYERS", "spatial-layers",
        "spatial_layers", "int", 1, 4),
     _C("AOME_SET_SCALEMODE", "scale-mode", "scale_mode", "int", 0, 3,
-       consumed=ADVISORY),
+       consumed=ENCODE,
+       help="pre-scale input (1=4/5, 2=3/5, 3=1/2; av1_set_internal_"
+            "size analog — Encoder.flush scales and codes that size)"),
     # structured controls (struct/map payloads in the reference ABI);
     # the equivalent functionality lives on explicit driver APIs here
     _C("AOME_SET_ROI_MAP", "roi-map", "roi_map", "obj",
@@ -126,9 +128,10 @@ _CONTROL_LIST = [
             "per-16x16 segment ids + per-segment q deltas; lowered "
             "onto AV1 segmentation)"),
     _C("AOME_SET_ACTIVEMAP", "active-map", "active_map", "obj",
-       consumed=ADVISORY,
-       help="active/skip macroblock map (aom_active_map_t; advisory: "
-            "the RT skip decisions are RD-driven here)"),
+       consumed=ENCODE,
+       help="active/skip map (aom_active_map_t analog: per-16x16 "
+            "flags; inactive blocks code as zero-MV skip on RT inter "
+            "frames — av1_apply_active_map)"),
     _C("AOME_SET_SPATIAL_LAYER_ID", "spatial-layer-id",
        "spatial_layer_id", "int", 0, 3, consumed=ADVISORY,
        help="per-frame layer id (the layered drivers in encoder/svc.py "
@@ -136,9 +139,11 @@ _CONTROL_LIST = [
     _C("AV1E_SET_SVC_LAYER_ID", "svc-layer-id", "svc_layer_id", "obj",
        consumed=ADVISORY, help="aom_svc_layer_id_t analog"),
     _C("AV1E_SET_SVC_PARAMS", "svc-params", "svc_params", "obj",
-       consumed=ADVISORY,
-       help="aom_svc_params_t analog; encode_svc_layered_ivf exposes "
-            "the LxTy ladder directly"),
+       consumed=ENCODE,
+       help="aom_svc_params_t analog: number_spatial_layers / "
+            "number_temporal_layers route Encoder.flush onto the "
+            "layered drivers (encoder/svc.py); max_quantizers[0] sets "
+            "the base q"),
     _C("AV1E_SET_SVC_REF_FRAME_CONFIG", "svc-ref-frame-config",
        "svc_ref_frame_config", "obj", consumed=ADVISORY),
     _C("AV1E_SET_SVC_REF_FRAME_COMP_PRED", "svc-ref-frame-comp-pred",
@@ -493,6 +498,19 @@ def apply_control(cfg, name_or_key: str, value) -> None:
     v = ctl.parse(value)
     ctl.check(v)
     setattr(cfg, ctl.field, v)
+    if ctl.field == "svc_params" and isinstance(v, dict):
+        # AV1E_SET_SVC_PARAMS (aom_svc_params_t): the layer counts
+        # drive the layered encode path directly (Encoder.flush routes
+        # to encoder/svc.py when either exceeds 1); per-layer q lands
+        # on the base qindex
+        if "number_spatial_layers" in v:
+            cfg.spatial_layers = int(v["number_spatial_layers"])
+        if "number_temporal_layers" in v:
+            cfg.temporal_layers = int(v["number_temporal_layers"])
+        qs = v.get("max_quantizers")
+        if qs:
+            cfg.qindex = int(qs[0]) * 4 if int(qs[0]) <= 63 \
+                else int(qs[0])
 
 
 # -- the tool-gate config block ----------------------------------------------

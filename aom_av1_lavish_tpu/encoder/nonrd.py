@@ -111,12 +111,41 @@ class RealtimeEncoder(InterFrameEncoder):
 
     # --- non-RD pickmode ------------------------------------------------
 
+    #: AOME_SET_ACTIVEMAP (aom_active_map_t analog): per-16x16 active
+    #: flags; fully-inactive blocks are coded as zero-MV skip (the
+    #: reference lowers the map onto SEG_LVL_SKIP segmentation,
+    #: av1/encoder/aq_cyclicrefresh.c av1_cyclic_refresh / encoder.c
+    #: av1_apply_active_map — same coded result: no residual, no motion)
+    active_map = None
+
     def _trial_block(self, mi_row, mi_col, bsize):
         """av1_nonrd_pick_inter_mode_sb analog: SAD-pick among
         {NEAREST, GLOBAL(0,0), NEW via small diamond}, then code the
         residual once with the largest tx."""
         ctx = self._refmv_context(mi_row, mi_col, bsize)
         ref = self.ref_list[0]
+        if self.active_map is not None:
+            r16, c16 = mi_row // 4, mi_col // 4
+            n = max(1, blockd.mi_size_wide(bsize) // 4)
+            region = self.active_map[r16:r16 + n, c16:c16 + n]
+            if region.size and not region.any():
+                mv = (0, 0)
+                dist, bits, txbs = self._code_inter_planes(
+                    mi_row, mi_col, bsize, mv, ref, force_skip=True)
+                self._apply_txbs(0, [t for t in txbs
+                                     if t["plane"] == 0])
+                for plane in (1, 2):
+                    self._apply_txbs(plane, [t for t in txbs
+                                             if t["plane"] == plane])
+                is_chroma_ref = blockd.is_chroma_reference(
+                    mi_row, mi_col, bsize, self.ss_x, self.ss_y) \
+                    and self.num_planes > 1
+                return dist, dict(
+                    mi_row=mi_row, mi_col=mi_col, bsize=bsize,
+                    is_inter=1, mode=0, mv=mv, ref=ref, ref_mv_idx=0,
+                    txbs=txbs, gm_warp=False,
+                    is_chroma_ref=is_chroma_ref, y_mode=c.DC_PRED,
+                    uv_mode=c.DC_PRED, cfl=None)
         gm_mv = self._gm_mv(ref, bsize, mi_row, mi_col)
         _, _, _, _, mv_list = MR.find_mv_refs(ctx, ref,
                                               gm=self._gm_info(gm_mv))
@@ -262,10 +291,12 @@ def encode_realtime_tpu_ivf(path: str, frames, width: int, height: int,
 def encode_realtime_ivf(path: str, frames, width: int, height: int,
                         qindex: int = 90, fps=(30, 1),
                         aq_mode: int = 0, denoise: bool = False,
-                        **kw) -> None:
+                        active_map=None, **kw) -> None:
     """RTC low-delay encode: keyframe (speed-1 RD intra) + non-RD
     P-frames.  aq_mode 3 = cyclic refresh (rotating SB q boost);
-    denoise = RT temporal denoiser (av1_temporal_denoiser.c analog)."""
+    denoise = RT temporal denoiser (av1_temporal_denoiser.c analog);
+    active_map: per-16x16 active flags (AOME_SET_ACTIVEMAP) — inactive
+    blocks code as zero-MV skip on inter frames."""
     from ..bitstream.ivf import write_ivf
     from .encoder import make_sequence_header
     from .inter import make_inter_frame_header
@@ -294,6 +325,8 @@ def encode_realtime_ivf(path: str, frames, width: int, height: int,
         else:
             fh = make_inter_frame_header(sh, qindex, aq=aq_mode == 3)
             enc = RealtimeEncoder(sh, fh, slots, trellis=False, **kw)
+            if active_map is not None:
+                enc.active_map = np.asarray(active_map, np.uint8)
             if aq_mode == 3:
                 enc.sb_qmap = _cyclic_refresh_map(i, sb_rows, sb_cols,
                                                   qindex)

@@ -463,3 +463,57 @@ def test_decoder_get_controls(tmp_path):
     assert td and all(isinstance(b, bytes) for _, b in td)
     mi = d.get_control("AV1D_GET_MI_INFO", 0, 0)
     assert {"mode", "mv", "bsize", "skip", "segment_id"} <= set(mi)
+
+
+# --------------------------------------------------------------------------
+# controls wired to real features (round-5: formerly advisory)
+
+
+def test_activemap_control_forces_skip():
+    """AOME_SET_ACTIVEMAP through the public Encoder: inactive blocks
+    produce near-empty inter frames (zero-MV skip)."""
+    W, H = 128, 96
+    rng = np.random.default_rng(3)
+    frames = [(y + rng.integers(0, 30, y.shape).astype(np.uint8), u, v)
+              for (y, u, v) in _clip(4, W, H, seed=3)]
+    base = EncoderConfig(width=W, height=H, usage=USAGE_REALTIME, qindex=120,
+                         target_bps=2_000_000)
+    pkts_full = _encode(base, frames)
+    cfg = EncoderConfig(width=W, height=H, usage=USAGE_REALTIME, qindex=120,
+                        target_bps=2_000_000)
+    amap = np.zeros((H // 16, W // 16), np.uint8)   # all inactive
+    apply_control(cfg, "AOME_SET_ACTIVEMAP", {"map": amap})
+    pkts_skip = _encode(cfg, frames)
+    # inter frames must shrink drastically when everything is inactive
+    full_inter = sum(len(p) for p in pkts_full[1:])
+    skip_inter = sum(len(p) for p in pkts_skip[1:])
+    assert skip_inter < full_inter // 2, (skip_inter, full_inter)
+    assert len(_decode_all(pkts_skip)) == len(frames)
+
+
+def test_scalemode_control_codes_scaled_size():
+    """AOME_SET_SCALEMODE through the public Encoder: mode 3 halves the
+    coded dimensions."""
+    W, H = 128, 96
+    frames = _clip(3, W, H, seed=5)
+    cfg = EncoderConfig(width=W, height=H, qindex=120)
+    apply_control(cfg, "AOME_SET_SCALEMODE", 3)
+    pkts = _encode(cfg, frames)
+    dec = _decode_all(pkts)
+    assert len(dec) == len(frames)
+    assert dec[0][0].shape == (H // 2, W // 2)
+    assert cfg.width == W and cfg.height == H    # restored after flush
+
+
+def test_svc_params_control_drives_layered_encode():
+    """AV1E_SET_SVC_PARAMS through the public Encoder: layer counts
+    route onto the temporal-SVC driver (decodable layered stream)."""
+    W, H = 128, 96
+    frames = _clip(4, W, H, seed=7)
+    cfg = EncoderConfig(width=W, height=H, qindex=120)
+    apply_control(cfg, "AV1E_SET_SVC_PARAMS",
+                  {"number_spatial_layers": 1,
+                   "number_temporal_layers": 2})
+    assert cfg.temporal_layers == 2
+    pkts = _encode(cfg, frames)
+    assert len(_decode_all(pkts)) == len(frames)

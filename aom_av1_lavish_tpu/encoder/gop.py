@@ -62,8 +62,12 @@ class GopEncoder:
         # (speed_features.c:2240 analog, encoder/speed.py)
         self.sf = None
         if cpu_used is not None:
-            from .speed import speed_features_for
-            self.sf = sf = speed_features_for(cpu_used)
+            from .speed import (adjust_framesize, adjust_qindex,
+                                speed_features_for)
+            sf = speed_features_for(cpu_used)
+            sf = adjust_framesize(sf, width, height)
+            sf = adjust_qindex(sf, qindex)
+            self.sf = sf
             motion_modes = sf.motion_modes
             comp_pred = sf.comp_search
             interp_search = sf.interp_search
@@ -126,6 +130,8 @@ class GopEncoder:
         self.interp_search = interp_search
         self.comp_pred = comp_pred
         self._targets = None             # per-display-frame bit budgets
+        self._tp_planned = 0.0           # two-pass plan realized so far
+        self._tp_spent = 0.0
         self._tpl_maps = None            # per-group rdmult scale maps
         # FPMT mode (av1_compress_parallel_frames, ethread.c:1224): the
         # group's P frames reference only the fixed (anchor, ARF) pair,
@@ -161,8 +167,25 @@ class GopEncoder:
                                      backward_update=self.order_hint)
         fh.sharpness_level = self.lf_sharpness
         if self.use_tpu:
-            from .tpu_intra import TpuAllIntraEncoder
-            enc = TpuAllIntraEncoder(self.sh, fh, use_native=self.use_native)
+            # framesize-dependent KEY path pick (the reference's
+            # av1_set_speed_features_framesize_dependent analog,
+            # speed_features.c:2202): the device-RDO intra (partition
+            # DP over 8..64 + full mode set) costs ~1 s/frame up to
+            # 720p and wins ~2 dB on smooth content vs the fixed-16
+            # wavefront; above 720p the per-SB host walk dominates and
+            # the wavefront keeps the KEY off the critical path.
+            area = self.sh.max_frame_width * self.sh.max_frame_height
+            rdo_ok = (area <= 1280 * 720
+                      and (self.sf is None or self.sf.cpu_used <= 6)
+                      and fh.tx_mode == c.TX_MODE_LARGEST)
+            if rdo_ok:
+                from .tpu_rdo import TpuRdoAllIntraEncoder
+                enc = TpuRdoAllIntraEncoder(self.sh, fh,
+                                            use_native=self.use_native)
+            else:
+                from .tpu_intra import TpuAllIntraEncoder
+                enc = TpuAllIntraEncoder(self.sh, fh,
+                                         use_native=self.use_native)
         else:
             kw = {}
             if self.sf is not None:
@@ -370,7 +393,26 @@ class GopEncoder:
     def _target(self, display_idx: int):
         if self._targets is None:
             return None
-        return float(self._targets[display_idx])
+        t = float(self._targets[display_idx])
+        # VBR rate correction (av1_twopass_postencode_update /
+        # vbr_rate_correction analog, pass2_strategy.c:4075): scale the
+        # remaining plan by the realized-vs-planned ratio so the
+        # sequence converges on the exact budget instead of drifting
+        # with the model error
+        if self._tp_planned > 1.0:
+            total = float(self._targets.sum())
+            rem_planned = max(total - self._tp_planned, 1.0)
+            rem_budget = total - self._tp_spent
+            t *= min(2.0, max(0.5, rem_budget / rem_planned))
+        return max(t, 64.0)
+
+    def _tp_note(self, display_idx: int, bits: float) -> None:
+        """Two-pass postencode bookkeeping (planned vs realized)."""
+        if self._targets is None:
+            return
+        if display_idx < len(self._targets):
+            self._tp_planned += float(self._targets[display_idx])
+        self._tp_spent += float(bits)
 
     def _slot_state(self):
         return (list(self.slots), list(self.slot_fc),
@@ -437,9 +479,28 @@ class GopEncoder:
             best = (best[0], encode_fn(best[2]), best[2])
         return best[1], best[2]
 
+    def _adapt_kf_boost(self, frames) -> None:
+        """Content-adaptive KEY boost (kf_boost, pass2_strategy.c): the
+        more static the sequence, the finer the KEY — on near-static
+        content the optimal strategy is a near-transparent anchor that
+        every inter frame then inherits by skipping."""
+        from .ratectrl import MODE_Q
+        if self.rc.cfg.mode != MODE_Q or len(frames) < 2:
+            return
+        diffs = []
+        for a, b in zip(frames[:-1], frames[1:]):
+            ya = np.asarray(a[0][::4, ::4], np.int32)
+            yb = np.asarray(b[0][::4, ::4], np.int32)
+            diffs.append(float(np.mean(np.abs(ya - yb))))
+        motion = float(np.median(diffs))
+        # motion ~0 (static) -> 0.30; motion >= 6 (busy) -> 0.60
+        self.rc.kf_boost_ratio = float(
+            np.clip(0.30 + 0.05 * motion, 0.30, 0.60))
+
     def encode_sequence(self, frames) -> list:
         """Encode all frames; returns one payload per display frame."""
         n = len(frames)
+        self._adapt_kf_boost(frames)
         if self.twopass_stats is not None:
             from .pass2 import TwoPassAllocator
             alloc = TwoPassAllocator(self.twopass_stats,
@@ -456,6 +517,7 @@ class GopEncoder:
                                     self._encode_key(f, qq,
                                                      order_hint=d & 127))
                 self.rc.postencode("key", q, len(p) * 8)
+                self._tp_note(i, len(p) * 8)
                 self.last_slot, self.arf_slot = 0, 1
                 payloads.append(p)
                 continue
@@ -481,6 +543,7 @@ class GopEncoder:
                             show=True, order_hint=d & 127, s_frame=sf))
                     tu = H.temporal_delimiter() + obu
                     self.rc.postencode("inter", q, len(tu) * 8)
+                    self._tp_note(i + j, len(tu) * 8)
                     payloads.append(tu)
         return payloads
 
@@ -565,6 +628,7 @@ class GopEncoder:
             arf_obu, q_arf = self._recode(
                 "arf", base_idx + L - 1, q_arf, _arf_try)
         self.rc.postencode("arf", q_arf, len(arf_obu) * 8)
+        self._tp_note(base_idx + L - 1, len(arf_obu) * 8)
         # device-chained group encode (use_tpu): ONE device program runs
         # all L-1 P frames (ops/inter_tpu.DeviceChainEncoder); per-frame
         # q is precomputed, the FPMT property (av1_cx_iface.c:3374)
@@ -631,6 +695,8 @@ class GopEncoder:
             self.rc.postencode("inter", q,
                                (len(tu) - (len(arf_obu) if j == 0 else 0))
                                * 8)
+            self._tp_note(base_idx + j,
+                          (len(tu) - (len(arf_obu) if j == 0 else 0)) * 8)
             tus.append(tu)
         # display the ARF; it becomes LAST for the next group
         tus.append(H.temporal_delimiter()

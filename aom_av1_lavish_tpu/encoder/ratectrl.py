@@ -83,6 +83,9 @@ class RateControl:
     frames_coded: int = 0
     last_q_inter: int = 60
     last_q_key: int = 60
+    #: MODE_Q KEY q ratio (content-adaptive kf boost; the GOP driver
+    #: lowers it toward 0.3 for static sequences)
+    kf_boost_ratio: float = 0.55
     total_bits: int = 0
     # accumulated VBR debt (bits we owe / are owed vs the target)
     bits_off_target: float = 0.0
@@ -179,8 +182,13 @@ class RateControl:
                 # is the whole pyramid's anchor — code it much finer
                 # than the operating point so inter frames become cheap
                 # deltas (a weak KEY forces the ARF to re-spend the
-                # bits at boosted q, costing more total)
-                return max(c.best_q, int(c.fixed_qindex * 0.55))
+                # bits at boosted q, costing more total).  The ratio is
+                # content-adaptive (kf_boost from stats,
+                # pass2_strategy.c): static sequences get a near-
+                # transparent KEY that every frame then inherits by
+                # skipping.
+                return max(c.best_q,
+                           int(c.fixed_qindex * self.kf_boost_ratio))
             if frame_kind == "arf":
                 return max(c.best_q, int(c.fixed_qindex * 0.85))
             return c.fixed_qindex

@@ -88,3 +88,41 @@ _TABLE = {
 def speed_features_for(cpu_used: int) -> SpeedFeatures:
     """Resolve a cpu-used level (clamped to 0..9) to its knob bundle."""
     return _TABLE[max(0, min(9, int(cpu_used)))]
+
+
+def adjust_framesize(sf: SpeedFeatures, width: int,
+                     height: int) -> SpeedFeatures:
+    """Resolution-dependent knob adjustment
+    (av1_set_speed_features_framesize_dependent, speed_features.c:2202):
+    large frames shrink the search geometry and partition depth at the
+    same cpu-used — per-pixel cost must not grow with resolution."""
+    from dataclasses import replace
+    area = width * height
+    if area >= 1920 * 1080:
+        return replace(
+            sf,
+            search_range=min(sf.search_range, 12),
+            min_block=max(sf.min_block, c.BLOCK_16X16),
+            compound_types=False, interintra=False,
+            ext_parts=False)
+    if area >= 1280 * 720:
+        return replace(
+            sf,
+            search_range=min(sf.search_range, 16),
+            min_block=(max(sf.min_block, c.BLOCK_8X8)
+                       if sf.cpu_used >= 3 else sf.min_block),
+            ext_parts=sf.ext_parts and sf.cpu_used == 0)
+    return sf
+
+
+def adjust_qindex(sf: SpeedFeatures, qindex: int) -> SpeedFeatures:
+    """Q-dependent knob adjustment
+    (..._qindex_dependent, speed_features.c:2385): at very coarse q the
+    residual is mostly zero, so the coefficient-side searches (trellis,
+    tx-type) stop paying for themselves."""
+    from dataclasses import replace
+    if qindex >= 200:
+        return replace(sf, trellis=False, tx_search=False)
+    if qindex >= 160 and sf.cpu_used >= 2:
+        return replace(sf, tx_search=False)
+    return sf

@@ -61,3 +61,21 @@ def test_cpu_used_speed_quality_ladder(tmp_path):
     # with pruning so strict monotone psnr is not well-posed here)
     for cpu, (dt, psnr, size) in stats.items():
         assert psnr > 33.0, (cpu, stats[cpu])
+
+
+def test_framesize_and_qindex_adjust():
+    """Framesize/q-dependent speed adjustments only ever prune
+    (speed_features.c:2202/:2385 analog)."""
+    from aom_av1_lavish_tpu.encoder.speed import (adjust_framesize,
+                                                  adjust_qindex,
+                                                  speed_features_for)
+    for cpu in range(10):
+        sf = speed_features_for(cpu)
+        big = adjust_framesize(sf, 1920, 1080)
+        assert big.search_range <= sf.search_range
+        assert big.min_block >= sf.min_block
+        assert (not big.ext_parts) or sf.ext_parts
+        coarse = adjust_qindex(sf, 220)
+        assert (not coarse.trellis) or sf.trellis
+        assert (not coarse.tx_search) or sf.tx_search
+        assert adjust_framesize(sf, 352, 288) == sf

@@ -196,3 +196,30 @@ def test_scene_cut_keyframe_and_adaptive_gf(tmp_path):
     mse = np.mean((out[6][0].astype(float)
                    - frames[6][0].astype(float)) ** 2)
     assert 10 * np.log10(255 ** 2 / mse) > 35
+
+
+def test_twopass_vbr_rate_accuracy():
+    """av1_twopass_postencode_update analog: the realized sequence rate
+    lands within +-10% of the target (VBR correction loop scales the
+    remaining plan each frame)."""
+    import tempfile
+
+    from aom_av1_lavish_tpu.encoder.gop import encode_twopass_ivf
+    from aom_av1_lavish_tpu.encoder.ratectrl import (MODE_VBR,
+                                                     RateControlConfig)
+    W, H, N = 96, 64, 24
+    rng = np.random.default_rng(4)
+    frames = [(np.clip(y.astype(np.int32)
+                       + rng.integers(-20, 21, y.shape), 0, 255)
+               .astype(np.uint8), u, v)
+              for (y, u, v) in _clip(N, W, H, seed=4)]
+    target = 150_000
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.ivf")
+        cfg = RateControlConfig(target_bps=target, fps=30.0,
+                                mode=MODE_VBR)
+        encode_twopass_ivf(p, frames, W, H, rc_cfg=cfg, gf_length=6,
+                           enable_cdef=False,
+                           stats_path=os.path.join(td, "st"))
+        rate = os.path.getsize(p) * 8 * 30.0 / N
+        assert 0.9 * target <= rate <= 1.1 * target, rate

@@ -175,7 +175,16 @@ class GopEncoder:
             # wavefront; above 720p the per-SB host walk dominates and
             # the wavefront keeps the KEY off the critical path.
             area = self.sh.max_frame_width * self.sh.max_frame_height
-            rdo_ok = (area <= 1280 * 720
+            # smooth sources (low high-frequency energy) band badly
+            # under the fixed-16 wavefront and want the DP's large
+            # partitions; on noisy sources the wavefront's exact
+            # fixed-16 RD is PSNR-tighter than the DP's estimated
+            # costs, so it keeps the KEY (content gate, the
+            # rc_pick_q/content classification analog)
+            y = np.asarray(planes[0], np.int32)
+            hf = 0.5 * (np.mean(np.abs(np.diff(y[::2], axis=0)))
+                        + np.mean(np.abs(np.diff(y[::2], axis=1))))
+            rdo_ok = (area <= 1280 * 720 and hf < 2.5
                       and (self.sf is None or self.sf.cpu_used <= 6)
                       and fh.tx_mode == c.TX_MODE_LARGEST)
             if rdo_ok:
@@ -222,6 +231,11 @@ class GopEncoder:
             filt = pick_interp_filter(planes[0],
                                       self.slots[self.last_slot][0],
                                       bd=self.sh.bit_depth)
+        if ext_results is not None and isinstance(ext_results[0], dict):
+            # device chain frames pick the frame filter on device
+            # (interp_search.c analog inside _p_frame_core); the header
+            # must signal what the device predicted with
+            filt = int(ext_results[0].get("filt", c.EIGHTTAP_REGULAR))
         # primary ref = LAST (ref list index 0): CDF carry + backward
         # adaptation when the sequence has order hints
         primary = (0 if (self.order_hint and not s_frame

@@ -48,6 +48,11 @@ MV_COST_W = 16.0   # SSD units per full-pel step of |mv| (rate proxy)
 # re-validated per call (~40 ms each over the axon tunnel); numpy
 # constants are inlined into the compiled HLO at trace time.
 FILT8 = np.asarray(IP.SUBPEL_FILTERS_8)     # (16, 8) regular
+#: frame-filter banks indexed by the header enum (EIGHTTAP_REGULAR=0,
+#: EIGHTTAP_SMOOTH=1, MULTITAP_SHARP=2 — filter.h:31)
+FILT_BANKS = np.stack([np.asarray(IP.SUBPEL_FILTERS_8),
+                       np.asarray(IP.SUBPEL_FILTERS_8SMOOTH),
+                       np.asarray(IP.SUBPEL_FILTERS_8SHARP)])
 
 
 def _round2(x, n):
@@ -62,10 +67,12 @@ def _gather_blocks(plane, base_r, base_c, h, w):
     return gather_windows(plane, base_r, base_c, h, w)
 
 
-def _mc_block(refp, x0, y0, bw, bh, mv_r_q4, mv_c_q4):
+def _mc_block(refp, x0, y0, bw, bh, mv_r_q4, mv_c_q4, filt=None):
     """Batched single-ref convolve (av1_convolve_2d_sr family) for blocks
     of size (bh, bw) at plane coords (x0, y0) (B,), mv already clamped,
-    in q4 plane units.  refp is PADR-padded; returns (B, bh, bw) uint8."""
+    in q4 plane units.  refp is PADR-padded; returns (B, bh, bw) uint8.
+    filt: optional (16, 8) tap table (traced — the per-frame switchable
+    filter bank); None = the regular trace-time constant."""
     pos_r = (y0 << 4) + mv_r_q4
     pos_c = (x0 << 4) + mv_c_q4
     fr = pos_r >> 4
@@ -74,7 +81,8 @@ def _mc_block(refp, x0, y0, bw, bh, mv_r_q4, mv_c_q4):
     sc = pos_c & 15
     region = _gather_blocks(refp, PADR + fr - 3, PADR + fc - 3,
                             bh + 7, bw + 7).astype(jnp.int32)
-    filt = jnp.asarray(FILT8)   # trace-time constant (see FILT8 note)
+    if filt is None:
+        filt = jnp.asarray(FILT8)   # trace-time constant (FILT8 note)
     kx = filt[sc]           # (B, 8)
     ky = filt[sr]
     from .pallas_kernels import convolve_8tap
@@ -340,7 +348,7 @@ def _eval_merge_level(src_y_big, src_u_big, src_v_big, y0m, x0m,
                       cand_r, cand_c, cand_ref, bsz,
                       refs_y, refs_u, refs_v, n_refs, W, H,
                       pq_y, pq_u, pq_v, lam,
-                      tx_y, tx_uv, scan_ym, scan_cm):
+                      tx_y, tx_uv, scan_ym, scan_cm, filt=None):
     """RD-code one merged partition level (bsz in {32, 64}) for all Bm
     blocks: pick the best MV among the child candidates, motion
     compensate at bsz, transform-code luma at tx_y and chroma at tx_uv,
@@ -358,9 +366,10 @@ def _eval_merge_level(src_y_big, src_u_big, src_v_big, y0m, x0m,
         cr, cc_ = _clamp_mv(mvr, mvc, bsz, bsz, 0, 0, x0m, y0m, W, H,
                             bsz, bsz)
         if n_refs == 1:
-            return _mc_block(refs_y[0], x0m, y0m, bsz, bsz, cr, cc_)
-        pa = _mc_block(refs_y[0], x0m, y0m, bsz, bsz, cr, cc_)
-        pb = _mc_block(refs_y[1], x0m, y0m, bsz, bsz, cr, cc_)
+            return _mc_block(refs_y[0], x0m, y0m, bsz, bsz, cr, cc_,
+                             filt=filt)
+        pa = _mc_block(refs_y[0], x0m, y0m, bsz, bsz, cr, cc_, filt=filt)
+        pb = _mc_block(refs_y[1], x0m, y0m, bsz, bsz, cr, cc_, filt=filt)
         return jnp.where(rf[:, None, None] == 0, pa, pb)
 
     best = None
@@ -401,10 +410,13 @@ def _eval_merge_level(src_y_big, src_u_big, src_v_big, y0m, x0m,
     for (src_p, refs_p, pq_p) in ((src_u_big, refs_u, pq_u),
                                   (src_v_big, refs_v, pq_v)):
         if n_refs == 1:
-            pred = _mc_block(refs_p[0], xc, yc, csz, csz, crc, cccol)
+            pred = _mc_block(refs_p[0], xc, yc, csz, csz, crc, cccol,
+                             filt=filt)
         else:
-            p0 = _mc_block(refs_p[0], xc, yc, csz, csz, crc, cccol)
-            p1 = _mc_block(refs_p[1], xc, yc, csz, csz, crc, cccol)
+            p0 = _mc_block(refs_p[0], xc, yc, csz, csz, crc, cccol,
+                           filt=filt)
+            p1 = _mc_block(refs_p[1], xc, yc, csz, csz, crc, cccol,
+                           filt=filt)
             pred = jnp.where(ref[:, None, None] == 0, p0, p1)
         resid = src_p - pred.astype(jnp.int32)
         coeff = fwd_txfm2d_batched(resid, tx_uv, c.DCT_DCT)
@@ -453,13 +465,14 @@ def _p_frame_core(key):
     """Unjitted whole-frame P encode closure (shared by the single-
     device jit and the FPMT 'frame'-axis sharded batch).
 
-    key = (H, W, n_refs, merge): with merge=True the fixed-16x16 coding
-    pass is followed by a bottom-up partition DP over {16, 32, 64}
+    key = (H, W, n_refs, merge, interp): with merge=True the fixed-16x16
+    coding pass is followed by a bottom-up partition DP over {16, 32, 64}
     squares (av1_rd_pick_partition analog, partition_search.c:5310):
     each 32 (and 64) block is RD-coded as one unit from its children's
     MV candidates, and merged wherever distortion + coefficient bits +
     mode overhead beat the sum of its children."""
-    H, W, n_refs, merge = key
+    H, W, n_refs, merge = key[:4]
+    interp = key[4] if len(key) > 4 else False
     nby, nbx = H // 16, W // 16
     B = nby * nbx
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
@@ -603,6 +616,38 @@ def _p_frame_core(key):
         best_ref = jnp.where(adopt, snap_f, best_ref)
         pred_y = jnp.where(adopt[:, None, None], snap_p, pred_y)
 
+        # --- frame-level switchable-filter decision (av1_pick_interp_
+        # filter / interp_search.c at frame granularity: one filter per
+        # frame, is_filter_switchable=0).  The final MVs re-predict
+        # under each bank; the frame picks the min-SSD filter and ALL
+        # prediction below (incl. chroma + merge levels) uses it. ---
+        fbank = None
+        fsel = jnp.int32(0)
+        if interp:
+            crF, ccF = _clamp_mv(mv_r, mv_c, 16, 16, 0, 0, x0, y0,
+                                 W, H, 16, 16)
+
+            def pred_bank(fb):
+                if n_refs == 1:
+                    return _mc_block(refs_y[0], x0, y0, 16, 16, crF,
+                                     ccF, filt=fb)
+                pa = _mc_block(refs_y[0], x0, y0, 16, 16, crF, ccF,
+                               filt=fb)
+                pb = _mc_block(refs_y[1], x0, y0, 16, 16, crF, ccF,
+                               filt=fb)
+                return jnp.where(best_ref[:, None, None] == 0, pa, pb)
+
+            preds_f = [pred_bank(jnp.asarray(FILT_BANKS[i]))
+                       for i in range(3)]
+            ssd_f = jnp.stack(
+                [((pf.astype(jnp.float32) - syf32) ** 2).sum()
+                 for pf in preds_f])
+            fsel = jnp.argmin(ssd_f).astype(jnp.int32)
+            fbank = jnp.asarray(FILT_BANKS)[fsel]
+            pred_y = preds_f[0]
+            for i in (1, 2):
+                pred_y = jnp.where(fsel == i, preds_f[i], pred_y)
+
         # --- final residual coding ---
         resid_y = sy_blk - pred_y.astype(jnp.int32)
         coeff_y = fwd_txfm2d_batched(resid_y, c.TX_16X16, c.DCT_DCT)
@@ -623,10 +668,13 @@ def _p_frame_core(key):
             crc, cccol = _clamp_mv(mv_r, mv_c, 8, 8, 1, 1, x0, y0, W, H,
                                    16, 16)
             if n_refs == 1:
-                pred = _mc_block(refs_p[0], xc, yc, 8, 8, crc, cccol)
+                pred = _mc_block(refs_p[0], xc, yc, 8, 8, crc, cccol,
+                                 filt=fbank)
             else:
-                p0 = _mc_block(refs_p[0], xc, yc, 8, 8, crc, cccol)
-                p1 = _mc_block(refs_p[1], xc, yc, 8, 8, crc, cccol)
+                p0 = _mc_block(refs_p[0], xc, yc, 8, 8, crc, cccol,
+                               filt=fbank)
+                p1 = _mc_block(refs_p[1], xc, yc, 8, 8, crc, cccol,
+                               filt=fbank)
                 pred = jnp.where(best_ref[:, None, None] == 0, p0, p1)
             resid = sc_blk - pred.astype(jnp.int32)
             coeff = fwd_txfm2d_batched(resid, c.TX_8X8, c.DCT_DCT)
@@ -729,7 +777,7 @@ def _p_frame_core(key):
                 y0m32, x0m32, cand_r32, cand_c32, cand_f32, 32,
                 refs_y, refs_u, refs_v, n_refs, W, H,
                 pq_y, pq_u, pq_v, lam,
-                c.TX_32X32, c.TX_16X16, scan_32, scan_y)
+                c.TX_32X32, c.TX_16X16, scan_32, scan_y, filt=fbank)
             cost16g = (d16f + lam * (r16f + OH16)).reshape(nby, nbx)
             split32 = qgrid(cost16g, nby2, nbx2).sum(1) + lam * R_SPLIT
             cost32n = d32 + lam * (r32 + OH32)
@@ -771,7 +819,7 @@ def _p_frame_core(key):
                 y0m64, x0m64, cand_r64, cand_c64, cand_f64, 64,
                 refs_y, refs_u, refs_v, n_refs, W, H,
                 pq_y, pq_u, pq_v, lam,
-                c.TX_64X64, c.TX_32X32, scan_64, scan_32)
+                c.TX_64X64, c.TX_32X32, scan_64, scan_32, filt=fbank)
             split64 = qgrid(best32.reshape(nby2, nbx2),
                             nby4, nbx4).sum(1) + lam * R_SPLIT
             cost64n = d64 + lam * (r64 + OH64)
@@ -848,7 +896,7 @@ def _p_frame_core(key):
         if not merge:
             return hdr, ctr, cfull, rec
         return (hdr, ctr, cfull, rec, lvl16,
-                h32, ctr32, cfull32, h64, ctr64, cfull64)
+                h32, ctr32, cfull32, h64, ctr64, cfull64, fsel)
 
     return fn
 
@@ -1051,8 +1099,8 @@ def _p_chain_fn(key):
     update)."""
     if key in _CHAIN_FN_CACHE:
         return _CHAIN_FN_CACHE[key]
-    H, W, n_refs, sharpness = key
-    base = _p_frame_core((H, W, n_refs, True))
+    H, W, n_refs, sharpness, interp = key
+    base = _p_frame_core((H, W, n_refs, True, interp))
     from .deblock_jnp import deblock_leafmask
     nby, nbx = H // 16, W // 16
 
@@ -1087,8 +1135,9 @@ def _p_chain_fn(key):
             else:
                 ry, ru, rv, ry2 = ly[None], lu[None], lv[None], ly2[None]
             (hdr, ctr, cfull, rec, lvl16, h32, ctr32, cfull32, h64,
-             ctr64, cfull64) = base(sy, su, sv, ry, ru, rv, ry2,
-                                    pq[0], pq[1], pq[2], lm, hp=hp)
+             ctr64, cfull64, fsel) = base(sy, su, sv, ry, ru, rv, ry2,
+                                          pq[0], pq[1], pq[2], lm,
+                                          hp=hp)
             rec_y, rec_u, rec_v = deblock_leafmask(
                 rec[:H], rec[H:, :W // 2], rec[H:, W // 2:],
                 lf[0], lf[1], lf[2], leaf_ids(lvl16),
@@ -1097,7 +1146,7 @@ def _p_chain_fn(key):
                 rec_y, jnp.concatenate([rec_u, rec_v], axis=1)], axis=0)
             return (_pad_ref_jnp(rec_y, rec_u, rec_v),
                     (hdr, ctr, cfull, rec, lvl16, h32, ctr32, cfull32,
-                     h64, ctr64, cfull64))
+                     h64, ctr64, cfull64, fsel))
 
         init = _pad_ref_jnp(last_y, last_u, last_v)
         _, outs = jax.lax.scan(
@@ -1120,7 +1169,8 @@ class DeviceChainEncoder:
 
     def encode_chain(self, src_frames, qindexes, last_planes,
                      arf_planes=None, recon: str = "last",
-                     lf_levels=None, sharpness: int = 0):
+                     lf_levels=None, sharpness: int = 0,
+                     interp_search: bool = True):
         """src_frames: list of L (y, u, v); returns (results, recons,
         raws): results[j] = per-block dict, recons[j] = (y, u, v) uint8
         (None for frames not fetched), raws[j] = (B, 390) int16.
@@ -1143,7 +1193,7 @@ class DeviceChainEncoder:
         H, W = src_frames[0][0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
         n_refs = 2 if arf_planes is not None else 1
-        fn = _p_chain_fn((H, W, n_refs, sharpness))
+        fn = _p_chain_fn((H, W, n_refs, sharpness, bool(interp_search)))
         pq_rows = []
         for q in qindexes:
             pq_rows.append(np.stack(
@@ -1174,19 +1224,22 @@ class DeviceChainEncoder:
             ap[2][:H >> 1, :W >> 1], pq_stack, lf_stack, lam_stack,
             hp_stack)
         (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
-         h64_d, c64_d, cfull64_d) = out
+         h64_d, c64_d, cfull64_d, fsel_d) = out
         from ..utils.xfer import fetch
         if recon == "all":
-            hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(
-                hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, rec_d)
+            hdr, ctr, lvl, h32, c32, h64, c64, fsel, rec = fetch(
+                hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d,
+                fsel_d, rec_d)
             recons = [split_recon(rec[j], H, W) for j in range(L)]
         else:
-            hdr, ctr, lvl, h32, c32, h64, c64, rec_last = fetch(
+            hdr, ctr, lvl, h32, c32, h64, c64, fsel, rec_last = fetch(
                 hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d,
-                rec_d[L - 1])
+                fsel_d, rec_d[L - 1])
             recons = [None] * (L - 1) + [split_recon(rec_last, H, W)]
         raws = assemble_group_merge(hdr, ctr, cfull_d, lvl, h32, c32,
                                     cfull32_d, h64, c64, cfull64_d)
+        for j in range(L):
+            raws[j]["filt"] = int(fsel[j])
         return raws, recons
 
 
@@ -1313,7 +1366,7 @@ class DeviceInterEncoder:
         H, W = src_planes[0].shape[:2]
         assert H % 16 == 0 and W % 16 == 0
         n_refs = len(ref_planes_list)
-        fn = _p_frame_fn((H, W, n_refs, True))
+        fn = _p_frame_fn((H, W, n_refs, True, False))
         refs_y, refs_u, refs_v, refs_y2 = [], [], [], []
         for rp in ref_planes_list:
             py = np.pad(rp[0], PADR, mode="edge").astype(np.uint8)
@@ -1326,7 +1379,7 @@ class DeviceInterEncoder:
             y2 = y2[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum((1, 3))
             refs_y2.append(y2)
         (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
-         h64_d, c64_d, cfull64_d) = fn(
+         h64_d, c64_d, cfull64_d, _fsel_d) = fn(
             jnp.asarray(src_planes[0][:H, :W]),
             jnp.asarray(src_planes[1][:H >> 1, :W >> 1]),
             jnp.asarray(src_planes[2][:H >> 1, :W >> 1]),

@@ -196,7 +196,7 @@ def make_sharded_p_frame_fn(mesh: Mesh, H: int, W: int, n_refs: int = 1):
     if fn is not None:
         return fn
     from ..ops.inter_tpu import _p_frame_core
-    core = _p_frame_core((H, W, n_refs, True))
+    core = _p_frame_core((H, W, n_refs, True, False))
     batched = jax.vmap(core, in_axes=(0, 0, 0) + (None,) * 9)
     sb = NamedSharding(mesh, P("frame"))
     rep = NamedSharding(mesh, P())
@@ -216,7 +216,7 @@ def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
         return fn
     from ..ops.inter_tpu import _p_frame_core, _pad_ref_jnp
     from ..ops.deblock_jnp import deblock_leafmask
-    core = _p_frame_core((H, W, 2, True))
+    core = _p_frame_core((H, W, 2, True, True))
     nby, nbx = H // 16, W // 16
 
     def leaf_ids(lvl16):
@@ -231,8 +231,8 @@ def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
     def one(sy, su, sv, pq, lf, lam, hp, refs):
         ry, ru, rv, ry2 = refs
         (hdr, ctr, cfull, rec, lvl16, h32, c32, cfull32, h64, c64,
-         cfull64) = core(sy, su, sv, ry, ru, rv, ry2,
-                         pq[0], pq[1], pq[2], lam, hp=hp)
+         cfull64, fsel) = core(sy, su, sv, ry, ru, rv, ry2,
+                               pq[0], pq[1], pq[2], lam, hp=hp)
         # in-loop deblock per frame (FPMT frames are not chained, but
         # the output recon must match the decoder's filtered frame)
         rec_y, rec_u, rec_v = deblock_leafmask(
@@ -241,7 +241,7 @@ def _fpmt_group_fn(mesh, H, W, sharpness: int = 0):
         rec = jnp.concatenate([
             rec_y, jnp.concatenate([rec_u, rec_v], axis=1)], axis=0)
         return (hdr, ctr, cfull, rec, lvl16, h32, c32, cfull32, h64,
-                c64, cfull64)
+                c64, cfull64, fsel)
 
     def group(srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack,
               hp_stack, ly, lu, lv, ay, au, av):
@@ -304,16 +304,18 @@ def fpmt_encode_group(mesh, src_frames, qindexes, last_planes,
     srcs_v = stk([f[2][:H >> 1, :W >> 1] for f in src_frames])
     lp, ap = last_planes, arf_planes
     (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
-     h64_d, c64_d, cfull64_d) = fn(
+     h64_d, c64_d, cfull64_d, fsel_d) = fn(
         srcs_y, srcs_u, srcs_v, pq_stack, lf_stack, lam_stack, hp_stack,
         lp[0][:H, :W], lp[1][:H >> 1, :W >> 1],
         lp[2][:H >> 1, :W >> 1],
         ap[0][:H, :W], ap[1][:H >> 1, :W >> 1],
         ap[2][:H >> 1, :W >> 1])
-    hdr, ctr, lvl, h32, c32, h64, c64, rec = fetch(
-        hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, rec_d)
+    hdr, ctr, lvl, h32, c32, h64, c64, fsel, rec = fetch(
+        hdr_d, ctr_d, lvl_d, h32_d, c32_d, h64_d, c64_d, fsel_d, rec_d)
     raws = assemble_group_merge(hdr, ctr, cfull_d, lvl, h32, c32,
                                 cfull32_d, h64, c64, cfull64_d)
+    for j in range(L):
+        raws[j]["filt"] = int(fsel[j])
     recons = [split_recon(rec[j], H, W) for j in range(L)]
     return raws, recons
 
@@ -377,7 +379,7 @@ class ShardedInterGopEncoder:
               for _ in range(3)]
         from ..ops.inter_tpu import rd_lambda
         (hdr_d, ctr_d, cfull_d, rec_d, lvl_d, h32_d, c32_d, cfull32_d,
-         h64_d, c64_d, cfull64_d) = fn(
+         h64_d, c64_d, cfull64_d, _fsel_d) = fn(
             ys, us, vs,
             jnp.asarray(ref_y[None]), jnp.asarray(ref_u[None]),
             jnp.asarray(ref_v[None]), jnp.asarray(y2[None]),

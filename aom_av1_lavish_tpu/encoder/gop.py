@@ -154,10 +154,24 @@ class GopEncoder:
         return kw
 
     def _encode_key(self, planes, qindex: int, order_hint: int = 0) -> bytes:
-        # host RD keys get the TX_MODE_SELECT depth search (the TPU
-        # wavefront path keeps LARGEST: its batched trial is per-SB)
-        tx_sel = not self.use_tpu and (self.sf is None
-                                       or self.sf.tx_select)
+        # framesize-dependent KEY path pick on the TPU route (the
+        # reference's av1_set_speed_features_framesize_dependent
+        # analog, speed_features.c:2202): the device-RDO intra
+        # (partition DP over 8..64, full mode set, TX_MODE_SELECT
+        # depth search) costs ~1 s/frame up to 720p; above that the
+        # per-SB host walk dominates and the fixed-16 wavefront keeps
+        # the KEY off the critical path.
+        rdo_ok = False
+        if self.use_tpu:
+            area = self.sh.max_frame_width * self.sh.max_frame_height
+            rdo_ok = (area <= 1280 * 720
+                      and (self.sf is None or self.sf.cpu_used <= 6)
+                      and self.sh.bit_depth == 8)
+        # host RD keys and device-RDO keys get the TX_MODE_SELECT
+        # depth search (the wavefront path keeps LARGEST: its batched
+        # trial is per-SB)
+        tx_sel = (rdo_ok if self.use_tpu
+                  else (self.sf is None or self.sf.tx_select))
         force = getattr(self, "force_tx_select", None)
         if force is not None and not self.use_tpu:
             tx_sel = force
@@ -167,26 +181,6 @@ class GopEncoder:
                                      backward_update=self.order_hint)
         fh.sharpness_level = self.lf_sharpness
         if self.use_tpu:
-            # framesize-dependent KEY path pick (the reference's
-            # av1_set_speed_features_framesize_dependent analog,
-            # speed_features.c:2202): the device-RDO intra (partition
-            # DP over 8..64 + full mode set) costs ~1 s/frame up to
-            # 720p and wins ~2 dB on smooth content vs the fixed-16
-            # wavefront; above 720p the per-SB host walk dominates and
-            # the wavefront keeps the KEY off the critical path.
-            area = self.sh.max_frame_width * self.sh.max_frame_height
-            # smooth sources (low high-frequency energy) band badly
-            # under the fixed-16 wavefront and want the DP's large
-            # partitions; on noisy sources the wavefront's exact
-            # fixed-16 RD is PSNR-tighter than the DP's estimated
-            # costs, so it keeps the KEY (content gate, the
-            # rc_pick_q/content classification analog)
-            y = np.asarray(planes[0], np.int32)
-            hf = 0.5 * (np.mean(np.abs(np.diff(y[::2], axis=0)))
-                        + np.mean(np.abs(np.diff(y[::2], axis=1))))
-            rdo_ok = (area <= 1280 * 720 and hf < 2.5
-                      and (self.sf is None or self.sf.cpu_used <= 6)
-                      and fh.tx_mode == c.TX_MODE_LARGEST)
             if rdo_ok:
                 from .tpu_rdo import TpuRdoAllIntraEncoder
                 enc = TpuRdoAllIntraEncoder(self.sh, fh,

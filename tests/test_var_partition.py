@@ -111,3 +111,37 @@ def test_bitdebug_identical_and_divergent():
         assert diff_streams(a, a) is None
         r = diff_streams(a, b)
         assert r is not None and r["ordinal"] >= 0
+
+
+def test_device_interp_filter_search_conformance():
+    """The device frame-filter pick (regular/smooth/sharp banks) keeps
+    chained recon byte-identical to the decoder on subpel motion."""
+    W, H = 128, 96
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:H * 2, 0:W * 2]
+    field = (128 + 60 * np.sin(yy / 13.0) * np.cos(xx / 17.0)
+             + rng.normal(0, 4, yy.shape)).clip(0, 255)
+    frames = []
+    for i in range(6):
+        off = i * 1.5
+        o0 = int(off)
+        fr = off - o0
+        y = ((1 - fr) * field[0:H, o0:o0 + W]
+             + fr * field[0:H, o0 + 1:o0 + 1 + W]).clip(0, 255) \
+            .astype(np.uint8)
+        frames.append((y, np.full((H // 2, W // 2), 120, np.uint8),
+                       np.full((H // 2, W // 2), 96, np.uint8)))
+    from aom_av1_lavish_tpu.encoder.gop import GopEncoder
+    from aom_av1_lavish_tpu.bitstream.ivf import write_ivf
+    from aom_av1_lavish_tpu.decoder.decoder import decode_ivf
+    import tempfile, os
+    enc = GopEncoder(W, H, qindex=110, use_tpu=True)
+    payloads = enc.encode_sequence(frames)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "f.ivf")
+        write_ivf(path, [(p, i) for i, p in enumerate(payloads)],
+                  W, H, 30, 1)
+        dec = decode_ivf(path)
+    last = enc.slots[enc.last_slot]
+    for p in range(3):
+        assert np.array_equal(np.asarray(last[p]), np.asarray(dec[-1][p]))

@@ -135,7 +135,8 @@ def bd_rate(rate_ref, psnr_ref, rate_test, psnr_test):
 def enc_ours_allintra(path, frames, q, kind="device"):
     if kind == "device":
         from aom_av1_lavish_tpu.encoder.tpu_rdo import encode_tpu_rdo_ivf
-        encode_tpu_rdo_ivf(path, frames, W, H, qindex=q)
+        encode_tpu_rdo_ivf(path, frames, W, H, qindex=q, enable_cdef=1,
+                           enable_restoration=1)
     elif kind == "wavefront":
         from aom_av1_lavish_tpu.encoder.tpu_intra import encode_tpu_ivf
         encode_tpu_ivf(path, frames, W, H, qindex=q)
@@ -147,7 +148,7 @@ def enc_ours_allintra(path, frames, q, kind="device"):
 def enc_ours_gop(path, frames, q):
     from aom_av1_lavish_tpu.encoder.gop import encode_gop_ivf
     encode_gop_ivf(path, frames, W, H, qindex=q, gf_length=len(frames),
-                   use_tpu=True, enable_cdef=False)
+                   use_tpu=True, enable_cdef=True)
 
 
 def enc_aomenc(path, frames, q, extra, tmpdir):

@@ -12,12 +12,19 @@ where control over VMEM residency and fusion pays:
   * convolve_8tap — batched subpel motion compensation
                     (av1/common/convolve.c:133 av1_convolve_2d_sr_c)
 
-Every kernel keeps its XLA fallback: `use_pallas()` picks the Pallas
-path on a real TPU backend (kill switch AVL_NO_PALLAS=1), while tests
-force the Pallas path in interpreter mode on CPU (AVL_FORCE_PALLAS=1)
-and assert bit-exactness against the fallback, mirroring the
-reference's SIMD-vs-C equivalence suites (test/sad_test.cc,
-quantize_func_test.cc, convolve_test.cc).
+  * gather_windows — scalar-prefetch DMA window gather, the read side
+                     of every motion-compensation site (XLA lowers the
+                     same data-dependent gather ~10-25x slower)
+
+Production defaults on real TPU: the lane-major `ssd_surface`
+(_ssd_lanes_fn) and `gather_windows` are ON (they beat the XLA
+formulations at every measured size; kill switch AVL_NO_PALLAS=1); the
+per-block-grid ssd kernel and quantize/convolve kernels stay
+XLA-by-default (`use_pallas()`) because XLA's fusions win there.
+Tests force the Pallas paths in interpreter mode on CPU
+(AVL_FORCE_PALLAS=1) and assert bit-exactness against the fallback,
+mirroring the reference's SIMD-vs-C equivalence suites
+(test/sad_test.cc, quantize_func_test.cc, convolve_test.cc).
 """
 
 from __future__ import annotations

@@ -94,3 +94,25 @@ def test_convolve_8tap_equivalence(force_pallas, bh, bw):
     finally:
         os.environ.pop("AVL_NO_PALLAS", None)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("wr,wc,dtype", [(23, 23, "uint8"),
+                                         (39, 39, "uint8"),
+                                         (25, 25, "int32")])
+def test_gather_windows_equivalence(force_pallas, wr, wc, dtype):
+    """DMA window gather (interpret mode) == XLA fancy-index gather."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aom_av1_lavish_tpu.ops.pallas_kernels import gather_windows
+    rng = np.random.default_rng(3)
+    H, W = 192, 256
+    plane = rng.integers(0, 255, (H, W)).astype(dtype)
+    B = 37
+    fr = rng.integers(0, H - wr - 1, B).astype(np.int32)
+    fc = rng.integers(0, W - wc - 1, B).astype(np.int32)
+    out = np.asarray(gather_windows(jnp.asarray(plane),
+                                    jnp.asarray(fr), jnp.asarray(fc),
+                                    wr, wc))
+    ref = plane[fr[:, None, None] + np.arange(wr)[None, :, None],
+                fc[:, None, None] + np.arange(wc)[None, None, :]]
+    assert np.array_equal(out, ref)

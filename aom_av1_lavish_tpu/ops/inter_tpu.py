@@ -344,6 +344,35 @@ def _lower_median4(x):
     return jnp.sort(x, axis=1)[:, 1]
 
 
+#: pixel-SSE per dq^2 of one coefficient (measured through the exact
+#: integer inverse transforms; orthogonal bases make it per-tx-size
+#: constant).  Keys: TX_8X8, TX_16X16, TX_32X32, TX_64X64.
+_TX_SSE_K = {1: 0.0163, 2: 0.0182, 3: 0.0734, 4: 0.2914}
+
+
+def _rd_dropout(qc, dqc, scan, inv_scan, lam, tx_size, rbits=3.0):
+    """Trellis-lite tail dropout (the dropout mode of av1_optimize_txb,
+    av1/encoder/txb_rdopt.c / encodemb.h:40): zero the TRAILING level-1
+    coefficients whose pixel-domain distortion contribution
+    (K * dq^2) is below the rate they cost (~rbits: base symbol + sign
+    + eob shortening), shortening the eob.  qc/dqc are raster-flat;
+    scan/inv_scan numpy closure constants."""
+    import os
+    if os.environ.get("AVL_NO_DROPOUT"):
+        return qc, dqc
+    K = _TX_SSE_K.get(int(tx_size), 0.02)
+    qs = qc[..., scan]
+    ds = dqc[..., scan].astype(jnp.float32)
+    droppable = (jnp.abs(qs) == 1) & (K * ds * ds < lam * rbits)
+    keep = (qs != 0) & ~droppable
+    n = qs.shape[-1]
+    idx = jnp.arange(n)
+    new_eob = jnp.max(jnp.where(keep, idx + 1, 0), axis=-1,
+                      keepdims=True)
+    mask = (idx < new_eob)[..., inv_scan]
+    return qc * mask, dqc * mask
+
+
 def _eval_merge_level(src_y_big, src_u_big, src_v_big, y0m, x0m,
                       cand_r, cand_c, cand_ref, bsz,
                       refs_y, refs_u, refs_v, n_refs, W, H,
@@ -395,9 +424,12 @@ def _eval_merge_level(src_y_big, src_u_big, src_v_big, y0m, x0m,
     n_c = scan_cm.shape[0]
     dc_y = np.arange(n_y) == 0
     dc_c = np.arange(n_c) == 0
+    iscan_ym = np.argsort(scan_ym)
+    iscan_cm = np.argsort(scan_cm)
     resid_y = src_y_big - pred_y.astype(jnp.int32)
     coeff_y = fwd_txfm2d_batched(resid_y, tx_y, c.DCT_DCT)
     qy, dqy = _quantize_jnp(coeff_y, pq_y, CF._tx_scale(tx_y), dc_y)
+    qy, dqy = _rd_dropout(qy, dqy, scan_ym, iscan_ym, lam, tx_y)
     bits_y, eob_y = _est_bits(qy, scan_ym)
     rec_y = inv_txfm2d_add_batched(dqy, pred_y, tx_y, c.DCT_DCT)
     rec_y = jnp.where((eob_y > 0)[:, None, None], rec_y, pred_y)
@@ -421,6 +453,7 @@ def _eval_merge_level(src_y_big, src_u_big, src_v_big, y0m, x0m,
         resid = src_p - pred.astype(jnp.int32)
         coeff = fwd_txfm2d_batched(resid, tx_uv, c.DCT_DCT)
         qc, dqc = _quantize_jnp(coeff, pq_p, CF._tx_scale(tx_uv), dc_c)
+        qc, dqc = _rd_dropout(qc, dqc, scan_cm, iscan_cm, lam, tx_uv)
         bits_c, eob = _est_bits(qc, scan_cm)
         rec = inv_txfm2d_add_batched(dqc, pred, tx_uv, c.DCT_DCT)
         rec = jnp.where((eob > 0)[:, None, None], rec, pred)
@@ -483,6 +516,8 @@ def _p_frame_core(key):
     scan_c = np.asarray(tables.scan(c.TX_8X8, c.DCT_DCT))
     scan_32 = np.asarray(tables.scan(c.TX_32X32, c.DCT_DCT))
     scan_64 = np.asarray(tables.scan(c.TX_64X64, c.DCT_DCT))
+    iscan_y = np.argsort(scan_y)
+    iscan_c = np.argsort(scan_c)
     dc_y = np.arange(256) == 0
     dc_c = np.arange(64) == 0
     nby2, nbx2 = nby // 2, nbx // 2
@@ -653,6 +688,7 @@ def _p_frame_core(key):
         coeff_y = fwd_txfm2d_batched(resid_y, c.TX_16X16, c.DCT_DCT)
         qy, dqy = _quantize_jnp(coeff_y, pq_y, CF._tx_scale(c.TX_16X16),
                                 dc_y)
+        qy, dqy = _rd_dropout(qy, dqy, scan_y, iscan_y, lam, c.TX_16X16)
         bits_y, eob_y = _est_bits(qy, scan_y)
         rec_y = inv_txfm2d_add_batched(dqy, pred_y, c.TX_16X16, c.DCT_DCT)
         rec_y = jnp.where((eob_y > 0)[:, None, None], rec_y, pred_y)
@@ -680,6 +716,8 @@ def _p_frame_core(key):
             coeff = fwd_txfm2d_batched(resid, c.TX_8X8, c.DCT_DCT)
             qc, dqc = _quantize_jnp(coeff, pq_p, CF._tx_scale(c.TX_8X8),
                                     dc_c)
+            qc, dqc = _rd_dropout(qc, dqc, scan_c, iscan_c, lam,
+                                  c.TX_8X8)
             bits_c, eob = _est_bits(qc, scan_c)
             rec = inv_txfm2d_add_batched(dqc, pred, c.TX_8X8, c.DCT_DCT)
             rec = jnp.where((eob > 0)[:, None, None], rec, pred)

@@ -350,26 +350,41 @@ def _lower_median4(x):
 _TX_SSE_K = {1: 0.0163, 2: 0.0182, 3: 0.0734, 4: 0.2914}
 
 
-def _rd_dropout(qc, dqc, scan, inv_scan, lam, tx_size, rbits=3.0):
+def _rd_dropout(qc, dqc, scan, inv_scan, lam, tx_size, rbits=1.0):
     """Trellis-lite tail dropout (the dropout mode of av1_optimize_txb,
-    av1/encoder/txb_rdopt.c / encodemb.h:40): zero the TRAILING level-1
-    coefficients whose pixel-domain distortion contribution
-    (K * dq^2) is below the rate they cost (~rbits: base symbol + sign
-    + eob shortening), shortening the eob.  qc/dqc are raster-flat;
-    scan/inv_scan numpy closure constants."""
+    av1/encoder/txb_rdopt.c / encodemb.h:40): cut the scan tail at the
+    position minimizing suffix RD.  Each kept coefficient costs its
+    base/sign bits PLUS the zero run back to the previous nonzero
+    (the est_bits 0.55/coeff run term); dropping the tail from i saves
+    those bits and adds K*dq^2 pixel distortion per dropped nonzero —
+    the cut lands where the suffix sum of (distortion - lam*bits) is
+    most negative.  qc/dqc are raster-flat; scan/inv_scan numpy
+    closure constants."""
     import os
     if os.environ.get("AVL_NO_DROPOUT"):
         return qc, dqc
     K = _TX_SSE_K.get(int(tx_size), 0.02)
     qs = qc[..., scan]
     ds = dqc[..., scan].astype(jnp.float32)
-    droppable = (jnp.abs(qs) == 1) & (K * ds * ds < lam * rbits)
-    keep = (qs != 0) & ~droppable
     n = qs.shape[-1]
     idx = jnp.arange(n)
-    new_eob = jnp.max(jnp.where(keep, idx + 1, 0), axis=-1,
-                      keepdims=True)
-    mask = (idx < new_eob)[..., inv_scan]
+    nz = qs != 0
+    marked = jnp.where(nz, idx, -1)
+    prev_incl = jax.lax.cummax(marked, axis=marked.ndim - 1)
+    pad = jnp.full(qs.shape[:-1] + (1,), -1, marked.dtype)
+    prev_excl = jnp.concatenate([pad, prev_incl[..., :-1]], axis=-1)
+    gap = (idx - prev_excl - 1).astype(jnp.float32)
+    lvl_bits = 1.7 + 2.0 * jnp.log2(jnp.abs(qs).astype(jnp.float32)
+                                    + 1.0)
+    save = jnp.where(nz, rbits + lvl_bits + 0.55 * gap, 0.0)
+    cost = jnp.where(nz, K * ds * ds, 0.0)
+    net = cost - lam * save
+    suffix = jnp.flip(jnp.cumsum(jnp.flip(net, -1), -1), -1)
+    best = jnp.min(suffix, axis=-1, keepdims=True)
+    at = jnp.argmin(suffix, axis=-1)[..., None]
+    cut = jnp.where(best < 0, at, n)
+    mask = idx < cut
+    mask = mask[..., inv_scan]
     return qc * mask, dqc * mask
 
 

@@ -266,6 +266,7 @@ class Encoder:
             active_map=(cfg.active_map.get("map")
                         if isinstance(cfg.active_map, dict)
                         else cfg.active_map),
+            static_threshold=int(cfg.static_threshold or 0),
             denoise=bool(cfg.noise_sensitivity
                          or cfg.denoise_noise_level))
 
@@ -377,11 +378,18 @@ class Encoder:
                 best_q=cfg.best_q, fixed_qindex=cfg.qindex)
             gop_kw = dict(tools["gop"])
             tx_sel = gop_kw.pop("tx_select", None)
+            # AV1E_SET_FP_MT / FP_MT_UNIT_TEST: the frame-parallel
+            # group path (FPMT, av1_compress_parallel_frames analog;
+            # mesh=None = the fpmt_unit_test_cfg single-device
+            # cross-check, encoder.h:2607 — byte-identical contract)
+            fpmt = bool((cfg.fp_mt or cfg.fp_mt_unit_test)
+                        and cfg.use_tpu)
             genc = GopEncoderWithTools(
                 cfg.width, cfg.height, tx_select=tx_sel, rc_cfg=rc_cfg,
                 gf_length=cfg.gf_length, kf_interval=cfg.kf_interval,
                 sframe_dist=cfg.sframe_dist,
                 use_arf=cfg.use_arf, use_tpu=cfg.use_tpu,
+                frame_parallel=fpmt, mesh=None,
                 use_native=cfg.use_native, enable_cdef=cfg.enable_cdef,
                 tune=cfg.tune, luma_bias=cfg.luma_bias,
                 bit_depth=cfg.bit_depth, cpu_used=cfg.cpu_used,

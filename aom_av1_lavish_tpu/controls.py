@@ -107,7 +107,9 @@ _CONTROL_LIST = [
     _C("AOME_SET_ARNR_STRENGTH", "arnr-strength", "arnr_strength",
        "int", 0, 6),
     _C("AOME_SET_STATIC_THRESHOLD", "static-thresh", "static_threshold",
-       "int", 0, None, consumed=ADVISORY),
+       "int", 0, None,
+       help="RT early skip: blocks whose prediction SAD/px falls below "
+            "force zero-residual coding (nonrd early-skip analog)"),
     _C("AOME_SET_TUNING", "tune", "tune", "enum",
        choices=("psnr", "ssim", "butteraugli", "vmaf", "lavish")),
     _C("AOME_SET_MAX_INTRA_BITRATE_PCT", "max-intra-rate",
@@ -420,10 +422,13 @@ _CONTROL_LIST = [
        consumed=ADVISORY),
     _C("AV1E_SET_ROW_MT", "row-mt", "row_mt", "bool", consumed=ADVISORY,
        help="row parallelism is the device wavefront here"),
-    _C("AV1E_SET_FP_MT", "fp-mt", "fp_mt", "bool", consumed=ADVISORY,
-       help="frame parallelism is the sharded FPMT mesh axis here"),
+    _C("AV1E_SET_FP_MT", "fp-mt", "fp_mt", "bool", consumed=ENCODE,
+       help="frame-parallel GF groups (FPMT): the GOP driver runs the "
+            "sharded group program (parallel/sharding.py)"),
     _C("AV1E_SET_FP_MT_UNIT_TEST", "fp-mt-unit-test", "fp_mt_unit_test",
-       "bool", consumed=ADVISORY),
+       "bool", consumed=ENCODE,
+       help="fpmt_unit_test_cfg analog: the FPMT program on one device "
+            "(byte-identical to the serial chain by contract)"),
     _C("AV1E_SET_FRAME_PARALLEL_DECODING", "frame-parallel",
        "frame_parallel_decoding", "bool", consumed=HEADER,
        help="1 keeps error-resilient-style CDF independence"),

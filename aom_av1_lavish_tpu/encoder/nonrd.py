@@ -117,6 +117,10 @@ class RealtimeEncoder(InterFrameEncoder):
     #: av1/encoder/aq_cyclicrefresh.c av1_cyclic_refresh / encoder.c
     #: av1_apply_active_map — same coded result: no residual, no motion)
     active_map = None
+    #: AOME_SET_STATIC_THRESHOLD: source-vs-prediction SAD per pixel
+    #: below this forces skip coding (encodeframe.c sb_has_motion /
+    #: nonrd_pickmode's early skip)
+    static_threshold = 0
 
     def _trial_block(self, mi_row, mi_col, bsize):
         """av1_nonrd_pick_inter_mode_sb analog: SAD-pick among
@@ -189,8 +193,12 @@ class RealtimeEncoder(InterFrameEncoder):
                 step >>= 1
 
         mv = best_mv
+        force_skip = bool(
+            self.static_threshold
+            and best_sad <= self.static_threshold * h * w // 16)
         dist, bits, txbs = self._code_inter_planes(mi_row, mi_col, bsize,
-                                                   mv, ref)
+                                                   mv, ref,
+                                                   force_skip=force_skip)
         self._apply_txbs(0, [t for t in txbs if t["plane"] == 0])
         for plane in (1, 2):
             self._apply_txbs(plane,
@@ -291,7 +299,8 @@ def encode_realtime_tpu_ivf(path: str, frames, width: int, height: int,
 def encode_realtime_ivf(path: str, frames, width: int, height: int,
                         qindex: int = 90, fps=(30, 1),
                         aq_mode: int = 0, denoise: bool = False,
-                        active_map=None, **kw) -> None:
+                        active_map=None, static_threshold: int = 0,
+                        **kw) -> None:
     """RTC low-delay encode: keyframe (speed-1 RD intra) + non-RD
     P-frames.  aq_mode 3 = cyclic refresh (rotating SB q boost);
     denoise = RT temporal denoiser (av1_temporal_denoiser.c analog);
@@ -327,6 +336,7 @@ def encode_realtime_ivf(path: str, frames, width: int, height: int,
             enc = RealtimeEncoder(sh, fh, slots, trellis=False, **kw)
             if active_map is not None:
                 enc.active_map = np.asarray(active_map, np.uint8)
+            enc.static_threshold = int(static_threshold)
             if aq_mode == 3:
                 enc.sb_qmap = _cyclic_refresh_map(i, sb_rows, sb_cols,
                                                   qindex)

@@ -517,3 +517,27 @@ def test_svc_params_control_drives_layered_encode():
     assert cfg.temporal_layers == 2
     pkts = _encode(cfg, frames)
     assert len(_decode_all(pkts)) == len(frames)
+
+
+def test_static_threshold_and_fpmt_controls():
+    """STATIC_THRESHOLD shrinks RT inter frames; FP_MT_UNIT_TEST routes
+    the GOP through the frame-parallel program and still decodes."""
+    W, H = 128, 96
+    rng = np.random.default_rng(9)
+    frames = [(np.clip(y.astype(np.int32)
+                       + rng.integers(-4, 5, y.shape), 0, 255)
+               .astype(np.uint8), u, v)
+              for (y, u, v) in _clip(4, W, H, seed=9)]
+    base = EncoderConfig(width=W, height=H, usage=USAGE_REALTIME,
+                         qindex=120, target_bps=2_000_000)
+    full = sum(len(p) for p in _encode(base, frames)[1:])
+    cfg = EncoderConfig(width=W, height=H, usage=USAGE_REALTIME,
+                        qindex=120, target_bps=2_000_000)
+    apply_control(cfg, "AOME_SET_STATIC_THRESHOLD", 100000)
+    thin = sum(len(p) for p in _encode(cfg, frames)[1:])
+    assert thin < full, (thin, full)
+
+    cfg2 = EncoderConfig(width=W, height=H, qindex=120, use_tpu=True)
+    apply_control(cfg2, "AV1E_SET_FP_MT_UNIT_TEST", 1)
+    pkts = _encode(cfg2, frames)
+    assert len(_decode_all(pkts)) == len(frames)

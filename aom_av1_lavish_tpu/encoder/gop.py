@@ -164,7 +164,12 @@ class GopEncoder:
         rdo_ok = False
         if self.use_tpu:
             area = self.sh.max_frame_width * self.sh.max_frame_height
-            rdo_ok = (area <= 1280 * 720
+            # <= SD: the RDO KEY costs ~1 s and the BD-rate win is
+            # measured; above that its per-SB host walk (5 s at 720p,
+            # 13 s at 1080p) dominates short GOPs — the wavefront KEY
+            # keeps large resolutions on the fast path (KEYs amortize
+            # over kf_interval in production either way)
+            rdo_ok = (area <= 720 * 576
                       and (self.sf is None or self.sf.cpu_used <= 6)
                       and self.sh.bit_depth == 8)
         # host RD keys and device-RDO keys get the TX_MODE_SELECT

@@ -64,7 +64,11 @@ class TpuAllIntraEncoder(LossyAllIntraEncoder):
         general host path for cdef/lr/hbd/non-420 configs."""
         fh, sh = self.fh, self.sh
         h, w = self.mi_rows * 4, self.mi_cols * 4
-        if (fh.base_q_idx > 0 and not sh.enable_cdef
+        # device deblock only where the host filter dominates (~1.7 s
+        # at 1080p); at small sizes the extra device round trip
+        # serializes the wavefront pipeline and loses badly
+        if (h * w > 1280 * 720
+                and fh.base_q_idx > 0 and not sh.enable_cdef
                 and not sh.enable_restoration and self.num_planes == 3
                 and self.bd == 8 and self.ss_x and self.ss_y
                 and not fh.loop_filter_delta_enabled

@@ -135,6 +135,9 @@ class LossyAllIntraEncoder(LosslessEncoder):
         self.min_bsize = block_size
         self.mode_set = mode_set
         self.enable_cfl = enable_cfl
+        #: full UV-mode RD sweep (rdopt.c av1_rd_pick_intra_sbuv_mode);
+        #: False restores the old DC+CfL-only chroma decision
+        self.uv_mode_search = True
         self.trellis = trellis
         self.rect_parts = rect_parts
         self.speed = speed   # >=1: ML partition pruning (models/)
@@ -780,7 +783,12 @@ class LossyAllIntraEncoder(LosslessEncoder):
                 kids.append(k_plan)
             return cost, ("SPLIT", mi_row, mi_col, bsize, kids)
 
-        if bsize <= self.min_bsize or bsize == c.BLOCK_8X8:
+        if bsize <= self.min_bsize or bsize == c.BLOCK_4X4:
+            # 4x4 has no partition syntax; min_bsize floors the search
+            # (speed feature).  8x8 falls through to the generic trials
+            # when min_bsize < 8x8: NONE vs 8x4/4x8 rects vs 4x4 SPLIT
+            # (partition_search.c codes these; the old hard floor at
+            # 8x8 cost ~5x chroma bits on block-structured content).
             cost, bplan = self._trial_block(mi_row, mi_col, bsize)
             return cost + self._lam(mi_row, mi_col) * 2, ("NONE", mi_row, mi_col, bsize,
                                          [bplan])
@@ -845,7 +853,11 @@ class LossyAllIntraEncoder(LosslessEncoder):
             for part, kind in ((c.PARTITION_HORZ, "HORZ"),
                                (c.PARTITION_VERT, "VERT")):
                 sub = blockd.partition_subsize(bsize, part)
-                if blockd.mi_size_wide(sub) < 2 and self.ss_x:
+                if (blockd.mi_size_wide(sub) < 2 and self.ss_x
+                        and bsize > c.BLOCK_8X8):
+                    # sub-2-mi-wide rects only exist at 8x8 (4x8),
+                    # where chroma rides the 8x8-aligned chroma-ref
+                    # rule the decoder already implements
                     continue
                 if not self._subsize_valid(sub):
                     continue
@@ -1101,27 +1113,8 @@ class LossyAllIntraEncoder(LosslessEncoder):
         uv_cost = 0.0
         uv_txbs = []
         if is_chroma_ref:
-            dist_dc = 0.0
-            bits_dc = 0.0
-            txbs_dc = []
-            for plane in (1, 2):
-                d, b, t = self._code_plane(
-                    plane, c.DC_PRED, mi_row, mi_col, bsize, up_avail,
-                    left_avail, write_recon=False)
-                dist_dc += d
-                bits_dc += b
-                txbs_dc += t
-            cost_dc = dist_dc + self._lam(mi_row, mi_col) * (bits_dc + 2.0)
-            best_uv = (cost_dc, c.DC_PRED, None, txbs_dc)
-            if self.enable_cfl and self._cfl_allowed_enc(bsize):
-                r = self._try_cfl(mi_row, mi_col, bsize, up_avail,
-                                  left_avail,
-                                  luma_tx=next((t["tx_size"]
-                                                for t in y_txbs
-                                                if t["plane"] == 0), None))
-                if r is not None and r[0] < best_uv[0]:
-                    best_uv = r
-            uv_cost, uv_mode, cfl, uv_txbs = best_uv
+            uv_cost, uv_mode, cfl, uv_txbs = self._pick_uv(
+                mi_row, mi_col, bsize, up_avail, left_avail, y_txbs)
             for plane in (1, 2):
                 self._apply_txbs(plane,
                                  [t for t in uv_txbs if t["plane"] == plane])
@@ -1360,7 +1353,11 @@ class LossyAllIntraEncoder(LosslessEncoder):
         return best
 
     def _cfl_allowed_enc(self, bsize):
-        return (blockd.block_wide(bsize) <= 32
+        # spec-CfL also covers sub-8x8 blocks (shared 8x8 chroma ref),
+        # but _try_cfl's luma-subsample geometry assumes the block IS
+        # the chroma-ref unit — keep the encoder trial >= 8x8
+        return (c.BLOCK_8X8 <= bsize
+                and blockd.block_wide(bsize) <= 32
                 and blockd.block_high(bsize) <= 32)
 
     def _apply_txbs(self, plane, txbs):
@@ -1592,6 +1589,57 @@ class LossyAllIntraEncoder(LosslessEncoder):
         if snap is not None:
             self.recon[plane][row0:row0 + pbh, col0:col0 + pbw] = snap
         return dist, bits, txbs
+
+    # --- chroma mode RD ------------------------------------------------
+
+    #: UV intra mode candidates beyond DC (av1_rd_pick_intra_sbuv_mode,
+    #: rdopt.c:3296 region: the reference RD-searches every UV mode;
+    #: restricting chroma to DC+CfL was measured to cost 5x chroma bits
+    #: on content whose chroma has directional structure).  Ordered
+    #: cheap-to-likely; the sweep full-codes each candidate (chroma
+    #: planes are quarter-size, so this is ~10% of the luma mode sweep).
+    _UV_MODES = (c.DC_PRED, c.V_PRED, c.H_PRED, c.PAETH_PRED,
+                 c.SMOOTH_PRED, c.SMOOTH_V_PRED, c.SMOOTH_H_PRED,
+                 c.D45_PRED, c.D67_PRED, c.D113_PRED, c.D135_PRED,
+                 c.D157_PRED, c.D203_PRED)
+
+    def _pick_uv(self, mi_row, mi_col, bsize, up_avail, left_avail,
+                 y_txbs):
+        """RD-pick the chroma mode: all 13 UV intra modes + CfL.
+
+        Returns (cost, uv_mode, cfl, uv_txbs) like the old DC/CfL pair
+        decision but over the full mode set.  Signalling cost is
+        approximated from the uv_mode_cdf shape (DC cheapest, modes far
+        from the luma mode dearer) plus the angle-delta symbol for
+        directional modes at bsize >= 8x8."""
+        lam = self._lam(mi_row, mi_col)
+        best = None
+        for m in (self._UV_MODES if self.uv_mode_search
+                  else (c.DC_PRED,)):
+            dist = 0.0
+            bits = 0.0
+            txbs = []
+            for plane in (1, 2):
+                d, b, t = self._code_plane(
+                    plane, m, mi_row, mi_col, bsize, up_avail,
+                    left_avail, write_recon=False)
+                dist += d
+                bits += b
+                txbs += t
+            sig = 2.0 if m == c.DC_PRED else 4.0
+            if (bsize >= c.BLOCK_8X8 and intra.is_directional(m)):
+                sig += 2.0          # angle_delta symbol (coded as 0)
+            cost = dist + lam * (bits + sig)
+            if best is None or cost < best[0]:
+                best = (cost, m, None, txbs)
+        if self.enable_cfl and self._cfl_allowed_enc(bsize):
+            r = self._try_cfl(mi_row, mi_col, bsize, up_avail,
+                              left_avail,
+                              luma_tx=next((t["tx_size"] for t in y_txbs
+                                            if t["plane"] == 0), None))
+            if r is not None and r[0] < best[0]:
+                best = r
+        return best
 
     # --- CfL ----------------------------------------------------------
 

@@ -266,26 +266,8 @@ class TpuRdoAllIntraEncoder(LossyAllIntraEncoder):
         uv_cost = 0.0
         uv_txbs = []
         if is_chroma_ref:
-            dist_dc = bits_dc = 0.0
-            txbs_dc = []
-            for plane in (1, 2):
-                d, b, t = self._code_plane(
-                    plane, c.DC_PRED, mi_row, mi_col, bsize, up_avail,
-                    left_avail, write_recon=False)
-                dist_dc += d
-                bits_dc += b
-                txbs_dc += t
-            cost_dc = dist_dc + lam * (bits_dc + 2.0)
-            best_uv = (cost_dc, c.DC_PRED, None, txbs_dc)
-            if self.enable_cfl and self._cfl_allowed_enc(bsize):
-                r = self._try_cfl(mi_row, mi_col, bsize, up_avail,
-                                  left_avail,
-                                  luma_tx=next((t["tx_size"]
-                                                for t in y_txbs
-                                                if t["plane"] == 0), None))
-                if r is not None and r[0] < best_uv[0]:
-                    best_uv = r
-            uv_cost, uv_mode, cfl, uv_txbs = best_uv
+            uv_cost, uv_mode, cfl, uv_txbs = self._pick_uv(
+                mi_row, mi_col, bsize, up_avail, left_avail, y_txbs)
             for plane in (1, 2):
                 self._apply_txbs(plane,
                                  [t for t in uv_txbs
